@@ -1,0 +1,26 @@
+"""Error model.
+
+The reference throws per-record ``DataException`` / config-time
+``ConfigException`` (org.apache.kafka.connect.errors). A vectorized
+engine cannot throw per row, so (SURVEY.md §4.3):
+
+* config errors -> ``ConfigException`` raised at stage-construction
+  time, before any data (mirrors ``configure()``,
+  e.g. reference ExtractTimestampConfig.java:75-101);
+* schema-shape errors (batch-constant) -> ``DataException`` raised at
+  ``apply()`` time from ``df.schema`` inspection (mirrors e.g.
+  Hash.java:176-178 "schema can't be null");
+* per-record data errors -> a ``__smt_error`` string column; the chain
+  end (or ``enforce``) fails the batch with the FIRST error message,
+  matching the reference's fail-on-first-record contract.
+"""
+
+from __future__ import annotations
+
+
+class ConfigException(ValueError):
+    """Invalid stage configuration (reference: ConfigException)."""
+
+
+class DataException(RuntimeError):
+    """Bad record/schema encountered (reference: DataException)."""

@@ -1,0 +1,153 @@
+"""Stage protocol + struct/map dual-regime helpers.
+
+A ``Stage`` is the engine's equivalent of the reference's
+``Transformation<R>`` plugin (configure/apply — ExtractTopic.java:59-70):
+config is validated eagerly in ``__init__`` (raising ``ConfigException``
+before any data, like ``configure()``), and ``apply`` is a pure
+``DataFrame -> DataFrame`` built from Column expressions so Catalyst
+fuses a whole chain into one plan (SURVEY.md §3, §4.2).
+
+Dual regimes (SURVEY.md §1.2): a stage inspects the Spark type of its
+place column — ``StructType`` == reference schema-ful path,
+``MapType`` == reference schemaless path — and reproduces each path's
+semantics (missing-field handling, blank-vs-empty checks).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from transforms_for_apache_kafka_connect_spark.errors import ConfigException
+
+# registry: config "type" name -> Stage subclass (chain compiler uses it)
+STAGE_REGISTRY: dict[str, type] = {}
+
+
+def register(name: str):
+    def deco(cls):
+        STAGE_REGISTRY[name] = cls
+        cls.type_name = name
+        return cls
+
+    return deco
+
+
+@dataclass
+class Stage:
+    """Base: subclasses set ``place`` ('key'|'value') and implement apply."""
+
+    type_name = "stage"
+
+    def apply(self, df: DataFrame) -> DataFrame:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        return self.apply(df)
+
+
+def require(cond: bool, msg: str) -> None:
+    if not cond:
+        raise ConfigException(msg)
+
+
+def place_type(df: DataFrame, place: str) -> T.DataType:
+    """DataType of the key/value envelope column."""
+    return df.schema[place].dataType
+
+
+def is_struct(dt: T.DataType) -> bool:
+    return isinstance(dt, T.StructType)
+
+
+def is_map(dt: T.DataType) -> bool:
+    return isinstance(dt, T.MapType)
+
+
+def struct_has_field(dt: T.StructType, field: str) -> bool:
+    return field in dt.fieldNames()
+
+
+def get_field(col: Column, dt: T.DataType, field: str) -> Column:
+    """Field access in either regime.
+
+    struct: ``col.field`` (schema-checked by caller); map:
+    ``element_at`` (missing key -> null, matching schemaless Map.get).
+    """
+    if is_map(dt):
+        return F.element_at(col, F.lit(field))
+    return col.getField(field)
+
+
+def set_field(col: Column, dt: T.DataType, field: str, expr: Column) -> Column:
+    """Field update/append in either regime, null-input-safe.
+
+    struct: ``withField`` (appends if absent — schema widening, like
+    ConcatFields.java:75,109); map: rebuild with the key overridden.
+    """
+    if is_map(dt):
+        val = expr.cast(dt.valueType)
+        cleaned = F.map_filter(col, lambda k, _v: k != F.lit(field))
+        # map_concat propagates null input -> null output (tombstone-safe)
+        return F.map_concat(cleaned, F.create_map(F.lit(field), val))
+    # withField propagates null struct -> null struct (tombstone-safe)
+    return col.withField(field, expr)
+
+
+# Spark type -> Connect Schema.Type name, for reference-parity messages
+_CONNECT_TYPE = {
+    T.ByteType: "INT8",
+    T.ShortType: "INT16",
+    T.IntegerType: "INT32",
+    T.LongType: "INT64",
+    T.FloatType: "FLOAT32",
+    T.DoubleType: "FLOAT64",
+    T.BooleanType: "BOOLEAN",
+    T.StringType: "STRING",
+    T.StructType: "STRUCT",
+    T.MapType: "MAP",
+    T.ArrayType: "ARRAY",
+    T.BinaryType: "BYTES",
+    T.TimestampType: "Timestamp",
+}
+
+
+def connect_type_name(dt: T.DataType) -> str:
+    return _CONNECT_TYPE.get(type(dt), dt.simpleString().upper())
+
+
+SUPPORTED_SCALAR_TYPES = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.BooleanType,
+    T.StringType,
+)
+
+
+def parse_typed_literal(s: str) -> Column:
+    """Typed parse of a config string, like ``Values.parseString``
+    (reference FilterByFieldValue.java:83: "42" parses to a numeric and
+    equals a byte-42 payload per FilterByFieldValueTest.java:211-226).
+
+    Spark's numeric type coercion on ``col == lit(x)`` then reproduces
+    the typed-equality semantics.
+    """
+    low = s.strip().lower()
+    if low in ("true", "false"):
+        return F.lit(low == "true")
+    try:
+        return F.lit(int(s))
+    except ValueError:
+        pass
+    try:
+        return F.lit(float(s))
+    except ValueError:
+        pass
+    return F.lit(s)

@@ -1,0 +1,63 @@
+"""CaseTransform — upper/lowercase listed string fields.
+
+Reference: CaseTransform.java:41-217. Semantics reproduced:
+* Locale.ROOT casing (:145-154) == Spark upper/lower;
+* null field stays null (:68-72,85-89) — Spark upper/lower are null-safe;
+* field missing from a struct schema is ignored (:74-76);
+* missing map key is ignored (not added);
+* untouched fields copied (:106-108);
+* non-STRUCT/MAP place -> DataException (:124-126).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from transforms_for_apache_kafka_connect_spark.errors import DataException
+from transforms_for_apache_kafka_connect_spark.operators.base import (
+    Stage,
+    is_map,
+    is_struct,
+    place_type,
+    register,
+    require,
+    set_field,
+    struct_has_field,
+)
+
+CASES = {"lower": F.lower, "upper": F.upper}
+
+
+@register("case_transform")
+@dataclass
+class CaseTransform(Stage):
+    field_names: list[str] = field(default_factory=list)
+    case: str = ""
+    place: str = "value"
+
+    def __post_init__(self):
+        require(bool(self.field_names), "field.names must be non-empty")
+        require(self.case in CASES, f"Invalid value {self.case} for configuration case")
+        require(self.place in ("key", "value"), "place must be key or value")
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        dt = place_type(df, self.place)
+        if not (is_struct(dt) or is_map(dt)):
+            raise DataException(f"{self.place} type must be STRUCT or MAP: {dt.simpleString()}")
+        fn = CASES[self.case]
+        col = F.col(self.place)
+        for f_name in self.field_names:
+            if is_struct(dt):
+                if not struct_has_field(dt, f_name):
+                    continue  # missing struct field ignored (CaseTransform.java:74-76)
+                col = set_field(col, dt, f_name, fn(col.getField(f_name)))
+            else:
+                # map regime: only rewrite when the key exists
+                updated = set_field(col, dt, f_name, fn(F.element_at(col, F.lit(f_name))))
+                col = F.when(
+                    col.isNotNull() & F.map_contains_key(col, F.lit(f_name)), updated
+                ).otherwise(col)
+        return df.withColumn(self.place, col)

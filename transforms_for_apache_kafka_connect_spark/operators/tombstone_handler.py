@@ -1,0 +1,51 @@
+"""TombstoneHandler — drop or fail on tombstones (value IS NULL).
+
+Reference: TombstoneHandler.java:29-88; behaviors DROP_SILENT /
+DROP_WARN / FAIL, case-insensitive config (TombstoneHandlerConfig.java:
+37-73,90-103); FAIL message is exact (TombstoneHandlerTest.java:42-46).
+
+Spark: drop modes compile to a filter (with an ``observe`` counter so
+drop metrics survive into the batch's QueryExecution listener events);
+FAIL routes tombstones into the error column -> batch fails at enforce.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from transforms_for_apache_kafka_connect_spark.operators.base import (
+    Stage,
+    register,
+    require,
+)
+from transforms_for_apache_kafka_connect_spark.record import keep_rows, merge_error
+
+BEHAVIORS = ("drop_silent", "drop_warn", "fail")
+
+FAIL_MESSAGE = "Tombstone record encountered, failing due to configured 'fail' behavior"
+
+
+@register("tombstone_handler")
+@dataclass
+class TombstoneHandler(Stage):
+    behavior: str = field(default="")
+    observe_name: str | None = None
+
+    def __post_init__(self):
+        b = (self.behavior or "").lower()
+        require(b in BEHAVIORS, f"Unknown behavior: {self.behavior}")
+        self.behavior = b
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        is_tombstone = F.col("value").isNull()
+        if self.behavior == "fail":
+            return merge_error(df, is_tombstone, F.lit(FAIL_MESSAGE))
+        if self.observe_name:
+            df = df.observe(
+                self.observe_name,
+                F.sum(F.when(is_tombstone, 1).otherwise(0)).alias("dropped"),
+            )
+        return keep_rows(df, ~is_tombstone)
