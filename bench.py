@@ -1,0 +1,197 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Headline metric: CDC replay wall-clock — the full engine loop
+(parquet change-stream scan → SMT chain → LWW dedupe → bucketed MERGE
+with deletes → commit ledger) over a deterministic synthetic stream
+sized to the scale factor. Prints ONE JSON line:
+
+    {"metric": "cdc_replay", "value": <sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "events_per_sec": ...}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32). Scaling-efficiency evidence
+(local[8] vs local[32]) lives in BENCH/scaling.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+EVENTS_PER_LINEITEM_ROW = 5  # sf0.1 (~600k rows) -> ~3M change events
+
+
+def _fast_local_dir() -> str | None:
+    """RAM-backed scratch if available: a single shared NVMe serializes
+    shuffle/table IO in a way a real cluster (per-executor disks,
+    scalable DFS) does not — tmpfs is the closer analog for measuring
+    CPU scaling of the plan."""
+    if os.environ.get("SPARK_GRAFT_NO_SHM"):
+        return None
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        d = "/dev/shm/tkc_spark_scratch"
+        os.makedirs(d, exist_ok=True)
+        return d
+    return None
+
+
+def build_session(cpus: int, shuffle_partitions: int | None = None):
+    from pyspark.sql import SparkSession
+
+    builder = SparkSession.builder
+    fast = _fast_local_dir()
+    if fast:
+        builder = builder.config("spark.local.dir", fast)
+    return (
+        builder.master(f"local[{cpus}]")
+        .appName("tkc-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # batch slices are a few hundred MB: default 128 MB bins would cap
+        # the scan (where the SMT chain runs) at ~4 tasks — far below
+        # either parallelism level; smaller bins let the scan scale
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.files.openCostInBytes", "1m")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .getOrCreate()
+    )
+
+
+def replay_benchmark(spark, n_events: int, work_dir: str, cpus: int) -> dict:
+    """Time the replay loop only (generation/write excluded)."""
+    from pyspark.sql import functions as F
+
+    from transforms_for_apache_kafka_connect_spark import Chain
+    from transforms_for_apache_kafka_connect_spark.sources import change_stream
+    from transforms_for_apache_kafka_connect_spark.streaming import LakeTable, Replayer
+
+    n_batches = 8
+    width = -(-n_events // n_batches)
+    base = 1_600_000_000_000
+
+    events_path = os.path.join(work_dir, "events")
+    # binlog-tail layout: one directory per LSN slice, so each replay
+    # batch scans ONLY its slice (directory-level partition pruning) —
+    # exactly how an incremental tail reads only new files at 100 TB
+    (
+        change_stream(
+            spark, n_events, n_repos=2_000, paths_per_repo=20,
+            partitions=cpus * 4,
+        )
+        .withColumn("__slice", F.floor((F.col("timestamp") - base) / width))
+        .write.mode("overwrite")
+        .partitionBy("__slice")
+        .parquet(events_path)
+    )
+    events = spark.read.parquet(events_path)
+
+    chain = Chain(
+        [
+            {"type": "tombstone_handler", "behavior": "drop_silent"},
+            {"type": "filter_by_field_value", "field.name": "op",
+             "field.value": "r", "field.value.matches": False},
+            # per-row content sha256 (north_star invariant), nested field
+            {"type": "hash", "field.name": "after.content",
+             "function": "sha256", "skip.missing.or.null": True},
+            {"type": "concat_fields", "field.names": ["op", "lsn"],
+             "output.field.name": "op_lsn", "delimiter": ":"},
+        ]
+    )
+    # bucket sizing: aim ≥~50 MB/bucket; at bench scale (40k keys) 16
+    # buckets; at 100 TB the same table uses O(10^5) buckets — the merge
+    # cost model is unchanged (touched-bucket COW), only the constant grows.
+    # discovery=False: zipf keys cover every bucket each batch, so the
+    # touched-bucket discovery job is pure overhead here.
+    table = LakeTable(
+        os.path.join(work_dir, "repositories"), n_buckets=16,
+        target_rows_per_file=2_000_000, discovery=False,
+        merge_strategy="broadcast",
+    )
+    rep = Replayer(table=table, chain=chain, epoch="bench")
+
+    t0 = time.perf_counter()
+    results = rep.replay(
+        events, batch_width=1, max_pos=n_batches, slice_col="__slice"
+    )
+    elapsed = time.perf_counter() - t0
+    final_rows = table.read(spark).count()
+    return {
+        "replay_sec": elapsed,
+        "events_per_sec": n_events / elapsed,
+        "n_events": n_events,
+        "n_batches": len(results),
+        "final_rows": final_rows,
+    }
+
+
+def time_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    names = [
+        "chain_fused", "hash", "filter_by_field_value_exact",
+        "extract_topic", "lww_dedupe", "cdc_merge",
+    ]
+    out = {}
+    qs = entrymod.queries()
+    for name in names:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+
+    spark = build_session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if os.environ.get("SPARK_GRAFT_EVENTS"):
+        n_events = int(os.environ["SPARK_GRAFT_EVENTS"])
+    else:
+        n_rows = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+        n_events = n_rows * EVENTS_PER_LINEITEM_ROW
+
+    work_dir = tempfile.mkdtemp(prefix="tkc_bench_", dir=_fast_local_dir())
+    try:
+        replay = replay_benchmark(spark, n_events, work_dir, cpus)
+        queries = (
+            {}
+            if os.environ.get("SPARK_GRAFT_SKIP_QUERIES")
+            else time_queries(spark, sf_dir)
+        )
+    finally:
+        shutil.rmtree(work_dir, ignore_errors=True)
+
+    print(
+        json.dumps(
+            {
+                "metric": "cdc_replay",
+                "value": round(replay["replay_sec"], 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "events_per_sec": round(replay["events_per_sec"]),
+                "n_events": replay["n_events"],
+                "n_batches": replay["n_batches"],
+                "final_rows": replay["final_rows"],
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

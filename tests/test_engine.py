@@ -1,0 +1,174 @@
+"""Engine-level tests (SURVEY.md §5.2 / §7.7): change-stream generator
+determinism, LWW dedupe, merge with tombstone deletes, exactly-once
+idempotence, resume, schema evolution, and sha256(content) parity vs an
+independent oracle replay."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from transforms_for_apache_kafka_connect_spark import Chain
+from transforms_for_apache_kafka_connect_spark.sources import (
+    change_stream,
+    repositories_snapshot,
+)
+from transforms_for_apache_kafka_connect_spark.streaming import (
+    LakeTable,
+    Replayer,
+    lww_dedupe,
+)
+
+N = 10_000
+BASE_TS = 1_600_000_000_000
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return change_stream(spark, N, n_repos=100, paths_per_repo=10).cache()
+
+
+def test_generator_deterministic(spark, events):
+    again = change_stream(spark, N, n_repos=100, paths_per_repo=10)
+    a = events.drop("headers")  # MAP columns unsupported in set ops
+    b = again.drop("headers")
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    assert events.count() == N
+
+
+def test_generator_shape(spark, events):
+    ops = {r["op"] for r in events.select("value.op").distinct().collect() if r["op"]}
+    assert ops == {"c", "u", "r", "d"}
+    n_tomb = events.filter(F.col("value").isNull()).count()
+    assert 0 < n_tomb < N * 0.03  # ~1% tombstones
+    # zipf skew: top repo should own far more than 1/100 of events
+    top = (
+        events.groupBy("key.repo").count().orderBy(F.desc("count")).first()["count"]
+    )
+    assert top > N / 100 * 5
+
+
+def test_lww_dedupe_one_row_per_key_max_lsn(spark, events):
+    deduped = lww_dedupe(events)
+    assert deduped.groupBy("key").count().filter("count > 1").count() == 0
+    # surviving lsn == max lsn per key among non-null values
+    expected = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy("key")
+        .agg(F.max("value.lsn").alias("lsn"))
+    )
+    got = deduped.select("key", F.col("value.lsn").alias("lsn"))
+    assert got.exceptAll(expected).count() == 0
+
+
+def _mk_replayer(spark, tmp_path, chain=None):
+    table = LakeTable(str(tmp_path / "repositories"), n_buckets=16)
+    return Replayer(table=table, chain=chain or Chain([]), epoch="e1")
+
+
+def test_replay_parity_with_oracle(spark, events, tmp_path):
+    rep = _mk_replayer(spark, tmp_path)
+    results = rep.replay(
+        events, batch_width=2_000, max_pos=BASE_TS + N, start_pos=BASE_TS
+    )
+    assert len(results) == 5
+    assert all(not r.get("skipped") for r in results)
+
+    final = rep.table.read(spark)
+    oracle = repositories_snapshot(spark, events)
+    # per-row sha256(content) parity, full outer — zero mismatches
+    cmp = final.select(
+        "repo", "path", F.sha2("content", 256).alias("h")
+    ).join(
+        oracle.select("repo", "path", F.sha2("content", 256).alias("h2")),
+        ["repo", "path"],
+        "full_outer",
+    )
+    assert cmp.filter("h IS NULL OR h2 IS NULL OR h != h2").count() == 0
+    assert final.count() == oracle.count()
+
+
+def test_replay_idempotent_and_resumable(spark, events, tmp_path):
+    rep = _mk_replayer(spark, tmp_path)
+    rep.replay(events, batch_width=2_500, max_pos=BASE_TS + N, start_pos=BASE_TS)
+    v1 = rep.table.manifest()["version"]
+    state1 = rep.table.read(spark).orderBy("repo", "path").collect()
+
+    # re-apply an already-committed batch -> no-op
+    batch0 = events.filter(
+        (F.col("timestamp") >= BASE_TS) & (F.col("timestamp") < BASE_TS + 2_500)
+    )
+    r = rep.apply_batch(batch0, 0)
+    assert r["skipped"]
+
+    # fresh Replayer over the same table (simulated restart) -> all skipped
+    rep2 = _mk_replayer(spark, tmp_path)
+    results = rep2.replay(
+        events, batch_width=2_500, max_pos=BASE_TS + N, start_pos=BASE_TS
+    )
+    assert all(r["skipped"] for r in results)
+    assert rep2.table.manifest()["version"] == v1
+    assert rep2.table.read(spark).orderBy("repo", "path").collect() == state1
+
+
+def test_partial_replay_then_resume(spark, events, tmp_path):
+    rep = _mk_replayer(spark, tmp_path)
+    # crash after 2 of 4 batches
+    rep.replay(events, batch_width=2_500, max_pos=BASE_TS + 5_000, start_pos=BASE_TS)
+    # resume runs ALL batches; first two are skipped by the ledger
+    rep2 = _mk_replayer(spark, tmp_path)
+    results = rep2.replay(
+        events, batch_width=2_500, max_pos=BASE_TS + N, start_pos=BASE_TS
+    )
+    assert [r.get("skipped", False) for r in results] == [True, True, False, False]
+    oracle = repositories_snapshot(spark, events)
+    assert rep2.table.read(spark).count() == oracle.count()
+
+
+def test_chain_in_replay_and_schema_evolution(spark, events, tmp_path):
+    chain = Chain(
+        [
+            # drop tombstones FIRST: ConcatFields errors on null values
+            # exactly like the reference (ConcatFields.java:60-62)
+            {"type": "tombstone_handler", "behavior": "drop_warn"},
+            # drop Debezium snapshot reads; routing metric semantics
+            {"type": "filter_by_field_value", "field.name": "op",
+             "field.value": "r", "field.value.matches": False},
+            {"type": "concat_fields", "field.names": ["op", "lsn"],
+             "output.field.name": "op_lsn", "delimiter": ":"},
+        ]
+    )
+    rep = _mk_replayer(spark, tmp_path, chain=chain)
+    rep.replay(events, batch_width=5_000, max_pos=BASE_TS + N, start_pos=BASE_TS)
+    final = rep.table.read(spark)
+    # SMT-added column propagated to the table schema
+    assert "op_lsn" in final.columns
+    assert final.filter(F.col("op_lsn").rlike("^[cud]:")).count() > 0
+    # oracle: replay of the FILTERED stream (op='r' dropped pre-merge)
+    oracle = repositories_snapshot(
+        spark, events.filter(F.col("value").isNull() | (F.col("value.op") != "r"))
+    )
+    assert final.count() == oracle.count()
+    cmp = final.select("repo", "path", "content").join(
+        oracle.select("repo", "path", F.col("content").alias("c2")),
+        ["repo", "path"],
+        "full_outer",
+    )
+    assert cmp.filter("content IS NULL OR c2 IS NULL OR content != c2").count() == 0
+
+
+def test_delete_removes_rows(spark, tmp_path):
+    # tiny targeted stream: key deleted by the last event must be absent
+    ev = change_stream(spark, 3_000, n_repos=10, paths_per_repo=3)
+    rep = _mk_replayer(spark, tmp_path)
+    rep.replay(ev, batch_width=1_000, max_pos=BASE_TS + 3_000, start_pos=BASE_TS)
+    last_op = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy("key")
+        .agg(F.max_by(F.col("value.op"), F.col("value.lsn")).alias("op"))
+    )
+    deleted = last_op.filter("op = 'd'").select("key.repo", "key.path")
+    final = rep.table.read(spark)
+    hit = final.join(deleted, ["repo", "path"], "inner").count()
+    assert deleted.count() > 0 and hit == 0

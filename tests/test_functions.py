@@ -1,0 +1,250 @@
+"""Tests for the training-data pipeline ops: dedup family, similarity
+search, text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from transforms_for_apache_kafka_connect_spark.functions import (
+    add_text_stats,
+    brute_force_topk,
+    detect_lang,
+    exact_duplicates,
+    fingerprint,
+    lsh_topk,
+    minhash_lsh_duplicates,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+    token_count,
+    embedding_near_duplicates,
+)
+from transforms_for_apache_kafka_connect_spark.functions.dedupe import (
+    hamming64,
+    jaccard_expr,
+    word_shingles,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+# ------------------------------------------------------------------ text
+
+def test_token_count(spark):
+    df = spark.createDataFrame(
+        [("hello world foo",), ("  ",), ("a,b c!",)], "text: string"
+    )
+    out = df.select(
+        token_count(F.col("text")).alias("ws"),
+        token_count(F.col("text"), "bpe").alias("bpe"),
+    ).collect()
+    assert [r["ws"] for r in out] == [3, 0, 2]
+    # bpe: a , b c ! -> 5 pieces
+    assert out[2]["bpe"] == 5
+
+
+def test_detect_lang(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog went to the park",),
+            ("der Hund und die Katze ist nicht da",),
+            ("le chat et les chiens dans la maison",),
+            ("zzz qqq xxx",),
+        ],
+        "text: string",
+    )
+    out = [r[0] for r in df.select(detect_lang(F.col("text"))).collect()]
+    assert out == ["en", "de", "fr", "und"]
+
+
+def test_fingerprint_whitespace_case_invariant(spark):
+    df = spark.createDataFrame(
+        [("Hello   World",), ("hello world",), ("different",)], "text: string"
+    )
+    fps = [r[0] for r in df.select(fingerprint(F.col("text"))).collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_text_stats(docs):
+    out = add_text_stats(docs).select(
+        "doc_id", "n_chars", "n_chars_computed", "n_tokens", "punct_ratio",
+        "stopword_ratio", "quality_score",
+    )
+    rows = out.collect()
+    assert all(r["n_chars"] == r["n_chars_computed"] for r in rows)
+    assert all(0 <= r["punct_ratio"] <= 1 for r in rows)
+    assert all(r["n_tokens"] > 0 for r in rows)
+
+
+# ----------------------------------------------------------------- dedup
+
+def test_exact_duplicates(spark, docs):
+    dup = docs.limit(10).withColumn("doc_id", F.col("doc_id") + 100_000)
+    out = exact_duplicates(docs.unionByName(dup)).collect()
+    assert len(out) == 20  # 10 groups x 2 members
+    groups = {}
+    for r in out:
+        groups.setdefault(r["text_hash"], []).append(r)
+    for g in groups.values():
+        assert len(g) == 2
+        assert all(r["canonical_id"] == min(x["doc_id"] for x in g) for r in g)
+
+
+def test_exact_duplicates_none(docs):
+    assert exact_duplicates(docs).count() == 0
+
+
+def test_word_shingles_and_jaccard(spark):
+    df = spark.createDataFrame(
+        [("a b c d e", "a b c d x")], "t1: string, t2: string"
+    )
+    row = df.select(
+        word_shingles(F.col("t1")).alias("s1"),
+        word_shingles(F.col("t2")).alias("s2"),
+    ).select(jaccard_expr(F.col("s1"), F.col("s2")).alias("j")).first()
+    # shingles: {abc,bcd,cde} vs {abc,bcd,cdx}: inter 2, union 4
+    assert abs(row["j"] - 0.5) < 1e-9
+
+
+def test_ngram_jaccard_pairs_finds_near_dups(spark, docs):
+    # mutate 5 docs slightly: append one word -> high but <1 jaccard
+    mutated = (
+        docs.limit(5)
+        .withColumn("doc_id", F.col("doc_id") + 100_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" extraword")))
+    )
+    out = ngram_jaccard_pairs(
+        docs.unionByName(mutated), threshold=0.6
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    expect = {(i, i + 100_000) for i in range(5)}
+    assert expect <= pairs
+    assert all(0.6 <= r["jaccard"] < 1.0 for r in out if r["id_b"] >= 100_000)
+
+
+def test_minhash_lsh_matches_bruteforce(spark, docs):
+    mutated = (
+        docs.limit(8)
+        .withColumn("doc_id", F.col("doc_id") + 100_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" tail")))
+    )
+    both = docs.limit(60).unionByName(mutated)
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_duplicates(both, threshold=0.7).collect()
+    }
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(both, threshold=0.7).collect()
+    }
+    # LSH verified output is a subset of brute force; recall high for
+    # near-identical docs (jaccard ~0.9 -> P(collide) ~ 1)
+    assert lsh <= brute
+    assert len(lsh) >= len(brute) * 0.8
+
+
+def test_simhash(spark, docs):
+    sigs = simhash_signatures(docs.limit(20)).collect()
+    assert len({r["simhash"] for r in sigs}) > 1
+    # near-identical docs -> small hamming distance
+    base = docs.limit(3)
+    mutated = base.withColumn("doc_id", F.col("doc_id") + 100_000).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" x"))
+    )
+    s1 = simhash_signatures(base).withColumnRenamed("simhash", "h1")
+    s2 = (
+        simhash_signatures(mutated)
+        .withColumn("doc_id", F.col("doc_id") - 100_000)
+        .withColumnRenamed("simhash", "h2")
+    )
+    joined = s1.join(s2, "doc_id").select(
+        hamming64(F.col("h1"), F.col("h2")).alias("d")
+    )
+    assert all(r["d"] <= 16 for r in joined.collect())
+
+
+def test_embedding_near_duplicates(spark, emb):
+    # inject exact copies: cosine 1.0, must be found
+    dup = emb.limit(5).withColumn("vec_id", F.col("vec_id") + 100_000)
+    out = embedding_near_duplicates(
+        emb.unionByName(dup), dim=64, threshold=0.999
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert {(i, i + 100_000) for i in range(5)} <= pairs
+
+
+# ------------------------------------------------------------ similarity
+
+def test_brute_force_topk(spark, emb):
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(emb, queries, k=5)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for q, rs in by_q.items():
+        assert len(rs) == 5
+        sims = [r["cosine"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["neighbor_id"] != q for r in rs)
+
+
+def test_lsh_topk_finds_true_near_neighbors(spark, emb):
+    # identical query vectors -> identical LSH signature -> guaranteed
+    # same bucket: recall@1 must be 1.0 for true near-dups
+    queries = emb.limit(3).select(
+        (F.col("vec_id") + 100_000).alias("query_id"), "embedding"
+    )
+    approx = lsh_topk(emb, queries, k=1, dim=64, n_planes=8).collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    assert {(100_000 + i, i) for i in range(3)} <= got
+    assert all(r["cosine"] > 0.999 for r in approx)
+
+
+# ------------------------------------------------------------ multimodal
+
+def test_multimodal_features(spark):
+    from transforms_for_apache_kafka_connect_spark.functions.multimodal import (
+        extract_features,
+        sample_frames,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 100)
+    feats = extract_features(media).collect()
+    assert len(feats) == 100
+    assert all(len(r["features"]) == 16 for r in feats)
+    assert all(0.0 <= v <= 1.0 for r in feats for v in r["features"])
+    # deterministic
+    again = extract_features(synthetic_media(spark, 100)).collect()
+    assert {r["media_id"]: r["features"] for r in feats} == {
+        r["media_id"]: r["features"] for r in again
+    }
+    frames = sample_frames(media, every_ms=250)
+    n_videos = media.filter("kind = 'video'").count()
+    assert frames.count() == n_videos * 4  # 1000ms / 250ms
+
+
+def test_multimodal_decode_stub_raises(spark):
+    from transforms_for_apache_kafka_connect_spark.functions.multimodal import (
+        extract_features,
+        synthetic_media,
+    )
+
+    with pytest.raises(Exception, match="NotImplementedError|imaging library"):
+        extract_features(synthetic_media(spark, 5), fake=False).collect()

@@ -1,0 +1,33 @@
+from transforms_for_apache_kafka_connect_spark.functions.text import (
+    add_text_stats,
+    detect_lang,
+    fingerprint,
+    token_count,
+)
+from transforms_for_apache_kafka_connect_spark.functions.dedupe import (
+    exact_duplicates,
+    minhash_lsh_duplicates,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+    embedding_near_duplicates,
+)
+from transforms_for_apache_kafka_connect_spark.functions.similarity import (
+    brute_force_topk,
+    cosine_expr,
+    lsh_topk,
+)
+
+__all__ = [
+    "add_text_stats",
+    "detect_lang",
+    "fingerprint",
+    "token_count",
+    "exact_duplicates",
+    "minhash_lsh_duplicates",
+    "ngram_jaccard_pairs",
+    "simhash_signatures",
+    "embedding_near_duplicates",
+    "brute_force_topk",
+    "cosine_expr",
+    "lsh_topk",
+]

@@ -1,0 +1,291 @@
+"""Deduplication family for training-data pipelines.
+
+Exact (hash groupBy), MinHash+LSH (shingle -> minhash -> band ->
+bucket-join -> jaccard verify), SimHash (JVM token hashing + Arrow
+bit-fold), word-n-gram Jaccard, and embedding-cosine near-dup
+(hyperplane LSH buckets + exact verify).
+
+Scale notes: every candidate-generation step is a shuffle on a
+*bucket key* (band hash / hyperplane signature), never an all-pairs
+cross join; exact verification runs only within buckets. Map-side the
+signatures are pure Column expressions over arrays (codegen'd);
+SimHash's 64-bit fold is the one Arrow-vectorized pandas_udf (the
+per-bit popcount loop is not expressible as a fixed-size expression
+tree at acceptable cost).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+# ------------------------------------------------------------------ exact
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, canonical_id, text_hash, group_size) for every row in a
+    duplicate group of size >= 2; canonical = min id (one shuffle)."""
+    h = F.sha2(F.col(text_col), 256)
+    groups = (
+        df.select(F.col(id_col), h.alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("group_size"),
+            F.collect_list(id_col).alias("ids"),
+        )
+        .filter(F.col("group_size") >= 2)
+    )
+    return groups.select(
+        F.explode("ids").alias(id_col), "canonical_id", "text_hash", "group_size"
+    )
+
+
+# -------------------------------------------------------------- shingles
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (lowercased), JVM-side."""
+    words = F.split(F.lower(F.trim(col)), r"\s+")
+    k = F.size(words) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    return F.array_distinct(grams)
+
+
+def jaccard_expr(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    block_col: str | None = None,
+) -> DataFrame:
+    """All-pairs word-n-gram Jaccard >= threshold.
+
+    Without ``block_col`` this is a self-join blocked only by a cheap
+    length band (baseline, small inputs); pass a blocking column
+    (e.g. a MinHash band) for scale — see minhash_lsh_duplicates.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), n).alias("sh"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if block_col:
+        joined = a.join(b, (F.col("a.blk") == F.col("b.blk")) & cond)
+    else:
+        joined = a.join(b, cond)
+    return (
+        joined.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(jaccard_expr(F.col("a.sh"), F.col("b.sh")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# -------------------------------------------------------------- minhash
+
+def minhash_signature(col: Column, num_hashes: int = 32, n: int = 3) -> Column:
+    """Array of ``num_hashes`` min-hashes over word n-gram shingles."""
+    sh = word_shingles(col, n)
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_duplicates(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, verified by exact Jaccard.
+
+    rows-per-band r = num_hashes/bands; collision prob ~ 1-(1-s^r)^b.
+    Candidate generation = explode bands -> shuffle on (band, band_hash)
+    -> equi-join; verification joins shingle arrays back by id.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), n).alias("sh"),
+        minhash_signature(F.col(text_col), num_hashes, n).alias("sig"),
+    ).persist()
+
+    banded = base.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at(F.col("sig"), bi * r + j + 1).cast("string")
+                                    for j in range(r)
+                                ],
+                            )
+                        ).alias("bh"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "b.band", "b.bh")
+
+    x, y = banded.alias("x"), banded.alias("y")
+    candidates = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bh") == F.col("y.bh"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+
+    sa = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard_expr(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+# --------------------------------------------------------------- simhash
+
+@F.pandas_udf(T.LongType())
+def _simhash_fold(token_hashes: pd.Series) -> pd.Series:
+    """Arrow-vectorized 64-bit SimHash fold: per doc, sum ±1 per bit of
+    each token hash, take the sign bit vector."""
+    out = np.zeros(len(token_hashes), dtype=np.int64)
+    for row_i, hashes in enumerate(token_hashes):
+        if hashes is None or len(hashes) == 0:
+            continue
+        arr = np.asarray(hashes, dtype=np.uint64)
+        bits = ((arr[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
+        votes = bits.sum(axis=0) * 2 - len(arr)  # (+1/-1 vote sums)
+        sig = np.uint64(0)
+        for b in np.nonzero(votes > 0)[0]:
+            sig |= np.uint64(1) << np.uint64(b)
+        out[row_i] = np.int64(sig)
+    return pd.Series(out)
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, simhash) — token hashing JVM-side, bit fold via Arrow."""
+    tokens = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    token_hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    return df.select(
+        F.col(id_col),
+        _simhash_fold(token_hashes).alias("simhash"),
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+# -------------------------------------------------- embedding near-dup
+
+def _hyperplane_bits(vec: Column, dim: int, n_planes: int, seed: int) -> Column:
+    """Deterministic random-hyperplane sign bits as a packed long.
+
+    Hyperplane coefficients are pseudo-random in {-1,+1} derived from
+    xxhash-like mixing of (plane, coord) — computed as a Column
+    expression so the signature is JVM-side."""
+    bits = []
+    for p in range(n_planes):
+        # deterministic ±1 coefficient stream per plane
+        coeff = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i, p=p: (
+                F.when(
+                    F.pmod(F.xxhash64(i, F.lit(p), F.lit(seed)), F.lit(2)) == 0, 1.0
+                ).otherwise(-1.0)
+            ),
+        )
+        dot = F.aggregate(
+            F.zip_with(vec, coeff, lambda v, c: v * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * (2**p))
+    return sum(bits[1:], bits[0]).cast("long")
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Cosine near-dup pairs via hyperplane-LSH buckets + exact verify.
+
+    Bucket key = packed sign bits; near-identical vectors agree on all
+    planes with high probability. Exact cosine runs only within buckets.
+    """
+    from transforms_for_apache_kafka_connect_spark.functions.similarity import (
+        cosine_expr,
+    )
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _hyperplane_bits(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine_expr(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

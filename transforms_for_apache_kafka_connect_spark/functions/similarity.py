@@ -1,0 +1,124 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline (broadcast the query
+side — the scan side streams, no shuffle of the corpus), and an
+LSH-bucketed variant as the scale path (corpus shuffled once by bucket;
+queries probe matching buckets only).
+
+Dot products are JVM-side ``zip_with`` + ``aggregate`` Column
+expressions — no Python in the scoring loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    denom = norm_expr(a) * norm_expr(b)
+    return F.when(denom > 0, dot_expr(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine: broadcast queries x streamed corpus.
+
+    Scale shape: corpus is never shuffled — each scan task scores its
+    rows against the (small, broadcast) query set; the only shuffle is
+    the final per-query top-k, whose input is already cut to k rows per
+    (query, partition) by a partial sort... expressed here as a window
+    over (query_id) which Spark executes as shuffle+sort on
+    #queries * |corpus| scored rows; for large corpora pass through
+    ``lsh_topk`` instead.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+    )
+    scored = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v")
+    ).crossJoin(q).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_expr(F.col("v"), F.col("qv")), 6).alias("cosine"),
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: hyperplane-LSH bucket probe + exact rescoring
+    within the probed bucket. Recall < 1; bucket count = 2^n_planes.
+
+    Corpus is bucketed once (one shuffle, reusable across query sets);
+    each query scores only its bucket's candidates.
+    """
+    from transforms_for_apache_kafka_connect_spark.functions.dedupe import (
+        _hyperplane_bits,
+    )
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("v"),
+        _hyperplane_bits(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _hyperplane_bits(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
+    )
+    scored = c.join(F.broadcast(q), "bucket").select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_expr(F.col("v"), F.col("qv")), 6).alias("cosine"),
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,100 @@
+"""Text analysis for large-scale training-data pipelines.
+
+All JVM-side Column expressions (no Python in the hot path): language
+ID (stopword-marker heuristic), quality scoring (length / punctuation /
+stopword ratios), token counting (whitespace + a BPE-ish regex), and
+document fingerprinting (normalized rolling hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: BPE-ish token pattern: word pieces OR single non-space punctuation
+BPE_TOKEN_PATTERN = r"[A-Za-z0-9_]+|[^\sA-Za-z0-9_]"
+
+#: tiny marker-word sets per language (whitespace-delimited match)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "that", "with", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein"],
+    "fr": ["le", "la", "et", "les", "des", "est", "dans", "une"],
+    "es": ["el", "la", "los", "que", "es", "una", "para", "con"],
+}
+
+STOPWORDS_EN = LANG_MARKERS["en"] + ["a", "in", "it", "on", "as", "are", "was"]
+
+
+def token_count(col: Column, mode: str = "whitespace") -> Column:
+    """Token count: 'whitespace' split or 'bpe' regex pieces."""
+    if mode == "whitespace":
+        trimmed = F.trim(col)
+        return F.when(trimmed == "", F.lit(0)).otherwise(
+            F.size(F.split(trimmed, r"\s+"))
+        )
+    if mode == "bpe":
+        return F.regexp_count(col, F.lit(BPE_TOKEN_PATTERN))
+    raise ValueError(f"unknown token mode: {mode}")
+
+
+def _marker_hits(col: Column, words: list[str]) -> Column:
+    # count whitespace-delimited marker-word occurrences, case-insensitive
+    pat = r"(?i)\b(?:" + "|".join(words) + r")\b"
+    return F.regexp_count(col, F.lit(pat))
+
+
+def detect_lang(col: Column, langs: list[str] | None = None) -> Column:
+    """Argmax of marker-word hit counts; 'und' (undetermined) if zero."""
+    langs = langs or list(LANG_MARKERS)
+    scores = [(_marker_hits(col, LANG_MARKERS[l]).alias(l), l) for l in langs]
+    best = F.greatest(*[s for s, _ in scores]) if len(scores) > 1 else scores[0][0]
+    result = F.lit("und")
+    # first language reaching the max wins (deterministic order)
+    for score, lang in reversed(scores):
+        result = F.when((score == best) & (best > 0), F.lit(lang)).otherwise(result)
+    return result
+
+
+def fingerprint(col: Column) -> Column:
+    """Normalized document fingerprint: xxhash64 of the
+    lowercased, whitespace-collapsed text — exact-dup detection robust
+    to case/whitespace noise."""
+    normalized = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    return F.xxhash64(normalized)
+
+
+def add_text_stats(
+    df: DataFrame, text_col: str = "text", prefix: str = ""
+) -> DataFrame:
+    """Append quality-scoring columns (all codegen'd, one pass)."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_tokens = token_count(c)
+    n_punct = F.regexp_count(c, F.lit(r"[^\w\s]"))
+    stop_hits = _marker_hits(c, STOPWORDS_EN)
+    p = prefix
+    return (
+        df.withColumn(p + "n_chars_computed", n_chars)
+        .withColumn(p + "n_tokens", n_tokens)
+        .withColumn(p + "n_tokens_bpe", token_count(c, "bpe"))
+        .withColumn(
+            p + "punct_ratio",
+            F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            p + "stopword_ratio",
+            F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            p + "quality_score",
+            F.round(
+                F.least(n_tokens / 100.0, F.lit(1.0)) * 0.5
+                + F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(0.0) * 2.0
+                + F.when(
+                    n_chars > 0, 1.0 - F.least(n_punct / n_chars * 4, F.lit(1.0))
+                ).otherwise(0.0)
+                * 0.5,
+                6,
+            ),
+        )
+    )

@@ -41,6 +41,11 @@ class Stage:
     """Base: subclasses set ``place`` ('key'|'value') and implement apply."""
 
     type_name = "stage"
+    #: True for stages that only drop rows / record errors (row-local
+    #: predicates) — they commute with LWW winner selection, so the
+    #: engine may run them before dedupe and defer mutator stages to the
+    #: (much smaller) winner set (engine.py lww pushdown)
+    is_row_filter = False
 
     def apply(self, df: DataFrame) -> DataFrame:  # pragma: no cover - abstract
         raise NotImplementedError
@@ -68,18 +73,36 @@ def is_map(dt: T.DataType) -> bool:
 
 
 def struct_has_field(dt: T.StructType, field: str) -> bool:
-    return field in dt.fieldNames()
+    """Field presence; supports dotted nested paths ('after.content') —
+    an engine extension beyond the reference's flat structs."""
+    cur: T.DataType = dt
+    for part in field.split("."):
+        if not isinstance(cur, T.StructType) or part not in cur.fieldNames():
+            return False
+        cur = cur[part].dataType
+    return True
+
+
+def struct_field_type(dt: T.StructType, field: str) -> T.DataType:
+    cur: T.DataType = dt
+    for part in field.split("."):
+        cur = cur[part].dataType  # type: ignore[index]
+    return cur
 
 
 def get_field(col: Column, dt: T.DataType, field: str) -> Column:
     """Field access in either regime.
 
-    struct: ``col.field`` (schema-checked by caller); map:
-    ``element_at`` (missing key -> null, matching schemaless Map.get).
+    struct: ``col.field`` (schema-checked by caller; dotted paths
+    descend); map: ``element_at`` (missing key -> null, matching
+    schemaless Map.get).
     """
     if is_map(dt):
         return F.element_at(col, F.lit(field))
-    return col.getField(field)
+    out = col
+    for part in field.split("."):
+        out = out.getField(part)
+    return out
 
 
 def set_field(col: Column, dt: T.DataType, field: str, expr: Column) -> Column:

@@ -66,8 +66,9 @@ class ExtractTimestamp(Stage):
                 )
             fdt = dt[self.field_name].dataType
             fval = col.getField(self.field_name)
-            if isinstance(fdt, T.TimestampType):
-                new_ts = F.unix_millis(fval)
+            if isinstance(fdt, (T.TimestampType, T.TimestampNTZType)):
+                # NTZ values are treated as UTC instants (session tz is UTC)
+                new_ts = F.unix_millis(fval.cast("timestamp"))
             elif isinstance(fdt, T.LongType):
                 new_ts = (
                     fval * 1000 if self.timestamp_resolution == "seconds" else fval

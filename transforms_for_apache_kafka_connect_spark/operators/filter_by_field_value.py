@@ -42,6 +42,7 @@ from transforms_for_apache_kafka_connect_spark.record import keep_rows, merge_er
 @register("filter_by_field_value")
 @dataclass
 class FilterByFieldValue(Stage):
+    is_row_filter = True
     field_name: str | None = None
     field_value: str | None = None
     field_value_pattern: str | None = None

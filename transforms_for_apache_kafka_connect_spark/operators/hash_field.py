@@ -86,7 +86,11 @@ class Hash(Stage):
                 raise DataException(
                     f"{self.field_name} in {self.place} schema can't be missing: <record>"
                 )
-            fdt = dt[self.field_name].dataType
+            from transforms_for_apache_kafka_connect_spark.operators.base import (
+                struct_field_type,
+            )
+
+            fdt = struct_field_type(dt, self.field_name)
             if not isinstance(fdt, T.StringType):
                 raise DataException(
                     f"{self.field_name} schema type in {self.place} must be STRING: "

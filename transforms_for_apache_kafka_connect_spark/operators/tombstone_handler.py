@@ -31,6 +31,7 @@ FAIL_MESSAGE = "Tombstone record encountered, failing due to configured 'fail' b
 @register("tombstone_handler")
 @dataclass
 class TombstoneHandler(Stage):
+    is_row_filter = True
     behavior: str = field(default="")
     observe_name: str | None = None
 

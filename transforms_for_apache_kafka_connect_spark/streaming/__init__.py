@@ -1,0 +1,5 @@
+from transforms_for_apache_kafka_connect_spark.streaming.dedupe import lww_dedupe
+from transforms_for_apache_kafka_connect_spark.streaming.sink import LakeTable
+from transforms_for_apache_kafka_connect_spark.streaming.engine import Replayer
+
+__all__ = ["lww_dedupe", "LakeTable", "Replayer"]

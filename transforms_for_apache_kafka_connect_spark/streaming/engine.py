@@ -1,0 +1,221 @@
+"""The CDC replay loop: for each batch — chain → LWW dedupe → MERGE →
+commit ledger (north_rule; SURVEY.md §7.6).
+
+Batching is by LSN range, so a batch is a pure function of the stream —
+resume after a crash replays the same batches, and the ledger (inside
+the table manifest) makes re-application a no-op. Drop/route/mutate
+metrics come from ``Observation`` hooks on the chain (north_star:
+"transform-level drop/route/mutate metrics").
+
+The same ``apply_batch`` works under Structured Streaming
+``foreachBatch`` — batch replay and live tailing share one code path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Observation
+
+from transforms_for_apache_kafka_connect_spark.plans.chain import Chain
+from transforms_for_apache_kafka_connect_spark.streaming.dedupe import (
+    _op_rank as _op_rank_expr,
+    lww_dedupe,
+)
+from transforms_for_apache_kafka_connect_spark.streaming.sink import LakeTable
+
+
+@dataclass
+class Replayer:
+    table: LakeTable
+    chain: Chain = field(default_factory=lambda: Chain([]))
+    epoch: str = "default"
+    payload_fields: list[str] | None = None  # default: all of value.after.*
+    #: LWW pushdown (the engine's one planner rule): run the chain's
+    #: leading row-filter stages on all events, pick LWW winners on a
+    #: NARROW (key, lsn, ts, op) projection — tiny shuffle, column-pruned
+    #: scan — then run mutator stages (hash/concat/...) only on the
+    #: winner rows (bounded by key count, not event count). Identical
+    #: final state: filters commute with winner selection, and mutators
+    #: never change (key, lsn). At 10^9-event batches this is the
+    #: difference between shuffling payload terabytes and megabytes.
+    lww_pushdown: bool = True
+    #: broadcast the winner set for the payload-row join (right for
+    #: batches whose distinct-key count fits in memory; disable to
+    #: shuffle-join winners instead)
+    winners_broadcast: bool = True
+
+    def _split_chain(self) -> tuple[Chain, Chain]:
+        """Longest prefix of row-filter stages, and the rest."""
+        stages = self.chain.stages
+        i = 0
+        while i < len(stages) and getattr(stages[i], "is_row_filter", False):
+            i += 1
+        pre, post = Chain([]), Chain([])
+        pre.stages = list(stages[:i])
+        post.stages = list(stages[i:])
+        return pre, post
+
+    #: canonical Debezium envelope fields; anything else on `value` was
+    #: added by an SMT (e.g. ConcatFields) and becomes a table column —
+    #: north_star: "added columns ... propagate ... automatically"
+    CANONICAL_VALUE_FIELDS = frozenset({"op", "lsn", "ts_ms", "before", "after"})
+
+    def updates_for(self, batch: DataFrame) -> DataFrame:
+        """Envelope batch -> merge input: key cols + payload + delete flag."""
+        deduped = lww_dedupe(batch)
+        vdt = deduped.schema["value"].dataType
+        after_fields = (
+            self.payload_fields
+            or [f.name for f in vdt["after"].dataType.fields]
+        )
+        extra_fields = [
+            f.name for f in vdt.fields if f.name not in self.CANONICAL_VALUE_FIELDS
+        ]
+        return deduped.select(
+            *[F.col(f"key.{c}").alias(c) for c in self.table.key_cols],
+            *[
+                F.col(f"value.after.{c}").alias(c)
+                for c in after_fields
+                if c not in self.table.key_cols
+            ],
+            *[F.col(f"value.{c}").alias(c) for c in extra_fields],
+            F.col("value.lsn").alias("_lsn"),
+            (F.col("value.op") == "d").alias("__is_delete"),
+        )
+
+    def apply_batch(self, batch: DataFrame, batch_id: int) -> dict:
+        """chain → dedupe → merge → commit; idempotent on (epoch, batch_id).
+
+        ONE Spark action per batch (the merge write): input/error/drop
+        metrics ride on ``observe`` nodes inside the same plan, and the
+        reference's batch-fail error contract is enforced by a
+        pre-commit check — a per-record error aborts the manifest swap,
+        leaving the batch uncommitted exactly as a thrown DataException
+        would have (SURVEY.md §4.3), without the extra enforce() pass.
+        """
+        from transforms_for_apache_kafka_connect_spark.errors import DataException
+        from transforms_for_apache_kafka_connect_spark.record import (
+            ERROR_COL,
+            ensure_error_col,
+        )
+
+        if self.table.committed(self.epoch, batch_id):
+            return {"skipped": True, "batch_id": batch_id}
+        obs = Observation(f"chain_{self.epoch}_{batch_id}")
+
+        pre, post = self._split_chain()
+        obs_pre = None
+        if self.lww_pushdown and post.stages:
+            filtered = pre.apply(ensure_error_col(batch))
+            # pre-stage errors (e.g. fail-mode tombstones) live on rows
+            # the winner machinery may drop — observe them here. The node
+            # is read twice by the self-join; max() is safe under that.
+            obs_pre = Observation(f"pre_{self.epoch}_{batch_id}")
+            filtered = filtered.observe(
+                obs_pre, F.max(F.col(ERROR_COL)).alias("first_error")
+            )
+            live = filtered.filter(F.col("value").isNotNull())
+            ordering = F.struct(
+                F.col("value.lsn").alias("lsn"),
+                F.col("value.ts_ms").alias("ts_ms"),
+                _op_rank_expr().alias("op_rank"),
+            )
+            # narrow winner selection: scan prunes to key + ordering cols
+            winners = (
+                live.select(F.col("key").alias("__k"), ordering.alias("__ord"))
+                .groupBy("__k")
+                .agg(F.max("__ord").alias("__ord"))
+            )
+            if self.winners_broadcast:
+                winners = F.broadcast(winners)
+            winner_rows = live.join(
+                winners,
+                (F.col("key") == F.col("__k")) & (ordering == F.col("__ord")),
+            ).drop("__k", "__ord")
+            transformed = post.apply(winner_rows).observe(
+                obs,
+                F.count(F.lit(1)).alias("n_out"),
+                F.max(F.col(ERROR_COL)).alias("first_error"),
+            )
+        else:
+            transformed = self.chain.apply(ensure_error_col(batch)).observe(
+                obs,
+                F.count(F.lit(1)).alias("n_out"),
+                F.max(F.col(ERROR_COL)).alias("first_error"),
+            )
+        updates = self.updates_for(transformed)
+
+        def check_errors():
+            if obs_pre is not None:
+                pre_metrics = obs_pre.get
+                if pre_metrics.get("first_error") is not None:
+                    raise DataException(pre_metrics["first_error"])
+            metrics = obs.get
+            if metrics.get("first_error") is not None:
+                raise DataException(metrics["first_error"])
+
+        result = self.table.merge(
+            updates,
+            epoch=self.epoch,
+            batch_id=batch_id,
+            pre_commit=check_errors,
+        )
+        result["batch_id"] = batch_id
+        try:
+            result["n_chain_out"] = obs.get["n_out"]
+        except Exception:
+            pass
+        return result
+
+    def replay(
+        self,
+        events: DataFrame,
+        *,
+        batch_width: int,
+        max_pos: int,
+        start_pos: int = 0,
+        slice_col: str = "timestamp",
+    ) -> list[dict]:
+        """Replay ``events`` in deterministic position-range batches.
+
+        ``slice_col`` must be monotone with LSN and non-null for every
+        record INCLUDING tombstones — the envelope ``timestamp`` is
+        (tombstone records have value IS NULL, hence no value.lsn).
+        """
+        results = []
+        batch_id = 0
+        lo = start_pos
+        while lo < max_pos:
+            hi = min(lo + batch_width, max_pos)
+            batch = events.filter(
+                (F.col(slice_col) >= lo) & (F.col(slice_col) < hi)
+            )
+            results.append(self.apply_batch(batch, batch_id))
+            batch_id += 1
+            lo = hi
+        return results
+
+    def stream(
+        self,
+        events: DataFrame,
+        checkpoint_dir: str,
+        trigger_seconds: int = 10,
+    ):
+        """Structured Streaming entry: same apply_batch via foreachBatch.
+
+        ``events`` must be a streaming DataFrame with the envelope
+        schema. Exactly-once = Spark's checkpoint (offsets) + our ledger
+        (idempotent re-application on replayed epochs).
+        """
+        return (
+            events.writeStream.foreachBatch(
+                lambda df, bid: self.apply_batch(df, bid)
+            )
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(processingTime=f"{trigger_seconds} seconds")
+            .start()
+        )

@@ -1,0 +1,367 @@
+"""Lake-table layer: key-partitioned MERGE with an exactly-once ledger.
+
+north_rule: "key-partitioned MERGE INTO Iceberg ... exactly-once
+semantics through idempotent commit sequencing and resumable
+checkpoints with per-partition lineage".
+
+The sandbox has no Iceberg runtime jar (SURVEY.md §7.5), so the tested
+default is a hermetic copy-on-write table with the same interface an
+Iceberg-backed impl would have (``merge`` / ``read`` / ``committed``):
+
+* data files are hash-bucketed by key: ``pmod(xxhash64(key), n_buckets)``
+  — a merge only reads and rewrites the buckets its updates touch
+  (bucket pruning == Iceberg partition pruning on a bucket transform);
+* every merge writes NEW files under a per-(version,batch) directory and
+  then atomically swaps a CURRENT pointer (os.replace) at a manifest
+  that lists the live files per bucket — readers never see a partial
+  commit, and a crash mid-merge leaves only orphaned files, so replay
+  is idempotent by construction;
+* the commit ledger (committed (epoch, batch_id) set + per-partition
+  lineage rows) lives INSIDE the manifest, so data and ledger commit in
+  the same atomic swap — the exactly-once invariant;
+* schema evolution: merge unions target/update payload columns by name
+  (additive-only), and the manifest records the widened schema
+  (north_star: "added columns ... propagate automatically").
+
+Scale notes (100 TB): the full_outer merge join shuffles only the
+touched buckets' data; LWW dedupe upstream guarantees ≤1 update row per
+key per batch, so merge-join skew is bounded by keys-per-bucket, not by
+the zipf event skew (hot-repo salting concern lands on the dedupe
+aggregate, which map-side combines — see dedupe.py). AQE handles
+residual bucket-size skew. Target file sizing via
+``target_rows_per_file`` repartition before write.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BUCKET_COL = "__bucket"
+
+
+def _bucket_expr(key_cols: list[str], n_buckets: int):
+    return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
+
+
+@dataclass
+class LakeTable:
+    root: str
+    key_cols: list[str] = field(default_factory=lambda: ["repo", "path"])
+    n_buckets: int = 64
+    target_rows_per_file: int = 2_000_000
+    #: True: run a small discovery job first so the merge reads/rewrites
+    #: ONLY touched buckets (sparse updates — the 100 TB default).
+    #: False: assume every bucket is touched (dense updates, e.g. zipf
+    #: key coverage ≫ n_buckets) — saves one job + a persist per batch;
+    #: lineage comes from an Observation on the write job instead.
+    discovery: bool = True
+    #: merge join strategy. "shuffle": full_outer join (works at any
+    #: update size — both sides exchange on key). "broadcast": the
+    #: post-LWW update set is broadcast and the target flows scan ->
+    #: anti-join -> write with NO exchange at all — the right shape
+    #: whenever a batch's distinct-key set fits in memory (even at
+    #: 100 TB *table* size, since cost scales with the update set, not
+    #: the table). Falls back conceptually to "shuffle" for giant
+    #: batches.
+    merge_strategy: str = "shuffle"
+
+    def __post_init__(self):
+        os.makedirs(os.path.join(self.root, "_manifest"), exist_ok=True)
+
+    # ------------------------------------------------------------ manifest
+
+    @property
+    def _current_path(self) -> str:
+        return os.path.join(self.root, "_manifest", "CURRENT")
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.root, "_manifest", f"manifest-{version:08d}.json")
+
+    def manifest(self) -> dict[str, Any]:
+        if not os.path.exists(self._current_path):
+            return {
+                "version": 0,
+                "buckets": {},
+                "committed": [],
+                "lineage": [],
+                "schema": None,
+            }
+        with open(self._current_path) as f:
+            version = int(f.read().strip())
+        with open(self._manifest_path(version)) as f:
+            return json.load(f)
+
+    def _swap(self, manifest: dict[str, Any]) -> None:
+        """Write the new manifest, then atomically repoint CURRENT."""
+        version = manifest["version"]
+        with open(self._manifest_path(version), "w") as f:
+            json.dump(manifest, f)
+        tmp = self._current_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, self._current_path)  # atomic on POSIX
+
+    # -------------------------------------------------------------- reads
+
+    def committed(self, epoch: str, batch_id: int) -> bool:
+        return [epoch, batch_id] in self.manifest()["committed"]
+
+    def read(self, spark: SparkSession, buckets: list[int] | None = None) -> DataFrame:
+        m = self.manifest()
+        files = [
+            f
+            for b, fs in m["buckets"].items()
+            if buckets is None or int(b) in buckets
+            for f in fs
+        ]
+        if not files:
+            from pyspark.sql import types as T
+
+            schema = m["schema"]
+            if schema is None:
+                raise ValueError("empty table has no schema yet")
+            return spark.createDataFrame([], T.StructType.fromJson(schema))
+        # mergeSchema: older files may predate additive schema evolution
+        return (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*files)
+            .drop(BUCKET_COL)
+        )
+
+    # -------------------------------------------------------------- merge
+
+    def merge(
+        self,
+        updates: DataFrame,
+        *,
+        epoch: str = "default",
+        batch_id: int = 0,
+        delete_col: str = "__is_delete",
+        lineage: list[dict] | None = None,
+        pre_commit=None,
+    ) -> dict[str, Any]:
+        """Upsert/delete ``updates`` (≤1 row per key — run lww_dedupe
+        first) into the table; exactly-once keyed on (epoch, batch_id).
+
+        ``pre_commit`` (optional callable) runs after the data files are
+        written but BEFORE the manifest swap: raising there aborts the
+        commit — the new files stay orphaned and the batch uncommitted,
+        so a later replay redoes it (the engine uses this for the
+        batch-fail error contract without paying an extra job).
+
+        Returns the commit record (no-op dict if already committed).
+        """
+        m = self.manifest()
+        if [epoch, batch_id] in m["committed"]:
+            return {"skipped": True, "reason": "already committed"}
+
+        spark = updates.sparkSession
+        upd = updates.withColumn(BUCKET_COL, _bucket_expr(self.key_cols, self.n_buckets))
+
+        obs = None
+        if self.discovery:
+            # post-LWW updates are ≤1 row/key — small relative to raw
+            # events — and are consumed twice (bucket discovery, then the
+            # merge join): persist to avoid recomputing chain+dedupe
+            upd = upd.persist()
+            touched_rows = (
+                upd.groupBy(BUCKET_COL).agg(F.count("*").alias("n_updates")).collect()
+            )
+            touched: list[int] | None = sorted(
+                int(r[BUCKET_COL]) for r in touched_rows
+            )
+            n_upd: int | None = sum(int(r["n_updates"]) for r in touched_rows)
+            if not touched:
+                upd.unpersist()
+                commit = dict(m)
+                commit["version"] = m["version"] + 1
+                commit["committed"] = m["committed"] + [[epoch, batch_id]]
+                if pre_commit is not None:
+                    pre_commit()
+                self._swap(commit)
+                return {
+                    "skipped": False,
+                    "touched_buckets": [],
+                    "version": commit["version"],
+                }
+        else:
+            # dense-update mode: one job total — lineage via Observation
+            from pyspark.sql import Observation
+
+            touched = None
+            n_upd = None
+            obs = Observation(f"merge_{epoch}_{batch_id}")
+            upd = upd.observe(
+                obs,
+                F.count(F.lit(1)).alias("n_updates"),
+                F.sum(F.col(delete_col).cast("long")).alias("n_deletes"),
+            )
+            if self.merge_strategy == "broadcast":
+                # the broadcast build materializes upd once; cache it so
+                # the write job doesn't recompute chain+dedupe
+                upd = upd.persist()
+
+        payload_cols = [
+            c for c in upd.columns if c not in (*self.key_cols, delete_col, BUCKET_COL)
+        ]
+
+        have_target = bool(m["buckets"]) and (
+            touched is None or any(str(b) in m["buckets"] for b in touched)
+        )
+        if have_target and self.merge_strategy == "broadcast":
+            tgt = self.read(spark, buckets=touched).withColumn(
+                BUCKET_COL, _bucket_expr(self.key_cols, self.n_buckets)
+            )
+            # MERGE as broadcast anti-join: target rows whose key is NOT
+            # updated stream straight from scan to write (zero exchange);
+            # upserts are unioned in. Deletes fall out naturally: their
+            # keys are anti-joined away and they are not re-inserted.
+            keys = F.broadcast(upd.select(*self.key_cols))
+            survivors = tgt.join(keys, on=self.key_cols, how="left_anti")
+            upserts = upd.filter(~F.col(delete_col)).drop(delete_col)
+            merged = survivors.unionByName(upserts, allowMissingColumns=True)
+        elif have_target:
+            tgt = self.read(spark, buckets=touched).withColumn(
+                BUCKET_COL, _bucket_expr(self.key_cols, self.n_buckets)
+            )
+            tgt_payload = [c for c in tgt.columns if c not in (*self.key_cols, BUCKET_COL)]
+            all_payload = tgt_payload + [c for c in payload_cols if c not in tgt_payload]
+            s, t = upd.alias("s"), tgt.alias("t")
+            joined = t.join(s, on=self.key_cols, how="full_outer")
+
+            def pick(c: str):
+                s_has = c in payload_cols
+                t_has = c in tgt_payload
+                s_c = F.col(f"s.{c}") if s_has else F.lit(None)
+                t_c = F.col(f"t.{c}") if t_has else F.lit(None)
+                # source row present -> source wins (upsert); else keep target
+                return F.when(F.col(f"s.{delete_col}").isNotNull(), s_c).otherwise(t_c).alias(c)
+
+            merged = joined.select(
+                *[F.col(c) for c in self.key_cols],
+                *[pick(c) for c in all_payload],
+                F.coalesce(F.col(f"s.{BUCKET_COL}"), F.col(f"t.{BUCKET_COL}")).alias(BUCKET_COL),
+                F.coalesce(F.col(f"s.{delete_col}"), F.lit(False)).alias(delete_col),
+            ).filter(~F.col(delete_col)).drop(delete_col)
+        else:
+            merged = upd.filter(~F.col(delete_col)).drop(delete_col)
+
+        version = m["version"] + 1
+        rel_dir = os.path.join("data", f"v{version:08d}-b{batch_id}")
+        out_dir = os.path.join(self.root, rel_dir)
+
+        # target file sizing: estimate merged rows from prior stats
+        prev_rows = (m.get("stats") or {}).get("total_rows", 0)
+        est_rows = prev_rows + (n_upd if n_upd is not None else 0)
+        n_files = max(1, -(-max(est_rows, 1) // self.target_rows_per_file))
+        from pyspark.sql import Observation as _Obs
+
+        obs_out = _Obs(f"rows_{epoch}_{batch_id}")
+        merged = merged.observe(obs_out, F.count(F.lit(1)).alias("total_rows"))
+        writer_df = merged
+        if self.merge_strategy != "broadcast":
+            n_touched = len(touched) if touched is not None else self.n_buckets
+            # never cap the write stage below the cluster's parallelism:
+            # one-task-per-bucket writes equalize small and large
+            # clusters (a scaling killer); compaction-by-rewrite absorbs
+            # the extra files on the next merge of the bucket
+            par = spark.sparkContext.defaultParallelism
+            n_files = max(n_files, -(-par // n_touched))
+            # split key lets an oversized bucket fan out across n_files
+            split = F.pmod(
+                F.xxhash64(*[F.col(c) for c in self.key_cols]), F.lit(n_files)
+            )
+            writer_df = merged.repartition(
+                n_touched * n_files, F.col(BUCKET_COL), split
+            )
+        # broadcast strategy: NO repartition — survivors keep their scan
+        # partitioning (file packing bounds task count), upserts keep the
+        # dedupe partitioning; maxRecordsPerFile enforces target sizing
+        (
+            writer_df.write.mode("overwrite")
+            .option("maxRecordsPerFile", self.target_rows_per_file)
+            .partitionBy(BUCKET_COL)
+            .parquet(out_dir)
+        )
+        if self.discovery or self.merge_strategy == "broadcast":
+            upd.unpersist()
+
+        written = {}
+        if os.path.isdir(out_dir):
+            for entry in sorted(os.listdir(out_dir)):
+                if not entry.startswith(f"{BUCKET_COL}="):
+                    continue
+                b = int(entry.split("=", 1)[1])
+                bdir = os.path.join(out_dir, entry)
+                files = sorted(
+                    os.path.join(bdir, fn)
+                    for fn in os.listdir(bdir)
+                    if fn.endswith(".parquet")
+                )
+                if files:
+                    written[b] = files
+
+        if touched is not None:
+            new_buckets = dict(m["buckets"])
+            for b in touched:
+                if b in written:
+                    new_buckets[str(b)] = written[b]
+                else:
+                    new_buckets.pop(str(b), None)  # bucket fully deleted
+        else:
+            # full rewrite: the fresh listing IS the table
+            new_buckets = {str(b): fs for b, fs in written.items()}
+
+        total_rows = None
+        try:
+            total_rows = int(obs_out.get["total_rows"])
+        except Exception:
+            pass
+        if n_upd is None and obs is not None:
+            try:
+                n_upd = int(obs.get["n_updates"])
+            except Exception:
+                pass
+
+        if self.discovery:
+            lineage_rows = [
+                {
+                    "epoch": epoch,
+                    "batch_id": batch_id,
+                    "bucket": int(r[BUCKET_COL]),
+                    "n_updates": int(r["n_updates"]),
+                }
+                for r in touched_rows
+            ]
+        else:
+            lineage_rows = [
+                {"epoch": epoch, "batch_id": batch_id, "bucket": None,
+                 "n_updates": n_upd}
+            ]
+
+        schema = json.loads(merged.drop(BUCKET_COL).schema.json())
+        commit = {
+            "version": version,
+            "buckets": new_buckets,
+            "committed": m["committed"] + [[epoch, batch_id]],
+            "lineage": m["lineage"] + (lineage or []) + lineage_rows,
+            "schema": schema,
+            "stats": {"total_rows": total_rows if total_rows is not None else est_rows},
+        }
+        if pre_commit is not None:
+            pre_commit()  # may raise -> batch stays uncommitted (replayable)
+        self._swap(commit)
+        return {
+            "skipped": False,
+            "version": version,
+            "touched_buckets": touched if touched is not None else "all",
+            "n_updates": n_upd,
+            "total_rows": total_rows,
+        }
