@@ -25,13 +25,14 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_once(cpus: int, sf_dir: str, n_events: int) -> dict:
+def run_once(cpus: int, sf_dir: str, n_events: int, n_batches: int) -> dict:
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_SF_DIR=sf_dir,
         SPARK_GRAFT_SKIP_QUERIES="1",
         SPARK_GRAFT_EVENTS=str(n_events),
+        SPARK_GRAFT_BATCHES=str(n_batches),
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -83,16 +84,43 @@ def main() -> None:
     ap.add_argument("--events", type=int, default=48_000_000)
     ap.add_argument("--lo", type=int, default=8)
     ap.add_argument("--hi", type=int, default=32)
+    ap.add_argument("--batches", type=int, default=4)
     args = ap.parse_args()
 
     hw = hw_ceiling(args.lo, args.hi)
     print(f"hw ceiling {args.lo}->{args.hi}: {hw['efficiency']:.3f}", file=sys.stderr)
 
+    # bare-Spark scan+sha256 ceiling over a generated events parquet
+    import tempfile
+
+    probe_dir = tempfile.mkdtemp(prefix="tkc_probe_")
+    gen = (
+        "import sys; sys.path.insert(0, %r); "
+        "from bench import build_session; "
+        "from transforms_for_apache_kafka_connect_spark.sources import change_stream; "
+        "s = build_session(32); s.sparkContext.setLogLevel('ERROR'); "
+        "change_stream(s, 24_000_000, n_repos=2000, paths_per_repo=20, "
+        "partitions=128).write.mode('overwrite').parquet(%r)"
+    ) % (REPO, probe_dir + "/ev")
+    subprocess.run([sys.executable, "-c", gen], check=True, capture_output=True)
+    scan = {}
+    for c in (args.lo, args.hi):
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "BENCH", "spark_scan_probe.py"),
+             str(c), probe_dir + "/ev"],
+            capture_output=True, text=True, check=True,
+        )
+        scan[c] = json.loads(out.stdout.strip().splitlines()[-1])["rows_per_sec"]
+        print(f"spark scan ceiling local[{c}]: {scan[c]:,} rows/s", file=sys.stderr)
+    scan_eff = scan[args.hi] / ((args.hi / args.lo) * scan[args.lo])
+    import shutil as _sh
+    _sh.rmtree(probe_dir, ignore_errors=True)
+
     results: dict[int, list[dict]] = {}
     for cpus in (args.lo, args.hi):
         results[cpus] = []
         for rep in range(args.reps):
-            r = run_once(cpus, args.sf_dir, args.events)
+            r = run_once(cpus, args.sf_dir, args.events, args.batches)
             results[cpus].append(r)
             print(
                 f"local[{cpus}] rep {rep}: {r['value']}s replay, "
@@ -113,6 +141,7 @@ def main() -> None:
         f"thr_{args.hi}": med[args.hi],
         "efficiency_raw": round(eff, 3),
         "hw_ceiling": round(hw["efficiency"], 3),
+        "spark_scan_ceiling": round(scan_eff, 3),
         "efficiency_normalized": round(eff_norm, 3),
         "gate": 0.8,
         "pass_normalized": eff_norm >= 0.8,
@@ -151,8 +180,10 @@ def main() -> None:
         " Measured with a pure-CPU multiprocessing sha256 microbenchmark"
         " (BENCH/scaling.py::hw_ceiling), same machine, same moment:",
         "",
-        f"| hw ceiling {args.lo}->{args.hi} procs | {hw['efficiency']:.3f} |",
+        "| ceiling | efficiency |",
         "|---|---|",
+        f"| pure-CPU mp ceiling {args.lo}->{args.hi} procs | {hw['efficiency']:.3f} |",
+        f"| bare Spark scan+sha256 ceiling local[{args.lo}]->local[{args.hi}] | {scan_eff:.3f} |",
         "",
         f"**Normalized efficiency** = raw / ceiling = {eff:.3f} /"
         f" {hw['efficiency']:.3f} = **{eff_norm:.3f}**"

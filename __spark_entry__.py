@@ -175,6 +175,41 @@ def q_money(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_topic_from_schema_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    # schema-name metadata rides as a column next to the envelope
+    env = envelope(
+        docs.withColumn(
+            "schema_name", F.concat(F.lit("com.acme.schema."), F.col("source"))
+        ),
+        key_cols=["doc_id"],
+        value_cols=["text", "schema_name"],
+    ).withColumn("value_schema_name", F.col("value.schema_name"))
+    from transforms_for_apache_kafka_connect_spark.operators import (
+        ExtractTopicFromSchemaName,
+    )
+
+    st = ExtractTopicFromSchemaName(schema_name_regex=r"(?:[.]|^)([^.]*)$")
+    return (
+        enforce(st.apply(env))
+        .groupBy(F.col("topic"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_make_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transforms_for_apache_kafka_connect_spark.operators import MakeTombstone
+
+    ev = _read(spark, sf_dir, "events")
+    env = envelope(ev, key_cols=["event_id"], value_cols=["event_type"])
+    out = enforce(MakeTombstone().apply(env))
+    return out.select(
+        F.col("key.event_id").alias("event_id"),
+        F.col("value").isNull().alias("is_tombstone"),
+        F.col("topic"),
+    )
+
+
 def q_chain_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship SMT chain — filter + hash + concat + case fused by
     Catalyst into one scan (SURVEY.md §3/§4.2)."""
@@ -396,6 +431,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chain_fused": q_chain_fused,
         "lww_dedupe": q_lww_dedupe,
         "cdc_merge": q_cdc_merge,
+        "extract_topic_from_schema_name": q_extract_topic_from_schema_name,
+        "make_tombstone": q_make_tombstone,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -466,6 +503,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT *, row_number() OVER "
             "(PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events) t "
             "WHERE rn = 1 AND event_type <> 'error'"
+        ),
+        "extract_topic_from_schema_name": (
+            "SELECT regexp_extract('com.acme.schema.' || source, "
+            "'(?:[.]|^)([^.]*)$', 1) AS topic, count(*) AS n "
+            "FROM documents GROUP BY 1"
+        ),
+        "make_tombstone": (
+            "SELECT event_id, true AS is_tombstone, 'original_topic' AS topic "
+            "FROM events"
         ),
         "dedup_exact": (
             f"WITH b AS ({_DUPS_SQL}), "

@@ -75,7 +75,7 @@ def replay_benchmark(spark, n_events: int, work_dir: str, cpus: int) -> dict:
     from transforms_for_apache_kafka_connect_spark.sources import change_stream
     from transforms_for_apache_kafka_connect_spark.streaming import LakeTable, Replayer
 
-    n_batches = 8
+    n_batches = int(os.environ.get("SPARK_GRAFT_BATCHES", "8"))
     width = -(-n_events // n_batches)
     base = 1_600_000_000_000
 

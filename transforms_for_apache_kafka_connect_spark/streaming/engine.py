@@ -204,18 +204,22 @@ class Replayer:
         events: DataFrame,
         checkpoint_dir: str,
         trigger_seconds: int = 10,
+        available_now: bool = False,
     ):
         """Structured Streaming entry: same apply_batch via foreachBatch.
 
         ``events`` must be a streaming DataFrame with the envelope
-        schema. Exactly-once = Spark's checkpoint (offsets) + our ledger
-        (idempotent re-application on replayed epochs).
+        schema. Exactly-once = Spark's checkpoint (source offsets) +
+        our ledger (idempotent re-application of replayed batch ids —
+        the double-bookkeeping that makes foreachBatch exactly-once
+        instead of at-least-once). ``available_now=True`` drains what
+        exists and stops (backfill mode).
         """
-        return (
-            events.writeStream.foreachBatch(
-                lambda df, bid: self.apply_batch(df, bid)
-            )
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(processingTime=f"{trigger_seconds} seconds")
-            .start()
-        )
+        writer = events.writeStream.foreachBatch(
+            lambda df, bid: self.apply_batch(df, bid)
+        ).option("checkpointLocation", checkpoint_dir)
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+        return writer.start()

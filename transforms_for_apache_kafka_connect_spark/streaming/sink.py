@@ -171,8 +171,16 @@ class LakeTable:
             # events — and are consumed twice (bucket discovery, then the
             # merge join): persist to avoid recomputing chain+dedupe
             upd = upd.persist()
+            lsn_col = "_lsn" if "_lsn" in upd.columns else None
             touched_rows = (
-                upd.groupBy(BUCKET_COL).agg(F.count("*").alias("n_updates")).collect()
+                upd.groupBy(BUCKET_COL)
+                .agg(
+                    F.count("*").alias("n_updates"),
+                    F.sum(F.col(delete_col).cast("long")).alias("n_deletes"),
+                    (F.min(lsn_col) if lsn_col else F.lit(None)).alias("min_lsn"),
+                    (F.max(lsn_col) if lsn_col else F.lit(None)).alias("max_lsn"),
+                )
+                .collect()
             )
             touched: list[int] | None = sorted(
                 int(r[BUCKET_COL]) for r in touched_rows
@@ -331,12 +339,16 @@ class LakeTable:
                 pass
 
         if self.discovery:
+            # per-partition lineage (north_rule): bucket, counts, lsn range
             lineage_rows = [
                 {
                     "epoch": epoch,
                     "batch_id": batch_id,
                     "bucket": int(r[BUCKET_COL]),
                     "n_updates": int(r["n_updates"]),
+                    "n_deletes": int(r["n_deletes"] or 0),
+                    "min_lsn": r["min_lsn"],
+                    "max_lsn": r["max_lsn"],
                 }
                 for r in touched_rows
             ]
