@@ -291,6 +291,49 @@ def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- classic relational coverage
+# (SURVEY.md §2.3: aggregations / joins / windows the reference lacks but
+# the engine provides natively through Spark)
+
+def q_agg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "rank")
+    )
+
+
 # --------------------------------------------- training-data pipeline ops
 
 def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -431,6 +474,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chain_fused": q_chain_fused,
         "lww_dedupe": q_lww_dedupe,
         "cdc_merge": q_cdc_merge,
+        "agg_lineitem": q_agg_lineitem,
+        "join_agg": q_join_agg,
+        "window_rank": q_window_rank,
         "extract_topic_from_schema_name": q_extract_topic_from_schema_name,
         "make_tombstone": q_make_tombstone,
         "dedup_exact": q_dedup_exact,
@@ -503,6 +549,24 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT *, row_number() OVER "
             "(PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events) t "
             "WHERE rn = 1 AND event_type <> 'error'"
+        ),
+        "agg_lineitem": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+            "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, "
+            "count(*) AS n_rows FROM lineitem GROUP BY 1, 2"
+        ),
+        "join_agg": (
+            "SELECT o_orderpriority, count(*) AS n_items, "
+            "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY 1"
+        ),
+        "window_rank": (
+            "SELECT o_custkey, o_orderkey, rank FROM ("
+            "SELECT o_custkey, o_orderkey, row_number() OVER ("
+            "PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC"
+            ") AS rank FROM orders) t WHERE rank <= 3"
         ),
         "extract_topic_from_schema_name": (
             "SELECT regexp_extract('com.acme.schema.' || source, "

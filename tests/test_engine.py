@@ -172,3 +172,46 @@ def test_delete_removes_rows(spark, tmp_path):
     final = rep.table.read(spark)
     hit = final.join(deleted, ["repo", "path"], "inner").count()
     assert deleted.count() > 0 and hit == 0
+
+
+def test_engine_batch_abort_on_error_keeps_table_uncommitted(spark, events, tmp_path):
+    # fail-mode tombstone handler: the batch must NOT commit, and a
+    # replay with a fixed chain must succeed from scratch
+    from transforms_for_apache_kafka_connect_spark.errors import DataException
+
+    bad = Chain([{"type": "tombstone_handler", "behavior": "fail"}])
+    table = LakeTable(str(tmp_path / "t"), n_buckets=8)
+    rep = Replayer(table=table, chain=bad, epoch="e1")
+    with pytest.raises(DataException, match="Tombstone record encountered"):
+        rep.replay(events, batch_width=N, max_pos=BASE_TS + N, start_pos=BASE_TS)
+    assert table.manifest()["committed"] == []  # nothing committed
+
+    good = Chain([{"type": "tombstone_handler", "behavior": "drop_warn"}])
+    rep2 = Replayer(table=table, chain=good, epoch="e1")
+    results = rep2.replay(
+        events, batch_width=N, max_pos=BASE_TS + N, start_pos=BASE_TS
+    )
+    assert not results[0]["skipped"]
+    assert table.read(spark).count() == repositories_snapshot(spark, events).count()
+
+
+def test_transform_metrics_in_result(spark, events, tmp_path):
+    chain = Chain(
+        [
+            {"type": "tombstone_handler", "behavior": "drop_silent",
+             "observe_name": "tombstones"},
+            {"type": "filter_by_field_value", "field.name": "op",
+             "field.value": "r", "field.value.matches": False,
+             "observe_name": "snapshot_reads"},
+        ]
+    )
+    table = LakeTable(str(tmp_path / "t"), n_buckets=8)
+    rep = Replayer(table=table, chain=chain, epoch="m1")
+    [result] = rep.replay(
+        events, batch_width=N, max_pos=BASE_TS + N, start_pos=BASE_TS
+    )
+    m = result["transform_metrics"]
+    n_tomb = events.filter(F.col("value").isNull()).count()
+    n_reads = events.filter(F.col("value.op") == "r").count()
+    assert m["tombstones"]["dropped"] == n_tomb
+    assert m["snapshot_reads"]["dropped"] == n_reads

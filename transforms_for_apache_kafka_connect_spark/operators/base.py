@@ -59,6 +59,21 @@ def require(cond: bool, msg: str) -> None:
         raise ConfigException(msg)
 
 
+def new_observation(stage: "Stage"):
+    """Fresh Observation for this apply() call (Observations are
+    single-action objects), remembered on the stage so the engine can
+    read drop/route/mutate metrics after the batch action
+    (north_star: transform-level metrics ride the SAME job — no extra
+    pass)."""
+    import uuid
+
+    from pyspark.sql import Observation
+
+    obs = Observation(f"{stage.observe_name}_{uuid.uuid4().hex[:8]}")
+    stage.last_observation = obs
+    return obs
+
+
 def place_type(df: DataFrame, place: str) -> T.DataType:
     """DataType of the key/value envelope column."""
     return df.schema[place].dataType

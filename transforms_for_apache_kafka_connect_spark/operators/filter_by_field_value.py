@@ -97,8 +97,13 @@ class FilterByFieldValue(Stage):
         keep = match if self.field_value_matches else ~match
         keep = keep | col.isNull()  # tombstones always pass (:106-108)
         if self.observe_name:
+            from transforms_for_apache_kafka_connect_spark.operators.base import (
+                new_observation,
+            )
+
+            obs = new_observation(self)
             df = df.observe(
-                self.observe_name,
+                obs,
                 F.sum(F.when(~keep, 1).otherwise(0)).alias("dropped"),
             )
         return keep_rows(df, keep)

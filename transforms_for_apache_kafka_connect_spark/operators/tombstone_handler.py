@@ -45,8 +45,13 @@ class TombstoneHandler(Stage):
         if self.behavior == "fail":
             return merge_error(df, is_tombstone, F.lit(FAIL_MESSAGE))
         if self.observe_name:
+            from transforms_for_apache_kafka_connect_spark.operators.base import (
+                new_observation,
+            )
+
+            obs = new_observation(self)
             df = df.observe(
-                self.observe_name,
+                obs,
                 F.sum(F.when(is_tombstone, 1).otherwise(0)).alias("dropped"),
             )
         return keep_rows(df, ~is_tombstone)

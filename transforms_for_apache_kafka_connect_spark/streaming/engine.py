@@ -110,28 +110,33 @@ class Replayer:
         pre, post = self._split_chain()
         obs_pre = None
         if self.lww_pushdown and post.stages:
-            filtered = pre.apply(ensure_error_col(batch))
-            # pre-stage errors (e.g. fail-mode tombstones) live on rows
-            # the winner machinery may drop — observe them here. The node
-            # is read twice by the self-join; max() is safe under that.
-            obs_pre = Observation(f"pre_{self.epoch}_{batch_id}")
-            filtered = filtered.observe(
-                obs_pre, F.max(F.col(ERROR_COL)).alias("first_error")
-            )
-            live = filtered.filter(F.col("value").isNotNull())
             ordering = F.struct(
                 F.col("value.lsn").alias("lsn"),
                 F.col("value.ts_ms").alias("ts_ms"),
                 _op_rank_expr().alias("op_rank"),
             )
+            # the filter prefix is applied independently per subtree so
+            # each stage's drop Observation counts rows exactly once
+            # (the PROBE-side apply runs last and wins stage.last_observation)
+            live_narrow = pre.apply(ensure_error_col(batch)).filter(
+                F.col("value").isNotNull()
+            )
             # narrow winner selection: scan prunes to key + ordering cols
             winners = (
-                live.select(F.col("key").alias("__k"), ordering.alias("__ord"))
+                live_narrow.select(F.col("key").alias("__k"), ordering.alias("__ord"))
                 .groupBy("__k")
                 .agg(F.max("__ord").alias("__ord"))
             )
             if self.winners_broadcast:
                 winners = F.broadcast(winners)
+            filtered = pre.apply(ensure_error_col(batch))
+            # pre-stage errors (e.g. fail-mode tombstones) live on rows
+            # the winner machinery drops — observe them before that
+            obs_pre = Observation(f"pre_{self.epoch}_{batch_id}")
+            filtered = filtered.observe(
+                obs_pre, F.max(F.col(ERROR_COL)).alias("first_error")
+            )
+            live = filtered.filter(F.col("value").isNotNull())
             winner_rows = live.join(
                 winners,
                 (F.col("key") == F.col("__k")) & (ordering == F.col("__ord")),
@@ -169,6 +174,18 @@ class Replayer:
             result["n_chain_out"] = obs.get["n_out"]
         except Exception:
             pass
+        # transform-level metrics (drop counters from observe_name stages)
+        metrics = {}
+        for stage in self.chain.stages:
+            name = getattr(stage, "observe_name", None)
+            last = getattr(stage, "last_observation", None)
+            if name and last is not None:
+                try:
+                    metrics[name] = dict(last.get)
+                except Exception:
+                    pass
+        if metrics:
+            result["transform_metrics"] = metrics
         return result
 
     def replay(
