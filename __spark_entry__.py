@@ -279,7 +279,10 @@ def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _events_as_change_stream(spark, sf_dir)
     max_id = stream.agg(F.max("timestamp")).first()[0] or 0
     root = tempfile.mkdtemp(prefix="tkc_merge_")
-    table = LakeTable(os.path.join(root, "t"), key_cols=["user_id"], n_buckets=16)
+    table = LakeTable(
+        os.path.join(root, "t"), key_cols=["user_id"], n_buckets=16,
+        discovery=False, merge_strategy="broadcast",
+    )
     rep = Replayer(table=table, chain=Chain([]), epoch="driver")
     rep.replay(stream, batch_width=max(1, (max_id + 3) // 3), max_pos=max_id + 1)
     final = table.read(spark)

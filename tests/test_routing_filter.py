@@ -365,3 +365,70 @@ def test_chain_error_survives_drop_stages(spark):
     )
     with pytest.raises(DataException, match="Tombstone record encountered"):
         chain.run(df)
+
+
+# ---------------------------------------------------------- typed-field matrix
+
+def test_topic_long_and_boolean_fields(spark):
+    from pyspark.sql import types as T2
+
+    df = values_df(spark, [(123,)], struct_type(test_field=T2.LongType()))
+    out = enforce(ExtractTopic(field_name="test_field").apply(df)).collect()
+    assert out[0]["topic"] == "123"
+    dfb = values_df(spark, [(False,)], struct_type(test_field=T2.BooleanType()))
+    out = enforce(ExtractTopic(field_name="test_field").apply(dfb)).collect()
+    assert out[0]["topic"] == "false"
+
+
+# ----------------------------------------------------- KeyToValue F5 leftovers
+
+def test_k2v_string_trios(spark):
+    kt = struct_type(a1=T.StringType(), a2=T.StringType(), a3=T.StringType())
+    vt = struct_type(b1=T.StringType(), b2=T.StringType(), b3=T.StringType())
+    df = make_records(spark, [(("x", "y", "z"), ("p", "q", "r"))], kt, vt)
+    out = enforce(KeyToValue(key_fields=["a2"]).apply(df)).collect()
+    assert out[0]["value"].asDict() == {"b1": "p", "b2": "q", "b3": "r", "a2": "y"}
+
+
+def test_k2v_wildcard_struct_into_map_value(spark):
+    kt = struct_type(a=T.IntegerType(), b=T.IntegerType())
+    df = make_records(spark, [((1, 2), {"x": "100"})], kt, STR_MAP)
+    out = enforce(KeyToValue(key_fields=["*"]).apply(df)).collect()
+    v = out[0]["value"]
+    assert v["x"] == "100"
+    assert '"a":1' in v["_key"] and '"b":2' in v["_key"]  # JSON-stringified
+
+
+# ------------------------------------------------------------------ RegexRouter
+
+def test_regex_router_stock_semantics(spark):
+    from transforms_for_apache_kafka_connect_spark.operators import RegexRouter
+
+    df = values_df(spark, ["v"], T.StringType())  # topic=original_topic
+    out = enforce(
+        RegexRouter(regex=r"original_(.*)", replacement=r"routed_$1").apply(df)
+    ).collect()
+    assert out[0]["topic"] == "routed_topic"
+    # non-matching (partial match must NOT rewrite: matches(), not find())
+    out2 = enforce(
+        RegexRouter(regex=r"origin", replacement="nope").apply(df)
+    ).collect()
+    assert out2[0]["topic"] == "original_topic"
+
+
+def test_regex_router_in_chain(spark):
+    df = values_df(spark, [{"test_field": "orders-raw"}], STR_MAP)
+    chain = Chain(
+        [
+            {"type": "extract_topic", "field.name": "test_field"},
+            {"type": "regex_router", "regex": "(.*)-raw", "replacement": "$1"},
+        ]
+    )
+    assert chain.run(df).collect()[0]["topic"] == "orders"
+
+
+def test_regex_router_bad_regex(spark):
+    from transforms_for_apache_kafka_connect_spark.operators import RegexRouter
+
+    with pytest.raises(ConfigException, match="Invalid value"):
+        RegexRouter(regex="([unclosed", replacement="x")

@@ -34,6 +34,9 @@ from transforms_for_apache_kafka_connect_spark.operators.make_tombstone import (
 from transforms_for_apache_kafka_connect_spark.operators.money_converter import (
     MoneyConverter,
 )
+from transforms_for_apache_kafka_connect_spark.operators.regex_router import (
+    RegexRouter,
+)
 from transforms_for_apache_kafka_connect_spark.operators.tombstone_handler import (
     TombstoneHandler,
 )
@@ -51,5 +54,6 @@ __all__ = [
     "KeyToValue",
     "MakeTombstone",
     "MoneyConverter",
+    "RegexRouter",
     "TombstoneHandler",
 ]
