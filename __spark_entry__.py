@@ -445,6 +445,60 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b")
 
 
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transforms_for_apache_kafka_connect_spark.functions import add_text_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    return add_text_stats(docs).select("doc_id", "quality_score")
+
+
+def q_fingerprint_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup pairs via normalized rolling-hash fingerprint; the
+    oracle joins on the normalized text itself (collision-free on this
+    data), so fingerprint equality must coincide with text equality."""
+    from transforms_for_apache_kafka_connect_spark.functions import fingerprint
+
+    fp = _docs_with_dups(spark, sf_dir).select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+    a = fp.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fp.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+
+
+def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide token frequency top-50 (explode -> partial agg ->
+    shuffle on token -> final top-k); deterministic tie-break on token."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(50)
+    )
+
+
+def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN (the 100 TB scale path for q_ann_topk;
+    approximate recall -> rows-only check)."""
+    from transforms_for_apache_kafka_connect_spark.functions import lsh_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, queries, k=5, dim=64, n_planes=4).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas media featurization plumbing (rows-only check)."""
     from transforms_for_apache_kafka_connect_spark.functions.multimodal import (
@@ -491,6 +545,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_features": q_multimodal_features,
+        "quality_score": q_quality_score,
+        "fingerprint_dup": q_fingerprint_dup,
+        "token_topk": q_token_topk,
+        "lsh_ann": q_lsh_ann,
     }
 
 
@@ -636,9 +694,39 @@ def oracle_sql() -> dict[str, str]:
             "WHERE round(list_cosine_similarity(a.embedding, c.embedding), 6) "
             ">= 0.999"
         ),
-        # simhash, multimodal_features: intentionally no oracle — the
-        # Arrow bit-fold / binary featurization are not SQL-expressible;
-        # the driver records the weaker rows-only check for them.
+        "quality_score": (
+            "WITH s AS (SELECT doc_id, length(text) AS n_chars, "
+            r"len(string_split_regex(trim(text), '\s+')) AS n_tokens, "
+            r"len(regexp_extract_all(text, '[^\w\s]')) AS n_punct, "
+            r"len(regexp_extract_all(text, "
+            r"'(?i)\b(?:the|and|of|to|is|that|with|for|a|in|it|on|as|are|was)\b')) "
+            "AS stop_hits FROM documents) "
+            "SELECT doc_id, round("
+            "least(n_tokens / 100.0, 1.0) * 0.5 "
+            "+ (CASE WHEN n_tokens > 0 THEN CAST(stop_hits AS DOUBLE) / n_tokens "
+            "ELSE 0.0 END) * 2.0 "
+            "+ (CASE WHEN n_chars > 0 THEN "
+            "1.0 - least(CAST(n_punct AS DOUBLE) / n_chars * 4, 1.0) "
+            "ELSE 0.0 END) * 0.5, 6) AS quality_score FROM s"
+        ),
+        "fingerprint_dup": (
+            f"WITH b AS ({_DUPS_SQL}), "
+            "n AS (SELECT doc_id, "
+            r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm "
+            "FROM b) "
+            "SELECT a.doc_id AS id_a, c.doc_id AS id_b "
+            "FROM n a JOIN n c ON a.norm = c.norm AND a.doc_id < c.doc_id"
+        ),
+        "token_topk": (
+            "SELECT token, count(*) AS n FROM ("
+            r"SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) "
+            "AS token FROM documents) t WHERE token != '' "
+            "GROUP BY token ORDER BY n DESC, token ASC LIMIT 50"
+        ),
+        # simhash, multimodal_features, lsh_ann: intentionally no oracle —
+        # the Arrow bit-fold / binary featurization are not
+        # SQL-expressible, and LSH ANN is approximate by design; the
+        # driver records the weaker rows-only check for them.
     }
 
 
