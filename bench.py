@@ -53,13 +53,18 @@ def build_session(cpus: int, shuffle_partitions: int | None = None):
         builder.master(f"local[{cpus}]")
         .appName("tkc-spark-bench")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", os.environ.get("SPARK_GRAFT_AQE", "true"))
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # batch slices are a few hundred MB: default 128 MB bins would cap
         # the scan (where the SMT chain runs) at ~4 tasks — far below
         # either parallelism level; smaller bins let the scan scale
-        .config("spark.sql.files.maxPartitionBytes", "16m")
-        .config("spark.sql.files.openCostInBytes", "1m")
+        .config("spark.sql.files.maxPartitionBytes", "4m")
+        .config("spark.sql.files.openCostInBytes", "512k")
+        # local-FS stat is microseconds: list table files on the driver
+        # instead of paying a distributed listing job per merge (an
+        # Iceberg-backed table needs no listing at all — the manifest
+        # already carries file stats, as ours does)
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "100000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
@@ -86,7 +91,7 @@ def replay_benchmark(spark, n_events: int, work_dir: str, cpus: int) -> dict:
     (
         change_stream(
             spark, n_events, n_repos=2_000, paths_per_repo=20,
-            partitions=cpus * 4,
+            partitions=cpus * 8,
         )
         .withColumn("__slice", F.floor((F.col("timestamp") - base) / width))
         .write.mode("overwrite")

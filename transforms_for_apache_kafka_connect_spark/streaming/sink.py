@@ -128,12 +128,17 @@ class LakeTable:
             if schema is None:
                 raise ValueError("empty table has no schema yet")
             return spark.createDataFrame([], T.StructType.fromJson(schema))
-        # mergeSchema: older files may predate additive schema evolution
-        return (
-            spark.read.option("mergeSchema", "true")
-            .parquet(*files)
-            .drop(BUCKET_COL)
-        )
+        if m["schema"] is not None:
+            # the manifest records the evolved (union) schema at commit
+            # time — reading with it skips the per-batch distributed
+            # footer-inference job that mergeSchema would run, and older
+            # files simply surface nulls for later-added columns
+            from pyspark.sql import types as T
+
+            reader = spark.read.schema(T.StructType.fromJson(m["schema"]))
+        else:
+            reader = spark.read.option("mergeSchema", "true")
+        return reader.parquet(*files).drop(BUCKET_COL)
 
     # -------------------------------------------------------------- merge
 
@@ -233,7 +238,17 @@ class LakeTable:
             # keys are anti-joined away and they are not re-inserted.
             keys = F.broadcast(upd.select(*self.key_cols))
             survivors = tgt.join(keys, on=self.key_cols, how="left_anti")
-            upserts = upd.filter(~F.col(delete_col)).drop(delete_col)
+            # survivors stream scan->write with no exchange; the (small,
+            # already-persisted) upsert side is repartitioned by bucket so
+            # the partitionBy writer emits at most one new file per
+            # touched bucket instead of (#shuffle-tasks x #buckets) tiny
+            # files — unbounded file growth would make every later
+            # batch's survivors scan (and its listing) slower
+            upserts = (
+                upd.filter(~F.col(delete_col))
+                .drop(delete_col)
+                .repartition(self.n_buckets, F.col(BUCKET_COL))
+            )
             merged = survivors.unionByName(upserts, allowMissingColumns=True)
         elif have_target:
             tgt = self.read(spark, buckets=touched).withColumn(
