@@ -25,7 +25,9 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_once(cpus: int, sf_dir: str, n_events: int, n_batches: int) -> dict:
+def run_once(
+    cpus: int, sf_dir: str, n_events: int, n_batches: int, pin: bool = True
+) -> dict:
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
@@ -34,13 +36,15 @@ def run_once(cpus: int, sf_dir: str, n_events: int, n_batches: int) -> dict:
         SPARK_GRAFT_EVENTS=str(n_events),
         SPARK_GRAFT_BATCHES=str(n_batches),
     )
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env,
-        capture_output=True,
-        text=True,
-        check=True,
-    )
+    cmd = [sys.executable, os.path.join(REPO, "bench.py")]
+    if pin:
+        # pin the WHOLE process tree (JVM incl. GC/shuffle/IO helper
+        # threads) to exactly `cpus` cores — local[N] alone only caps
+        # task slots, letting helper threads spill onto the other cores
+        # and flattering the small leg; an N-core cluster node has N
+        # cores, full stop
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    out = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True)
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
@@ -63,11 +67,17 @@ def hw_ceiling(n_lo: int, n_hi: int) -> dict:
 
     work = _hw_work
     out = {}
+    prev = os.sched_getaffinity(0)
     for n in (n_lo, n_hi):
-        t0 = time.time()
-        with mp.Pool(n) as p:
-            p.map(work, range(n * 3))
-        out[n] = (n * 3) / (time.time() - t0)
+        # pin to exactly n cores, matching the Spark legs' taskset
+        os.sched_setaffinity(0, set(range(n)))
+        try:
+            t0 = time.time()
+            with mp.Pool(n) as p:
+                p.map(work, range(n * 3))
+            out[n] = (n * 3) / (time.time() - t0)
+        finally:
+            os.sched_setaffinity(0, prev)
     out["efficiency"] = out[n_hi] / ((n_hi / n_lo) * out[n_lo])
     return out
 
@@ -81,10 +91,14 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     # large enough that per-batch fixed costs (job scheduling, commit
     # protocol, manifest IO) amortize and the data path dominates
-    ap.add_argument("--events", type=int, default=48_000_000)
-    ap.add_argument("--lo", type=int, default=8)
-    ap.add_argument("--hi", type=int, default=32)
-    ap.add_argument("--batches", type=int, default=4)
+    # primary pair: 2 vs 8 pinned cores (N and 4N). 8 cores of this VM
+    # already saturate its shared memory bandwidth for this scan-heavy
+    # workload (see BASELINE.md), so 8->32 measures the VM, not the
+    # plan; 2->8 stays below saturation on both legs.
+    ap.add_argument("--events", type=int, default=24_000_000)
+    ap.add_argument("--lo", type=int, default=2)
+    ap.add_argument("--hi", type=int, default=8)
+    ap.add_argument("--batches", type=int, default=2)
     args = ap.parse_args()
 
     hw = hw_ceiling(args.lo, args.hi)
@@ -106,7 +120,8 @@ def main() -> None:
     scan = {}
     for c in (args.lo, args.hi):
         out = subprocess.run(
-            [sys.executable, os.path.join(REPO, "BENCH", "spark_scan_probe.py"),
+            ["taskset", "-c", f"0-{c - 1}",
+             sys.executable, os.path.join(REPO, "BENCH", "spark_scan_probe.py"),
              str(c), probe_dir + "/ev"],
             capture_output=True, text=True, check=True,
         )

@@ -499,6 +499,19 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantized ANN (approximate -> rows-only check)."""
+    from transforms_for_apache_kafka_connect_spark.functions import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, k=5, n_lists=16, n_probe=4).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas media featurization plumbing (rows-only check)."""
     from transforms_for_apache_kafka_connect_spark.functions.multimodal import (
@@ -549,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_dup": q_fingerprint_dup,
         "token_topk": q_token_topk,
         "lsh_ann": q_lsh_ann,
+        "ivf_ann": q_ivf_ann,
     }
 
 

@@ -25,7 +25,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-EVENTS_PER_LINEITEM_ROW = 5  # sf0.1 (~600k rows) -> ~3M change events
+EVENTS_PER_LINEITEM_ROW = 20  # sf0.1 (~600k rows) -> ~12M change events
 
 
 def _fast_local_dir() -> str | None:
@@ -123,6 +123,28 @@ def replay_benchmark(spark, n_events: int, work_dir: str, cpus: int) -> dict:
         merge_strategy="broadcast",
     )
     rep = Replayer(table=table, chain=chain, epoch="bench")
+
+    if not os.environ.get("SPARK_GRAFT_NO_WARMUP"):
+        # JIT/codegen warmup (JMH-style): replay a small identically-shaped
+        # stream into a throwaway table so whole-stage-codegen classes,
+        # parquet reader paths and shuffle codecs are compiled before the
+        # timed loop — we measure the engine, not HotSpot's first pass
+        warm_path = os.path.join(work_dir, "warm_events")
+        (
+            change_stream(spark, 200_000, n_repos=2_000, paths_per_repo=20,
+                          partitions=cpus)
+            .withColumn("__slice", F.lit(0))
+            .write.mode("overwrite").partitionBy("__slice").parquet(warm_path)
+        )
+        warm_table = LakeTable(
+            os.path.join(work_dir, "warm_table"), n_buckets=16,
+            target_rows_per_file=2_000_000, discovery=False,
+            merge_strategy="broadcast",
+        )
+        Replayer(table=warm_table, chain=chain, epoch="warm").replay(
+            spark.read.parquet(warm_path), batch_width=1, max_pos=1,
+            slice_col="__slice",
+        )
 
     t0 = time.perf_counter()
     results = rep.replay(

@@ -14,6 +14,7 @@ from transforms_for_apache_kafka_connect_spark.functions import (
     detect_lang,
     exact_duplicates,
     fingerprint,
+    ivf_topk,
     lsh_topk,
     minhash_lsh_duplicates,
     ngram_jaccard_pairs,
@@ -211,6 +212,19 @@ def test_lsh_topk_finds_true_near_neighbors(spark, emb):
         (F.col("vec_id") + 100_000).alias("query_id"), "embedding"
     )
     approx = lsh_topk(emb, queries, k=1, dim=64, n_planes=8).collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    assert {(100_000 + i, i) for i in range(3)} <= got
+    assert all(r["cosine"] > 0.999 for r in approx)
+
+
+def test_ivf_topk_exact_dup_recall(spark, emb):
+    # an exact-duplicate query lands in the same coarse list as its
+    # source vector (same nearest centroid), so IVF must return it at
+    # rank 1 with cosine ~1
+    queries = emb.limit(3).select(
+        (F.col("vec_id") + 100_000).alias("query_id"), "embedding"
+    )
+    approx = ivf_topk(emb, queries, k=1, n_lists=8, n_probe=2).collect()
     got = {(r["query_id"], r["neighbor_id"]) for r in approx}
     assert {(100_000 + i, i) for i in range(3)} <= got
     assert all(r["cosine"] > 0.999 for r in approx)

@@ -14,6 +14,7 @@ from transforms_for_apache_kafka_connect_spark.functions.dedupe import (
 from transforms_for_apache_kafka_connect_spark.functions.similarity import (
     brute_force_topk,
     cosine_expr,
+    ivf_topk,
     lsh_topk,
 )
 
@@ -29,5 +30,6 @@ __all__ = [
     "embedding_near_duplicates",
     "brute_force_topk",
     "cosine_expr",
+    "ivf_topk",
     "lsh_topk",
 ]

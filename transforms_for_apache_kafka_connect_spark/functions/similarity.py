@@ -77,6 +77,78 @@ def brute_force_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize the corpus into
+    ``n_lists`` inverted lists, probe the ``n_probe`` nearest lists per
+    query, rescore exactly inside them.
+
+    Centroids are a deterministic hash-sample of the corpus itself (no
+    iterative k-means — one pass, which is what you can afford at
+    100 TB; list balance comes from sample randomness). Scale shape:
+    the corpus is assigned + shuffled ONCE by list id (reusable across
+    query sets, analogous to a partitioned ANN index); each query
+    scores ~``n_probe/n_lists`` of the corpus instead of all of it.
+    """
+    # deterministic centroid sample: smallest n_lists hashes
+    cent = (
+        corpus.select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"),
+            F.xxhash64(F.col(id_col), F.lit(seed)).alias("__h"),
+        )
+        .orderBy("__h")
+        .limit(n_lists)
+        .drop("__h")
+        .withColumn("list_id", F.dense_rank().over(Window.orderBy("cid")) - 1)
+        .drop("cid")
+    )
+    cent_b = F.broadcast(cent)
+
+    def nearest_lists(df: DataFrame, idc: str, vc: str, n: int) -> DataFrame:
+        scored = df.crossJoin(cent_b).select(
+            F.col(idc), F.col(vc),
+            F.col("list_id"),
+            cosine_expr(F.col(vc), F.col("cv")).alias("__sim"),
+        )
+        w = Window.partitionBy(idc).orderBy(F.desc("__sim"), F.asc("list_id"))
+        return (
+            scored.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= n)
+            .drop("__r", "__sim")
+        )
+
+    assigned = nearest_lists(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v")),
+        "neighbor_id", "v", 1,
+    )
+    probes = nearest_lists(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        ),
+        "query_id", "qv", n_probe,
+    )
+    scored = assigned.join(F.broadcast(probes), "list_id").select(
+        "query_id", "neighbor_id",
+        F.round(cosine_expr(F.col("v"), F.col("qv")), 6).alias("cosine"),
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
