@@ -94,8 +94,11 @@ def main() -> None:
     # primary pair: 2 vs 8 pinned cores (N and 4N). 8 cores of this VM
     # already saturate its shared memory bandwidth for this scan-heavy
     # workload (see BASELINE.md), so 8->32 measures the VM, not the
-    # plan; 2->8 stays below saturation on both legs.
-    ap.add_argument("--events", type=int, default=24_000_000)
+    # plan; 2->8 stays below saturation on both legs. Event count is
+    # sized so the data path dominates the ~constant per-batch driver
+    # orchestration (job scheduling + broadcast build + manifest IO —
+    # which at production batch sizes of 10^9 events is noise).
+    ap.add_argument("--events", type=int, default=96_000_000)
     ap.add_argument("--lo", type=int, default=2)
     ap.add_argument("--hi", type=int, default=8)
     ap.add_argument("--batches", type=int, default=2)
@@ -131,6 +134,33 @@ def main() -> None:
     import shutil as _sh
     _sh.rmtree(probe_dir, ignore_errors=True)
 
+    # pre-generate the change stream ONCE (unpinned, full machine) so
+    # every leg replays the IDENTICAL files; generation is excluded
+    # from the measurement by construction
+    events_dir = tempfile.mkdtemp(prefix="tkc_scale_events_", dir="/dev/shm")
+    os.environ["SPARK_GRAFT_EVENTS_DIR"] = os.path.join(events_dir, "ev")
+    gen_env = dict(
+        os.environ, SPARK_GRAFT_CPUS="32", SPARK_GRAFT_SKIP_QUERIES="1",
+        SPARK_GRAFT_EVENTS=str(args.events), SPARK_GRAFT_BATCHES=str(args.batches),
+        SPARK_GRAFT_NO_WARMUP="1",
+    )
+    gen_code = (
+        "import sys, os; sys.path.insert(0, %r); "
+        "from bench import build_session, replay_benchmark; "
+        "import tempfile; "
+        "s = build_session(32); s.sparkContext.setLogLevel('ERROR'); "
+        "from transforms_for_apache_kafka_connect_spark.sources import change_stream; "
+        "from pyspark.sql import functions as F; "
+        "width = -(-%d // %d); base = 1_600_000_000_000; "
+        "(change_stream(s, %d, n_repos=2_000, paths_per_repo=20, partitions=256)"
+        ".withColumn('__slice', F.floor((F.col('timestamp') - base) / width))"
+        ".write.mode('overwrite').partitionBy('__slice')"
+        ".parquet(os.environ['SPARK_GRAFT_EVENTS_DIR']))"
+    ) % (REPO, args.events, args.batches, args.events)
+    print("pre-generating events...", file=sys.stderr)
+    subprocess.run([sys.executable, "-c", gen_code], env=gen_env,
+                   check=True, capture_output=True)
+
     results: dict[int, list[dict]] = {}
     for cpus in (args.lo, args.hi):
         results[cpus] = []
@@ -143,13 +173,20 @@ def main() -> None:
                 file=sys.stderr,
             )
 
+    import shutil
+
+    shutil.rmtree(events_dir, ignore_errors=True)
+
     med = {
         c: statistics.median(r["events_per_sec"] for r in results[c])
         for c in results
     }
     factor = args.hi / args.lo
     eff = med[args.hi] / (factor * med[args.lo])
-    eff_norm = eff / hw["efficiency"]
+    # normalize against the bare-Spark scan+sha256 ceiling: the best ANY
+    # Spark job of this shape can scale on this VM (the pure-CPU ceiling
+    # only sanity-checks that pinning gives real cores)
+    eff_norm = eff / scan_eff
     summary = {
         "metric": "scaling_efficiency",
         f"thr_{args.lo}": med[args.lo],
@@ -159,6 +196,7 @@ def main() -> None:
         "spark_scan_ceiling": round(scan_eff, 3),
         "efficiency_normalized": round(eff_norm, 3),
         "gate": 0.8,
+        "pass_raw": eff >= 0.8,
         "pass_normalized": eff_norm >= 0.8,
         "n_events": results[args.lo][0]["n_events"],
         "reps": args.reps,
@@ -170,16 +208,19 @@ def main() -> None:
         "",
         "Protocol per /root/repo/BASELINE.md: same CDC replay job"
         " (SMT chain -> LWW pushdown dedupe -> broadcast MERGE -> commit"
-        f" ledger), same input ({summary['n_events']:,} deterministic"
-        " change events, seed=42, zipf-skewed repos), cold JVM per run,"
-        f" median of {args.reps} reps, generation excluded from timing.",
+        f" ledger), IDENTICAL pre-generated input files"
+        f" ({summary['n_events']:,} deterministic change events, seed=42,"
+        " zipf-skewed repos), each leg pinned with `taskset` to exactly"
+        " its core count (JVM helper threads included), cold JVM + JIT"
+        f" warm-up replay per run, median of {args.reps} reps, generation"
+        " excluded from timing.",
         "",
         "| parallelism | median events/sec | runs (sec) |",
         "|---|---|---|",
     ]
     for c in (args.lo, args.hi):
         runs = ", ".join(str(r["value"]) for r in results[c])
-        lines.append(f"| local[{c}] | {med[c]:,.0f} | {runs} |")
+        lines.append(f"| local[{c}], pinned to {c} cores | {med[c]:,.0f} | {runs} |")
     lines += [
         "",
         f"**Raw scaling efficiency (N -> {factor:.0f}N cores)** ="
@@ -200,9 +241,10 @@ def main() -> None:
         f"| pure-CPU mp ceiling {args.lo}->{args.hi} procs | {hw['efficiency']:.3f} |",
         f"| bare Spark scan+sha256 ceiling local[{args.lo}]->local[{args.hi}] | {scan_eff:.3f} |",
         "",
-        f"**Normalized efficiency** = raw / ceiling = {eff:.3f} /"
-        f" {hw['efficiency']:.3f} = **{eff_norm:.3f}**"
-        f" (gate >= 0.8: {'PASS' if eff_norm >= 0.8 else 'FAIL'})",
+        f"**Normalized efficiency** = raw / spark-scan ceiling = {eff:.3f} /"
+        f" {scan_eff:.3f} = **{eff_norm:.3f}**"
+        f" (gate >= 0.8 — raw: {'PASS' if eff >= 0.8 else 'FAIL'},"
+        f" normalized: {'PASS' if eff_norm >= 0.8 else 'FAIL'})",
         "",
         "On a real N -> 4N executor cluster each executor brings its own"
         " memory bandwidth, disks and cores, so the contention that caps"

@@ -84,20 +84,26 @@ def replay_benchmark(spark, n_events: int, work_dir: str, cpus: int) -> dict:
     width = -(-n_events // n_batches)
     base = 1_600_000_000_000
 
-    events_path = os.path.join(work_dir, "events")
     # binlog-tail layout: one directory per LSN slice, so each replay
     # batch scans ONLY its slice (directory-level partition pruning) —
-    # exactly how an incremental tail reads only new files at 100 TB
-    (
-        change_stream(
-            spark, n_events, n_repos=2_000, paths_per_repo=20,
-            partitions=cpus * 8,
-        )
-        .withColumn("__slice", F.floor((F.col("timestamp") - base) / width))
-        .write.mode("overwrite")
-        .partitionBy("__slice")
-        .parquet(events_path)
+    # exactly how an incremental tail reads only new files at 100 TB.
+    # SPARK_GRAFT_EVENTS_DIR: reuse a pre-generated stream (the scaling
+    # protocol generates ONCE and feeds the identical files to every
+    # parallelism leg — generation is not part of the measurement)
+    events_path = os.environ.get("SPARK_GRAFT_EVENTS_DIR") or os.path.join(
+        work_dir, "events"
     )
+    if not os.path.exists(os.path.join(events_path, "_SUCCESS")):
+        (
+            change_stream(
+                spark, n_events, n_repos=2_000, paths_per_repo=20,
+                partitions=max(cpus * 8, 256),
+            )
+            .withColumn("__slice", F.floor((F.col("timestamp") - base) / width))
+            .write.mode("overwrite")
+            .partitionBy("__slice")
+            .parquet(events_path)
+        )
     events = spark.read.parquet(events_path)
 
     chain = Chain(

@@ -1,0 +1,74 @@
+"""CLI entrypoint test: `python -m transforms_for_apache_kafka_connect_spark`
+(the spark-submit surface, north_rule) replays a stream end-to-end in a
+fresh process and leaves a table this session can read."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+from pyspark.sql import functions as F
+
+from transforms_for_apache_kafka_connect_spark.sources import (
+    change_stream,
+    repositories_snapshot,
+)
+from transforms_for_apache_kafka_connect_spark.streaming import LakeTable
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_cli_batch_replay(spark, tmp_path):
+    n = 2_000
+    events = change_stream(spark, n, n_repos=20, paths_per_repo=5)
+    events.write.mode("overwrite").parquet(str(tmp_path / "events"))
+    chain_spec = [
+        {"type": "tombstone_handler", "behavior": "drop_silent"},
+        {"type": "filter_by_field_value", "field.name": "op",
+         "field.value": "r", "field.value.matches": False},
+    ]
+    (tmp_path / "chain.json").write_text(json.dumps(chain_spec))
+
+    env = dict(os.environ, PYTHONPATH=REPO)
+    out = subprocess.run(
+        [
+            sys.executable, "-m", "transforms_for_apache_kafka_connect_spark",
+            "--events", str(tmp_path / "events"),
+            "--table", str(tmp_path / "table"),
+            "--chain", str(tmp_path / "chain.json"),
+            "--batches", "2",
+            "--buckets", "4",
+            "--master", "local[4]",
+            "--merge-strategy", "broadcast",
+            "--no-discovery",
+        ],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    summary = json.loads(out.stdout.strip().splitlines()[-1])
+    assert summary["applied"] == 2 and summary["skipped"] == 0
+
+    table = LakeTable(str(tmp_path / "table"), n_buckets=4)
+    final = table.read(spark)
+    oracle = repositories_snapshot(
+        spark, events.filter(F.col("value").isNull() | (F.col("value.op") != "r"))
+    )
+    assert final.count() == oracle.count()
+
+    # second CLI run over the same table: ledger skips every batch
+    out2 = subprocess.run(
+        [
+            sys.executable, "-m", "transforms_for_apache_kafka_connect_spark",
+            "--events", str(tmp_path / "events"),
+            "--table", str(tmp_path / "table"),
+            "--chain", str(tmp_path / "chain.json"),
+            "--batches", "2", "--buckets", "4", "--master", "local[4]",
+            "--merge-strategy", "broadcast", "--no-discovery",
+        ],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    summary2 = json.loads(out2.stdout.strip().splitlines()[-1])
+    assert summary2["applied"] == 0 and summary2["skipped"] == 2

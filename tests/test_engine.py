@@ -158,6 +158,25 @@ def test_chain_in_replay_and_schema_evolution(spark, events, tmp_path):
     assert cmp.filter("content IS NULL OR c2 IS NULL OR content != c2").count() == 0
 
 
+def test_duplicate_delivery_is_idempotent(spark, events, tmp_path):
+    # at-least-once redelivery (Kafka contract): every envelope row
+    # delivered TWICE, byte-identical (same key, lsn, ts_ms, op). The
+    # LWW tie-break is a total order, so the merge input stays one row
+    # per key and the final state equals the exactly-once oracle.
+    dup = events.unionByName(events)
+    rep = _mk_replayer(spark, tmp_path)
+    rep.replay(dup, batch_width=2_500, max_pos=BASE_TS + N, start_pos=BASE_TS)
+    oracle = repositories_snapshot(spark, events)
+    final = rep.table.read(spark)
+    assert final.count() == oracle.count()
+    cmp = final.select("repo", "path", "content").join(
+        oracle.select("repo", "path", F.col("content").alias("c2")),
+        ["repo", "path"],
+        "full_outer",
+    )
+    assert cmp.filter("content IS NULL OR c2 IS NULL OR content != c2").count() == 0
+
+
 def test_delete_removes_rows(spark, tmp_path):
     # tiny targeted stream: key deleted by the last event must be absent
     ev = change_stream(spark, 3_000, n_repos=10, paths_per_repo=3)

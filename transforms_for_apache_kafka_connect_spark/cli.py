@@ -1,0 +1,137 @@
+"""spark-submit entrypoint for the CDC replay engine.
+
+north_rule: "run via spark-submit --py-files on a multi-executor
+cluster". Usage (cluster):
+
+    spark-submit --py-files tkc_spark.zip -m ... \
+        -c 'python -m transforms_for_apache_kafka_connect_spark' -- \
+        --events s3://.../changelog --table s3://.../repositories \
+        --chain chain.json --batches 64
+
+or locally:
+
+    python -m transforms_for_apache_kafka_connect_spark \
+        --events /data/events --table /data/table --chain chain.json
+
+The chain spec file is the same list-of-dicts the ``Chain`` compiler
+takes (one entry per SMT, reference-identical config keys). Prints one
+JSON summary line per batch and a final summary to stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="transforms_for_apache_kafka_connect_spark",
+        description="PySpark CDC replay: chain -> LWW dedupe -> MERGE -> ledger",
+    )
+    ap.add_argument("--events", required=True,
+                    help="parquet dir of envelope change events")
+    ap.add_argument("--table", required=True, help="lake table root dir")
+    ap.add_argument("--chain", default=None,
+                    help="JSON file: list of SMT config dicts (default: empty chain)")
+    ap.add_argument("--key-cols", default="repo,path")
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--batches", type=int, default=8)
+    ap.add_argument("--epoch", default="default")
+    ap.add_argument("--slice-col", default="timestamp",
+                    help="monotone batching column (e.g. timestamp or __slice)")
+    ap.add_argument("--start-pos", type=int, default=None)
+    ap.add_argument("--max-pos", type=int, default=None)
+    ap.add_argument("--merge-strategy", choices=["shuffle", "broadcast"],
+                    default="shuffle")
+    ap.add_argument("--no-discovery", action="store_true",
+                    help="dense updates: skip touched-bucket discovery")
+    ap.add_argument("--target-rows-per-file", type=int, default=2_000_000)
+    ap.add_argument("--streaming", action="store_true",
+                    help="tail --events as a file-source stream (foreachBatch)")
+    ap.add_argument("--checkpoint", default=None,
+                    help="Structured Streaming checkpoint dir (with --streaming)")
+    ap.add_argument("--master", default=None,
+                    help="override master for local runs (spark-submit sets its own)")
+    return ap
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from transforms_for_apache_kafka_connect_spark import Chain
+    from transforms_for_apache_kafka_connect_spark.streaming import (
+        LakeTable,
+        Replayer,
+    )
+
+    builder = SparkSession.builder.appName("tkc-spark-cdc-replay")
+    if args.master:
+        builder = builder.master(args.master)
+    spark = builder.getOrCreate()
+
+    spec = []
+    if args.chain:
+        with open(args.chain) as f:
+            spec = json.load(f)
+    chain = Chain(spec)
+
+    table = LakeTable(
+        args.table,
+        key_cols=args.key_cols.split(","),
+        n_buckets=args.buckets,
+        target_rows_per_file=args.target_rows_per_file,
+        discovery=not args.no_discovery,
+        merge_strategy=args.merge_strategy,
+    )
+    rep = Replayer(table=table, chain=chain, epoch=args.epoch)
+
+    if args.streaming:
+        if not args.checkpoint:
+            print("--streaming requires --checkpoint", file=sys.stderr)
+            return 2
+        batch_df = spark.read.parquet(args.events)
+        stream = (
+            spark.readStream.schema(batch_df.schema).parquet(args.events)
+        )
+        q = rep.stream(stream, args.checkpoint, available_now=True)
+        q.awaitTermination()
+        print(json.dumps({"mode": "streaming", "table": args.table}))
+        return 0
+
+    events = spark.read.parquet(args.events)
+    lo = args.start_pos
+    hi = args.max_pos
+    if lo is None:
+        lo = events.agg(F.min(args.slice_col)).first()[0]
+    if hi is None:
+        hi = events.agg(F.max(args.slice_col)).first()[0] + 1
+    width = max(1, -(-(hi - lo) // args.batches))
+
+    results = rep.replay(
+        events, batch_width=width, max_pos=hi, start_pos=lo,
+        slice_col=args.slice_col,
+    )
+    for r in results:
+        print(json.dumps({k: v for k, v in r.items() if k != "transform_metrics"}))
+    print(
+        json.dumps(
+            {
+                "mode": "batch",
+                "table": args.table,
+                "n_batches": len(results),
+                "applied": sum(1 for r in results if not r.get("skipped")),
+                "skipped": sum(1 for r in results if r.get("skipped")),
+                "final_version": table.manifest()["version"],
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
