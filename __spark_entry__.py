@@ -273,6 +273,35 @@ def q_lww_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_regex_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stock-SMT compatibility stage: full-match regex topic rewrite
+    with $1 group references; non-matching topics pass unchanged."""
+    from transforms_for_apache_kafka_connect_spark.operators import RegexRouter
+
+    ev = _read(spark, sf_dir, "events")
+    env = envelope(ev, key_cols=["event_id"], value_cols=["event_type"]).withColumn(
+        "topic", F.concat(F.lit("events_"), F.coalesce(F.col("value.event_type"), F.lit("none")))
+    )
+    st = RegexRouter(regex="events_(click|view)", replacement="routed.$1")
+    return (
+        enforce(st.apply(env))
+        .groupBy("topic")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_lww_dedupe_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted LWW (the hot-key skew path) — must be
+    bit-identical to the unsalted aggregate, checked by the same oracle."""
+    stream = _events_as_change_stream(spark, sf_dir)
+    deduped = lww_dedupe(stream, n_salt=8)
+    return deduped.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.lsn").alias("last_event_id"),
+        F.col("value.op").alias("last_op"),
+    )
+
+
 def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: full replay loop (chain -> LWW dedupe -> bucketed MERGE
     with delete semantics -> commit ledger) over the events table."""
@@ -543,6 +572,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "money_converter": q_money,
         "chain_fused": q_chain_fused,
         "lww_dedupe": q_lww_dedupe,
+        "lww_dedupe_salted": q_lww_dedupe_salted,
+        "regex_router": q_regex_router,
         "cdc_merge": q_cdc_merge,
         "agg_lineitem": q_agg_lineitem,
         "join_agg": q_join_agg,
@@ -618,6 +649,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT *, row_number() OVER "
             "(PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events) t "
             "WHERE rn = 1"
+        ),
+        "lww_dedupe_salted": (
+            "SELECT user_id, event_id AS last_event_id, "
+            "CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS last_op "
+            "FROM (SELECT *, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events) t "
+            "WHERE rn = 1"
+        ),
+        "regex_router": (
+            "SELECT CASE WHEN coalesce(event_type, 'none') IN ('click', 'view') "
+            "THEN 'routed.' || event_type "
+            "ELSE 'events_' || coalesce(event_type, 'none') END AS topic, "
+            "count(*) AS n FROM events GROUP BY 1"
         ),
         "cdc_merge": (
             "SELECT user_id, event_id AS last_event_id, event_type, value AS val "

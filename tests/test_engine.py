@@ -214,6 +214,51 @@ def test_engine_batch_abort_on_error_keeps_table_uncommitted(spark, events, tmp_
     assert table.read(spark).count() == repositories_snapshot(spark, events).count()
 
 
+def test_compaction_preserves_state_and_ledger(spark, events, tmp_path):
+    # broadcast merge appends ~1 upsert file per bucket per batch (the
+    # shuffle strategy rewrites whole buckets) -> that's the path that
+    # accretes files and needs compaction
+    table = LakeTable(
+        str(tmp_path / "repositories"), n_buckets=16,
+        discovery=False, merge_strategy="broadcast",
+    )
+    rep = Replayer(table=table, chain=Chain([]), epoch="e1")
+    rep.replay(events, batch_width=1_000, max_pos=BASE_TS + N, start_pos=BASE_TS)
+    before = table.read(spark).orderBy("repo", "path").collect()
+    m0 = table.manifest()
+    n_files_before = sum(len(fs) for fs in m0["buckets"].values())
+
+    r = table.compact(spark, max_files_per_bucket=1)
+    assert r["compacted_buckets"]  # something was over threshold
+    m1 = table.manifest()
+    n_files_after = sum(len(fs) for fs in m1["buckets"].values())
+    assert n_files_after < n_files_before
+    # contents identical, ledger untouched, replay still skips everything
+    assert table.read(spark).orderBy("repo", "path").collect() == before
+    assert m1["committed"] == m0["committed"]
+    rep2 = _mk_replayer(spark, tmp_path)
+    results = rep2.replay(
+        events, batch_width=1_000, max_pos=BASE_TS + N, start_pos=BASE_TS
+    )
+    assert all(x["skipped"] for x in results)
+
+
+def test_periodic_compaction_in_replay(spark, events, tmp_path):
+    table = LakeTable(
+        str(tmp_path / "t"), n_buckets=16,
+        discovery=False, merge_strategy="broadcast",
+    )
+    rep = Replayer(table=table, chain=Chain([]), epoch="e1",
+                   compact_every=4, compact_max_files_per_bucket=1)
+    rep.replay(events, batch_width=1_000, max_pos=BASE_TS + N, start_pos=BASE_TS)
+    n_files = sum(len(fs) for fs in table.manifest()["buckets"].values())
+    # 10 batches without compaction would leave >10 files/bucket tails;
+    # compaction every 4 keeps the live set near 1-2 per bucket
+    assert n_files <= 3 * 16
+    oracle = repositories_snapshot(spark, events)
+    assert table.read(spark).count() == oracle.count()
+
+
 def test_transform_metrics_in_result(spark, events, tmp_path):
     chain = Chain(
         [

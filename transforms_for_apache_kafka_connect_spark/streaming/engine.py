@@ -47,6 +47,12 @@ class Replayer:
     #: batches whose distinct-key count fits in memory; disable to
     #: shuffle-join winners instead)
     winners_broadcast: bool = True
+    #: run table.compact() every K committed batches (0 = never). The
+    #: broadcast merge strategy appends ~1 small upsert file per bucket
+    #: per batch; periodic compaction bounds live-file count the same
+    #: way Iceberg's rewrite_data_files does for its COW tables.
+    compact_every: int = 0
+    compact_max_files_per_bucket: int = 8
 
     def _split_chain(self) -> tuple[Chain, Chain]:
         """Longest prefix of row-filter stages, and the rest."""
@@ -212,6 +218,15 @@ class Replayer:
                 (F.col(slice_col) >= lo) & (F.col(slice_col) < hi)
             )
             results.append(self.apply_batch(batch, batch_id))
+            if (
+                self.compact_every
+                and not results[-1].get("skipped")
+                and (batch_id + 1) % self.compact_every == 0
+            ):
+                self.table.compact(
+                    batch.sparkSession,
+                    max_files_per_bucket=self.compact_max_files_per_bucket,
+                )
             batch_id += 1
             lo = hi
         return results

@@ -140,6 +140,61 @@ class LakeTable:
             reader = spark.read.option("mergeSchema", "true")
         return reader.parquet(*files).drop(BUCKET_COL)
 
+    # --------------------------------------------------------- maintenance
+
+    def compact(
+        self, spark: SparkSession, *, max_files_per_bucket: int = 8
+    ) -> dict[str, Any]:
+        """Rewrite buckets whose live file count exceeds the threshold
+        into ``target_rows_per_file``-sized files.
+
+        Pure maintenance: row contents, committed-batch ledger and
+        lineage are untouched; the rewrite commits via the same atomic
+        manifest swap (a crash leaves only orphaned new files). The
+        broadcast merge path appends O(n_buckets) small upsert files per
+        batch by design — compaction is the amortized counterweight,
+        exactly like Iceberg's rewrite_data_files action.
+        """
+        m = self.manifest()
+        over = sorted(
+            int(b)
+            for b, fs in m["buckets"].items()
+            if len(fs) > max_files_per_bucket
+        )
+        if not over:
+            return {"compacted_buckets": [], "version": m["version"]}
+
+        df = self.read(spark, buckets=over).withColumn(
+            BUCKET_COL, _bucket_expr(self.key_cols, self.n_buckets)
+        )
+        version = m["version"] + 1
+        out_dir = os.path.join(self.root, "data", f"v{version:08d}-compact")
+        (
+            df.repartition(len(over), F.col(BUCKET_COL))
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", self.target_rows_per_file)
+            .partitionBy(BUCKET_COL)
+            .parquet(out_dir)
+        )
+        new_buckets = dict(m["buckets"])
+        for entry in sorted(os.listdir(out_dir)):
+            if not entry.startswith(f"{BUCKET_COL}="):
+                continue
+            b = int(entry.split("=", 1)[1])
+            bdir = os.path.join(out_dir, entry)
+            files = sorted(
+                os.path.join(bdir, fn)
+                for fn in os.listdir(bdir)
+                if fn.endswith(".parquet")
+            )
+            if files:
+                new_buckets[str(b)] = files
+        commit = dict(m)
+        commit["version"] = version
+        commit["buckets"] = new_buckets
+        self._swap(commit)
+        return {"compacted_buckets": over, "version": version}
+
     # -------------------------------------------------------------- merge
 
     def merge(
