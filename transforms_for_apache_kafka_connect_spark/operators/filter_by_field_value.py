@@ -91,10 +91,20 @@ class FilterByFieldValue(Stage):
                 ),
             )
             match = operand == lit
+            # no null-guard needed: a null operand is errored above and
+            # keep_rows retains errored rows regardless of `keep`
+            keep = match if self.field_value_matches else ~match
         else:
             match = operand.cast("string").rlike(self.field_value_pattern)
-        match = F.coalesce(match, F.lit(False))  # null field = non-match (regex path)
-        keep = match if self.field_value_matches else ~match
+            # null field = non-match (:88-89): drops under matches=true,
+            # KEPT under matches=false. Expressed with IsNull instead of
+            # coalesce(match, false) so the whole predicate stays
+            # translatable to a parquet row-group filter
+            # (Or(Not(...), IsNull(...)) pushes; coalesce() does not).
+            if self.field_value_matches:
+                keep = match
+            else:
+                keep = ~match | operand.isNull()
         keep = keep | col.isNull()  # tombstones always pass (:106-108)
         if self.observe_name:
             from transforms_for_apache_kafka_connect_spark.operators.base import (
