@@ -128,7 +128,9 @@ def replay_benchmark(spark, n_events: int, work_dir: str, cpus: int) -> dict:
         target_rows_per_file=2_000_000, discovery=False,
         merge_strategy="broadcast",
     )
-    rep = Replayer(table=table, chain=chain, epoch="bench")
+    # unique_lsn: the generator (like any binlog/WAL tail) emits unique
+    # LSNs, so the winner aggregate can run as a HashAggregate
+    rep = Replayer(table=table, chain=chain, epoch="bench", unique_lsn=True)
 
     if not os.environ.get("SPARK_GRAFT_NO_WARMUP"):
         # JIT/codegen warmup (JMH-style): replay a small identically-shaped
@@ -147,7 +149,7 @@ def replay_benchmark(spark, n_events: int, work_dir: str, cpus: int) -> dict:
             target_rows_per_file=2_000_000, discovery=False,
             merge_strategy="broadcast",
         )
-        Replayer(table=warm_table, chain=chain, epoch="warm").replay(
+        Replayer(table=warm_table, chain=chain, epoch="warm", unique_lsn=True).replay(
             spark.read.parquet(warm_path), batch_width=1, max_pos=1,
             slice_col="__slice",
         )

@@ -158,6 +158,32 @@ def test_chain_in_replay_and_schema_evolution(spark, events, tmp_path):
     assert cmp.filter("content IS NULL OR c2 IS NULL OR content != c2").count() == 0
 
 
+def test_unique_lsn_fast_path_matches_oracle(spark, events, tmp_path):
+    # unique_lsn=True swaps the struct winner-ordering for the bare lsn
+    # (HashAggregate instead of SortAggregate); state must be identical —
+    # including under duplicate delivery, which the final LWW still collapses
+    dup = events.unionByName(events)
+    table = LakeTable(str(tmp_path / "t"), n_buckets=16)
+    # mutator stage present -> the LWW-pushdown winner join (the branch
+    # unique_lsn accelerates) is actually taken
+    chain = Chain([
+        {"type": "tombstone_handler", "behavior": "drop_silent"},
+        {"type": "concat_fields", "field.names": ["op", "lsn"],
+         "output.field.name": "op_lsn", "delimiter": ":"},
+    ])
+    rep = Replayer(table=table, chain=chain, epoch="e1", unique_lsn=True)
+    rep.replay(dup, batch_width=2_500, max_pos=BASE_TS + N, start_pos=BASE_TS)
+    oracle = repositories_snapshot(spark, events)
+    final = table.read(spark)
+    assert final.count() == oracle.count()
+    cmp = final.select("repo", "path", "content").join(
+        oracle.select("repo", "path", F.col("content").alias("c2")),
+        ["repo", "path"],
+        "full_outer",
+    )
+    assert cmp.filter("content IS NULL OR c2 IS NULL OR content != c2").count() == 0
+
+
 def test_duplicate_delivery_is_idempotent(spark, events, tmp_path):
     # at-least-once redelivery (Kafka contract): every envelope row
     # delivered TWICE, byte-identical (same key, lsn, ts_ms, op). The

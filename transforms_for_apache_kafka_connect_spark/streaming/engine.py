@@ -47,6 +47,15 @@ class Replayer:
     #: batches whose distinct-key count fits in memory; disable to
     #: shuffle-join winners instead)
     winners_broadcast: bool = True
+    #: declare that LSNs are unique per key within a batch (the normal
+    #: binlog/WAL contract). The winner ordering then collapses from a
+    #: struct(lsn, ts, op_rank) to the bare lsn long: Spark plans the
+    #: winner aggregate as a map-side-combining HashAggregate instead of
+    #: the SortAggregate a struct-max forces (struct agg buffers are
+    #: immutable -> no hash form), removing a full per-partition sort of
+    #: the batch. Exact duplicate deliveries (same key AND same lsn) are
+    #: still collapsed by the final LWW aggregate in updates_for.
+    unique_lsn: bool = False
     #: run table.compact() every K committed batches (0 = never). The
     #: broadcast merge strategy appends ~1 small upsert file per bucket
     #: per batch; periodic compaction bounds live-file count the same
@@ -116,11 +125,14 @@ class Replayer:
         pre, post = self._split_chain()
         obs_pre = None
         if self.lww_pushdown and post.stages:
-            ordering = F.struct(
-                F.col("value.lsn").alias("lsn"),
-                F.col("value.ts_ms").alias("ts_ms"),
-                _op_rank_expr().alias("op_rank"),
-            )
+            if self.unique_lsn:
+                ordering = F.col("value.lsn")
+            else:
+                ordering = F.struct(
+                    F.col("value.lsn").alias("lsn"),
+                    F.col("value.ts_ms").alias("ts_ms"),
+                    _op_rank_expr().alias("op_rank"),
+                )
             # the filter prefix is applied independently per subtree so
             # each stage's drop Observation counts rows exactly once
             # (the PROBE-side apply runs last and wins stage.last_observation)
