@@ -84,6 +84,30 @@ def q_case_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_case_transform_schemaless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schemaless (MAP) regime through the gate: the reference's
+    Map<String,Object> path (CaseTransform.java map branch) == a
+    MapType value column here."""
+    ev = _read(spark, sf_dir, "events")
+    env = ev.select(
+        F.lit("original_topic").alias("topic"),
+        F.lit(0).cast("int").alias("partition"),
+        F.struct(F.col("event_id")).alias("key"),
+        F.create_map(
+            F.lit("event_type"), F.col("event_type"),
+            F.lit("user"), F.col("user_id").cast("string"),
+        ).alias("value"),
+        F.lit(123).cast("long").alias("timestamp"),
+        F.lit(None).cast("map<string,string>").alias("headers"),
+    )
+    env = CaseTransform(field_names=["event_type"], case="upper").apply(env)
+    return enforce(env).select(
+        F.col("key.event_id").alias("event_id"),
+        F.col("value")["event_type"].alias("event_type_upper"),
+        F.col("value")["user"].alias("user"),
+    )
+
+
 def q_filter_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events")
     env = envelope(
@@ -563,6 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash": q_hash,
         "concat_fields": q_concat_fields,
         "case_transform": q_case_transform,
+        "case_transform_schemaless": q_case_transform_schemaless,
         "filter_by_field_value_exact": q_filter_exact,
         "filter_by_field_value_regex": q_filter_regex,
         "extract_timestamp": q_extract_timestamp,
@@ -611,6 +636,10 @@ def oracle_sql() -> dict[str, str]:
         "case_transform": (
             "SELECT doc_id, upper(lang) AS lang_upper, lower(source) AS source_lower "
             "FROM documents"
+        ),
+        "case_transform_schemaless": (
+            "SELECT event_id, upper(event_type) AS event_type_upper, "
+            "CAST(user_id AS VARCHAR) AS user FROM events"
         ),
         "filter_by_field_value_exact": (
             "SELECT event_id, event_type, user_id FROM events "

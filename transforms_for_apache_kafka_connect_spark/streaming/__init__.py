@@ -1,5 +1,6 @@
 from transforms_for_apache_kafka_connect_spark.streaming.dedupe import lww_dedupe
 from transforms_for_apache_kafka_connect_spark.streaming.sink import LakeTable
 from transforms_for_apache_kafka_connect_spark.streaming.engine import Replayer
+from transforms_for_apache_kafka_connect_spark.streaming.router import route_write
 
-__all__ = ["lww_dedupe", "LakeTable", "Replayer"]
+__all__ = ["lww_dedupe", "LakeTable", "Replayer", "route_write"]
