@@ -1,0 +1,79 @@
+"""applyInPandasWithState stale-update suppressor: cross-batch state
+drops redelivered/late LSNs in a live stream."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from transforms_for_apache_kafka_connect_spark.sources import change_stream
+from transforms_for_apache_kafka_connect_spark.streaming.stateful import (
+    flatten_for_suppression,
+    suppress_stale,
+)
+
+BASE = 1_600_000_000_000
+
+
+def test_suppress_stale_across_microbatches(spark, tmp_path):
+    n = 2_000
+    events = change_stream(spark, n, n_repos=20, paths_per_repo=5)
+    flat = flatten_for_suppression(events)
+    src = str(tmp_path / "in")
+    # file 1: first half. file 2: second half PLUS a full redelivery of
+    # the first half (at-least-once source) — all of file 1 is stale.
+    first = flat.filter(F.col("lsn") < n // 2)
+    second = flat.filter(F.col("lsn") >= n // 2).unionByName(first)
+    first.coalesce(1).write.parquet(src + "/f1.parquet")
+    second.coalesce(1).write.parquet(src + "/f2.parquet")
+
+    out_dir = str(tmp_path / "out")
+    stream = spark.readStream.schema(flat.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src + "/*")
+    q = (
+        suppress_stale(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out_dir)
+    # stateful LWW: per key, at most one row per micro-batch, strictly
+    # increasing LSNs (redelivered first-half rows suppressed by state),
+    # and the final winner equals the true per-key max
+    assert got.groupBy("k", "lsn").count().filter("count > 1").count() == 0
+    true_max = flat.groupBy("k").agg(F.max("lsn").alias("m"))
+    got_max = got.groupBy("k").agg(F.max("lsn").alias("g"))
+    joined = true_max.join(got_max, "k", "full_outer")
+    assert joined.filter("m IS NULL OR g IS NULL OR m != g").count() == 0
+
+
+def test_suppressor_drops_stale_within_batch(spark, tmp_path):
+    # single micro-batch containing both a fresh and an already-seen lsn
+    # per key: only lsn-monotone survivors remain per key
+    rows = [("a", 5, 0, "u", "p5"), ("a", 3, 0, "u", "p3"), ("b", 1, 0, "c", "q1")]
+    df = spark.createDataFrame(
+        rows, "k string, lsn bigint, ts_ms bigint, op string, payload string"
+    )
+    src = str(tmp_path / "in2")
+    df.coalesce(1).write.parquet(src + "/f.parquet")
+    stream = spark.readStream.schema(df.schema).parquet(src + "/*")
+    out_dir = str(tmp_path / "out2")
+    q = (
+        suppress_stale(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["k"], r["lsn"]) for r in spark.read.parquet(out_dir).collect()}
+    # within one pandas group the rows arrive in input order; (a,5) sets
+    # the watermark so (a,3) is stale
+    assert ("b", 1) in got and ("a", 5) in got
+    assert ("a", 3) not in got

@@ -1,0 +1,93 @@
+"""Custom stateful streaming operator: cross-batch stale-update
+suppression via ``applyInPandasWithState``.
+
+The batch replay path needs no event-time state (LWW by LSN is a total
+order per key — SURVEY.md §2.3). In LIVE tailing, however, an
+at-least-once source can redeliver events from already-committed
+batches; the ledger makes re-applying a whole batch a no-op, but
+single stale events inside a fresh batch would still flow into the
+merge (the merge's LWW picks them over nothing if the key isn't
+re-read). This operator keeps the max applied LSN per key in Spark's
+managed state store and drops any event at or below it — bounding
+merge input to genuinely-new changes.
+
+This is the engine's ``applyInPandasWithState`` exemplar (Arrow-batched
+per-group pandas, GroupState, processing-time timeout to bound state):
+the grouped-map callback is pandas-vectorized per key group, never
+row-at-a-time Python over the whole stream.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+#: flattened row shape the suppressor operates on
+_OUT_SCHEMA = (
+    "k string, lsn bigint, ts_ms bigint, op string, payload string"
+)
+_STATE_SCHEMA = "max_lsn bigint"
+
+
+def _suppress(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per key per micro-batch: emit only the max-LSN row, and only if
+    it beats the max LSN already applied in earlier batches — a
+    stateful LWW whose state survives across micro-batches."""
+    max_lsn = state.get[0] if state.exists else -1
+    best: pd.DataFrame | None = None
+    for pdf in pdfs:
+        fresh = pdf[pdf["lsn"] > max_lsn]
+        if len(fresh):
+            cand = fresh.loc[[fresh["lsn"].idxmax()]]
+            if best is None or int(cand["lsn"].iloc[0]) > int(best["lsn"].iloc[0]):
+                best = cand
+    if best is not None:
+        max_lsn = int(best["lsn"].iloc[0])
+        yield best
+    state.update((max_lsn,))
+    # bound state: keys silent for an hour are dropped (a later stale
+    # delivery for them is then caught by the idempotent merge instead)
+    state.setTimeoutDuration(3_600_000)
+
+
+def suppress_stale(
+    flat_events: DataFrame,
+    *,
+    key_col: str = "k",
+) -> DataFrame:
+    """Streaming DataFrame (schema ``_OUT_SCHEMA``) -> at most ONE row
+    per key per micro-batch (the max-LSN winner), with winners at or
+    below an earlier batch's applied LSN suppressed by managed state."""
+    return (
+        flat_events.groupBy(key_col)
+        .applyInPandasWithState(
+            _suppress,
+            outputStructType=T._parse_datatype_string(_OUT_SCHEMA),
+            stateStructType=T._parse_datatype_string(_STATE_SCHEMA),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def flatten_for_suppression(envelope_df: DataFrame) -> DataFrame:
+    """Envelope stream -> the flat (k, lsn, ts_ms, op, payload) shape
+    the suppressor consumes (state rows must stay narrow — payload is
+    carried as one serialized column, reconstructable downstream)."""
+    live = envelope_df.filter(F.col("value").isNotNull())
+    return live.select(
+        F.to_json(F.col("key")).alias("k"),
+        F.col("value.lsn").alias("lsn"),
+        F.col("value.ts_ms").alias("ts_ms"),
+        F.col("value.op").alias("op"),
+        F.to_json(F.col("value.after")).alias("payload"),
+    )
