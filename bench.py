@@ -169,6 +169,55 @@ def replay_benchmark(spark, n_events: int, work_dir: str, cpus: int) -> dict:
     }
 
 
+def sparse_merge_benchmark(spark, work_dir: str, cpus: int) -> dict:
+    """Evidence that a sparse merge costs O(touched buckets), not
+    O(table): build a table across many buckets, then apply a small
+    batch confined to few keys and compare against a same-sized batch
+    spread over every bucket. At 100 TB this is the difference between
+    rewriting gigabytes and rewriting the lake."""
+    from pyspark.sql import functions as F
+
+    from transforms_for_apache_kafka_connect_spark.sources import change_stream
+    from transforms_for_apache_kafka_connect_spark.streaming import LakeTable, Replayer
+    from transforms_for_apache_kafka_connect_spark.plans.chain import Chain
+
+    n_buckets = 256
+    table = LakeTable(
+        os.path.join(work_dir, "sparse_table"), n_buckets=n_buckets,
+        discovery=True,
+    )
+    rep = Replayer(table=table, chain=Chain([]), epoch="sparse", unique_lsn=True)
+    base_events = change_stream(
+        spark, 2_000_000, n_repos=20_000, paths_per_repo=20, partitions=cpus * 4
+    )
+    rep.apply_batch(base_events, 0)
+
+    # dense control: 50k updates over ALL repos (every bucket touched)
+    dense = change_stream(
+        spark, 50_000, n_repos=20_000, paths_per_repo=20, seed=43,
+        partitions=cpus,
+    )
+    t0 = time.perf_counter()
+    r_dense = rep.apply_batch(dense, 1)
+    dense_sec = time.perf_counter() - t0
+
+    # sparse: 50k updates confined to 2 repos / 40 keys (~15% of buckets)
+    sparse = change_stream(
+        spark, 50_000, n_repos=2, paths_per_repo=20, seed=44,
+        partitions=cpus,
+    )
+    t0 = time.perf_counter()
+    r_sparse = rep.apply_batch(sparse, 2)
+    sparse_sec = time.perf_counter() - t0
+    return {
+        "sparse_merge_sec": round(sparse_sec, 3),
+        "dense_merge_sec": round(dense_sec, 3),
+        "sparse_touched_buckets": len(r_sparse.get("touched_buckets") or []),
+        "dense_touched_buckets": len(r_dense.get("touched_buckets") or []),
+        "n_buckets": n_buckets,
+    }
+
+
 def time_queries(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
@@ -207,6 +256,11 @@ def main() -> None:
             if os.environ.get("SPARK_GRAFT_SKIP_QUERIES")
             else time_queries(spark, sf_dir)
         )
+        sparse = (
+            {}
+            if os.environ.get("SPARK_GRAFT_SKIP_QUERIES")
+            else sparse_merge_benchmark(spark, work_dir, cpus)
+        )
     finally:
         shutil.rmtree(work_dir, ignore_errors=True)
 
@@ -223,6 +277,7 @@ def main() -> None:
                 "n_batches": replay["n_batches"],
                 "final_rows": replay["final_rows"],
                 "cpus": cpus,
+                **sparse,
             }
         )
     )
