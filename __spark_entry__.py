@@ -221,6 +221,32 @@ def q_extract_topic_from_schema_name(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def q_extract_topic_from_schema_name_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-map variant: exact map lookup takes priority over the raw
+    schema name (ExtractTopicFromSchemaName.java:59-61); unmapped names
+    fall through unchanged."""
+    docs = _read(spark, sf_dir, "documents")
+    env = envelope(
+        docs.withColumn(
+            "schema_name", F.concat(F.lit("com.acme."), F.col("source"))
+        ),
+        key_cols=["doc_id"],
+        value_cols=["text", "schema_name"],
+    ).withColumn("value_schema_name", F.col("value.schema_name"))
+    from transforms_for_apache_kafka_connect_spark.operators import (
+        ExtractTopicFromSchemaName,
+    )
+
+    st = ExtractTopicFromSchemaName(
+        schema_name_topic_map="com.acme.src0:zero_topic,com.acme.src1:one_topic"
+    )
+    return (
+        enforce(st.apply(env))
+        .groupBy(F.col("topic"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def q_make_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transforms_for_apache_kafka_connect_spark.operators import MakeTombstone
 
@@ -604,6 +630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_agg": q_join_agg,
         "window_rank": q_window_rank,
         "extract_topic_from_schema_name": q_extract_topic_from_schema_name,
+        "extract_topic_from_schema_name_map": q_extract_topic_from_schema_name_map,
         "make_tombstone": q_make_tombstone,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
@@ -719,6 +746,12 @@ def oracle_sql() -> dict[str, str]:
         "extract_topic_from_schema_name": (
             "SELECT regexp_extract('com.acme.schema.' || source, "
             "'(?:[.]|^)([^.]*)$', 1) AS topic, count(*) AS n "
+            "FROM documents GROUP BY 1"
+        ),
+        "extract_topic_from_schema_name_map": (
+            "SELECT CASE WHEN source = 'src0' THEN 'zero_topic' "
+            "WHEN source = 'src1' THEN 'one_topic' "
+            "ELSE 'com.acme.' || source END AS topic, count(*) AS n "
             "FROM documents GROUP BY 1"
         ),
         "make_tombstone": (
