@@ -305,3 +305,26 @@ def test_transform_metrics_in_result(spark, events, tmp_path):
     n_reads = events.filter(F.col("value.op") == "r").count()
     assert m["tombstones"]["dropped"] == n_tomb
     assert m["snapshot_reads"]["dropped"] == n_reads
+
+
+def test_route_and_mutate_metrics_in_result(spark, events, tmp_path):
+    # north_star: "transform-level drop/route/mutate metrics" — all three
+    # kinds ride the one batch action via observe()
+    chain = Chain(
+        [
+            {"type": "tombstone_handler", "behavior": "drop_silent",
+             "observe_name": "tomb"},
+            {"type": "hash", "field.name": "after.content",
+             "function": "sha256", "skip.missing.or.null": True,
+             "observe_name": "content_hash"},
+        ]
+    )
+    table = LakeTable(str(tmp_path / "t"), n_buckets=8)
+    rep = Replayer(table=table, chain=chain, epoch="m2", lww_pushdown=False)
+    [result] = rep.replay(
+        events, batch_width=N, max_pos=BASE_TS + N, start_pos=BASE_TS
+    )
+    m = result["transform_metrics"]
+    n_with_after = events.filter(F.col("value.after").isNotNull()).count()
+    assert m["content_hash"]["mutated"] == n_with_after
+    assert m["tomb"]["dropped"] == events.filter(F.col("value").isNull()).count()

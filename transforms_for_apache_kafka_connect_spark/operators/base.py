@@ -74,6 +74,18 @@ def new_observation(stage: "Stage"):
     return obs
 
 
+def observe_metric(stage: "Stage", df: DataFrame, cond, metric: str) -> DataFrame:
+    """Attach a transform-level counter (north_star drop/route/mutate
+    metrics) when the stage has an ``observe_name``; rides the batch's
+    one action — no extra job."""
+    if not getattr(stage, "observe_name", None):
+        return df
+    return df.observe(
+        new_observation(stage),
+        F.sum(F.when(cond, 1).otherwise(0)).alias(metric),
+    )
+
+
 def place_type(df: DataFrame, place: str) -> T.DataType:
     """DataType of the key/value envelope column."""
     return df.schema[place].dataType

@@ -37,6 +37,9 @@ class CaseTransform(Stage):
     field_names: list[str] = field(default_factory=list)
     case: str = ""
     place: str = "value"
+    #: optional metrics name: observes `mutated` = #rows with a non-null
+    #: place value (every such row has its listed fields re-cased)
+    observe_name: str | None = None
 
     def __post_init__(self):
         require(bool(self.field_names), "field.names must be non-empty")
@@ -60,4 +63,9 @@ class CaseTransform(Stage):
                 col = F.when(
                     col.isNotNull() & F.map_contains_key(col, F.lit(f_name)), updated
                 ).otherwise(col)
+        from transforms_for_apache_kafka_connect_spark.operators.base import (
+            observe_metric,
+        )
+
+        df = observe_metric(self, df, F.col(self.place).isNotNull(), "mutated")
         return df.withColumn(self.place, col)

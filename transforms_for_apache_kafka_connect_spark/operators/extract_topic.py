@@ -47,6 +47,9 @@ class ExtractTopic(Stage):
     field_name: str | None = None
     skip_missing_or_null: bool = False
     place: str = "value"
+    #: optional metrics name: observes `routed` = #rows whose topic
+    #: changed (north_star transform-level route metrics)
+    observe_name: str | None = None
 
     def __post_init__(self):
         require(self.place in ("key", "value"), "place must be key or value")
@@ -101,9 +104,19 @@ class ExtractTopic(Stage):
         missing = self._missing_cond(new_topic, schemaless)
         if not self.skip_missing_or_null:
             df = merge_error(df, missing, F.lit(err_msg))
-        return df.withColumn(
-            "topic", F.when(missing, F.col("topic")).otherwise(new_topic)
-        )
+        final_topic = F.when(missing, F.col("topic")).otherwise(new_topic)
+        if self.observe_name:
+            from transforms_for_apache_kafka_connect_spark.operators.base import (
+                new_observation,
+            )
+
+            df = df.observe(
+                new_observation(self),
+                F.sum(
+                    (~final_topic.eqNullSafe(F.col("topic"))).cast("long")
+                ).alias("routed"),
+            )
+        return df.withColumn("topic", final_topic)
 
     @staticmethod
     def _missing_cond(new_topic: Column, schemaless: bool) -> Column:

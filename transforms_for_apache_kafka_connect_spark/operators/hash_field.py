@@ -54,6 +54,8 @@ class Hash(Stage):
     field_name: str | None = None
     skip_missing_or_null: bool = False
     place: str = "value"
+    #: optional metrics name: observes `mutated` = #rows hashed
+    observe_name: str | None = None
 
     def __post_init__(self):
         require(
@@ -75,6 +77,11 @@ class Hash(Stage):
                 df = merge_error(
                     df, col.isNull(), F.lit(f"{self.place} can't be null: <record>")
                 )
+            from transforms_for_apache_kafka_connect_spark.operators.base import (
+                observe_metric,
+            )
+
+            df = observe_metric(self, df, col.isNotNull(), "mutated")
             return df.withColumn(
                 self.place, F.when(col.isNotNull(), digest(col, self.function)).otherwise(col)
             )
@@ -109,6 +116,11 @@ class Hash(Stage):
                 col.isNotNull() & fval.isNull(),
                 F.lit(f"{self.field_name} in {self.place} can't be null: <record>"),
             )
+        from transforms_for_apache_kafka_connect_spark.operators.base import (
+            observe_metric,
+        )
+
+        df = observe_metric(self, df, fval.isNotNull(), "mutated")
         hashed = digest(fval.cast("string"), self.function)
         if is_map(dt):
             # don't add the key to a map when it's missing/null (skip path)

@@ -30,6 +30,8 @@ from transforms_for_apache_kafka_connect_spark.operators.base import (
 class RegexRouter(Stage):
     regex: str = ""
     replacement: str = ""
+    #: optional metrics name: observes `routed` = #rows topic-rewritten
+    observe_name: str | None = None
 
     def __post_init__(self):
         require(bool(self.regex), "regex must be non-empty")
@@ -43,6 +45,13 @@ class RegexRouter(Stage):
         anchored = f"^(?:{self.regex})$"
         matched = F.col("topic").rlike(anchored)
         rewritten = F.regexp_replace(F.col("topic"), anchored, self.replacement)
+        from transforms_for_apache_kafka_connect_spark.operators.base import (
+            observe_metric,
+        )
+
+        df = observe_metric(
+            self, df, matched & ~rewritten.eqNullSafe(F.col("topic")), "routed"
+        )
         return df.withColumn(
             "topic", F.when(matched, rewritten).otherwise(F.col("topic"))
         )
