@@ -32,7 +32,7 @@ def test_suppress_stale_across_microbatches(spark, tmp_path):
         "maxFilesPerTrigger", 1
     ).parquet(src + "/*")
     q = (
-        suppress_stale(stream)
+        suppress_stale(stream, state_timeout_ms=0)
         .writeStream.format("parquet")
         .option("path", out_dir)
         .option("checkpointLocation", str(tmp_path / "ckpt"))
@@ -40,6 +40,7 @@ def test_suppress_stale_across_microbatches(spark, tmp_path):
         .start()
     )
     q.awaitTermination(180)
+    q.stop()
 
     got = spark.read.parquet(out_dir)
     # stateful LWW: per key, at most one row per micro-batch, strictly
@@ -64,7 +65,7 @@ def test_suppressor_drops_stale_within_batch(spark, tmp_path):
     stream = spark.readStream.schema(df.schema).parquet(src + "/*")
     out_dir = str(tmp_path / "out2")
     q = (
-        suppress_stale(stream)
+        suppress_stale(stream, state_timeout_ms=0)
         .writeStream.format("parquet")
         .option("path", out_dir)
         .option("checkpointLocation", str(tmp_path / "ckpt2"))
@@ -72,6 +73,7 @@ def test_suppressor_drops_stale_within_batch(spark, tmp_path):
         .start()
     )
     q.awaitTermination(120)
+    q.stop()
     got = {(r["k"], r["lsn"]) for r in spark.read.parquet(out_dir).collect()}
     # within one pandas group the rows arrive in input order; (a,5) sets
     # the watermark so (a,3) is stale

@@ -34,47 +34,63 @@ _OUT_SCHEMA = (
 _STATE_SCHEMA = "max_lsn bigint"
 
 
-def _suppress(
-    key: tuple,
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Per key per micro-batch: emit only the max-LSN row, and only if
-    it beats the max LSN already applied in earlier batches — a
-    stateful LWW whose state survives across micro-batches."""
-    max_lsn = state.get[0] if state.exists else -1
-    best: pd.DataFrame | None = None
-    for pdf in pdfs:
-        fresh = pdf[pdf["lsn"] > max_lsn]
-        if len(fresh):
-            cand = fresh.loc[[fresh["lsn"].idxmax()]]
-            if best is None or int(cand["lsn"].iloc[0]) > int(best["lsn"].iloc[0]):
-                best = cand
-    if best is not None:
-        max_lsn = int(best["lsn"].iloc[0])
-        yield best
-    state.update((max_lsn,))
-    # bound state: keys silent for an hour are dropped (a later stale
-    # delivery for them is then caught by the idempotent merge instead)
-    state.setTimeoutDuration(3_600_000)
+def _make_suppress(state_timeout_ms: int):
+    def _suppress(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        """Per key per micro-batch: emit only the max-LSN row, and only
+        if it beats the max LSN already applied in earlier batches — a
+        stateful LWW whose state survives across micro-batches."""
+        max_lsn = state.get[0] if state.exists else -1
+        best: pd.DataFrame | None = None
+        for pdf in pdfs:
+            fresh = pdf[pdf["lsn"] > max_lsn]
+            if len(fresh):
+                cand = fresh.loc[[fresh["lsn"].idxmax()]]
+                if best is None or int(cand["lsn"].iloc[0]) > int(best["lsn"].iloc[0]):
+                    best = cand
+        if best is not None:
+            max_lsn = int(best["lsn"].iloc[0])
+            yield best
+        state.update((max_lsn,))
+        if state_timeout_ms > 0:
+            # bound state: keys silent this long are dropped (a later
+            # stale delivery for them is then caught by the idempotent
+            # merge instead)
+            state.setTimeoutDuration(state_timeout_ms)
+
+    return _suppress
 
 
 def suppress_stale(
     flat_events: DataFrame,
     *,
     key_col: str = "k",
+    state_timeout_ms: int = 3_600_000,
 ) -> DataFrame:
     """Streaming DataFrame (schema ``_OUT_SCHEMA``) -> at most ONE row
     per key per micro-batch (the max-LSN winner), with winners at or
-    below an earlier batch's applied LSN suppressed by managed state."""
+    below an earlier batch's applied LSN suppressed by managed state.
+
+    ``state_timeout_ms=0`` disables the processing-time state timeout —
+    use for bounded backfills (trigger availableNow), where pending
+    timers would keep the query from self-terminating.
+    """
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_timeout_ms > 0
+        else GroupStateTimeout.NoTimeout
+    )
     return (
         flat_events.groupBy(key_col)
         .applyInPandasWithState(
-            _suppress,
+            _make_suppress(state_timeout_ms),
             outputStructType=T._parse_datatype_string(_OUT_SCHEMA),
             stateStructType=T._parse_datatype_string(_STATE_SCHEMA),
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=timeout_conf,
         )
     )
 
