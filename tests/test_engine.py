@@ -269,6 +269,29 @@ def test_compaction_preserves_state_and_ledger(spark, events, tmp_path):
     assert all(x["skipped"] for x in results)
 
 
+def test_sparse_broadcast_merge_matches_oracle(spark, events, tmp_path):
+    # discovery=True + broadcast: prune to touched buckets AND stream
+    # survivors with zero exchange — the 100 TB default combination
+    table = LakeTable(
+        str(tmp_path / "t"), n_buckets=32,
+        discovery=True, merge_strategy="broadcast",
+    )
+    rep = Replayer(table=table, chain=Chain([]), epoch="e1")
+    results = rep.replay(
+        events, batch_width=2_500, max_pos=BASE_TS + N, start_pos=BASE_TS
+    )
+    assert all(isinstance(r.get("touched_buckets"), list) for r in results)
+    oracle = repositories_snapshot(spark, events)
+    final = table.read(spark)
+    assert final.count() == oracle.count()
+    cmp = final.select("repo", "path", "content").join(
+        oracle.select("repo", "path", F.col("content").alias("c2")),
+        ["repo", "path"],
+        "full_outer",
+    )
+    assert cmp.filter("content IS NULL OR c2 IS NULL OR content != c2").count() == 0
+
+
 def test_periodic_compaction_in_replay(spark, events, tmp_path):
     table = LakeTable(
         str(tmp_path / "t"), n_buckets=16,

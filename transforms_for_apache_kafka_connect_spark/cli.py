@@ -48,6 +48,8 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--no-discovery", action="store_true",
                     help="dense updates: skip touched-bucket discovery")
     ap.add_argument("--target-rows-per-file", type=int, default=2_000_000)
+    ap.add_argument("--compact-every", type=int, default=0,
+                    help="run bucket compaction every K committed batches")
     ap.add_argument("--streaming", action="store_true",
                     help="tail --events as a file-source stream (foreachBatch)")
     ap.add_argument("--checkpoint", default=None,
@@ -88,7 +90,8 @@ def main(argv: list[str] | None = None) -> int:
         discovery=not args.no_discovery,
         merge_strategy=args.merge_strategy,
     )
-    rep = Replayer(table=table, chain=chain, epoch=args.epoch)
+    rep = Replayer(table=table, chain=chain, epoch=args.epoch,
+                   compact_every=args.compact_every)
 
     if args.streaming:
         if not args.checkpoint:

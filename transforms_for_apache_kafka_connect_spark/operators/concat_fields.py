@@ -46,6 +46,9 @@ class ConcatFields(Stage):
     delimiter: str = ""
     field_replace_missing: str = ""
     place: str = "value"
+    #: optional metrics name: observes `mutated` = #rows widened with
+    #: the concatenated output field
+    observe_name: str | None = None
 
     def __post_init__(self):
         require(bool(self.field_names), "field.names must be non-empty")
@@ -75,6 +78,11 @@ class ConcatFields(Stage):
                         F.lit(self.field_replace_missing),
                     )
                 )
+        from transforms_for_apache_kafka_connect_spark.operators.base import (
+            observe_metric,
+        )
+
+        df = observe_metric(self, df, col.isNotNull(), "mutated")
         return df.withColumn(
             self.place, set_field(col, dt, self.output_field_name, F.concat(*slots))
         )

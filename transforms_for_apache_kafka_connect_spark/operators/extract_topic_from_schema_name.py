@@ -53,6 +53,8 @@ def parse_topic_map(spec: str) -> dict[str, str]:
 class ExtractTopicFromSchemaName(Stage):
     schema_name_topic_map: str | None = None
     schema_name_regex: str | None = None
+    #: optional metrics name: observes `routed` = #rows topic-rewritten
+    observe_name: str | None = None
     schema_name: str | None = None
     schema_name_column: str = "value_schema_name"
 
@@ -88,6 +90,12 @@ class ExtractTopicFromSchemaName(Stage):
         elif self.schema_name_regex:
             extracted = F.regexp_extract(name, self.schema_name_regex, 1)
             new_topic = F.when(extracted != "", extracted).otherwise(name)
-        return df.withColumn(
-            "topic", F.when(name.isNull(), F.col("topic")).otherwise(new_topic)
+        final_topic = F.when(name.isNull(), F.col("topic")).otherwise(new_topic)
+        from transforms_for_apache_kafka_connect_spark.operators.base import (
+            observe_metric,
         )
+
+        df = observe_metric(
+            self, df, ~final_topic.eqNullSafe(F.col("topic")), "routed"
+        )
+        return df.withColumn("topic", final_topic)
