@@ -269,6 +269,21 @@ def test_compaction_preserves_state_and_ledger(spark, events, tmp_path):
     assert all(x["skipped"] for x in results)
 
 
+def test_empty_batch_commits_and_preserves_state(spark, events, tmp_path):
+    # a batch with zero events (LSN gap in the tail) must still commit
+    # to the ledger (so resume skips it) and leave the table unchanged
+    rep = _mk_replayer(spark, tmp_path)
+    rep.replay(events, batch_width=N, max_pos=BASE_TS + N, start_pos=BASE_TS)
+    before = rep.table.read(spark).orderBy("repo", "path").collect()
+    empty = events.filter(F.lit(False))
+    r = rep.apply_batch(empty, 99)
+    assert not r["skipped"]
+    assert rep.table.committed("e1", 99)
+    assert rep.table.read(spark).orderBy("repo", "path").collect() == before
+    # replaying the empty batch again is a ledger no-op
+    assert rep.apply_batch(empty, 99)["skipped"]
+
+
 def test_sparse_broadcast_merge_matches_oracle(spark, events, tmp_path):
     # discovery=True + broadcast: prune to touched buckets AND stream
     # survivors with zero exchange — the 100 TB default combination

@@ -172,12 +172,22 @@ class Replayer:
             )
         updates = self.updates_for(transformed)
 
+        def _obs_metrics(o) -> dict:
+            """Observation row, or {} when the plan collapsed to an
+            empty LocalRelation (a zero-row batch prunes the
+            CollectMetrics node entirely — no rows means no per-record
+            errors by construction)."""
+            try:
+                return o.get
+            except Exception:
+                return {}
+
         def check_errors():
             if obs_pre is not None:
-                pre_metrics = obs_pre.get
+                pre_metrics = _obs_metrics(obs_pre)
                 if pre_metrics.get("first_error") is not None:
                     raise DataException(pre_metrics["first_error"])
-            metrics = obs.get
+            metrics = _obs_metrics(obs)
             if metrics.get("first_error") is not None:
                 raise DataException(metrics["first_error"])
 
