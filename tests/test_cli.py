@@ -72,3 +72,28 @@ def test_cli_batch_replay(spark, tmp_path):
     assert out2.returncode == 0, out2.stderr[-2000:]
     summary2 = json.loads(out2.stdout.strip().splitlines()[-1])
     assert summary2["applied"] == 0 and summary2["skipped"] == 2
+
+
+def test_cli_streaming_backfill(spark, tmp_path):
+    n = 1_000
+    events = change_stream(spark, n, n_repos=10, paths_per_repo=4)
+    events.write.mode("overwrite").parquet(str(tmp_path / "events"))
+
+    env = dict(os.environ, PYTHONPATH=REPO)
+    out = subprocess.run(
+        [
+            sys.executable, "-m", "transforms_for_apache_kafka_connect_spark",
+            "--events", str(tmp_path / "events"),
+            "--table", str(tmp_path / "table"),
+            "--streaming",
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--buckets", "4",
+            "--master", "local[4]",
+        ],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert json.loads(out.stdout.strip().splitlines()[-1])["mode"] == "streaming"
+    table = LakeTable(str(tmp_path / "table"), n_buckets=4)
+    oracle = repositories_snapshot(spark, events)
+    assert table.read(spark).count() == oracle.count()

@@ -269,6 +269,23 @@ def test_compaction_preserves_state_and_ledger(spark, events, tmp_path):
     assert all(x["skipped"] for x in results)
 
 
+def test_salted_replay_matches_oracle(spark, events, tmp_path):
+    # north_rule: salted repartitioning on skewed repos — the two-phase
+    # salted dedupe must produce the identical final table
+    table = LakeTable(str(tmp_path / "t"), n_buckets=16)
+    rep = Replayer(table=table, chain=Chain([]), epoch="e1", dedupe_salt=8)
+    rep.replay(events, batch_width=2_500, max_pos=BASE_TS + N, start_pos=BASE_TS)
+    oracle = repositories_snapshot(spark, events)
+    final = table.read(spark)
+    assert final.count() == oracle.count()
+    cmp = final.select("repo", "path", "content").join(
+        oracle.select("repo", "path", F.col("content").alias("c2")),
+        ["repo", "path"],
+        "full_outer",
+    )
+    assert cmp.filter("content IS NULL OR c2 IS NULL OR content != c2").count() == 0
+
+
 def test_empty_batch_commits_and_preserves_state(spark, events, tmp_path):
     # a batch with zero events (LSN gap in the tail) must still commit
     # to the ledger (so resume skips it) and leave the table unchanged

@@ -56,6 +56,12 @@ class Replayer:
     #: the batch. Exact duplicate deliveries (same key AND same lsn) are
     #: still collapsed by the final LWW aggregate in updates_for.
     unique_lsn: bool = False
+    #: two-phase salted LWW aggregate (dedupe.py) for pathologically hot
+    #: keys — spreads a single key over n_salt reducers in phase 1.
+    #: Applies to the final LWW (and the whole dedupe when pushdown is
+    #: off); the pushdown winner aggregate needs no salting — its
+    #: map-side combine already collapses hot keys per task.
+    dedupe_salt: int = 0
     #: run table.compact() every K committed batches (0 = never). The
     #: broadcast merge strategy appends ~1 small upsert file per bucket
     #: per batch; periodic compaction bounds live-file count the same
@@ -81,7 +87,7 @@ class Replayer:
 
     def updates_for(self, batch: DataFrame) -> DataFrame:
         """Envelope batch -> merge input: key cols + payload + delete flag."""
-        deduped = lww_dedupe(batch)
+        deduped = lww_dedupe(batch, n_salt=self.dedupe_salt)
         vdt = deduped.schema["value"].dataType
         after_fields = (
             self.payload_fields
