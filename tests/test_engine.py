@@ -5,6 +5,8 @@ independent oracle replay."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -267,6 +269,31 @@ def test_compaction_preserves_state_and_ledger(spark, events, tmp_path):
         events, batch_width=1_000, max_pos=BASE_TS + N, start_pos=BASE_TS
     )
     assert all(x["skipped"] for x in results)
+
+
+def test_orphan_files_from_crashed_write_are_invisible(spark, events, tmp_path):
+    # a merge that crashed AFTER writing data files but BEFORE the
+    # manifest swap leaves orphans; readers must never see them and a
+    # replay of the batch must converge to the same state
+    import shutil
+
+    rep = _mk_replayer(spark, tmp_path)
+    rep.replay(events, batch_width=N, max_pos=BASE_TS + N, start_pos=BASE_TS)
+    table = rep.table
+    before = table.read(spark).orderBy("repo", "path").collect()
+    # simulate the crash artifact: a stray data dir full of copied files
+    data_root = os.path.join(table.root, "data")
+    src = os.path.join(data_root, sorted(os.listdir(data_root))[0])
+    shutil.copytree(src, os.path.join(data_root, "v99999999-b7-crashed"))
+    assert table.read(spark).orderBy("repo", "path").collect() == before
+    # ledger unaffected: replay still skips all committed batches
+    rep2 = _mk_replayer(spark, tmp_path)
+    assert all(
+        r["skipped"]
+        for r in rep2.replay(
+            events, batch_width=N, max_pos=BASE_TS + N, start_pos=BASE_TS
+        )
+    )
 
 
 def test_salted_replay_matches_oracle(spark, events, tmp_path):
