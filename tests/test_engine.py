@@ -205,6 +205,35 @@ def test_duplicate_delivery_is_idempotent(spark, events, tmp_path):
     assert cmp.filter("content IS NULL OR c2 IS NULL OR content != c2").count() == 0
 
 
+def test_schema_evolution_survives_resume(spark, events, tmp_path):
+    # SURVEY §7 hard part (c): a chain-added column must appear once in
+    # the evolved schema, and resuming a partially-complete replay (with
+    # the column already added) must neither re-add nor corrupt it
+    chain = Chain(
+        [
+            {"type": "tombstone_handler", "behavior": "drop_warn"},
+            {"type": "concat_fields", "field.names": ["op", "lsn"],
+             "output.field.name": "op_lsn", "delimiter": ":"},
+        ]
+    )
+    rep = _mk_replayer(spark, tmp_path, chain=chain)
+    # crash after half the batches — op_lsn already in the table schema
+    rep.replay(events, batch_width=2_500, max_pos=BASE_TS + 5_000, start_pos=BASE_TS)
+    assert "op_lsn" in rep.table.read(spark).columns
+
+    rep2 = _mk_replayer(spark, tmp_path, chain=chain)
+    results = rep2.replay(
+        events, batch_width=2_500, max_pos=BASE_TS + N, start_pos=BASE_TS
+    )
+    assert [r.get("skipped", False) for r in results] == [True, True, False, False]
+    final = rep2.table.read(spark)
+    assert final.columns.count("op_lsn") == 1
+    # every surviving row has the column populated consistently
+    assert final.filter(F.col("op_lsn").rlike("^[cudr]:[0-9]+$")).count() == final.count()
+    oracle = repositories_snapshot(spark, events)
+    assert final.count() == oracle.count()
+
+
 def test_delete_removes_rows(spark, tmp_path):
     # tiny targeted stream: key deleted by the last event must be absent
     ev = change_stream(spark, 3_000, n_repos=10, paths_per_repo=3)
