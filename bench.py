@@ -209,9 +209,23 @@ def sparse_merge_benchmark(spark, work_dir: str, cpus: int) -> dict:
     t0 = time.perf_counter()
     r_sparse = rep.apply_batch(sparse, 2)
     sparse_sec = time.perf_counter() - t0
+
+    # merge-on-read: the same dense batch costs O(batch) — no target
+    # read/rewrite at all (delta append; reads resolve LWW by _lsn)
+    mor_table = LakeTable(
+        os.path.join(work_dir, "mor_table"), n_buckets=n_buckets,
+        discovery=False, merge_strategy="append",
+    )
+    mor_rep = Replayer(table=mor_table, chain=Chain([]), epoch="mor",
+                       unique_lsn=True)
+    mor_rep.apply_batch(base_events, 0)
+    t0 = time.perf_counter()
+    mor_rep.apply_batch(dense, 1)
+    mor_sec = time.perf_counter() - t0
     return {
         "sparse_merge_sec": round(sparse_sec, 3),
         "dense_merge_sec": round(dense_sec, 3),
+        "mor_merge_sec": round(mor_sec, 3),
         "sparse_touched_buckets": len(r_sparse.get("touched_buckets") or []),
         "dense_touched_buckets": len(r_dense.get("touched_buckets") or []),
         "n_buckets": n_buckets,

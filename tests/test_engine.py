@@ -380,6 +380,42 @@ def test_sparse_broadcast_merge_matches_oracle(spark, events, tmp_path):
     assert cmp.filter("content IS NULL OR c2 IS NULL OR content != c2").count() == 0
 
 
+def test_merge_on_read_replay_matches_oracle(spark, events, tmp_path):
+    # append (MoR) strategy: batches only append deltas; reads resolve
+    # LWW by _lsn; final state must equal the COW/oracle result,
+    # including deletes (marker rows)
+    table = LakeTable(
+        str(tmp_path / "t"), n_buckets=16,
+        discovery=False, merge_strategy="append",
+    )
+    rep = Replayer(table=table, chain=Chain([]), epoch="e1")
+    rep.replay(events, batch_width=2_500, max_pos=BASE_TS + N, start_pos=BASE_TS)
+    assert table.manifest()["mor"]
+    oracle = repositories_snapshot(spark, events)
+    final = table.read(spark)
+    assert final.count() == oracle.count()
+    cmp = final.select("repo", "path", "content").join(
+        oracle.select("repo", "path", F.col("content").alias("c2")),
+        ["repo", "path"],
+        "full_outer",
+    )
+    assert cmp.filter("content IS NULL OR c2 IS NULL OR content != c2").count() == 0
+
+    before = final.orderBy("repo", "path").collect()
+    # compaction folds the per-batch deltas; contents unchanged
+    r = table.compact(spark, max_files_per_bucket=1)
+    assert r["compacted_buckets"]
+    assert table.read(spark).orderBy("repo", "path").collect() == before
+    # ledger intact: resumed replay skips everything
+    rep2 = Replayer(table=table, chain=Chain([]), epoch="e1")
+    assert all(
+        x["skipped"]
+        for x in rep2.replay(
+            events, batch_width=2_500, max_pos=BASE_TS + N, start_pos=BASE_TS
+        )
+    )
+
+
 def test_periodic_compaction_in_replay(spark, events, tmp_path):
     table = LakeTable(
         str(tmp_path / "t"), n_buckets=16,

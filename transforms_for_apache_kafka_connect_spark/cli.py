@@ -43,8 +43,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="monotone batching column (e.g. timestamp or __slice)")
     ap.add_argument("--start-pos", type=int, default=None)
     ap.add_argument("--max-pos", type=int, default=None)
-    ap.add_argument("--merge-strategy", choices=["shuffle", "broadcast"],
-                    default="shuffle")
+    ap.add_argument("--merge-strategy",
+                    choices=["shuffle", "broadcast", "append"],
+                    default="shuffle",
+                    help="append = merge-on-read (delta files + LWW reads)")
     ap.add_argument("--no-discovery", action="store_true",
                     help="dense updates: skip touched-bucket discovery")
     ap.add_argument("--target-rows-per-file", type=int, default=2_000_000)

@@ -68,8 +68,12 @@ class LakeTable:
     #: anti-join -> write with NO exchange at all — the right shape
     #: whenever a batch's distinct-key set fits in memory (even at
     #: 100 TB *table* size, since cost scales with the update set, not
-    #: the table). Falls back conceptually to "shuffle" for giant
-    #: batches.
+    #: the table). "append": merge-on-read — each batch only APPENDS its
+    #: updates (deletes as ``_deleted`` marker rows); reads resolve LWW
+    #: by ``_lsn`` per key and compaction folds deltas into the base
+    #: (Hudi-MoR/Paimon shape). Write amplification O(batch) instead of
+    #: O(touched buckets) — the high-ingest-rate choice; reads pay one
+    #: aggregate until compaction.
     merge_strategy: str = "shuffle"
 
     def __post_init__(self):
@@ -127,7 +131,8 @@ class LakeTable:
             schema = m["schema"]
             if schema is None:
                 raise ValueError("empty table has no schema yet")
-            return spark.createDataFrame([], T.StructType.fromJson(schema))
+            df = spark.createDataFrame([], T.StructType.fromJson(schema))
+            return self._resolve_mor(df) if m.get("mor") else df
         if m["schema"] is not None:
             # the manifest records the evolved (union) schema at commit
             # time — reading with it skips the per-batch distributed
@@ -138,7 +143,126 @@ class LakeTable:
             reader = spark.read.schema(T.StructType.fromJson(m["schema"]))
         else:
             reader = spark.read.option("mergeSchema", "true")
-        return reader.parquet(*files).drop(BUCKET_COL)
+        df = reader.parquet(*files).drop(BUCKET_COL)
+        return self._resolve_mor(df) if m.get("mor") else df
+
+    def _resolve_mor(self, df: DataFrame) -> DataFrame:
+        """Merge-on-read resolution: per key keep the max-``_lsn`` row
+        (delta rows beat the base rows they supersede), then drop rows
+        whose winner is a ``_deleted`` marker. A no-op pass-through for
+        tables that never saw an append-mode merge."""
+        if "_lsn" not in df.columns:
+            return df
+        others = [c for c in df.columns if c not in self.key_cols]
+        packed = F.struct(*[F.col(c) for c in others])
+        resolved = (
+            df.groupBy(*[F.col(c) for c in self.key_cols])
+            .agg(F.max_by(packed, F.col("_lsn")).alias("__r"))
+            .select(*self.key_cols, "__r.*")
+        )
+        if "_deleted" in others:
+            resolved = resolved.filter(
+                ~F.coalesce(F.col("_deleted"), F.lit(False))
+            ).drop("_deleted")
+        return resolved
+
+    def _merge_append(
+        self, m, upd, *, touched, n_upd, obs, touched_rows,
+        epoch, batch_id, delete_col, lineage, pre_commit,
+    ) -> dict[str, Any]:
+        """Merge-on-read commit: append this batch's update rows
+        (deletes as ``_deleted`` markers) without reading the target at
+        all — write cost is O(batch), independent of table size. Reads
+        resolve LWW by ``_lsn`` (see ``_resolve_mor``); ``compact()``
+        folds deltas into the base."""
+        if "_lsn" not in upd.columns:
+            raise ValueError(
+                "append (merge-on-read) strategy requires an _lsn column "
+                "on the update set (Replayer.updates_for provides it)"
+            )
+        delta = upd.withColumn("_deleted", F.col(delete_col)).drop(delete_col)
+        version = m["version"] + 1
+        rel_dir = os.path.join("data", f"v{version:08d}-b{batch_id}-delta")
+        out_dir = os.path.join(self.root, rel_dir)
+        n_parts = len(touched) if touched is not None else self.n_buckets
+        (
+            delta.repartition(max(1, n_parts), F.col(BUCKET_COL))
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", self.target_rows_per_file)
+            .partitionBy(BUCKET_COL)
+            .parquet(out_dir)
+        )
+        if self.discovery:
+            upd.unpersist()
+        if n_upd is None and obs is not None:
+            try:
+                n_upd = int(obs.get["n_updates"])
+            except Exception:
+                pass
+
+        new_buckets = dict(m["buckets"])
+        if os.path.isdir(out_dir):
+            for entry in sorted(os.listdir(out_dir)):
+                if not entry.startswith(f"{BUCKET_COL}="):
+                    continue
+                b = int(entry.split("=", 1)[1])
+                bdir = os.path.join(out_dir, entry)
+                files = sorted(
+                    os.path.join(bdir, fn)
+                    for fn in os.listdir(bdir)
+                    if fn.endswith(".parquet")
+                )
+                if files:
+                    new_buckets[str(b)] = new_buckets.get(str(b), []) + files
+
+        # additive schema union: existing fields keep their order, new
+        # delta columns (incl. _deleted) append
+        delta_schema = json.loads(delta.drop(BUCKET_COL).schema.json())
+        if m["schema"] is not None:
+            seen = {f["name"] for f in m["schema"]["fields"]}
+            fields = m["schema"]["fields"] + [
+                f for f in delta_schema["fields"] if f["name"] not in seen
+            ]
+            schema = {**m["schema"], "fields": fields}
+        else:
+            schema = delta_schema
+
+        if touched_rows is not None:
+            lineage_rows = [
+                {
+                    "epoch": epoch, "batch_id": batch_id,
+                    "bucket": int(r[BUCKET_COL]),
+                    "n_updates": int(r["n_updates"]),
+                    "n_deletes": int(r["n_deletes"] or 0),
+                    "min_lsn": r["min_lsn"], "max_lsn": r["max_lsn"],
+                }
+                for r in touched_rows
+            ]
+        else:
+            lineage_rows = [
+                {"epoch": epoch, "batch_id": batch_id, "bucket": None,
+                 "n_updates": n_upd}
+            ]
+        prev_rows = (m.get("stats") or {}).get("total_rows", 0)
+        commit = {
+            "version": version,
+            "buckets": new_buckets,
+            "committed": m["committed"] + [[epoch, batch_id]],
+            "lineage": m["lineage"] + (lineage or []) + lineage_rows,
+            "schema": schema,
+            "stats": {"total_rows": prev_rows + (n_upd or 0)},
+            "mor": True,
+        }
+        if pre_commit is not None:
+            pre_commit()
+        self._swap(commit)
+        return {
+            "skipped": False,
+            "version": version,
+            "touched_buckets": touched if touched is not None else "all",
+            "n_updates": n_upd,
+            "mode": "append",
+        }
 
     # --------------------------------------------------------- maintenance
 
@@ -279,6 +403,14 @@ class LakeTable:
         payload_cols = [
             c for c in upd.columns if c not in (*self.key_cols, delete_col, BUCKET_COL)
         ]
+
+        if self.merge_strategy == "append":
+            return self._merge_append(
+                m, upd, touched=touched, n_upd=n_upd, obs=obs,
+                touched_rows=touched_rows if self.discovery else None,
+                epoch=epoch, batch_id=batch_id, delete_col=delete_col,
+                lineage=lineage, pre_commit=pre_commit,
+            )
 
         have_target = bool(m["buckets"]) and (
             touched is None or any(str(b) in m["buckets"] for b in touched)
