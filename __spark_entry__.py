@@ -373,6 +373,28 @@ def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same replay as cdc_merge under the merge-on-read strategy
+    (delta appends + LWW-resolved reads) — same oracle, proving the
+    two merge paths converge to identical state."""
+    stream = _events_as_change_stream(spark, sf_dir)
+    max_id = stream.agg(F.max("timestamp")).first()[0] or 0
+    root = tempfile.mkdtemp(prefix="tkc_mor_")
+    table = LakeTable(
+        os.path.join(root, "t"), key_cols=["user_id"], n_buckets=16,
+        discovery=False, merge_strategy="append",
+    )
+    rep = Replayer(table=table, chain=Chain([]), epoch="driver")
+    rep.replay(stream, batch_width=max(1, (max_id + 3) // 3), max_pos=max_id + 1)
+    final = table.read(spark)
+    return final.select(
+        "user_id",
+        F.col("_lsn").alias("last_event_id"),
+        "event_type",
+        "val",
+    )
+
+
 # ------------------------------------------- classic relational coverage
 # (SURVEY.md §2.3: aggregations / joins / windows the reference lacks but
 # the engine provides natively through Spark)
@@ -626,6 +648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lww_dedupe_salted": q_lww_dedupe_salted,
         "regex_router": q_regex_router,
         "cdc_merge": q_cdc_merge,
+        "cdc_merge_mor": q_cdc_merge_mor,
         "agg_lineitem": q_agg_lineitem,
         "join_agg": q_join_agg,
         "window_rank": q_window_rank,
@@ -720,6 +743,12 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n FROM events GROUP BY 1"
         ),
         "cdc_merge": (
+            "SELECT user_id, event_id AS last_event_id, event_type, value AS val "
+            "FROM (SELECT *, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events) t "
+            "WHERE rn = 1 AND event_type <> 'error'"
+        ),
+        "cdc_merge_mor": (
             "SELECT user_id, event_id AS last_event_id, event_type, value AS val "
             "FROM (SELECT *, row_number() OVER "
             "(PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events) t "
