@@ -140,6 +140,22 @@ def q_extract_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_timestamp_seconds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """timestamp.resolution=seconds: INT64 epoch-seconds field x1000
+    (ExtractTimestamp.java:73-79)."""
+    ev = _read(spark, sf_dir, "events")
+    env = envelope(
+        ev.withColumn("ts_s", F.unix_seconds(F.col("ts").cast("timestamp"))),
+        key_cols=["event_id"],
+        value_cols=["ts_s"],
+    )
+    st = ExtractTimestamp(field_name="ts_s", timestamp_resolution="seconds")
+    return enforce(st.apply(env)).select(
+        F.col("key.event_id").alias("event_id"),
+        F.col("timestamp").alias("ts_ms"),
+    )
+
+
 def q_extract_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events")
     env = envelope(ev, key_cols=["event_id"], value_cols=["event_type", "value"])
@@ -639,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_by_field_value_exact": q_filter_exact,
         "filter_by_field_value_regex": q_filter_regex,
         "extract_timestamp": q_extract_timestamp,
+        "extract_timestamp_seconds": q_extract_timestamp_seconds,
         "extract_topic": q_extract_topic,
         "tombstone_chain": q_tombstone_chain,
         "key_to_value": q_key_to_value,
@@ -700,6 +717,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "extract_timestamp": (
             "SELECT event_id, epoch_ms(ts) AS ts_ms FROM events"
+        ),
+        "extract_timestamp_seconds": (
+            "SELECT event_id, epoch_ms(ts) // 1000 * 1000 AS ts_ms FROM events"
         ),
         "extract_topic": (
             "SELECT CASE WHEN event_type IS NULL OR event_type = '' "
