@@ -110,6 +110,23 @@ def main() -> None:
     check("replay updates plan: single shuffle for LWW (agg exchanges)",
           p.count("Exchange") <= 3, f"exchanges={p.count('Exchange')}")
 
+    # 7. merge-on-read resolution: aggregate-based LWW with map-side combine
+    import tempfile as _tf
+
+    mor = LakeTable(
+        _tf.mkdtemp() + "/t", n_buckets=4, discovery=False,
+        merge_strategy="append",
+    )
+    Replayer(table=mor, chain=Chain([]), epoch="audit2").apply_batch(
+        change_stream(spark, 5_000, n_repos=20, paths_per_repo=5), 0
+    )
+    p = plan_of(mor.read(spark))
+    check("mor read: aggregate LWW resolution (no Window sort)",
+          "max_by" in p and "Window" not in p)
+    check("mor read: map-side partial_max_by below the exchange",
+          "partial_max_by" in p
+          and p.find("partial_max_by") > p.find("Exchange"))
+
     n_fail = sum(1 for _, ok, _ in checks if not ok)
     lines = [
         "# BENCH/PLANS.md — Catalyst plan audit",

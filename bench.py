@@ -237,7 +237,7 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
 
     names = [
         "chain_fused", "hash", "filter_by_field_value_exact",
-        "extract_topic", "lww_dedupe", "cdc_merge",
+        "extract_topic", "lww_dedupe", "cdc_merge", "cdc_merge_mor",
     ]
     out = {}
     qs = entrymod.queries()
