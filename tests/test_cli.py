@@ -74,6 +74,42 @@ def test_cli_batch_replay(spark, tmp_path):
     assert summary2["applied"] == 0 and summary2["skipped"] == 2
 
 
+def test_cli_empty_events_and_bad_slice_col(spark, tmp_path):
+    # an empty events dir or a non-numeric slice column must exit with
+    # a clear message, not an opaque TypeError on max()+1
+    events = change_stream(spark, 100, n_repos=5, paths_per_repo=2)
+    empty = events.filter("timestamp < 0")
+    empty.write.mode("overwrite").parquet(str(tmp_path / "empty_events"))
+    events.write.mode("overwrite").parquet(str(tmp_path / "events"))
+
+    env = dict(os.environ, PYTHONPATH=REPO)
+    base = [
+        sys.executable, "-m", "transforms_for_apache_kafka_connect_spark",
+        "--table", str(tmp_path / "table"),
+        "--batches", "2", "--buckets", "4", "--master", "local[2]",
+    ]
+    out = subprocess.run(
+        base + ["--events", str(tmp_path / "empty_events")],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 2
+    assert "no events" in out.stderr
+
+    out2 = subprocess.run(
+        base + ["--events", str(tmp_path / "events"), "--slice-col", "topic"],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert out2.returncode == 2
+    assert "numeric" in out2.stderr
+
+    out3 = subprocess.run(
+        base + ["--events", str(tmp_path / "events"), "--slice-col", "nope"],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert out3.returncode == 2
+    assert "not found" in out3.stderr
+
+
 def test_cli_streaming_backfill(spark, tmp_path):
     n = 1_000
     events = change_stream(spark, n, n_repos=10, paths_per_repo=4)

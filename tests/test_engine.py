@@ -416,6 +416,39 @@ def test_merge_on_read_replay_matches_oracle(spark, events, tmp_path):
     )
 
 
+def test_mor_then_cow_keeps_resolution(spark, events, tmp_path):
+    # a persistent table root can see different --merge-strategy flags
+    # across invocations: append (MoR) commits first, then a COW merge.
+    # The COW commit only rewrites its touched buckets — untouched
+    # buckets still hold unresolved delta files (duplicate key versions
+    # + _deleted markers), so the manifest must keep the mor flag (and
+    # a superset schema incl. _deleted) or reads skip _resolve_mor and
+    # resurface deleted rows.
+    root = str(tmp_path / "t")
+    mid = BASE_TS + N // 2
+    t1 = LakeTable(root, n_buckets=16, discovery=False, merge_strategy="append")
+    Replayer(table=t1, chain=Chain([]), epoch="e1").replay(
+        events, batch_width=2_500, max_pos=mid, start_pos=BASE_TS
+    )
+    assert t1.manifest()["mor"]
+    t2 = LakeTable(root, n_buckets=16, discovery=True, merge_strategy="shuffle")
+    Replayer(table=t2, chain=Chain([]), epoch="e2").replay(
+        events, batch_width=2_500, max_pos=BASE_TS + N, start_pos=mid
+    )
+    m = t2.manifest()
+    assert m.get("mor"), "COW commit dropped the mor flag"
+    assert "_deleted" in {f["name"] for f in m["schema"]["fields"]}
+    oracle = repositories_snapshot(spark, events)
+    final = t2.read(spark)
+    assert final.count() == oracle.count()
+    cmp = final.select("repo", "path", "content").join(
+        oracle.select("repo", "path", F.col("content").alias("c2")),
+        ["repo", "path"],
+        "full_outer",
+    )
+    assert cmp.filter("content IS NULL OR c2 IS NULL OR content != c2").count() == 0
+
+
 def test_periodic_compaction_in_replay(spark, events, tmp_path):
     table = LakeTable(
         str(tmp_path / "t"), n_buckets=16,

@@ -36,3 +36,29 @@ def test_route_write_fans_out_by_topic(spark, tmp_path):
     # append mode: a second batch lands in the same directories
     route_write(routed, root)
     assert spark.read.parquet(os.path.join(root, "topic=click")).count() == 66
+
+
+def test_route_write_value_field_colliding_with_envelope(spark, tmp_path):
+    # a value struct field named topic/timestamp/key must not produce a
+    # duplicate column after flattening — it gets a value_ prefix
+    df = spark.createDataFrame(
+        [(1, "t_a", "inner_topic", 7), (2, "t_b", "inner2", 8)],
+        "id long, route string, topic string, timestamp long",
+    )
+    env = envelope(df, key_cols=["id"], value_cols=["route", "topic", "timestamp"])
+    routed = Chain([{"type": "extract_topic", "field.name": "route"}]).run(env)
+    root = str(tmp_path / "topics")
+    topics = route_write(routed, root)
+    assert topics == ["t_a", "t_b"]
+    got = spark.read.parquet(os.path.join(root, "topic=t_a"))
+    assert {"value_topic", "value_timestamp", "route", "timestamp", "key"} <= set(
+        got.columns
+    )
+    assert got.first()["value_topic"] == "inner_topic"
+
+
+def test_route_write_empty_batch_returns_no_topics(spark, tmp_path):
+    df = spark.createDataFrame([], "id long, route string")
+    env = envelope(df, key_cols=["id"], value_cols=["route"])
+    routed = Chain([{"type": "extract_topic", "field.name": "route"}]).run(env)
+    assert route_write(routed, str(tmp_path / "topics")) == []

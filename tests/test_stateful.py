@@ -53,6 +53,41 @@ def test_suppress_stale_across_microbatches(spark, tmp_path):
     assert joined.filter("m IS NULL OR g IS NULL OR m != g").count() == 0
 
 
+def test_suppressor_timeout_removes_state():
+    # timeout invocation (no input, hasTimedOut=True) must REMOVE the
+    # key's state and emit nothing — not fall through to update +
+    # setTimeoutDuration, which would re-arm the timer forever and grow
+    # state without bound (the documented bounding behavior)
+    from transforms_for_apache_kafka_connect_spark.streaming.stateful import (
+        _make_suppress,
+    )
+
+    class FakeState:
+        hasTimedOut = True
+        exists = True
+        get = (41,)
+
+        def __init__(self):
+            self.removed = False
+            self.updated = None
+            self.timeout_set = None
+
+        def remove(self):
+            self.removed = True
+
+        def update(self, v):
+            self.updated = v
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_set = ms
+
+    state = FakeState()
+    out = list(_make_suppress(1000)(("k1",), iter([]), state))
+    assert out == []
+    assert state.removed
+    assert state.updated is None and state.timeout_set is None
+
+
 def test_suppressor_drops_stale_within_batch(spark, tmp_path):
     # single micro-batch containing both a fresh and an already-seen lsn
     # per key: only lsn-monotone survivors remain per key

@@ -111,10 +111,34 @@ def main(argv: list[str] | None = None) -> int:
     events = spark.read.parquet(args.events)
     lo = args.start_pos
     hi = args.max_pos
-    if lo is None:
-        lo = events.agg(F.min(args.slice_col)).first()[0]
-    if hi is None:
-        hi = events.agg(F.max(args.slice_col)).first()[0] + 1
+    if lo is None or hi is None:
+        dtype = dict(events.dtypes).get(args.slice_col)
+        if dtype is None:
+            print(
+                f"--slice-col {args.slice_col!r} not found in events "
+                f"schema (columns: {', '.join(events.columns)})",
+                file=sys.stderr,
+            )
+            return 2
+        numeric = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+        if dtype not in numeric and not dtype.startswith("decimal"):
+            print(
+                f"--slice-col {args.slice_col!r} has type {dtype}; batching "
+                "needs a numeric position column (e.g. an epoch-millis "
+                "long — cast timestamps via unix_millis first)",
+                file=sys.stderr,
+            )
+            return 2
+        bounds = events.agg(
+            F.min(args.slice_col).alias("lo"), F.max(args.slice_col).alias("hi")
+        ).first()
+        if bounds["hi"] is None:
+            print(f"no events found under {args.events}", file=sys.stderr)
+            return 2
+        if lo is None:
+            lo = bounds["lo"]
+        if hi is None:
+            hi = bounds["hi"] + 1
     width = max(1, -(-(hi - lo) // args.batches))
 
     results = rep.replay(

@@ -13,6 +13,7 @@ The same ``apply_batch`` works under Structured Streaming
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -26,6 +27,8 @@ from transforms_for_apache_kafka_connect_spark.streaming.dedupe import (
     lww_dedupe,
 )
 from transforms_for_apache_kafka_connect_spark.streaming.sink import LakeTable
+
+_log = logging.getLogger(__name__)
 
 
 @dataclass
@@ -178,22 +181,30 @@ class Replayer:
             )
         updates = self.updates_for(transformed)
 
-        def _obs_metrics(o) -> dict:
-            """Observation row, or {} when the plan collapsed to an
-            empty LocalRelation (a zero-row batch prunes the
-            CollectMetrics node entirely — no rows means no per-record
-            errors by construction)."""
-            try:
-                return o.get
-            except Exception:
-                return {}
+        def check_errors(n_updates=None):
+            """Error gate run as the merge's pre_commit (n_updates =
+            update-row count the merge saw; None = unknown/dense mode).
 
-        def check_errors():
+            A metrics-retrieval failure is treated as benign ONLY when
+            the batch is verifiably empty (n_updates == 0 — a collapsed
+            zero-row plan may legitimately lose its CollectMetrics
+            node, and zero rows means zero per-record errors). Any
+            other failure (JVM/py4j error, unknown count) re-raises so
+            an errored batch can never silently commit."""
+
+            def metrics_of(o) -> dict:
+                try:
+                    return o.get
+                except Exception:
+                    if n_updates == 0:
+                        return {}
+                    raise
+
             if obs_pre is not None:
-                pre_metrics = _obs_metrics(obs_pre)
+                pre_metrics = metrics_of(obs_pre)
                 if pre_metrics.get("first_error") is not None:
                     raise DataException(pre_metrics["first_error"])
-            metrics = _obs_metrics(obs)
+            metrics = metrics_of(obs)
             if metrics.get("first_error") is not None:
                 raise DataException(metrics["first_error"])
 
@@ -206,8 +217,8 @@ class Replayer:
         result["batch_id"] = batch_id
         try:
             result["n_chain_out"] = obs.get["n_out"]
-        except Exception:
-            pass
+        except Exception as e:  # metrics are advisory here, but don't hide it
+            _log.warning("n_chain_out unavailable for batch %s: %s", batch_id, e)
         # transform-level metrics (drop counters from observe_name stages)
         metrics = {}
         for stage in self.chain.stages:
@@ -216,8 +227,11 @@ class Replayer:
             if name and last is not None:
                 try:
                     metrics[name] = dict(last.get)
-                except Exception:
-                    pass
+                except Exception as e:
+                    _log.warning(
+                        "transform metric %r unavailable for batch %s: %s",
+                        name, batch_id, e,
+                    )
         if metrics:
             result["transform_metrics"] = metrics
         return result

@@ -38,18 +38,37 @@ def route_write(
     envelope row is written.
     """
     if flatten_value and "value" in df.columns:
-        out = df.select("topic", "timestamp", "key", "value.*")
+        envelope_cols = ("topic", "timestamp", "key")
+        value_fields = [f.name for f in df.schema["value"].dataType.fields]
+        # a value field named topic/timestamp/key would collide with the
+        # envelope columns after flattening — prefix it instead of
+        # failing the write with a duplicate-column error
+        out = df.select(
+            *envelope_cols,
+            *[
+                F.col(f"value.{f}").alias(
+                    f"value_{f}" if f in envelope_cols else f
+                )
+                for f in value_fields
+            ],
+        )
     else:
         out = df
     if repartition_by_topic:
         out = out.repartition(F.col("topic"))
+    # the topic list rides on the write job via an Observation —
+    # re-running the input for a distinct() would pay a second full job
+    from pyspark.sql import Observation
+
+    obs = Observation("route_topics")
+    out = out.observe(obs, F.collect_set("topic").alias("topics"))
     (
         out.write.mode(mode)
         .partitionBy("topic")
         .format(fmt)
         .save(root)
     )
-    return [
-        r["topic"]
-        for r in df.select("topic").distinct().orderBy("topic").collect()
-    ]
+    try:
+        return sorted(obs.get["topics"])
+    except Exception:
+        return []  # zero-row batch: nothing written, no topics

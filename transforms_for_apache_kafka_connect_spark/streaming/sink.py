@@ -254,7 +254,7 @@ class LakeTable:
             "mor": True,
         }
         if pre_commit is not None:
-            pre_commit()
+            pre_commit(n_upd)
         self._swap(commit)
         return {
             "skipped": False,
@@ -338,7 +338,11 @@ class LakeTable:
         written but BEFORE the manifest swap: raising there aborts the
         commit — the new files stay orphaned and the batch uncommitted,
         so a later replay redoes it (the engine uses this for the
-        batch-fail error contract without paying an extra job).
+        batch-fail error contract without paying an extra job). It is
+        called with one argument: the number of update rows this merge
+        saw (``int``, or ``None`` when unknown in dense mode), so the
+        caller can decide whether a missing-metrics condition is a
+        benign empty batch or a real failure.
 
         Returns the commit record (no-op dict if already committed).
         """
@@ -376,7 +380,7 @@ class LakeTable:
                 commit["version"] = m["version"] + 1
                 commit["committed"] = m["committed"] + [[epoch, batch_id]]
                 if pre_commit is not None:
-                    pre_commit()
+                    pre_commit(0)  # verifiably empty batch
                 self._swap(commit)
                 return {
                     "skipped": False,
@@ -561,6 +565,20 @@ class LakeTable:
             ]
 
         schema = json.loads(merged.drop(BUCKET_COL).schema.json())
+        if m["schema"] is not None:
+            # untouched buckets keep their old files, so the manifest
+            # schema must remain a superset of theirs (additive-only
+            # evolution): e.g. a MoR table's _deleted marker column must
+            # survive a COW rewrite of a subset of buckets, or reads of
+            # the remaining delta files would null it out and resurface
+            # deleted rows. Merged-side field defs win on name clashes
+            # (type widening flows forward); old-only fields append.
+            merged_names = {f["name"] for f in schema["fields"]}
+            schema = {
+                **schema,
+                "fields": schema["fields"]
+                + [f for f in m["schema"]["fields"] if f["name"] not in merged_names],
+            }
         commit = {
             "version": version,
             "buckets": new_buckets,
@@ -568,9 +586,16 @@ class LakeTable:
             "lineage": m["lineage"] + (lineage or []) + lineage_rows,
             "schema": schema,
             "stats": {"total_rows": total_rows if total_rows is not None else est_rows},
+            # a COW merge over a table that ever saw an append-mode
+            # (merge-on-read) commit must keep resolving reads: only the
+            # touched buckets were rewritten, untouched ones still hold
+            # unresolved delta files. Re-resolving already-resolved
+            # buckets is idempotent (keys are unique post-merge).
+            "mor": m.get("mor", False),
         }
         if pre_commit is not None:
-            pre_commit()  # may raise -> batch stays uncommitted (replayable)
+            # may raise -> batch stays uncommitted (replayable)
+            pre_commit(n_upd)
         self._swap(commit)
         return {
             "skipped": False,

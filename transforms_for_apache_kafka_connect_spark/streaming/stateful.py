@@ -43,6 +43,15 @@ def _make_suppress(state_timeout_ms: int):
         """Per key per micro-batch: emit only the max-LSN row, and only
         if it beats the max LSN already applied in earlier batches — a
         stateful LWW whose state survives across micro-batches."""
+        if state.hasTimedOut:
+            # timeout invocation (no input rows): this key has been
+            # silent for state_timeout_ms — drop its state so the store
+            # stays bounded. Falling through instead would re-arm the
+            # timer via state.update + setTimeoutDuration, keeping every
+            # key ever seen alive forever. A later stale delivery for
+            # the key is caught by the idempotent merge instead.
+            state.remove()
+            return
         max_lsn = state.get[0] if state.exists else -1
         best: pd.DataFrame | None = None
         for pdf in pdfs:
