@@ -5,10 +5,37 @@ catalog actually resolving — ``available(spark)`` — and the hermetic
 ``LakeTable`` (sink.py) is the tested default. On a real cluster with
 ``--packages org.apache.iceberg:iceberg-spark-runtime-*`` and a
 catalog configured, ``IcebergLakeTable`` is a drop-in for the same
-``Replayer``: identical merge semantics (upsert + delete_when), with
-Iceberg handling atomicity/snapshots and this class keeping the
-(epoch, batch_id) ledger as table properties so replay stays
-idempotent across engines.
+``Replayer``.
+
+Commit protocol (per merge call), in order:
+
+1. **Stage**: persist the update set and run one count action. This
+   completes every ``Observation`` riding on the update plan, so the
+   error gate can be evaluated *before* the table is touched.
+2. **Error gate**: call ``pre_commit(n_updates)``. A raise here aborts
+   the batch with the Iceberg table byte-identical to before — the
+   exact analog of the reference's per-record ``DataException``
+   preventing the write (reference TombstoneHandler.java:58-64), and
+   of the hermetic sink gating its manifest swap (sink.py).
+3. **Schema evolution**: additive ``ALTER TABLE ADD COLUMNS`` for
+   update columns the table lacks (north_star: "added columns ...
+   propagate ... automatically"). Runs after the gate so a failing
+   batch does not evolve the schema either.
+4. **MERGE INTO** — one Iceberg snapshot commit (upsert + delete).
+5. **Ledger**: append (epoch, batch_id) [+ lineage] to table
+   properties — a second, metadata-only commit.
+
+Exactly-once contract: data (4) and ledger (5) are two Iceberg commits,
+so a crash between them leaves the batch applied but unledgered. That
+window is safe because batches replay **in order per epoch** and the
+update set is a deterministic LWW function of the batch: re-running the
+identical MERGE is state-idempotent (same upserts; deletes of absent
+keys no-op), and no later batch can have been applied before an earlier
+one was ledgered. The result is effectively-once table state — the same
+guarantee the hermetic sink provides, achieved by idempotent
+re-application instead of a single atomic swap. (A single-commit
+variant via Iceberg snapshot-summary properties requires the Java
+``CommitMetadata`` API, which Spark SQL does not expose.)
 """
 
 from __future__ import annotations
@@ -38,30 +65,83 @@ class IcebergLakeTable:
 
     identifier: str  # e.g. "lake.db.repositories"
     key_cols: list[str] = field(default_factory=lambda: ["repo", "path"])
+    #: cap on ledger/lineage entries kept in table properties (oldest
+    #: lineage entries are dropped first; committed batch ids are never
+    #: dropped below this cap — for multi-million-batch epochs move the
+    #: ledger to its own table)
+    max_lineage_entries: int = 1000
 
     LEDGER_PROP = "tkc.committed"
+    LINEAGE_PROP = "tkc.lineage"
 
-    def _ledger(self, spark: SparkSession) -> list[list]:
-        props = {
+    def _require(self, spark: SparkSession) -> None:
+        if not available(spark):
+            raise NotImplementedError(
+                "IcebergLakeTable requires an Iceberg runtime jar + "
+                "catalog; not available in this environment "
+                "(see available()). Use streaming.sink.LakeTable "
+                "(hermetic default)."
+            )
+
+    def _props(self, spark: SparkSession) -> dict[str, str]:
+        return {
             r["key"]: r["value"]
             for r in spark.sql(
                 f"SHOW TBLPROPERTIES {self.identifier}"
             ).collect()
         }
-        return json.loads(props.get(self.LEDGER_PROP, "[]"))
+
+    def _ledger(self, spark: SparkSession) -> list[list]:
+        return json.loads(self._props(spark).get(self.LEDGER_PROP, "[]"))
 
     def committed(self, epoch: str, batch_id: int) -> bool:
         spark = SparkSession.getActiveSession()
-        if spark is None or not available(spark):
+        if spark is None:
             raise NotImplementedError(
-                "IcebergLakeTable requires an Iceberg runtime jar + "
-                "catalog; not available in this environment "
-                "(see available())."
+                "IcebergLakeTable.committed needs an active SparkSession"
             )
+        self._require(spark)
         return [epoch, batch_id] in self._ledger(spark)
 
     def read(self, spark: SparkSession) -> DataFrame:
         return spark.table(self.identifier)
+
+    # ------------------------------------------------------------ merge
+
+    def _merge_sql(self, cols: list[str], delete_col: str, view: str) -> str:
+        on = " AND ".join(f"t.{c} = s.{c}" for c in self.key_cols)
+        sets = ", ".join(
+            f"t.{c} = s.{c}" for c in cols if c not in self.key_cols
+        )
+        return (
+            f"MERGE INTO {self.identifier} t\n"
+            f"USING {view} s\n"
+            f"ON {on}\n"
+            f"WHEN MATCHED AND s.{delete_col} THEN DELETE\n"
+            f"WHEN MATCHED THEN UPDATE SET {sets}\n"
+            f"WHEN NOT MATCHED AND NOT s.{delete_col} THEN INSERT\n"
+            f"  ({', '.join(cols)}) VALUES "
+            f"({', '.join('s.' + c for c in cols)})"
+        )
+
+    def _evolve_schema(self, spark: SparkSession, updates: DataFrame,
+                       delete_col: str) -> list[str]:
+        """Additive-only evolution: ADD COLUMNS the table lacks."""
+        existing = {
+            f.name for f in spark.table(self.identifier).schema.fields
+        }
+        new = [
+            f for f in updates.schema.fields
+            if f.name not in existing and f.name != delete_col
+        ]
+        if new:
+            cols_ddl = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}" for f in new
+            )
+            spark.sql(
+                f"ALTER TABLE {self.identifier} ADD COLUMNS ({cols_ddl})"
+            )
+        return [f.name for f in new]
 
     def merge(
         self,
@@ -73,43 +153,58 @@ class IcebergLakeTable:
         lineage: list[dict] | None = None,
         pre_commit=None,
     ) -> dict[str, Any]:
-        """MERGE INTO <table> USING updates ON key
-        WHEN MATCHED AND s.is_delete THEN DELETE
-        WHEN MATCHED THEN UPDATE SET *
-        WHEN NOT MATCHED AND NOT s.is_delete THEN INSERT *
+        """Stage → error gate → evolve schema → MERGE → ledger.
 
-        plus ledger-property update in the same transaction
-        (ALTER TABLE ... SET TBLPROPERTIES within the snapshot commit).
+        See the module docstring for the ordering and exactly-once
+        rationale. ``pre_commit`` follows the sink.LakeTable contract:
+        called with the staged update-row count; raising aborts the
+        batch with the table untouched.
         """
         spark = updates.sparkSession
-        if not available(spark):
-            raise NotImplementedError(
-                "Iceberg runtime not on the classpath; use "
-                "streaming.sink.LakeTable (hermetic default)"
-            )
-        ledger = self._ledger(spark)
-        if [epoch, batch_id] in ledger:
+        self._require(spark)
+        if [epoch, batch_id] in self._ledger(spark):
             return {"skipped": True, "reason": "already committed"}
-        updates.createOrReplaceTempView("__tkc_updates")
-        on = " AND ".join(f"t.{c} = s.{c}" for c in self.key_cols)
-        cols = [c for c in updates.columns if c != delete_col]
-        spark.sql(
-            f"""
-            MERGE INTO {self.identifier} t
-            USING __tkc_updates s
-            ON {on}
-            WHEN MATCHED AND s.{delete_col} THEN DELETE
-            WHEN MATCHED THEN UPDATE SET
-              {', '.join(f't.{c} = s.{c}' for c in cols if c not in self.key_cols)}
-            WHEN NOT MATCHED AND NOT s.{delete_col} THEN INSERT
-              ({', '.join(cols)}) VALUES ({', '.join('s.' + c for c in cols)})
-            """
-        )
-        if pre_commit is not None:
-            pre_commit()
-        ledger.append([epoch, batch_id])
-        spark.sql(
-            f"ALTER TABLE {self.identifier} SET TBLPROPERTIES "
-            f"('{self.LEDGER_PROP}' = '{json.dumps(ledger)}')"
-        )
-        return {"skipped": False, "batch_id": batch_id}
+
+        # 1. stage: one action completes the chain's Observations and
+        # pins the update set so the MERGE below cannot recompute it
+        updates = updates.persist()
+        n_upd = updates.count()
+        try:
+            # 2. error gate BEFORE any mutation — a per-record error
+            # aborts here and the table is untouched
+            if pre_commit is not None:
+                pre_commit(n_upd)
+
+            added: list[str] = []
+            if n_upd > 0:
+                # 3. additive schema evolution (post-gate)
+                added = self._evolve_schema(spark, updates, delete_col)
+
+                # 4. data commit: one MERGE snapshot
+                view = f"__tkc_updates_{epoch}_{batch_id}".replace("-", "_")
+                updates.createOrReplaceTempView(view)
+                cols = [c for c in updates.columns if c != delete_col]
+                spark.sql(self._merge_sql(cols, delete_col, view))
+
+            # 5. ledger commit (metadata-only; see module docstring for
+            # the crash-window analysis)
+            ledger = self._ledger(spark) + [[epoch, batch_id]]
+            props = self._props(spark)
+            lin = json.loads(props.get(self.LINEAGE_PROP, "[]"))
+            lin += lineage or [
+                {"epoch": epoch, "batch_id": batch_id, "n_updates": n_upd}
+            ]
+            lin = lin[-self.max_lineage_entries:]
+            spark.sql(
+                f"ALTER TABLE {self.identifier} SET TBLPROPERTIES ("
+                f"'{self.LEDGER_PROP}' = '{json.dumps(ledger)}', "
+                f"'{self.LINEAGE_PROP}' = '{json.dumps(lin)}')"
+            )
+        finally:
+            updates.unpersist()
+        return {
+            "skipped": False,
+            "batch_id": batch_id,
+            "n_updates": n_upd,
+            "added_columns": added,
+        }
