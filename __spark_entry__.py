@@ -641,6 +641,38 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JsonConverter boundary (reference IntegrationTest.java:172-173):
+    serialize events rows to JSON key/value BYTES, then parse back
+    through envelope_from_json into the typed envelope. Oracle =
+    round-trip identity over the same columns."""
+    from transforms_for_apache_kafka_connect_spark.sources import (
+        envelope_from_json,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    raw = ev.select(
+        F.to_json(F.struct("event_id")).cast("binary").alias("key"),
+        F.to_json(
+            F.struct("user_id", "event_type", "value", "props")
+        ).cast("binary").alias("value"),
+    )
+    env = envelope_from_json(
+        raw,
+        key_schema="event_id bigint",
+        value_schema=(
+            "user_id bigint, event_type string, value double, props string"
+        ),
+    )
+    return enforce(env).select(
+        F.col("key.event_id").alias("event_id"),
+        F.col("value.user_id").alias("user_id"),
+        F.col("value.event_type").alias("event_type"),
+        F.col("value.value").alias("val"),
+        F.col("value.props").alias("props"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_cdc_merge(spark, "/root/testdata/sf0.001")
@@ -686,6 +718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_topk": q_token_topk,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
+        "json_boundary": q_json_boundary,
     }
 
 
@@ -891,6 +924,10 @@ def oracle_sql() -> dict[str, str]:
             r"SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) "
             "AS token FROM documents) t WHERE token != '' "
             "GROUP BY token ORDER BY n DESC, token ASC LIMIT 50"
+        ),
+        "json_boundary": (
+            "SELECT event_id, user_id, event_type, value AS val, props "
+            "FROM events"
         ),
         # simhash, multimodal_features, lsh_ann: intentionally no oracle —
         # the Arrow bit-fold / binary featurization are not

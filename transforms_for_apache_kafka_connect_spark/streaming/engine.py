@@ -279,16 +279,37 @@ class Replayer:
         checkpoint_dir: str,
         trigger_seconds: int = 10,
         available_now: bool = False,
+        raw_json: bool = False,
+        key_schema=None,
+        value_schema=None,
     ):
         """Structured Streaming entry: same apply_batch via foreachBatch.
 
         ``events`` must be a streaming DataFrame with the envelope
-        schema. Exactly-once = Spark's checkpoint (source offsets) +
-        our ledger (idempotent re-application of replayed batch ids —
-        the double-bookkeeping that makes foreachBatch exactly-once
-        instead of at-least-once). ``available_now=True`` drains what
-        exists and stops (backfill mode).
+        schema — or, with ``raw_json=True``, a raw stream of JSON
+        bytes/strings (``key``/``value`` columns) that is passed
+        through the JsonConverter boundary first; ``value_schema`` (and
+        usually ``key_schema``) are then required, since a stream
+        cannot be sampled for inference. Exactly-once = Spark's
+        checkpoint (source offsets) + our ledger (idempotent
+        re-application of replayed batch ids — the double-bookkeeping
+        that makes foreachBatch exactly-once instead of
+        at-least-once). ``available_now=True`` drains what exists and
+        stops (backfill mode).
         """
+        if raw_json:
+            from transforms_for_apache_kafka_connect_spark.sources.json_boundary import (
+                envelope_from_json,
+            )
+
+            if value_schema is None:
+                raise ValueError(
+                    "raw_json streaming requires an explicit value_schema "
+                    "(infer_json_schema on a batch sample first)"
+                )
+            events = envelope_from_json(
+                events, key_schema=key_schema, value_schema=value_schema
+            )
         writer = events.writeStream.foreachBatch(
             lambda df, bid: self.apply_batch(df, bid)
         ).option("checkpointLocation", checkpoint_dir)
