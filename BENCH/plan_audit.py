@@ -127,6 +127,41 @@ def main() -> None:
           "partial_max_by" in p
           and p.find("partial_max_by") > p.find("Exchange"))
 
+    # 8. ngram jaccard default path: band-blocked, never an all-pairs product
+    p = plan_of(qs["ngram_jaccard"](spark, sf_dir))
+    check("ngram_jaccard default: no CartesianProduct / BNLJ",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p)
+
+    # 9. broadcast merge strategy: survivors stream scan->write with the
+    # update keys broadcast — no shuffle exchange on the big (target) side
+    bct = LakeTable(
+        _tf.mkdtemp() + "/t", n_buckets=4, discovery=False,
+        merge_strategy="broadcast",
+    )
+    ev2 = change_stream(spark, 5_000, n_repos=20, paths_per_repo=5)
+    rep2 = Replayer(table=bct, chain=Chain([]), epoch="audit3")
+    rep2.apply_batch(ev2, 0)
+    upd2 = rep2.updates_for(ensure_error_col(ev2))
+    from transforms_for_apache_kafka_connect_spark.streaming.sink import (
+        BUCKET_COL,
+        _bucket_expr,
+    )
+    import pyspark.sql.functions as _F
+
+    tgt = bct.read(spark).withColumn(
+        BUCKET_COL, _bucket_expr(bct.key_cols, bct.n_buckets)
+    )
+    survivors = tgt.join(
+        _F.broadcast(upd2.select(*bct.key_cols)),
+        on=bct.key_cols, how="left_anti",
+    )
+    p = plan_of(survivors)
+    check("broadcast merge: survivors anti-join is BroadcastHashJoin",
+          "BroadcastHashJoin" in p and "LeftAnti" in p)
+    check("broadcast merge: no exchange on the target scan side",
+          "ShuffleExchange" not in p.replace("BroadcastExchange", ""),
+          f"exchanges={p.count('Exchange')}")
+
     n_fail = sum(1 for _, ok, _ in checks if not ok)
     lines = [
         "# BENCH/PLANS.md — Catalyst plan audit",

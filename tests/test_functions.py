@@ -135,6 +135,37 @@ def test_ngram_jaccard_pairs_finds_near_dups(spark, docs):
     assert all(0.6 <= r["jaccard"] < 1.0 for r in out if r["id_b"] >= 100_000)
 
 
+def test_ngram_default_blocking_safe_and_equivalent(spark, docs):
+    # the DEFAULT candidate path must never plan an all-pairs product —
+    # a forgotten block_col at corpus scale would otherwise be a
+    # cartesian join — and on this fixture its verified output equals
+    # the exhaustive opt-in path (r=1 bands: miss prob ~(1-s)^32)
+    mutated = (
+        docs.limit(6)
+        .withColumn("doc_id", F.col("doc_id") + 100_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" extraword")))
+    )
+    both = docs.limit(60).unionByName(mutated)
+    blocked = ngram_jaccard_pairs(both, threshold=0.6)
+    plan = blocked._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = {(r["id_a"], r["id_b"], r["jaccard"]) for r in blocked.collect()}
+    brute = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(
+            both, threshold=0.6, allow_full_cross=True
+        ).collect()
+    }
+    assert got == brute
+    # while the opt-in path really is the unblocked product
+    cross_plan = (
+        ngram_jaccard_pairs(both, threshold=0.6, allow_full_cross=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" in cross_plan or "BroadcastNestedLoopJoin" in cross_plan
+
+
 def test_minhash_lsh_matches_bruteforce(spark, docs):
     mutated = (
         docs.limit(8)
@@ -148,7 +179,9 @@ def test_minhash_lsh_matches_bruteforce(spark, docs):
     }
     brute = {
         (r["id_a"], r["id_b"])
-        for r in ngram_jaccard_pairs(both, threshold=0.7).collect()
+        for r in ngram_jaccard_pairs(
+            both, threshold=0.7, allow_full_cross=True
+        ).collect()
     }
     # LSH verified output is a subset of brute force; recall high for
     # near-identical docs (jaccard ~0.9 -> P(collide) ~ 1)

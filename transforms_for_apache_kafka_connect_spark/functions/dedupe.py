@@ -73,32 +73,55 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     block_col: str | None = None,
+    allow_full_cross: bool = False,
+    num_hashes: int = 32,
+    bands: int = 32,
 ) -> DataFrame:
-    """All-pairs word-n-gram Jaccard >= threshold.
+    """Word-n-gram Jaccard >= threshold pairs, safe by default at scale.
 
-    Without ``block_col`` this is a self-join blocked only by a cheap
-    length band (baseline, small inputs); pass a blocking column
-    (e.g. a MinHash band) for scale — see minhash_lsh_duplicates.
+    Candidate generation, in priority order:
+
+    * ``block_col`` given: equi-join within the caller's blocking key.
+    * default: MinHash-band blocking over the same shingles — with the
+      default r = num_hashes/bands = 1, any shared min-hash makes a
+      candidate pair, so the miss probability for a pair at similarity
+      s is (1-s)^num_hashes (~2e-13 at s=0.6) while exact Jaccard
+      verification keeps precision exact. Every shuffle is on a band
+      key — never an all-pairs product.
+    * ``allow_full_cross=True``: explicit opt-in to the unblocked
+      O(n²) self-join (exhaustive baseline for tiny inputs ONLY; at
+      corpus scale this is a cartesian product).
     """
-    base = df.select(
+    if block_col or allow_full_cross:
+        base = df.select(
+            F.col(id_col).alias("id"),
+            word_shingles(F.col(text_col), n).alias("sh"),
+            *( [F.col(block_col).alias("blk")] if block_col else [] ),
+        )
+        a, b = base.alias("a"), base.alias("b")
+        cond = F.col("a.id") < F.col("b.id")
+        if block_col:
+            joined = a.join(b, (F.col("a.blk") == F.col("b.blk")) & cond)
+        else:
+            joined = a.join(b, cond)
+        return (
+            joined.select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.round(jaccard_expr(F.col("a.sh"), F.col("b.sh")), 6).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+
+    sig = df.select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), n).alias("sh"),
-        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+        minhash_signature(F.col(text_col), num_hashes, n).alias("sig"),
+    ).persist()
+    verified = _verify_jaccard(
+        _band_candidates(sig, num_hashes, bands), sig, threshold
     )
-    a, b = base.alias("a"), base.alias("b")
-    cond = F.col("a.id") < F.col("b.id")
-    if block_col:
-        joined = a.join(b, (F.col("a.blk") == F.col("b.blk")) & cond)
-    else:
-        joined = a.join(b, cond)
-    return (
-        joined.select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(jaccard_expr(F.col("a.sh"), F.col("b.sh")), 6).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return verified
 
 
 # -------------------------------------------------------------- minhash
@@ -114,31 +137,15 @@ def minhash_signature(col: Column, num_hashes: int = 32, n: int = 3) -> Column:
     )
 
 
-def minhash_lsh_duplicates(
-    df: DataFrame,
-    *,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_hashes: int = 32,
-    bands: int = 8,
-    n: int = 3,
-    threshold: float = 0.7,
-) -> DataFrame:
-    """MinHash + banded LSH near-dup pairs, verified by exact Jaccard.
-
-    rows-per-band r = num_hashes/bands; collision prob ~ 1-(1-s^r)^b.
-    Candidate generation = explode bands -> shuffle on (band, band_hash)
-    -> equi-join; verification joins shingle arrays back by id.
-    """
+def _band_candidates(sig_df: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, sig) -> distinct candidate pairs (id_a < id_b) whose
+    signatures collide in >=1 band of r = num_hashes/bands rows.
+    Candidate generation = explode bands -> shuffle on (band,
+    band_hash) -> equi-join: every shuffle is on a bucket key, never an
+    all-pairs product."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    base = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), n).alias("sh"),
-        minhash_signature(F.col(text_col), num_hashes, n).alias("sig"),
-    ).persist()
-
-    banded = base.select(
+    banded = sig_df.select(
         "id",
         F.explode(
             F.array(
@@ -162,7 +169,7 @@ def minhash_lsh_duplicates(
     ).select("id", "b.band", "b.bh")
 
     x, y = banded.alias("x"), banded.alias("y")
-    candidates = (
+    return (
         x.join(
             y,
             (F.col("x.band") == F.col("y.band"))
@@ -173,9 +180,14 @@ def minhash_lsh_duplicates(
         .distinct()
     )
 
+
+def _verify_jaccard(
+    candidates: DataFrame, base: DataFrame, threshold: float
+) -> DataFrame:
+    """Join shingle arrays back by id and keep exact Jaccard >= t."""
     sa = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     sb = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    verified = (
+    return (
         candidates.join(sa, "id_a")
         .join(sb, "id_b")
         .select(
@@ -185,7 +197,30 @@ def minhash_lsh_duplicates(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return verified
+
+
+def minhash_lsh_duplicates(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, verified by exact Jaccard.
+
+    rows-per-band r = num_hashes/bands; collision prob ~ 1-(1-s^r)^b.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), n).alias("sh"),
+        minhash_signature(F.col(text_col), num_hashes, n).alias("sig"),
+    ).persist()
+    return _verify_jaccard(
+        _band_candidates(base, num_hashes, bands), base, threshold
+    )
 
 
 # --------------------------------------------------------------- simhash
