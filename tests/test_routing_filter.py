@@ -306,7 +306,8 @@ def test_k2v_map_regimes(spark):
 
 
 def test_k2v_duplicate_destination(spark):
-    with pytest.raises(ConfigException, match="More than one key value is copied"):
+    # reference throws DataException at configure (KeyToValue.java:88-91)
+    with pytest.raises(DataException, match="More than one key value is copied"):
         KeyToValue(key_fields=["a", "b"], value_fields=["m", "m"])
 
 

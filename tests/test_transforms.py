@@ -82,10 +82,13 @@ def test_concat_non_struct_raises(spark):
 
 
 def test_concat_config_required(spark):
-    with pytest.raises(ConfigException):
-        ConcatFields(field_names=[], output_field_name="x")
+    # empty field list is VALID (reference LIST semantics,
+    # ConcatFieldsConfigTest.java:44-49); missing/empty output errors
+    ConcatFields(field_names=[], output_field_name="x")
     with pytest.raises(ConfigException):
         ConcatFields(field_names=["a"], output_field_name="")
+    with pytest.raises(ConfigException):
+        ConcatFields(field_names=["a"])
 
 
 # -------------------------------------------------------------- CaseTransform
@@ -245,7 +248,7 @@ def test_tombstone_handler_non_tombstones_pass(spark):
 
 
 def test_tombstone_handler_config(spark):
-    with pytest.raises(ConfigException, match="Unknown behavior"):
+    with pytest.raises(ConfigException, match="Unsupported behavior name"):
         TombstoneHandler(behavior="explode")
 
 

@@ -59,6 +59,39 @@ def require(cond: bool, msg: str) -> None:
         raise ConfigException(msg)
 
 
+# --- Kafka AbstractConfig/ConfigDef message parity -------------------
+# The reference's config classes surface Kafka's standard ConfigDef
+# errors; these helpers reproduce them byte-identically (asserted
+# against HashConfigTest.java:33-37, ExtractTimestampConfigTest.java:
+# 31-44, ConcatFieldsConfigTest.java:36-49, TombstoneHandlerConfigTest,
+# ExtractTopicFromSchemaNameConfigTest in tests/test_config_parity.py).
+
+def missing_required(name: str) -> None:
+    """Kafka ConfigDef NO_DEFAULT_VALUE error."""
+    raise ConfigException(
+        f'Missing required configuration "{name}" which has no default value.'
+    )
+
+
+def invalid_value(name: str, value, reason: str) -> None:
+    """Kafka ConfigException(name, value, reason) message format.
+    Note the double space for empty values — Kafka interpolates the
+    value verbatim."""
+    raise ConfigException(f"Invalid value {value} for configuration {name}: {reason}")
+
+
+def parse_list(value) -> list[str] | None:
+    """Kafka ConfigDef.Type.LIST parse: None stays None (missing),
+    '' -> [] (empty list is VALID for a required LIST — reference
+    ConcatFieldsConfigTest.java:44-49 expects the error to come from
+    the NEXT missing key), 'a,b' -> ['a','b']."""
+    if value is None or isinstance(value, list):
+        return value
+    if isinstance(value, str):
+        return [] if value == "" else [s.strip() for s in value.split(",")]
+    return list(value)
+
+
 def new_observation(stage: "Stage"):
     """Fresh Observation for this apply() call (Observations are
     single-action objects), remembered on the stage so the engine can

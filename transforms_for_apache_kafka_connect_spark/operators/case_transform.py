@@ -17,10 +17,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from transforms_for_apache_kafka_connect_spark.errors import DataException
+from transforms_for_apache_kafka_connect_spark.errors import ConfigException
 from transforms_for_apache_kafka_connect_spark.operators.base import (
     Stage,
+    invalid_value,
     is_map,
     is_struct,
+    missing_required,
+    parse_list,
     place_type,
     register,
     require,
@@ -34,16 +38,27 @@ CASES = {"lower": F.lower, "upper": F.upper}
 @register("case_transform")
 @dataclass
 class CaseTransform(Stage):
-    field_names: list[str] = field(default_factory=list)
-    case: str = ""
+    field_names: list[str] | str | None = field(default=None)
+    case: str | None = None
     place: str = "value"
     #: optional metrics name: observes `mutated` = #rows with a non-null
     #: place value (every such row has its listed fields re-cased)
     observe_name: str | None = None
 
     def __post_init__(self):
-        require(bool(self.field_names), "field.names must be non-empty")
-        require(self.case in CASES, f"Invalid value {self.case} for configuration case")
+        # CaseTransformConfig.java:51-65: field.names required LIST
+        # (empty list valid — no-op), case required non-empty; bad case
+        # value surfaces Case.fromString's message
+        # (CaseTransformConfig.java:95-101)
+        self.field_names = parse_list(self.field_names)
+        if self.field_names is None:
+            missing_required("field.names")
+        if self.case is None:
+            missing_required("case")
+        if self.case == "":
+            invalid_value("case", "", "String must be non-empty")
+        if self.case not in CASES:
+            raise ConfigException(f"Unknown enum value {self.case}")
         require(self.place in ("key", "value"), "place must be key or value")
 
     def apply(self, df: DataFrame) -> DataFrame:

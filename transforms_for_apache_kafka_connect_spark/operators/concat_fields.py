@@ -27,8 +27,11 @@ from transforms_for_apache_kafka_connect_spark.errors import DataException
 from transforms_for_apache_kafka_connect_spark.operators.base import (
     Stage,
     get_field,
+    invalid_value,
     is_map,
     is_struct,
+    missing_required,
+    parse_list,
     place_type,
     register,
     require,
@@ -41,8 +44,8 @@ from transforms_for_apache_kafka_connect_spark.record import merge_error
 @register("concat_fields")
 @dataclass
 class ConcatFields(Stage):
-    field_names: list[str] = field(default_factory=list)
-    output_field_name: str = ""
+    field_names: list[str] | str | None = field(default=None)
+    output_field_name: str | None = None
     delimiter: str = ""
     field_replace_missing: str = ""
     place: str = "value"
@@ -51,8 +54,17 @@ class ConcatFields(Stage):
     observe_name: str | None = None
 
     def __post_init__(self):
-        require(bool(self.field_names), "field.names must be non-empty")
-        require(bool(self.output_field_name), "output.field.name must be non-empty")
+        # ConcatFieldsConfig.java:43-70: field.names required LIST (an
+        # EMPTY list is valid — ConcatFieldsConfigTest.java:44-49 expects
+        # the next error, the missing output.field.name), output field
+        # required non-empty
+        self.field_names = parse_list(self.field_names)
+        if self.field_names is None:
+            missing_required("field.names")
+        if self.output_field_name is None:
+            missing_required("output.field.name")
+        if self.output_field_name == "":
+            invalid_value("output.field.name", "", "String must be non-empty")
         require(self.place in ("key", "value"), "place must be key or value")
 
     def apply(self, df: DataFrame) -> DataFrame:
@@ -83,6 +95,7 @@ class ConcatFields(Stage):
         )
 
         df = observe_metric(self, df, col.isNotNull(), "mutated")
+        out = F.concat(*slots) if slots else F.lit("")  # empty field list -> ""
         return df.withColumn(
-            self.place, set_field(col, dt, self.output_field_name, F.concat(*slots))
+            self.place, set_field(col, dt, self.output_field_name, out)
         )

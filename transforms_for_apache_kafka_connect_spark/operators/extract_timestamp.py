@@ -22,8 +22,10 @@ from transforms_for_apache_kafka_connect_spark.errors import DataException
 from transforms_for_apache_kafka_connect_spark.operators.base import (
     Stage,
     get_field,
+    invalid_value,
     is_map,
     is_struct,
+    missing_required,
     place_type,
     register,
     require,
@@ -37,17 +39,23 @@ RESOLUTIONS = ("milliseconds", "seconds")
 @register("extract_timestamp")
 @dataclass
 class ExtractTimestamp(Stage):
-    field_name: str = ""
+    field_name: str | None = None
     timestamp_resolution: str = "milliseconds"
     place: str = "value"
 
     def __post_init__(self):
-        require(bool(self.field_name), "field.name can't be null or empty")
-        require(
-            self.timestamp_resolution in RESOLUTIONS,
-            f"Invalid value {self.timestamp_resolution} for configuration "
-            "timestamp.resolution: Must be one of: milliseconds, seconds",
-        )
+        # ExtractTimestampConfig.java:77-100; messages byte-match
+        # ExtractTimestampConfigTest.java:31-44,88-97
+        if self.field_name is None:
+            missing_required("field.name")
+        if self.field_name == "":
+            invalid_value("field.name", "", "String must be non-empty")
+        if self.timestamp_resolution not in RESOLUTIONS:
+            invalid_value(
+                "timestamp.resolution", self.timestamp_resolution,
+                f"Unsupported resolution type '{self.timestamp_resolution}'. "
+                "Supported are: milliseconds, seconds",
+            )
         require(self.place in ("key", "value"), "place must be key or value")
 
     def apply(self, df: DataFrame) -> DataFrame:

@@ -22,7 +22,10 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from transforms_for_apache_kafka_connect_spark.errors import DataException
+from transforms_for_apache_kafka_connect_spark.errors import (
+    ConfigException,
+    DataException,
+)
 from transforms_for_apache_kafka_connect_spark.operators.base import (
     Stage,
     register,
@@ -30,19 +33,25 @@ from transforms_for_apache_kafka_connect_spark.operators.base import (
 )
 from transforms_for_apache_kafka_connect_spark.record import merge_error
 
+_MAP_FORMAT_ERROR = (
+    "schema.name.topic-map is not valid. Format should be: "
+    '"SchemaValue1:NewValue1,SchemaValue2:NewValue2"'
+)
+
 
 def parse_topic_map(spec: str) -> dict[str, str]:
-    """Parse ``"k1:v1,k2:v2"`` (ExtractTopicFromSchemaNameConfig format)."""
+    """Parse ``"k1:v1,k2:v2"`` — message byte-matches
+    ExtractTopicFromSchemaNameConfig.java:60-64 /
+    ExtractTopicFromSchemaNameConfigTest.testRegExConfigSetWithInvalidNameToTopicMap."""
+    if ":" not in spec:
+        raise ConfigException(_MAP_FORMAT_ERROR)
     out: dict[str, str] = {}
     for pair in spec.split(","):
         pair = pair.strip()
         if not pair:
             continue
         if ":" not in pair:
-            raise DataException(
-                f"Map format in {spec} is not valid. Format should be: "
-                '"SchemaValue1:NewValue1,SchemaValue2:NewValue2"'
-            )
+            raise ConfigException(_MAP_FORMAT_ERROR)
         k, v = pair.split(":", 1)
         out[k] = v
     return out
@@ -63,6 +72,17 @@ class ExtractTopicFromSchemaName(Stage):
             not (self.schema_name_topic_map and self.schema_name_regex),
             "schema.name.topic-map and schema.name.regex should not be defined together.",
         )
+        if self.schema_name_regex is not None:
+            import re as _re
+
+            try:
+                _re.compile(self.schema_name_regex)
+            except _re.error:
+                # ExtractTopicFromSchemaNameConfig.java:51-58
+                raise ConfigException(
+                    f"{self.schema_name_regex} set as schema.name.regex "
+                    "is not valid regex."
+                ) from None
         self._map = (
             parse_topic_map(self.schema_name_topic_map)
             if self.schema_name_topic_map

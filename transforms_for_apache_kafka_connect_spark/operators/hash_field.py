@@ -28,6 +28,8 @@ from transforms_for_apache_kafka_connect_spark.operators.base import (
     get_field,
     is_map,
     is_struct,
+    invalid_value,
+    missing_required,
     place_type,
     register,
     require,
@@ -50,7 +52,7 @@ def digest(col: Column, function: str) -> Column:
 @register("hash")
 @dataclass
 class Hash(Stage):
-    function: str = ""
+    function: str | None = None
     field_name: str | None = None
     skip_missing_or_null: bool = False
     place: str = "value"
@@ -58,11 +60,19 @@ class Hash(Stage):
     observe_name: str | None = None
 
     def __post_init__(self):
-        require(
-            self.function in HASH_FUNCTIONS,
-            f"Invalid value {self.function} for configuration function: "
-            f"Must be one of: {', '.join(HASH_FUNCTIONS)}",
-        )
+        # HashConfig.java:56-65: function is required (NO_DEFAULT) with a
+        # ValidString(md5, sha1, sha256) validator; messages byte-match
+        # Kafka's ConfigDef (HashConfigTest.java:33-37)
+        if self.function is None:
+            missing_required("function")
+        if self.function not in HASH_FUNCTIONS:
+            invalid_value(
+                "function", self.function,
+                f"String must be one of: {', '.join(HASH_FUNCTIONS)}",
+            )
+        # empty field.name counts as absent (HashConfigTest emptyFieldName)
+        if not self.field_name:
+            self.field_name = None
         require(self.place in ("key", "value"), "place must be key or value")
 
     def apply(self, df: DataFrame) -> DataFrame:

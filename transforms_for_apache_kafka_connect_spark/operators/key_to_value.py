@@ -35,6 +35,8 @@ from transforms_for_apache_kafka_connect_spark.operators.base import (
     get_field,
     is_map,
     is_struct,
+    missing_required,
+    parse_list,
     place_type,
     register,
     require,
@@ -44,11 +46,17 @@ from transforms_for_apache_kafka_connect_spark.operators.base import (
 @register("key_to_value")
 @dataclass
 class KeyToValue(Stage):
-    key_fields: list[str] = field(default_factory=list)
-    value_fields: list[str] = field(default_factory=list)
+    key_fields: list[str] | str | None = field(default=None)
+    value_fields: list[str] | str = field(default_factory=list)
 
     def __post_init__(self):
-        require(bool(self.key_fields), "key.fields must be non-empty")
+        # KeyToValueConfig.java:49-60: key.fields required LIST;
+        # duplicate destination is a DataException at configure time
+        # (KeyToValue.java:88-91)
+        self.key_fields = parse_list(self.key_fields)
+        if self.key_fields is None:
+            missing_required("key.fields")
+        self.value_fields = parse_list(self.value_fields) or []
         self._pairs: list[tuple[str, str]] = []
         seen: set[str] = set()
         for i, kf in enumerate(self.key_fields):
@@ -58,7 +66,7 @@ class KeyToValue(Stage):
                 else ("_key" if kf == "*" else kf)
             )
             if dest in seen:
-                raise ConfigException(
+                raise DataException(
                     f"More than one key value is copied to the value field name '{dest}'"
                 )
             seen.add(dest)

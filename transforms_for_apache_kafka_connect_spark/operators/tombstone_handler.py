@@ -18,8 +18,9 @@ from pyspark.sql import functions as F
 
 from transforms_for_apache_kafka_connect_spark.operators.base import (
     Stage,
+    invalid_value,
+    missing_required,
     register,
-    require,
 )
 from transforms_for_apache_kafka_connect_spark.record import keep_rows, merge_error
 
@@ -32,12 +33,23 @@ FAIL_MESSAGE = "Tombstone record encountered, failing due to configured 'fail' b
 @dataclass
 class TombstoneHandler(Stage):
     is_row_filter = True
-    behavior: str = field(default="")
+    behavior: str | None = field(default=None)
     observe_name: str | None = None
 
     def __post_init__(self):
-        b = (self.behavior or "").lower()
-        require(b in BEHAVIORS, f"Unknown behavior: {self.behavior}")
+        # TombstoneHandlerConfig.java:37-73,90-103: required,
+        # case-insensitive; messages byte-match TombstoneHandlerConfigTest
+        if self.behavior is None:
+            missing_required("behavior")
+        if self.behavior == "":
+            invalid_value("behavior", "", "String must be non-empty")
+        b = self.behavior.lower()
+        if b not in BEHAVIORS:
+            invalid_value(
+                "behavior", self.behavior,
+                f"Unsupported behavior name: {self.behavior}. "
+                f"Supported are: {','.join(BEHAVIORS)}",
+            )
         self.behavior = b
 
     def apply(self, df: DataFrame) -> DataFrame:
