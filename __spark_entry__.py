@@ -602,30 +602,58 @@ def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH bucketed ANN (the 100 TB scale path for q_ann_topk;
-    approximate recall -> rows-only check)."""
-    from transforms_for_apache_kafka_connect_spark.functions import lsh_topk
+def _ann_with_recall(spark, sf_dir: str, approx) -> DataFrame:
+    """Join an approximate top-k against the exact brute-force top-k on
+    the same fixture and emit per-query recall@k — the gate rows ARE
+    the recall measurement (VERDICT r01 #6: approximate entries must
+    carry a measured recall, not a bare rows-only count). The floor
+    (>= 0.8) is asserted in tests/test_functions.py."""
+    from transforms_for_apache_kafka_connect_spark.functions import brute_force_topk
 
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_topk(emb, queries, k=5, dim=64, n_planes=4).select(
-        "query_id", "neighbor_id", "rank"
+    k = 5
+    exact = brute_force_topk(emb, queries, k=k).select("query_id", "neighbor_id")
+    got = approx(emb, queries, k).select("query_id", "neighbor_id")
+    hits = (
+        got.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        queries.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.lit(k).alias("k"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            F.round(F.coalesce(F.col("n_hit"), F.lit(0)) / k, 6).alias("recall"),
+        )
+    )
+
+
+def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN (the 100 TB scale path for
+    q_ann_topk); emits measured recall@5 vs the exact top-k."""
+    from transforms_for_apache_kafka_connect_spark.functions import lsh_topk
+
+    return _ann_with_recall(
+        spark, sf_dir,
+        lambda emb, q, k: lsh_topk(emb, q, k=k, dim=64, n_planes=4, n_tables=4),
     )
 
 
 def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse-quantized ANN (approximate -> rows-only check)."""
+    """IVF coarse-quantized ANN; emits measured recall@5 vs exact."""
     from transforms_for_apache_kafka_connect_spark.functions import ivf_topk
 
-    emb = _read(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return ivf_topk(emb, queries, k=5, n_lists=16, n_probe=4).select(
-        "query_id", "neighbor_id", "rank"
+    return _ann_with_recall(
+        spark, sf_dir,
+        lambda emb, q, k: ivf_topk(
+            emb, q, k=k, n_lists=16, n_probe=6, n_assign=2
+        ),
     )
 
 

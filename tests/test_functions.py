@@ -265,6 +265,19 @@ def test_ivf_topk_exact_dup_recall(spark, emb):
 
 # ------------------------------------------------------------ multimodal
 
+def test_ann_gate_entries_meet_recall_floor(spark):
+    # the approximate gate entries emit measured recall@5 vs the exact
+    # brute-force top-k; assert the floor the gate rows claim
+    import __spark_entry__ as entrymod
+
+    for name in ("lsh_ann", "ivf_ann"):
+        rows = entrymod.queries()[name](spark, "/root/testdata/sf0.001").collect()
+        assert len(rows) == 5
+        mean_recall = sum(r["recall"] for r in rows) / len(rows)
+        assert mean_recall >= 0.8, f"{name} mean recall {mean_recall}"
+        assert all(r["recall"] >= 0.4 for r in rows), f"{name}: {rows}"
+
+
 def test_multimodal_features(spark):
     from transforms_for_apache_kafka_connect_spark.functions.multimodal import (
         extract_features,

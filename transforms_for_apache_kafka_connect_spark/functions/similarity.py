@@ -84,6 +84,7 @@ def ivf_topk(
     k: int = 10,
     n_lists: int = 16,
     n_probe: int = 4,
+    n_assign: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -99,6 +100,11 @@ def ivf_topk(
     the corpus is assigned + shuffled ONCE by list id (reusable across
     query sets, analogous to a partitioned ANN index); each query
     scores ~``n_probe/n_lists`` of the corpus instead of all of it.
+
+    ``n_assign`` > 1 assigns each corpus vector to its n nearest lists
+    (redundant storage, the recall lever for boundary vectors — a
+    neighbor is found if ANY of its lists is probed); duplicate
+    candidates are collapsed before the final top-k.
     """
     # deterministic centroid sample: smallest n_lists hashes
     cent = (
@@ -129,7 +135,7 @@ def ivf_topk(
 
     assigned = nearest_lists(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v")),
-        "neighbor_id", "v", 1,
+        "neighbor_id", "v", n_assign,
     )
     probes = nearest_lists(
         queries.select(
@@ -137,10 +143,18 @@ def ivf_topk(
         ),
         "query_id", "qv", n_probe,
     )
-    scored = assigned.join(F.broadcast(probes), "list_id").select(
+    cand = (
+        assigned.join(F.broadcast(probes), "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    if n_assign > 1:  # collapse duplicates from redundant assignment
+        cand = cand.groupBy("query_id", "neighbor_id").agg(
+            F.first("v").alias("v"), F.first("qv").alias("qv")
+        )
+    scored = cand.select(
         "query_id", "neighbor_id",
         F.round(cosine_expr(F.col("v"), F.col("qv")), 6).alias("cosine"),
-    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -159,33 +173,60 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     n_planes: int = 8,
+    n_tables: int = 1,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: hyperplane-LSH bucket probe + exact rescoring
-    within the probed bucket. Recall < 1; bucket count = 2^n_planes.
+    within the probed buckets.
 
-    Corpus is bucketed once (one shuffle, reusable across query sets);
-    each query scores only its bucket's candidates.
+    ``n_tables`` independent hash tables trade compute for recall (the
+    standard LSH lever): a neighbor whose per-table collision
+    probability is p is found with probability 1-(1-p)^L. All tables
+    ride ONE corpus pass — bucket ids for every table are computed in a
+    single projection, exploded, and shuffled once on (table, bucket);
+    each query rescans only its matching buckets. Candidates found by
+    several tables are deduplicated before the final top-k.
     """
     from transforms_for_apache_kafka_connect_spark.functions.dedupe import (
         _hyperplane_bits,
     )
 
+    def buckets(col):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table"),
+                    _hyperplane_bits(
+                        col, dim, n_planes, seed + t * 1_000_003
+                    ).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("v"),
-        _hyperplane_bits(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
-    )
+        F.explode(buckets(F.col(vec_col))).alias("b"),
+    ).select("neighbor_id", "v", "b.table", "b.bucket")
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        _hyperplane_bits(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
+        F.explode(buckets(F.col(vec_col))).alias("b"),
+    ).select("query_id", "qv", "b.table", "b.bucket")
+    # dedupe multi-table candidate pairs BEFORE scoring: distinct on
+    # (query, neighbor) keeps one vector pair per candidate
+    cand = (
+        c.join(F.broadcast(q), ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.first("v").alias("v"), F.first("qv").alias("qv"))
     )
-    scored = c.join(F.broadcast(q), "bucket").select(
+    scored = cand.select(
         "query_id",
         "neighbor_id",
         F.round(cosine_expr(F.col("v"), F.col("qv")), 6).alias("cosine"),
-    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )
