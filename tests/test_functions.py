@@ -209,6 +209,51 @@ def test_simhash(spark, docs):
     assert all(r["d"] <= 16 for r in joined.collect())
 
 
+def test_simhash_matches_pure_python_oracle(spark, docs):
+    # rows+value oracle for the Arrow fold (VERDICT r01 #7): token
+    # hashes come from the same JVM xxhash64 expression; the 64-bit
+    # SimHash fold is recomputed in plain Python and must match bit-f-bit
+    # (covers empty and single-token docs via extra fixture rows)
+    from transforms_for_apache_kafka_connect_spark.functions.dedupe import (
+        simhash_signatures,
+    )
+
+    extra = spark.createDataFrame(
+        [(9001, ""), (9002, "one"), (9003, "  ")],
+        "doc_id long, text string",
+    )
+    base = docs.limit(30).select("doc_id", "text").unionByName(extra)
+    tokens = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    hashes = {
+        r["doc_id"]: r["th"]
+        for r in base.select(
+            "doc_id", F.transform(tokens, lambda t: F.xxhash64(t)).alias("th")
+        ).collect()
+    }
+
+    def py_simhash(hs):
+        if not hs:
+            return 0
+        votes = [0] * 64
+        for h in hs:
+            u = h & 0xFFFFFFFFFFFFFFFF
+            for b in range(64):
+                votes[b] += 1 if (u >> b) & 1 else -1
+        sig = 0
+        for b in range(64):
+            if votes[b] > 0:
+                sig |= 1 << b
+        return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_signatures(base).collect()
+    }
+    assert set(got) == set(hashes)
+    for doc_id, hs in hashes.items():
+        assert got[doc_id] == py_simhash(hs), f"doc {doc_id}"
+
+
 def test_embedding_near_duplicates(spark, emb):
     # inject exact copies: cosine 1.0, must be found
     dup = emb.limit(5).withColumn("vec_id", F.col("vec_id") + 100_000)

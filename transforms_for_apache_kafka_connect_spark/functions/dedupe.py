@@ -227,19 +227,33 @@ def minhash_lsh_duplicates(
 
 @F.pandas_udf(T.LongType())
 def _simhash_fold(token_hashes: pd.Series) -> pd.Series:
-    """Arrow-vectorized 64-bit SimHash fold: per doc, sum ±1 per bit of
-    each token hash, take the sign bit vector."""
-    out = np.zeros(len(token_hashes), dtype=np.int64)
-    for row_i, hashes in enumerate(token_hashes):
-        if hashes is None or len(hashes) == 0:
-            continue
-        arr = np.asarray(hashes, dtype=np.uint64)
-        bits = ((arr[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
-        votes = bits.sum(axis=0) * 2 - len(arr)  # (+1/-1 vote sums)
-        sig = np.uint64(0)
-        for b in np.nonzero(votes > 0)[0]:
-            sig |= np.uint64(1) << np.uint64(b)
-        out[row_i] = np.int64(sig)
+    """Arrow-vectorized 64-bit SimHash fold, vectorized across the
+    WHOLE batch (not per row): flatten every row's token hashes into
+    one array, expand to a (total_tokens, 64) bit matrix, segment-sum
+    per row with ``np.add.reduceat``, and take the sign bit vector.
+    The only per-row Python work is collecting array lengths — all bit
+    math is batch-level numpy."""
+    n = len(token_hashes)
+    out = np.zeros(n, dtype=np.int64)
+    rows = [
+        None if h is None else np.asarray(h, dtype=np.int64)
+        for h in token_hashes
+    ]
+    lens = np.array([0 if r is None else len(r) for r in rows], dtype=np.int64)
+    nz = lens > 0
+    if not nz.any():
+        return pd.Series(out)
+    flat = np.concatenate([r for r in rows if r is not None and len(r)])
+    bits = (
+        (flat.view(np.uint64)[:, None] >> np.arange(64, dtype=np.uint64)) & 1
+    ).astype(np.int64)
+    seg_starts = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
+    sums = np.add.reduceat(bits, seg_starts, axis=0)  # (n_nonzero_rows, 64)
+    votes = 2 * sums - lens[nz][:, None]
+    sigs = ((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+        axis=1, dtype=np.uint64
+    )
+    out[nz] = sigs.view(np.int64)
     return pd.Series(out)
 
 
