@@ -283,6 +283,20 @@ def test_brute_force_topk(spark, emb):
         assert all(r["neighbor_id"] != q for r in rs)
 
 
+def test_brute_force_local_topk_identical_to_plain(spark, emb):
+    # the Arrow local-top-k pre-reduction must not change the result:
+    # a global top-k row is by definition in its batch's local top-k
+    queries = emb.limit(4).select(F.col("vec_id").alias("query_id"), "embedding")
+    plain = brute_force_topk(emb, queries, k=7).collect()
+    local = brute_force_topk(emb, queries, k=7, local_topk=True).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(
+        [(r["query_id"], r["rank"], r["neighbor_id"], r["cosine"]) for r in plain]
+    ) == sorted(
+        [(r["query_id"], r["rank"], r["neighbor_id"], r["cosine"]) for r in local]
+    )
+
+
 def test_lsh_topk_finds_true_near_neighbors(spark, emb):
     # identical query vectors -> identical LSH signature -> guaranteed
     # same bucket: recall@1 must be 1.0 for true near-dups

@@ -44,16 +44,26 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    local_topk: bool = False,
 ) -> DataFrame:
     """Exact top-k by cosine: broadcast queries x streamed corpus.
 
-    Scale shape: corpus is never shuffled — each scan task scores its
-    rows against the (small, broadcast) query set; the only shuffle is
-    the final per-query top-k, whose input is already cut to k rows per
-    (query, partition) by a partial sort... expressed here as a window
-    over (query_id) which Spark executes as shuffle+sort on
-    #queries * |corpus| scored rows; for large corpora pass through
-    ``lsh_topk`` instead.
+    Scale shape: the corpus is never shuffled — each scan task scores
+    its rows against the (small, broadcast) query set. The final
+    per-query top-k is a window over (query_id):
+
+    * ``local_topk=False`` (default): the window shuffles all
+      #queries x |corpus| scored rows — pure-JVM plan, right for small
+      and mid corpora (and for oracle comparisons).
+    * ``local_topk=True``: an Arrow-batched ``mapInPandas`` stage cuts
+      each scan batch to its local top-k per query BEFORE the exchange,
+      so the shuffle carries ≤ #queries x k rows per batch instead of
+      every scored row — the lever that keeps an exact scan viable on
+      large corpora (the result is identical: a global top-k row is by
+      definition in its batch's local top-k). The windowed re-rank over
+      the reduced set produces the same deterministic ordering.
+
+    For sub-linear scan cost use ``lsh_topk``/``ivf_topk`` instead.
     """
     q = F.broadcast(
         queries.select(
@@ -67,6 +77,23 @@ def brute_force_topk(
         "neighbor_id",
         F.round(cosine_expr(F.col("v"), F.col("qv")), 6).alias("cosine"),
     ).filter(F.col("query_id") != F.col("neighbor_id"))
+    if local_topk:
+        out_schema = scored.schema
+
+        def _local_topk(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                yield (
+                    pdf.sort_values(
+                        ["query_id", "cosine", "neighbor_id"],
+                        ascending=[True, False, True],
+                    )
+                    .groupby("query_id", sort=False)
+                    .head(k)
+                )
+
+        scored = scored.mapInPandas(_local_topk, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )
