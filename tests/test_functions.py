@@ -359,6 +359,23 @@ def test_multimodal_features(spark):
     assert frames.count() == n_videos * 4  # 1000ms / 250ms
 
 
+def test_multimodal_resize(spark):
+    from transforms_for_apache_kafka_connect_spark.functions.multimodal import (
+        resize_images,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 100)
+    n_images = media.filter("kind = 'image'").count()
+    out = resize_images(media, 32, 16).collect()
+    assert len(out) == n_images
+    assert all(r["width"] == 32 and r["height"] == 16 for r in out)
+    # resized payload has exactly width*height bytes, deterministically
+    assert all(len(r["payload"]) == 32 * 16 for r in out)
+    again = {r["media_id"]: r["payload"] for r in resize_images(media, 32, 16).collect()}
+    assert {r["media_id"]: r["payload"] for r in out} == again
+
+
 def test_multimodal_decode_stub_raises(spark):
     from transforms_for_apache_kafka_connect_spark.functions.multimodal import (
         extract_features,

@@ -105,6 +105,63 @@ def extract_features(media: DataFrame, *, fake: bool = True) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, *, fake: bool = True
+) -> DataFrame:
+    """Image resize plumbing: images flow through Arrow batches and come
+    out with the target dimensions and a payload of exactly
+    width*height bytes. The resample itself is the stubbed codec step
+    (``fake=True`` expands the payload's sha512 keystream
+    deterministically — byte-count and schema behave like a real
+    resampler, so partitioning/batch-shape tests are meaningful)."""
+    imgs = media.filter(F.col("kind") == "image")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_out = width * height
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for payload in pdf["payload"]:
+                if not fake:
+                    decode_image(payload)  # raises: no codec in container
+                if payload is None:
+                    out.append(None)
+                    continue
+                # deterministic keystream expansion to the target size
+                buf = bytearray()
+                counter = 0
+                seed = bytes(payload)
+                while len(buf) < n_out:
+                    buf += hashlib.sha512(
+                        seed + counter.to_bytes(4, "big")
+                    ).digest()
+                    counter += 1
+                out.append(bytes(buf[:n_out]))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "width": width,
+                    "height": height,
+                    "payload": out,
+                }
+            )
+
+    return imgs.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 def sample_frames(
     media: DataFrame, every_ms: int = 250, *, fake: bool = True
 ) -> DataFrame:
