@@ -108,6 +108,32 @@ def q_case_transform_schemaless(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hash_schemaless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash in the schemaless (MAP) regime — the reference's
+    Map<String,Object> path (Hash.java map branch): digest replaces the
+    map entry in place; null entry passes through under skip."""
+    ev = _read(spark, sf_dir, "events")
+    env = ev.select(
+        F.lit("original_topic").alias("topic"),
+        F.lit(0).cast("int").alias("partition"),
+        F.struct(F.col("event_id")).alias("key"),
+        F.create_map(
+            F.lit("event_type"), F.col("event_type"),
+            F.lit("user"), F.col("user_id").cast("string"),
+        ).alias("value"),
+        F.lit(123).cast("long").alias("timestamp"),
+        F.lit(None).cast("map<string,string>").alias("headers"),
+    )
+    env = Hash(
+        function="sha256", field_name="event_type", skip_missing_or_null=True
+    ).apply(env)
+    return enforce(env).select(
+        F.col("key.event_id").alias("event_id"),
+        F.col("value")["event_type"].alias("event_type_sha"),
+        F.col("value")["user"].alias("user"),
+    )
+
+
 def q_filter_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events")
     env = envelope(
@@ -712,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concat_fields": q_concat_fields,
         "case_transform": q_case_transform,
         "case_transform_schemaless": q_case_transform_schemaless,
+        "hash_schemaless": q_hash_schemaless,
         "filter_by_field_value_exact": q_filter_exact,
         "filter_by_field_value_regex": q_filter_regex,
         "extract_timestamp": q_extract_timestamp,
@@ -767,6 +794,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "case_transform_schemaless": (
             "SELECT event_id, upper(event_type) AS event_type_upper, "
+            "CAST(user_id AS VARCHAR) AS user FROM events"
+        ),
+        "hash_schemaless": (
+            "SELECT event_id, sha256(event_type) AS event_type_sha, "
             "CAST(user_id AS VARCHAR) AS user FROM events"
         ),
         "filter_by_field_value_exact": (
