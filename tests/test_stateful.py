@@ -53,6 +53,52 @@ def test_suppress_stale_across_microbatches(spark, tmp_path):
     assert joined.filter("m IS NULL OR g IS NULL OR m != g").count() == 0
 
 
+def test_suppress_stale_envelope_end_to_end(spark, tmp_path):
+    # full engine path: file stream with an at-least-once style FULL
+    # redelivery of the first half inside the second micro-batch ->
+    # suppress_stale_ms drops the stale rows via managed state -> chain
+    # -> LWW -> merge; final table equals the clean-stream oracle
+    from transforms_for_apache_kafka_connect_spark import Chain
+    from transforms_for_apache_kafka_connect_spark.sources import (
+        repositories_snapshot,
+    )
+    from transforms_for_apache_kafka_connect_spark.streaming import (
+        LakeTable,
+        Replayer,
+    )
+
+    n = 2_000
+    events = change_stream(spark, n, n_repos=20, paths_per_repo=5)
+    mid = BASE + n // 2
+    src = str(tmp_path / "env")
+    first = events.filter(F.col("timestamp") < mid)
+    second = events.filter(F.col("timestamp") >= mid).unionByName(first)
+    first.coalesce(1).write.parquet(src + "/f1.parquet")
+    second.coalesce(1).write.parquet(src + "/f2.parquet")
+
+    stream = spark.readStream.schema(events.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src + "/*")
+    table = LakeTable(str(tmp_path / "t"), n_buckets=8)
+    rep = Replayer(table=table, chain=Chain([]), epoch="e1")
+    q = rep.stream(
+        stream, str(tmp_path / "ckpt"), available_now=True,
+        suppress_stale_ms=0,
+    )
+    q.awaitTermination(300)
+    q.stop()
+
+    oracle = repositories_snapshot(spark, events)
+    final = table.read(spark)
+    assert final.count() == oracle.count()
+    cmp = final.select("repo", "path", "content").join(
+        oracle.select("repo", "path", F.col("content").alias("c2")),
+        ["repo", "path"],
+        "full_outer",
+    )
+    assert cmp.filter("content IS NULL OR c2 IS NULL OR content != c2").count() == 0
+
+
 def test_suppressor_timeout_removes_state():
     # timeout invocation (no input, hasTimedOut=True) must REMOVE the
     # key's state and emit nothing — not fall through to update +

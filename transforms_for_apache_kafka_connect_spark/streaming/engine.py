@@ -282,6 +282,7 @@ class Replayer:
         raw_json: bool = False,
         key_schema=None,
         value_schema=None,
+        suppress_stale_ms: int | None = None,
     ):
         """Structured Streaming entry: same apply_batch via foreachBatch.
 
@@ -309,6 +310,18 @@ class Replayer:
                 )
             events = envelope_from_json(
                 events, key_schema=key_schema, value_schema=value_schema
+            )
+        if suppress_stale_ms is not None:
+            # live-tailing input bound: drop redelivered/stale LSNs via
+            # managed state BEFORE the per-batch chain/dedupe/merge
+            # (at-least-once sources redeliver; the ledger makes whole
+            # batches idempotent, this suppresses single stale events)
+            from transforms_for_apache_kafka_connect_spark.streaming.stateful import (
+                suppress_stale_envelope,
+            )
+
+            events = suppress_stale_envelope(
+                events, state_timeout_ms=suppress_stale_ms
             )
         writer = events.writeStream.foreachBatch(
             lambda df, bid: self.apply_batch(df, bid)

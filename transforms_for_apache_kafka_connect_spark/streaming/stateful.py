@@ -106,13 +106,44 @@ def suppress_stale(
 
 def flatten_for_suppression(envelope_df: DataFrame) -> DataFrame:
     """Envelope stream -> the flat (k, lsn, ts_ms, op, payload) shape
-    the suppressor consumes (state rows must stay narrow — payload is
-    carried as one serialized column, reconstructable downstream)."""
+    the suppressor consumes (state rows must stay narrow — the WHOLE
+    envelope row rides as one serialized JSON column, so the winner can
+    be rebuilt losslessly downstream by ``suppress_stale_envelope``)."""
     live = envelope_df.filter(F.col("value").isNotNull())
     return live.select(
         F.to_json(F.col("key")).alias("k"),
         F.col("value.lsn").alias("lsn"),
         F.col("value.ts_ms").alias("ts_ms"),
         F.col("value.op").alias("op"),
-        F.to_json(F.col("value.after")).alias("payload"),
+        F.to_json(F.struct(*envelope_df.columns)).alias("payload"),
     )
+
+
+def suppress_stale_envelope(
+    envelope_stream: DataFrame,
+    *,
+    state_timeout_ms: int = 3_600_000,
+) -> DataFrame:
+    """Streaming envelope -> streaming envelope with redelivered/stale
+    LSNs dropped by managed state (at most the max-LSN row per key per
+    micro-batch; rows at or below an earlier batch's applied LSN are
+    suppressed). The winner's full envelope row is rebuilt from the
+    serialized payload, so the result plugs straight into
+    ``Replayer.stream`` — this is the live-tailing input bound that
+    keeps merge input to genuinely-new changes.
+
+    Tombstone records (value IS NULL) carry no LSN and bypass the
+    suppressor unchanged; duplicate tombstone deliveries are already
+    idempotent downstream (drop modes drop them again, the merge
+    re-deletes the same keys).
+    """
+    schema = envelope_stream.schema
+    winners = suppress_stale(
+        flatten_for_suppression(envelope_stream),
+        state_timeout_ms=state_timeout_ms,
+    )
+    rebuilt = winners.select(
+        F.from_json(F.col("payload"), schema).alias("e")
+    ).select("e.*")
+    tombstones = envelope_stream.filter(F.col("value").isNull())
+    return rebuilt.unionByName(tombstones)
