@@ -56,6 +56,18 @@ def build_parser() -> argparse.ArgumentParser:
                     help="tail --events as a file-source stream (foreachBatch)")
     ap.add_argument("--checkpoint", default=None,
                     help="Structured Streaming checkpoint dir (with --streaming)")
+    ap.add_argument("--suppress-stale-ms", type=int, default=None,
+                    help="streaming: drop redelivered/stale LSNs via managed "
+                         "state (0 = no state timeout, for availableNow "
+                         "backfills)")
+    ap.add_argument("--raw-json", action="store_true",
+                    help="streaming: events are raw JSON bytes/strings; "
+                         "requires --value-schema")
+    ap.add_argument("--key-schema", default=None,
+                    help="DDL schema for raw JSON keys, e.g. "
+                         "'repo string, path string'")
+    ap.add_argument("--value-schema", default=None,
+                    help="DDL schema for raw JSON values (with --raw-json)")
     ap.add_argument("--master", default=None,
                     help="override master for local runs (spark-submit sets its own)")
     return ap
@@ -103,7 +115,13 @@ def main(argv: list[str] | None = None) -> int:
         stream = (
             spark.readStream.schema(batch_df.schema).parquet(args.events)
         )
-        q = rep.stream(stream, args.checkpoint, available_now=True)
+        q = rep.stream(
+            stream, args.checkpoint, available_now=True,
+            raw_json=args.raw_json,
+            key_schema=args.key_schema,
+            value_schema=args.value_schema,
+            suppress_stale_ms=args.suppress_stale_ms,
+        )
         q.awaitTermination()
         print(json.dumps({"mode": "streaming", "table": args.table}))
         return 0
