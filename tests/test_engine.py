@@ -416,6 +416,37 @@ def test_merge_on_read_replay_matches_oracle(spark, events, tmp_path):
     )
 
 
+def test_full_compaction_graduates_mor_to_plain_reads(spark, events, tmp_path):
+    # compact(all_buckets=True) folds every delta, clears the mor flag
+    # and drops the _deleted marker from the schema — subsequent reads
+    # skip the per-key LWW aggregate entirely
+    table = LakeTable(
+        str(tmp_path / "t"), n_buckets=8,
+        discovery=False, merge_strategy="append",
+    )
+    rep = Replayer(table=table, chain=Chain([]), epoch="e1")
+    rep.replay(events, batch_width=2_500, max_pos=BASE_TS + N, start_pos=BASE_TS)
+    assert table.manifest()["mor"]
+    before = table.read(spark).orderBy("repo", "path").collect()
+
+    r = table.compact(spark, all_buckets=True)
+    m = table.manifest()
+    assert r["compacted_buckets"] and not m["mor"]
+    assert "_deleted" not in {f["name"] for f in m["schema"]["fields"]}
+    after = table.read(spark)
+    plan = after._jdf.queryExecution().executedPlan().toString()
+    assert "max_by" not in plan  # plain scan, no resolution aggregate
+    assert after.orderBy("repo", "path").collect() == before
+    # ledger survives: resumed replay is a full skip
+    rep2 = Replayer(table=table, chain=Chain([]), epoch="e1")
+    assert all(
+        x["skipped"]
+        for x in rep2.replay(
+            events, batch_width=2_500, max_pos=BASE_TS + N, start_pos=BASE_TS
+        )
+    )
+
+
 def test_mor_then_cow_keeps_resolution(spark, events, tmp_path):
     # a persistent table root can see different --merge-strategy flags
     # across invocations: append (MoR) commits first, then a COW merge.

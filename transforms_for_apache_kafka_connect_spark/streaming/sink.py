@@ -267,7 +267,11 @@ class LakeTable:
     # --------------------------------------------------------- maintenance
 
     def compact(
-        self, spark: SparkSession, *, max_files_per_bucket: int = 8
+        self,
+        spark: SparkSession,
+        *,
+        max_files_per_bucket: int = 8,
+        all_buckets: bool = False,
     ) -> dict[str, Any]:
         """Rewrite buckets whose live file count exceeds the threshold
         into ``target_rows_per_file``-sized files.
@@ -278,13 +282,25 @@ class LakeTable:
         broadcast merge path appends O(n_buckets) small upsert files per
         batch by design — compaction is the amortized counterweight,
         exactly like Iceberg's rewrite_data_files action.
+
+        ``all_buckets=True`` rewrites every live bucket regardless of
+        file count. On a merge-on-read table this fully folds all delta
+        files, so the commit also CLEARS the ``mor`` flag — subsequent
+        reads skip the per-key LWW resolution aggregate entirely
+        (the table graduates back to plain scan reads). A partial
+        (threshold) compaction never clears the flag: a bucket with one
+        un-compacted delta file can still hold several versions of a
+        key.
         """
         m = self.manifest()
-        over = sorted(
-            int(b)
-            for b, fs in m["buckets"].items()
-            if len(fs) > max_files_per_bucket
-        )
+        if all_buckets:
+            over = sorted(int(b) for b, fs in m["buckets"].items() if fs)
+        else:
+            over = sorted(
+                int(b)
+                for b, fs in m["buckets"].items()
+                if len(fs) > max_files_per_bucket
+            )
         if not over:
             return {"compacted_buckets": [], "version": m["version"]}
 
@@ -316,6 +332,21 @@ class LakeTable:
         commit = dict(m)
         commit["version"] = version
         commit["buckets"] = new_buckets
+        if all_buckets and m.get("mor"):
+            # every delta has been folded through _resolve_mor: reads no
+            # longer need the LWW aggregate. _deleted marker rows were
+            # dropped by the resolving read, so the column can leave the
+            # schema too (additive-contract exception: it is engine
+            # metadata, not user data).
+            commit["mor"] = False
+            if m["schema"] is not None:
+                commit["schema"] = {
+                    **m["schema"],
+                    "fields": [
+                        f for f in m["schema"]["fields"]
+                        if f["name"] != "_deleted"
+                    ],
+                }
         self._swap(commit)
         return {"compacted_buckets": over, "version": version}
 
