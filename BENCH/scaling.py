@@ -253,8 +253,18 @@ def main() -> None:
         " work is manifest IO + one broadcast build; all data-path stages"
         " scale with input splits / shuffle partitions).",
     ]
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write("\n".join(lines) + "\n")
+    # regenerate only the headline section; hand-written narrative
+    # sections (run history, ceiling rationale, absolute-throughput
+    # context) start at "## Run history" and must survive re-runs
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    tail = ""
+    if os.path.exists(path):
+        prev = open(path).read()
+        idx = prev.find("## Run history")
+        if idx != -1:
+            tail = "\n" + prev[idx:]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n" + tail)
 
 
 if __name__ == "__main__":
