@@ -496,6 +496,51 @@ def test_periodic_compaction_in_replay(spark, events, tmp_path):
     assert table.read(spark).count() == oracle.count()
 
 
+def test_vacuum_removes_orphans_keeps_live(spark, events, tmp_path):
+    table = LakeTable(str(tmp_path / "t"), n_buckets=8)
+    rep = Replayer(table=table, chain=Chain([]), epoch="e1")
+    rep.replay(events, batch_width=2_500, max_pos=BASE_TS + N, start_pos=BASE_TS)
+    before = table.read(spark).orderBy("repo", "path").collect()
+
+    # simulate a crashed merge: an orphaned version directory with files
+    orphan_dir = tmp_path / "t" / "data" / "v99999999-b9"
+    orphan_dir.mkdir(parents=True)
+    (orphan_dir / "part-junk.parquet").write_bytes(b"not really parquet")
+
+    dry = table.vacuum(keep_versions=1, dry_run=True)
+    assert dry["deleted_files"] >= 1 and (orphan_dir / "part-junk.parquet").exists()
+
+    # keep_versions=1: only files the CURRENT manifest references survive
+    r = table.vacuum(keep_versions=1)
+    assert r["deleted_files"] == dry["deleted_files"]
+    assert not orphan_dir.exists()  # orphan dir fully removed
+    # COW replay rewrote buckets every batch: replaced files are gone too
+    import glob as _glob
+
+    live = {
+        os.path.realpath(p)
+        for fs in table.manifest()["buckets"].values()
+        for p in fs
+    }
+    on_disk = {
+        os.path.realpath(p)
+        for p in _glob.glob(str(tmp_path / "t" / "data" / "**" / "*.parquet"),
+                            recursive=True)
+    }
+    assert on_disk == live
+    # table contents and ledger untouched
+    assert table.read(spark).orderBy("repo", "path").collect() == before
+    rep2 = Replayer(table=table, chain=Chain([]), epoch="e1")
+    assert all(
+        x["skipped"]
+        for x in rep2.replay(
+            events, batch_width=2_500, max_pos=BASE_TS + N, start_pos=BASE_TS
+        )
+    )
+    # manifests beyond retention were expired
+    assert r["expired_manifests"] >= 1
+
+
 def test_transform_metrics_in_result(spark, events, tmp_path):
     chain = Chain(
         [

@@ -350,6 +350,60 @@ class LakeTable:
         self._swap(commit)
         return {"compacted_buckets": over, "version": version}
 
+    def vacuum(
+        self, *, keep_versions: int = 2, dry_run: bool = False
+    ) -> dict[str, Any]:
+        """Garbage-collect data files no recent manifest references and
+        manifest versions beyond the retention window — the engine's
+        expire_snapshots/remove_orphan_files analog.
+
+        A crashed merge leaves whole orphaned version directories (its
+        manifest swap never happened), and every COW rewrite strands
+        the replaced files; both accumulate until vacuumed. Retention:
+        files referenced by any of the last ``keep_versions`` manifests
+        survive (bounded time travel), everything else under ``data/``
+        is deleted. Single-writer contract: run only while no merge is
+        in flight — an uncommitted writer's files look like orphans.
+        """
+        import glob
+
+        current = self.manifest()
+        versions = sorted(
+            int(os.path.basename(p).split("-")[1].split(".")[0])
+            for p in glob.glob(os.path.join(self.root, "_manifest", "manifest-*.json"))
+        )
+        keep = [v for v in versions if v > current["version"] - keep_versions]
+        live: set[str] = set()
+        for v in keep:
+            with open(self._manifest_path(v)) as f:
+                mv = json.load(f)
+            for fs in mv["buckets"].values():
+                live.update(os.path.realpath(p) for p in fs)
+        orphans = [
+            p
+            for p in glob.glob(os.path.join(self.root, "data", "**", "*"), recursive=True)
+            if os.path.isfile(p) and os.path.realpath(p) not in live
+        ]
+        expired = [v for v in versions if v not in keep]
+        if not dry_run:
+            for p in orphans:
+                os.remove(p)
+            # drop now-empty version/bucket directories
+            for d in sorted(
+                glob.glob(os.path.join(self.root, "data", "**"), recursive=True),
+                key=len, reverse=True,
+            ):
+                if os.path.isdir(d) and not os.listdir(d):
+                    os.rmdir(d)
+            for v in expired:
+                os.remove(self._manifest_path(v))
+        return {
+            "deleted_files": len(orphans),
+            "expired_manifests": len(expired),
+            "kept_versions": keep,
+            "dry_run": dry_run,
+        }
+
     # -------------------------------------------------------------- merge
 
     def merge(
