@@ -496,6 +496,67 @@ def test_periodic_compaction_in_replay(spark, events, tmp_path):
     assert table.read(spark).count() == oracle.count()
 
 
+def test_dlq_mode_quarantines_and_commits(spark, events, tmp_path):
+    # errors.tolerance=all analog: with a fail-mode TombstoneHandler the
+    # batch normally aborts; in dlq mode the tombstones are quarantined
+    # (JSON envelope + exact reference message) and everything else
+    # merges — final state equals the oracle, and replay is idempotent
+    # for both table and DLQ
+    chain = Chain([
+        {"type": "tombstone_handler", "behavior": "fail"},
+        # mutator stage so the LWW-pushdown branch (pre-stage errors on
+        # rows the winner machinery would drop) is exercised
+        {"type": "concat_fields", "field.names": ["op", "lsn"],
+         "output.field.name": "op_lsn", "delimiter": ":"},
+    ])
+    table = LakeTable(str(tmp_path / "t"), n_buckets=8)
+    dlq_dir = str(tmp_path / "dlq")
+    rep = Replayer(table=table, chain=chain, epoch="e1",
+                   error_mode="dlq", dlq_dir=dlq_dir)
+    results = rep.replay(
+        events, batch_width=2_500, max_pos=BASE_TS + N, start_pos=BASE_TS
+    )
+    assert all(not r.get("skipped") for r in results)
+    n_tomb = events.filter(F.col("value").isNull()).count()
+    assert n_tomb > 0
+    assert sum(r.get("n_dlq", 0) for r in results) == n_tomb
+
+    dlq = spark.read.parquet(dlq_dir)
+    assert dlq.count() == n_tomb
+    assert dlq.filter(
+        F.col("error").startswith("Tombstone record encountered")
+    ).count() == n_tomb
+    assert {"key_json", "value_json", "topic", "timestamp"} <= set(dlq.columns)
+
+    oracle = repositories_snapshot(spark, events)
+    final = table.read(spark)
+    assert final.count() == oracle.count()
+    cmp = final.select("repo", "path", "content").join(
+        oracle.select("repo", "path", F.col("content").alias("c2")),
+        ["repo", "path"],
+        "full_outer",
+    )
+    assert cmp.filter("content IS NULL OR c2 IS NULL OR content != c2").count() == 0
+
+    # replay: ledger skips, DLQ unchanged (overwrite-idempotent dirs)
+    rep2 = Replayer(table=table, chain=chain, epoch="e1",
+                    error_mode="dlq", dlq_dir=dlq_dir)
+    assert all(
+        r["skipped"]
+        for r in rep2.replay(
+            events, batch_width=2_500, max_pos=BASE_TS + N, start_pos=BASE_TS
+        )
+    )
+    assert spark.read.parquet(dlq_dir).count() == n_tomb
+
+
+def test_dlq_config_validation(tmp_path):
+    with pytest.raises(ValueError, match="error_mode"):
+        Replayer(table=LakeTable(str(tmp_path / "x")), error_mode="explode")
+    with pytest.raises(ValueError, match="dlq_dir"):
+        Replayer(table=LakeTable(str(tmp_path / "y")), error_mode="dlq")
+
+
 def test_vacuum_removes_orphans_keeps_live(spark, events, tmp_path):
     table = LakeTable(str(tmp_path / "t"), n_buckets=8)
     rep = Replayer(table=table, chain=Chain([]), epoch="e1")

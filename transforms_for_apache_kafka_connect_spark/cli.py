@@ -52,6 +52,13 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--target-rows-per-file", type=int, default=2_000_000)
     ap.add_argument("--compact-every", type=int, default=0,
                     help="run bucket compaction every K committed batches")
+    ap.add_argument("--error-mode", choices=["fail", "dlq"], default="fail",
+                    help="fail = first errored record aborts the batch "
+                         "(reference DataException model); dlq = quarantine "
+                         "errored records to --dlq-dir and merge the rest")
+    ap.add_argument("--dlq-dir", default=None,
+                    help="dead-letter directory (required with "
+                         "--error-mode dlq)")
     ap.add_argument("--streaming", action="store_true",
                     help="tail --events as a file-source stream (foreachBatch)")
     ap.add_argument("--checkpoint", default=None,
@@ -105,7 +112,8 @@ def main(argv: list[str] | None = None) -> int:
         merge_strategy=args.merge_strategy,
     )
     rep = Replayer(table=table, chain=chain, epoch=args.epoch,
-                   compact_every=args.compact_every)
+                   compact_every=args.compact_every,
+                   error_mode=args.error_mode, dlq_dir=args.dlq_dir)
 
     if args.streaming:
         if not args.checkpoint:

@@ -71,6 +71,37 @@ class Replayer:
     #: way Iceberg's rewrite_data_files does for its COW tables.
     compact_every: int = 0
     compact_max_files_per_bucket: int = 8
+    #: per-record error handling. "fail" = the reference's DataException
+    #: model: the first errored record aborts the batch pre-commit
+    #: (default). "dlq" = Kafka Connect's errors.tolerance=all analog:
+    #: errored records are quarantined to ``dlq_dir`` (JSON-serialized
+    #: envelope + error message, one directory per (epoch, batch) —
+    #: overwrite-idempotent under replay) and the REST of the batch
+    #: merges normally. The DLQ write job runs only when a batch
+    #: actually contains errors.
+    error_mode: str = "fail"
+    dlq_dir: str | None = None
+
+    def __post_init__(self):
+        if self.error_mode not in ("fail", "dlq"):
+            raise ValueError("error_mode must be 'fail' or 'dlq'")
+        if self.error_mode == "dlq" and not self.dlq_dir:
+            raise ValueError("error_mode='dlq' requires dlq_dir")
+
+    def _dlq_serialize(self, df: DataFrame) -> DataFrame:
+        """Errored envelope rows -> flat JSON-string form (key/value
+        structs may differ across chain stages, so serialize before any
+        union) + the error message."""
+        from transforms_for_apache_kafka_connect_spark.record import ERROR_COL
+
+        return df.select(
+            "topic",
+            "partition",
+            F.to_json(F.struct(F.col("key").alias("k"))).alias("key_json"),
+            F.to_json(F.struct(F.col("value").alias("v"))).alias("value_json"),
+            "timestamp",
+            F.col(ERROR_COL).alias("error"),
+        )
 
     def _split_chain(self) -> tuple[Chain, Chain]:
         """Longest prefix of row-filter stages, and the rest."""
@@ -164,6 +195,21 @@ class Replayer:
                 obs_pre, F.max(F.col(ERROR_COL)).alias("first_error")
             )
             live = filtered.filter(F.col("value").isNotNull())
+            if self.error_mode == "dlq":
+                # quarantined records leave the stream BEFORE winner
+                # selection (Connect errors.tolerance=all: the record is
+                # skipped, the rest proceeds)
+                live_narrow = live_narrow.filter(F.col(ERROR_COL).isNull())
+                live = live.filter(F.col(ERROR_COL).isNull())
+                winners = (
+                    live_narrow.select(
+                        F.col("key").alias("__k"), ordering.alias("__ord")
+                    )
+                    .groupBy("__k")
+                    .agg(F.max("__ord").alias("__ord"))
+                )
+                if self.winners_broadcast:
+                    winners = F.broadcast(winners)
             winner_rows = live.join(
                 winners,
                 (F.col("key") == F.col("__k")) & (ordering == F.col("__ord")),
@@ -173,13 +219,20 @@ class Replayer:
                 F.count(F.lit(1)).alias("n_out"),
                 F.max(F.col(ERROR_COL)).alias("first_error"),
             )
+            dlq_sources = [filtered, transformed]
         else:
             transformed = self.chain.apply(ensure_error_col(batch)).observe(
                 obs,
                 F.count(F.lit(1)).alias("n_out"),
                 F.max(F.col(ERROR_COL)).alias("first_error"),
             )
-        updates = self.updates_for(transformed)
+            dlq_sources = [transformed]
+        if self.error_mode == "dlq":
+            updates = self.updates_for(
+                transformed.filter(F.col(ERROR_COL).isNull())
+            )
+        else:
+            updates = self.updates_for(transformed)
 
         def check_errors(n_updates=None):
             """Error gate run as the merge's pre_commit (n_updates =
@@ -208,13 +261,54 @@ class Replayer:
             if metrics.get("first_error") is not None:
                 raise DataException(metrics["first_error"])
 
+        dlq_written = {"n": 0}
+
+        def quarantine_errors(n_updates=None):
+            """DLQ-mode pre_commit: never raises — errored records are
+            written (JSON envelope + message) to
+            dlq_dir/epoch=../batch_id=.. with mode=overwrite, so a
+            replayed batch rewrites the same quarantine idempotently.
+            The extra job runs only when the observations actually saw
+            an error."""
+
+            def first_error_of(o) -> bool:
+                try:
+                    return o.get.get("first_error") is not None
+                except Exception:
+                    return False  # empty/collapsed batch: no errors
+
+            has_err = any(
+                first_error_of(o) for o in (obs_pre, obs) if o is not None
+            )
+            if not has_err:
+                return
+            import os as _os
+
+            errored = None
+            for src in dlq_sources:
+                part = self._dlq_serialize(
+                    src.filter(F.col(ERROR_COL).isNotNull())
+                )
+                errored = part if errored is None else errored.unionByName(part)
+            path = _os.path.join(
+                self.dlq_dir, f"epoch={self.epoch}", f"batch_id={batch_id}"
+            )
+            errored.write.mode("overwrite").parquet(path)
+            dlq_written["n"] = (
+                errored.sparkSession.read.parquet(path).count()
+            )
+
         result = self.table.merge(
             updates,
             epoch=self.epoch,
             batch_id=batch_id,
-            pre_commit=check_errors,
+            pre_commit=(
+                quarantine_errors if self.error_mode == "dlq" else check_errors
+            ),
         )
         result["batch_id"] = batch_id
+        if self.error_mode == "dlq" and dlq_written["n"]:
+            result["n_dlq"] = dlq_written["n"]
         try:
             result["n_chain_out"] = obs.get["n_out"]
         except Exception as e:  # metrics are advisory here, but don't hide it
