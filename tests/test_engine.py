@@ -496,6 +496,31 @@ def test_periodic_compaction_in_replay(spark, events, tmp_path):
     assert table.read(spark).count() == oracle.count()
 
 
+def test_time_travel_read(spark, events, tmp_path):
+    # every commit's manifest is retained (until vacuumed): read(version=)
+    # reproduces the exact table state after any earlier batch
+    table = LakeTable(str(tmp_path / "t"), n_buckets=8)
+    rep = Replayer(table=table, chain=Chain([]), epoch="e1")
+    mid = BASE_TS + N // 2
+    rep.replay(events, batch_width=2_500, max_pos=mid, start_pos=BASE_TS)
+    v_mid = table.manifest()["version"]
+    state_mid = table.read(spark).orderBy("repo", "path").collect()
+    rep2 = Replayer(table=table, chain=Chain([]), epoch="e2")
+    rep2.replay(events, batch_width=2_500, max_pos=BASE_TS + N, start_pos=mid)
+    assert table.manifest()["version"] > v_mid
+    # historical snapshot identical to the live state captured then
+    assert table.read(spark, version=v_mid).orderBy(
+        "repo", "path"
+    ).collect() == state_mid
+    # and the current state reflects the full replay
+    oracle = repositories_snapshot(spark, events)
+    assert table.read(spark).count() == oracle.count()
+    # vacuum with retention 1 expires the old snapshot
+    table.vacuum(keep_versions=1)
+    with pytest.raises(FileNotFoundError):
+        table.manifest(version=v_mid)
+
+
 def test_dlq_mode_quarantines_and_commits(spark, events, tmp_path):
     # errors.tolerance=all analog: with a fail-mode TombstoneHandler the
     # batch normally aborts; in dlq mode the tombstones are quarantined

@@ -88,7 +88,12 @@ class LakeTable:
     def _manifest_path(self, version: int) -> str:
         return os.path.join(self.root, "_manifest", f"manifest-{version:08d}.json")
 
-    def manifest(self) -> dict[str, Any]:
+    def manifest(self, version: int | None = None) -> dict[str, Any]:
+        """CURRENT manifest, or a historical one (time travel — retained
+        until ``vacuum`` expires it)."""
+        if version is not None:
+            with open(self._manifest_path(version)) as f:
+                return json.load(f)
         if not os.path.exists(self._current_path):
             return {
                 "version": 0,
@@ -117,8 +122,15 @@ class LakeTable:
     def committed(self, epoch: str, batch_id: int) -> bool:
         return [epoch, batch_id] in self.manifest()["committed"]
 
-    def read(self, spark: SparkSession, buckets: list[int] | None = None) -> DataFrame:
-        m = self.manifest()
+    def read(
+        self,
+        spark: SparkSession,
+        buckets: list[int] | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Current table state, or a historical snapshot via ``version``
+        (Iceberg time-travel analog; snapshots survive until vacuumed)."""
+        m = self.manifest(version)
         files = [
             f
             for b, fs in m["buckets"].items()
