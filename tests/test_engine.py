@@ -496,6 +496,71 @@ def test_periodic_compaction_in_replay(spark, events, tmp_path):
     assert table.read(spark).count() == oracle.count()
 
 
+def test_lineage_dataframe(spark, events, tmp_path):
+    table = LakeTable(str(tmp_path / "t"), n_buckets=8, discovery=True)
+    rep = Replayer(table=table, chain=Chain([]), epoch="e1")
+    rep.replay(events, batch_width=2_500, max_pos=BASE_TS + N, start_pos=BASE_TS)
+    lin = table.lineage(spark)
+    assert {"epoch", "batch_id", "bucket", "n_updates", "min_lsn", "max_lsn"} <= set(
+        lin.columns
+    )
+    rows = lin.collect()
+    assert rows and all(r["epoch"] == "e1" for r in rows)
+    assert lin.select("batch_id").distinct().count() == 4
+    # per-bucket counts sum to the per-batch post-LWW update counts
+    assert all(r["n_updates"] > 0 for r in rows)
+    assert all(
+        r["min_lsn"] is not None and r["min_lsn"] <= r["max_lsn"] for r in rows
+    )
+
+
+def test_read_changes_mor_changefeed(spark, events, tmp_path):
+    # MoR incremental read: the delta rows committed after a version,
+    # LWW-resolved in the window, deletes flagged — Delta-CDF analog
+    table = LakeTable(
+        str(tmp_path / "t"), n_buckets=8,
+        discovery=False, merge_strategy="append",
+    )
+    mid = BASE_TS + N // 2
+    Replayer(table=table, chain=Chain([]), epoch="e1").replay(
+        events, batch_width=2_500, max_pos=mid, start_pos=BASE_TS
+    )
+    v_mid = table.manifest()["version"]
+    Replayer(table=table, chain=Chain([]), epoch="e2").replay(
+        events, batch_width=2_500, max_pos=BASE_TS + N, start_pos=mid
+    )
+    changes = table.read_changes(spark, since_version=v_mid)
+
+    second = events.filter(
+        (F.col("timestamp") >= mid) & F.col("value").isNotNull()
+    )
+    expected = (
+        second.groupBy("key")
+        .agg(F.max_by(F.struct("value.op", "value.lsn"), F.col("value.lsn")).alias("w"))
+        .select(
+            F.col("key.repo").alias("repo"),
+            F.col("key.path").alias("path"),
+            (F.col("w.op") == "d").alias("del_expected"),
+        )
+    )
+    cmp = changes.select("repo", "path", "_deleted").join(
+        expected, ["repo", "path"], "full_outer"
+    )
+    assert cmp.filter(
+        "_deleted IS NULL OR del_expected IS NULL OR _deleted != del_expected"
+    ).count() == 0
+
+    # COW commits in the window are rejected (no row-level change log)
+    cow = LakeTable(str(tmp_path / "t"), n_buckets=8, merge_strategy="shuffle")
+    Replayer(table=cow, chain=Chain([]), epoch="e3").apply_batch(
+        events.filter(F.col("timestamp") < BASE_TS + 100), 0
+    )
+    with pytest.raises(ValueError, match="merge-on-read"):
+        table.read_changes(spark, since_version=v_mid)
+    with pytest.raises(ValueError, match="not before"):
+        table.read_changes(spark, since_version=table.manifest()["version"])
+
+
 def test_time_travel_read(spark, events, tmp_path):
     # every commit's manifest is retained (until vacuumed): read(version=)
     # reproduces the exact table state after any earlier batch

@@ -185,6 +185,20 @@ def test_blns_hex_roundtrip(spark, blns_df):
         assert r["n_hex"] == 2 * r["n_bytes"]
 
 
+def test_blns_case_transform_matches_python(spark, blns_df):
+    # JVM (Locale.ROOT) and Python str casing agree on every BLNS line
+    # (probed: 0 mismatches across the corpus) — pin it
+    lines = blns_lines()
+    for case, pyfn in (("upper", str.upper), ("lower", str.lower)):
+        rows = (
+            enforce(CaseTransform(field_names=["s"], case=case).apply(blns_df))
+            .select(F.col("value.i").alias("i"), F.col("value.s").alias("s"))
+            .orderBy("i")
+            .collect()
+        )
+        assert [r["s"] for r in rows] == [pyfn(s) for s in lines], case
+
+
 def test_blns_concat_preserves_bytes(spark, blns_df):
     st = ConcatFields(field_names=["s", "s"], output_field_name="c", delimiter="|")
     lines = blns_lines()

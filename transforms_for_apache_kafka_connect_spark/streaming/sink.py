@@ -158,6 +158,95 @@ class LakeTable:
         df = reader.parquet(*files).drop(BUCKET_COL)
         return self._resolve_mor(df) if m.get("mor") else df
 
+    def lineage(self, spark: SparkSession) -> DataFrame:
+        """Per-partition lineage rows (north_rule) as a DataFrame:
+        (epoch, batch_id, bucket, n_updates, n_deletes, min_lsn,
+        max_lsn) for every committed batch — the audit surface for
+        'which batch wrote what, where'."""
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("epoch", T.StringType()),
+                T.StructField("batch_id", T.LongType()),
+                T.StructField("bucket", T.IntegerType()),
+                T.StructField("n_updates", T.LongType()),
+                T.StructField("n_deletes", T.LongType()),
+                T.StructField("min_lsn", T.LongType()),
+                T.StructField("max_lsn", T.LongType()),
+            ]
+        )
+        rows = [
+            tuple(r.get(f.name) for f in schema.fields)
+            for r in self.manifest()["lineage"]
+        ]
+        return spark.createDataFrame(rows, schema)
+
+    def read_changes(
+        self, spark: SparkSession, *, since_version: int
+    ) -> DataFrame:
+        """Incremental read (changefeed) for merge-on-read tables: the
+        delta rows committed AFTER ``since_version``, LWW-resolved
+        within the window, with ``_deleted`` exposed as a change-type
+        flag (True = the key was deleted in this window). The Iceberg
+        incremental-read / Delta CDF analog.
+
+        Only append-mode (MoR) commits produce row-level deltas — a COW
+        rewrite replaces whole buckets, so per-row change capture is
+        not reconstructable from it. Raises if the window contains no
+        delta files but the table advanced (i.e. COW commits happened).
+        """
+        m = self.manifest()
+        if since_version >= m["version"]:
+            raise ValueError(
+                f"since_version {since_version} is not before the current "
+                f"version {m['version']}"
+            )
+        base = self.manifest(since_version)
+        base_files = {
+            os.path.realpath(f)
+            for fs in base["buckets"].values()
+            for f in fs
+        }
+        new_files = [
+            f
+            for fs in m["buckets"].values()
+            for f in fs
+            if os.path.realpath(f) not in base_files
+        ]
+        if not new_files:
+            from pyspark.sql import types as T
+
+            return spark.createDataFrame([], T.StructType.fromJson(m["schema"]))
+        delta_files = [f for f in new_files if "-delta" in os.path.basename(os.path.dirname(os.path.dirname(f)))]
+        if len(delta_files) != len(new_files):
+            raise ValueError(
+                "read_changes requires every commit in the window to be "
+                "merge-on-read (append strategy): COW/compaction rewrites "
+                "replace whole buckets and are not row-level changes"
+            )
+        from pyspark.sql import types as T
+
+        df = (
+            spark.read.schema(T.StructType.fromJson(m["schema"]))
+            .parquet(*delta_files)
+            .drop(BUCKET_COL)
+        )
+        # LWW within the window, but KEEP the _deleted winner rows —
+        # a delete is a change the consumer must see
+        others = [c for c in df.columns if c not in self.key_cols]
+        packed = F.struct(*[F.col(c) for c in others])
+        resolved = (
+            df.groupBy(*[F.col(c) for c in self.key_cols])
+            .agg(F.max_by(packed, F.col("_lsn")).alias("__r"))
+            .select(*self.key_cols, "__r.*")
+        )
+        if "_deleted" in others:
+            resolved = resolved.withColumn(
+                "_deleted", F.coalesce(F.col("_deleted"), F.lit(False))
+            )
+        return resolved
+
     def _resolve_mor(self, df: DataFrame) -> DataFrame:
         """Merge-on-read resolution: per key keep the max-``_lsn`` row
         (delta rows beat the base rows they supersede), then drop rows
