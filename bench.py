@@ -238,6 +238,8 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
     names = [
         "chain_fused", "hash", "filter_by_field_value_exact",
         "extract_topic", "lww_dedupe", "cdc_merge", "cdc_merge_mor",
+        # training-data ops (documents/events tables at this sf)
+        "dedup_exact", "minhash_lsh", "json_boundary", "lang_id",
     ]
     out = {}
     qs = entrymod.queries()
