@@ -275,7 +275,13 @@ class Replayer:
                 try:
                     return o.get.get("first_error") is not None
                 except Exception:
-                    return False  # empty/collapsed batch: no errors
+                    # unlike check_errors, there is no benign escape
+                    # here: n_updates counts CLEAN rows, so zero cannot
+                    # distinguish an empty batch from an all-errored
+                    # one — and a swallowed failure would silently drop
+                    # quarantine rows. Crash loudly instead (the batch
+                    # stays uncommitted and replays).
+                    raise
 
             has_err = any(
                 first_error_of(o) for o in (obs_pre, obs) if o is not None
