@@ -496,6 +496,60 @@ def test_periodic_compaction_in_replay(spark, events, tmp_path):
     assert table.read(spark).count() == oracle.count()
 
 
+def test_full_compaction_of_fully_deleted_bucket(spark, tmp_path):
+    # regression (r2 review): a MoR bucket whose resolution yields ZERO
+    # rows (every key deleted) must leave the manifest on full
+    # compaction — otherwise its unresolved base+marker rows resurface
+    # once the mor flag is cleared
+    def env(rows):
+        return spark.createDataFrame(
+            rows,
+            "topic string, partition int, key struct<repo:string,path:string>, "
+            "value struct<op:string,lsn:bigint,ts_ms:bigint,"
+            "after:struct<content:string>>, "
+            "timestamp long, headers map<string,string>",
+        )
+
+    table = LakeTable(
+        str(tmp_path / "t"), n_buckets=4,
+        discovery=False, merge_strategy="append",
+    )
+    rep = Replayer(table=table, chain=Chain([]), epoch="e1", unique_lsn=True)
+    rep.apply_batch(
+        env([
+            ("t", 0, ("r", "a"), ("c", 1, 1, ("v1",)), 1, None),
+            ("t", 0, ("r", "b"), ("c", 2, 2, ("v2",)), 2, None),
+        ]),
+        0,
+    )
+    rep.apply_batch(
+        env([
+            ("t", 0, ("r", "a"), ("d", 3, 3, None), 3, None),
+            ("t", 0, ("r", "b"), ("d", 4, 4, None), 4, None),
+        ]),
+        1,
+    )
+    assert table.read(spark).count() == 0
+    r = table.compact(spark, all_buckets=True)
+    assert not table.manifest()["mor"]
+    assert table.read(spark).count() == 0, "deleted rows resurrected"
+
+
+def test_read_changes_since_table_creation(spark, events, tmp_path):
+    # since_version=0 (the virtual empty manifest) returns everything
+    table = LakeTable(
+        str(tmp_path / "t"), n_buckets=8,
+        discovery=False, merge_strategy="append",
+    )
+    Replayer(table=table, chain=Chain([]), epoch="e1").replay(
+        events, batch_width=5_000, max_pos=BASE_TS + N, start_pos=BASE_TS
+    )
+    changes = table.read_changes(spark, since_version=0)
+    live = events.filter(F.col("value").isNotNull())
+    n_keys = live.select("key").distinct().count()
+    assert changes.count() == n_keys
+
+
 def test_lineage_dataframe(spark, events, tmp_path):
     table = LakeTable(str(tmp_path / "t"), n_buckets=8, discovery=True)
     rep = Replayer(table=table, chain=Chain([]), epoch="e1")

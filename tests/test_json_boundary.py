@@ -68,7 +68,11 @@ def test_malformed_key_sets_error(spark):
         "key string, value string",
     )
     env = envelope_from_json(raw, key_schema="id long", value_schema="a int")
-    assert env.filter(F.col(ERROR_COL).isNotNull()).count() == 1
+    errs = env.filter(F.col(ERROR_COL).isNotNull()).collect()
+    assert len(errs) == 1
+    # the error quotes the OFFENDING document (the key), not the value
+    assert "oops" in errs[0][ERROR_COL]
+    assert '{"a": 2}' not in errs[0][ERROR_COL]
 
 
 def test_schema_inference_batch(spark):

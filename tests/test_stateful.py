@@ -99,6 +99,23 @@ def test_suppress_stale_envelope_end_to_end(spark, tmp_path):
     assert cmp.filter("content IS NULL OR c2 IS NULL OR content != c2").count() == 0
 
 
+def test_flatten_handles_scalar_key(spark):
+    # raw_json streams without key_schema carry a plain string key;
+    # to_json rejects scalars, so flatten must fall back to a cast
+    from transforms_for_apache_kafka_connect_spark.streaming.stateful import (
+        flatten_for_suppression,
+    )
+
+    env = spark.createDataFrame(
+        [("t", 0, "k1", ("c", 1, 1, "p"), 1, None)],
+        "topic string, partition int, key string, "
+        "value struct<op:string,lsn:bigint,ts_ms:bigint,content:string>, "
+        "timestamp long, headers map<string,string>",
+    )
+    row = flatten_for_suppression(env).first()
+    assert row["k"] == "k1" and row["lsn"] == 1
+
+
 def test_suppressor_timeout_removes_state():
     # timeout invocation (no input, hasTimedOut=True) must REMOVE the
     # key's state and emit nothing — not fall through to update +

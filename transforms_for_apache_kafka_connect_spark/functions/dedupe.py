@@ -76,6 +76,7 @@ def ngram_jaccard_pairs(
     allow_full_cross: bool = False,
     num_hashes: int = 32,
     bands: int = 32,
+    persist: bool = True,
 ) -> DataFrame:
     """Word-n-gram Jaccard >= threshold pairs, safe by default at scale.
 
@@ -117,7 +118,14 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), n).alias("sh"),
         minhash_signature(F.col(text_col), num_hashes, n).alias("sig"),
-    ).persist()
+    )
+    if persist:
+        # the signature frame feeds candidate generation AND the verify
+        # join; persisting avoids recomputing shingles+signatures. The
+        # cache lives until the SESSION ends — callers invoking this in
+        # a loop should pass persist=False (recompute) or unpersist via
+        # spark.catalog.clearCache() between shards.
+        sig = sig.persist()
     verified = _verify_jaccard(
         _band_candidates(sig, num_hashes, bands), sig, threshold
     )
@@ -208,16 +216,21 @@ def minhash_lsh_duplicates(
     bands: int = 8,
     n: int = 3,
     threshold: float = 0.7,
+    persist: bool = True,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, verified by exact Jaccard.
 
     rows-per-band r = num_hashes/bands; collision prob ~ 1-(1-s^r)^b.
+    ``persist`` caches the signature frame for the candidate+verify
+    joins (see ngram_jaccard_pairs for the cache-lifecycle note).
     """
     base = df.select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), n).alias("sh"),
         minhash_signature(F.col(text_col), num_hashes, n).alias("sig"),
-    ).persist()
+    )
+    if persist:
+        base = base.persist()
     return _verify_jaccard(
         _band_candidates(base, num_hashes, bands), base, threshold
     )

@@ -241,14 +241,16 @@ def lsh_topk(
         F.col(vec_col).alias("qv"),
         F.explode(buckets(F.col(vec_col))).alias("b"),
     ).select("query_id", "qv", "b.table", "b.bucket")
-    # dedupe multi-table candidate pairs BEFORE scoring: distinct on
-    # (query, neighbor) keeps one vector pair per candidate
-    cand = (
-        c.join(F.broadcast(q), ["table", "bucket"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.first("v").alias("v"), F.first("qv").alias("qv"))
+    cand = c.join(F.broadcast(q), ["table", "bucket"]).filter(
+        F.col("query_id") != F.col("neighbor_id")
     )
+    if n_tables > 1:
+        # dedupe multi-table candidate pairs BEFORE scoring — with one
+        # table no duplicates exist and the extra shuffle (carrying both
+        # embedding vectors) would be pure cost
+        cand = cand.groupBy("query_id", "neighbor_id").agg(
+            F.first("v").alias("v"), F.first("qv").alias("qv")
+        )
     scored = cand.select(
         "query_id",
         "neighbor_id",

@@ -158,7 +158,9 @@ def envelope_from_json(
             if "headers" in cols
             else F.lit(None).cast(T.MapType(T.StringType(), T.StringType()))
         ).alias("headers"),
-        raw_value.alias("__raw_value"),
+        # quote the document that actually failed to parse (a malformed
+        # key must not point the operator at the — valid — value)
+        F.when(key_bad, raw_key).otherwise(raw_value).alias("__raw_bad"),
         (value_bad | key_bad).alias("__json_bad"),
     )
     env = ensure_error_col(env)
@@ -167,10 +169,10 @@ def envelope_from_json(
         F.col("__json_bad"),
         F.concat(
             F.lit(SERIALIZATION_ERROR),
-            F.format_string("invalid JSON document: %s", F.col("__raw_value")),
+            F.format_string("invalid JSON document: %s", F.col("__raw_bad")),
         ),
     )
-    return env.drop("__raw_value", "__json_bad")
+    return env.drop("__raw_bad", "__json_bad")
 
 
 def envelope_to_json(env: DataFrame, *, as_binary: bool = False) -> DataFrame:

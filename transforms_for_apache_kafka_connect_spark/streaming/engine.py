@@ -275,12 +275,16 @@ class Replayer:
                 try:
                     return o.get.get("first_error") is not None
                 except Exception:
-                    # unlike check_errors, there is no benign escape
-                    # here: n_updates counts CLEAN rows, so zero cannot
-                    # distinguish an empty batch from an all-errored
-                    # one — and a swallowed failure would silently drop
-                    # quarantine rows. Crash loudly instead (the batch
-                    # stays uncommitted and replays).
+                    # the metrics node only disappears when the plan
+                    # collapsed to a statically-empty relation — a batch
+                    # WITH rows (errored or not) keeps its CollectMetrics
+                    # and o.get succeeds. So n_updates==0 + failure is
+                    # the benign empty case (re-raising here would wedge
+                    # a streaming query in a permanent replay loop);
+                    # anything else is a real failure that must not
+                    # silently drop quarantine rows.
+                    if n_updates == 0:
+                        return False
                     raise
 
             has_err = any(

@@ -68,7 +68,7 @@ def route_write(
         .format(fmt)
         .save(root)
     )
-    try:
-        return sorted(obs.get["topics"])
-    except Exception:
-        return []  # zero-row batch: nothing written, no topics
+    # a zero-row batch completes the observation with an empty set (no
+    # exception), so a failure here is a real metric-retrieval error —
+    # returning [] would misreport a committed write as "no topics"
+    return sorted(obs.get["topics"])

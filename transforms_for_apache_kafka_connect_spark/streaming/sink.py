@@ -38,7 +38,7 @@ import json
 import os
 import uuid
 from dataclasses import dataclass, field
-from typing import Any
+from typing import Any, ClassVar
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -88,20 +88,26 @@ class LakeTable:
     def _manifest_path(self, version: int) -> str:
         return os.path.join(self.root, "_manifest", f"manifest-{version:08d}.json")
 
+    _EMPTY_MANIFEST: ClassVar[dict[str, Any]] = {
+        "version": 0,
+        "buckets": {},
+        "committed": [],
+        "lineage": [],
+        "schema": None,
+    }
+
     def manifest(self, version: int | None = None) -> dict[str, Any]:
         """CURRENT manifest, or a historical one (time travel — retained
-        until ``vacuum`` expires it)."""
+        until ``vacuum`` expires it). Version 0 is the virtual empty
+        table (no manifest file exists for it — the first commit writes
+        version 1), so since_version=0 means 'everything'."""
         if version is not None:
+            if version == 0:
+                return dict(self._EMPTY_MANIFEST)
             with open(self._manifest_path(version)) as f:
                 return json.load(f)
         if not os.path.exists(self._current_path):
-            return {
-                "version": 0,
-                "buckets": {},
-                "committed": [],
-                "lineage": [],
-                "schema": None,
-            }
+            return dict(self._EMPTY_MANIFEST)
         with open(self._current_path) as f:
             version = int(f.read().strip())
         with open(self._manifest_path(version)) as f:
@@ -417,7 +423,7 @@ class LakeTable:
             .partitionBy(BUCKET_COL)
             .parquet(out_dir)
         )
-        new_buckets = dict(m["buckets"])
+        written: dict[int, list[str]] = {}
         for entry in sorted(os.listdir(out_dir)):
             if not entry.startswith(f"{BUCKET_COL}="):
                 continue
@@ -429,7 +435,17 @@ class LakeTable:
                 if fn.endswith(".parquet")
             )
             if files:
-                new_buckets[str(b)] = files
+                written[b] = files
+        new_buckets = dict(m["buckets"])
+        for b in over:
+            if b in written:
+                new_buckets[str(b)] = written[b]
+            else:
+                # the resolving read produced ZERO rows for this bucket
+                # (e.g. every key deleted): the old files must leave the
+                # manifest, or their unresolved base+marker rows would
+                # resurface — fatally so once all_buckets clears mor
+                new_buckets.pop(str(b), None)
         commit = dict(m)
         commit["version"] = version
         commit["buckets"] = new_buckets

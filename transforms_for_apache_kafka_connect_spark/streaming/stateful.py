@@ -110,8 +110,16 @@ def flatten_for_suppression(envelope_df: DataFrame) -> DataFrame:
     envelope row rides as one serialized JSON column, so the winner can
     be rebuilt losslessly downstream by ``suppress_stale_envelope``)."""
     live = envelope_df.filter(F.col("value").isNotNull())
+    key_type = envelope_df.schema["key"].dataType
+    key_expr = (
+        F.to_json(F.col("key"))
+        if isinstance(key_type, (T.StructType, T.MapType, T.ArrayType))
+        # scalar keys (e.g. raw_json with no key_schema): string form —
+        # to_json rejects non-container input
+        else F.col("key").cast("string")
+    )
     return live.select(
-        F.to_json(F.col("key")).alias("k"),
+        key_expr.alias("k"),
         F.col("value.lsn").alias("lsn"),
         F.col("value.ts_ms").alias("ts_ms"),
         F.col("value.op").alias("op"),
