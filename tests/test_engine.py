@@ -701,6 +701,50 @@ def test_dlq_config_validation(tmp_path):
         Replayer(table=LakeTable(str(tmp_path / "y")), error_mode="dlq")
 
 
+def test_bucket_config_adopted_from_manifest(spark, events, tmp_path):
+    # opening an existing table with a different n_buckets must adopt
+    # the stored layout — a mismatched bucket expr would make discovery
+    # prune the WRONG target files and duplicate keys on merge
+    root = str(tmp_path / "t")
+    t1 = LakeTable(root, n_buckets=16, discovery=True)
+    mid = BASE_TS + N // 2
+    Replayer(table=t1, chain=Chain([]), epoch="e1").replay(
+        events, batch_width=2_500, max_pos=mid, start_pos=BASE_TS
+    )
+    # "wrong" constructor args: adopted from the manifest instead
+    t2 = LakeTable(root, n_buckets=64, discovery=True)
+    assert t2.n_buckets == 16
+    Replayer(table=t2, chain=Chain([]), epoch="e2").replay(
+        events, batch_width=2_500, max_pos=BASE_TS + N, start_pos=mid
+    )
+    oracle = repositories_snapshot(spark, events)
+    final = t2.read(spark)
+    assert final.count() == oracle.count()
+    assert final.groupBy("repo", "path").count().filter("count > 1").count() == 0
+
+
+def test_rescale_changes_bucketing_preserves_state(spark, events, tmp_path):
+    root = str(tmp_path / "t")
+    table = LakeTable(root, n_buckets=4, discovery=True)
+    mid = BASE_TS + N // 2
+    Replayer(table=table, chain=Chain([]), epoch="e1").replay(
+        events, batch_width=2_500, max_pos=mid, start_pos=BASE_TS
+    )
+    before = table.read(spark).orderBy("repo", "path").collect()
+    r = table.rescale(spark, 32)
+    assert r["n_buckets"] == 32 and table.n_buckets == 32
+    assert table.manifest()["n_buckets"] == 32
+    assert table.read(spark).orderBy("repo", "path").collect() == before
+    # merges after the rescale use the new layout and stay correct
+    Replayer(table=table, chain=Chain([]), epoch="e2").replay(
+        events, batch_width=2_500, max_pos=BASE_TS + N, start_pos=mid
+    )
+    oracle = repositories_snapshot(spark, events)
+    assert table.read(spark).count() == oracle.count()
+    # a fresh handle adopts the new count
+    assert LakeTable(root, n_buckets=4).n_buckets == 32
+
+
 def test_vacuum_removes_orphans_keeps_live(spark, events, tmp_path):
     table = LakeTable(str(tmp_path / "t"), n_buckets=8)
     rep = Replayer(table=table, chain=Chain([]), epoch="e1")

@@ -40,8 +40,12 @@ import uuid
 from dataclasses import dataclass, field
 from typing import Any, ClassVar
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_sink_log = logging.getLogger(__name__)
 
 BUCKET_COL = "__bucket"
 
@@ -78,6 +82,25 @@ class LakeTable:
 
     def __post_init__(self):
         os.makedirs(os.path.join(self.root, "_manifest"), exist_ok=True)
+        # the manifest is authoritative for the physical layout: opening
+        # an existing table with different n_buckets/key_cols would
+        # silently mis-bucket merges (discovery would prune the WRONG
+        # target files and duplicate keys), so adopt the stored values
+        m = self.manifest()
+        if m.get("n_buckets") and m["n_buckets"] != self.n_buckets:
+            _sink_log.warning(
+                "table %s was created with n_buckets=%s; overriding the "
+                "requested %s (use rescale() to change bucketing)",
+                self.root, m["n_buckets"], self.n_buckets,
+            )
+            self.n_buckets = m["n_buckets"]
+        if m.get("key_cols") and m["key_cols"] != self.key_cols:
+            _sink_log.warning(
+                "table %s was created with key_cols=%s; overriding the "
+                "requested %s",
+                self.root, m["key_cols"], self.key_cols,
+            )
+            self.key_cols = m["key_cols"]
 
     # ------------------------------------------------------------ manifest
 
@@ -359,6 +382,8 @@ class LakeTable:
             "schema": schema,
             "stats": {"total_rows": prev_rows + (n_upd or 0)},
             "mor": True,
+            "n_buckets": self.n_buckets,
+            "key_cols": self.key_cols,
         }
         if pre_commit is not None:
             pre_commit(n_upd)
@@ -466,6 +491,59 @@ class LakeTable:
                 }
         self._swap(commit)
         return {"compacted_buckets": over, "version": version}
+
+    def rescale(self, spark: SparkSession, n_buckets: int) -> dict[str, Any]:
+        """Rewrite the whole table under a new bucket count (partition
+        evolution for the bucket transform). One full read+write;
+        contents, ledger and lineage unchanged; commits via the same
+        atomic swap. A MoR table is fully resolved by the rewrite, so
+        the mor flag clears (same rule as compact(all_buckets=True))."""
+        m = self.manifest()
+        if n_buckets == self.n_buckets:
+            return {"version": m["version"], "n_buckets": n_buckets}
+        df = self.read(spark).withColumn(
+            BUCKET_COL, _bucket_expr(self.key_cols, n_buckets)
+        )
+        version = m["version"] + 1
+        out_dir = os.path.join(self.root, "data", f"v{version:08d}-rescale")
+        (
+            df.repartition(n_buckets, F.col(BUCKET_COL))
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", self.target_rows_per_file)
+            .partitionBy(BUCKET_COL)
+            .parquet(out_dir)
+        )
+        new_buckets: dict[str, list[str]] = {}
+        for entry in sorted(os.listdir(out_dir)):
+            if not entry.startswith(f"{BUCKET_COL}="):
+                continue
+            b = int(entry.split("=", 1)[1])
+            bdir = os.path.join(out_dir, entry)
+            files = sorted(
+                os.path.join(bdir, fn)
+                for fn in os.listdir(bdir)
+                if fn.endswith(".parquet")
+            )
+            if files:
+                new_buckets[str(b)] = files
+        commit = dict(m)
+        commit["version"] = version
+        commit["buckets"] = new_buckets
+        commit["n_buckets"] = n_buckets
+        commit["key_cols"] = self.key_cols
+        if m.get("mor"):
+            commit["mor"] = False
+            if m["schema"] is not None:
+                commit["schema"] = {
+                    **m["schema"],
+                    "fields": [
+                        f for f in m["schema"]["fields"]
+                        if f["name"] != "_deleted"
+                    ],
+                }
+        self._swap(commit)
+        self.n_buckets = n_buckets
+        return {"version": version, "n_buckets": n_buckets}
 
     def vacuum(
         self, *, keep_versions: int = 2, dry_run: bool = False
@@ -581,6 +659,8 @@ class LakeTable:
                 commit = dict(m)
                 commit["version"] = m["version"] + 1
                 commit["committed"] = m["committed"] + [[epoch, batch_id]]
+                commit["n_buckets"] = self.n_buckets
+                commit["key_cols"] = self.key_cols
                 if pre_commit is not None:
                     pre_commit(0)  # verifiably empty batch
                 self._swap(commit)
@@ -788,6 +868,8 @@ class LakeTable:
             "lineage": m["lineage"] + (lineage or []) + lineage_rows,
             "schema": schema,
             "stats": {"total_rows": total_rows if total_rows is not None else est_rows},
+            "n_buckets": self.n_buckets,
+            "key_cols": self.key_cols,
             # a COW merge over a table that ever saw an append-mode
             # (merge-on-read) commit must keep resolving reads: only the
             # touched buckets were rewritten, untouched ones still hold
