@@ -110,6 +110,29 @@ def test_cli_empty_events_and_bad_slice_col(spark, tmp_path):
     assert "not found" in out3.stderr
 
 
+def test_cli_maintenance_ops(spark, tmp_path):
+    # in-process main(): compact / vacuum / rescale over a real table
+    from transforms_for_apache_kafka_connect_spark.cli import main
+
+    events = change_stream(spark, 1_000, n_repos=10, paths_per_repo=4)
+    events.write.mode("overwrite").parquet(str(tmp_path / "events"))
+    root = str(tmp_path / "table")
+    base = ["--table", root, "--buckets", "4", "--batches", "2"]
+    assert main(base + ["--events", str(tmp_path / "events")]) == 0
+
+    table = LakeTable(root, n_buckets=4)
+    before = table.read(spark).orderBy("repo", "path").collect()
+    assert main(base + ["--maintenance", "compact", "--compact-all-buckets"]) == 0
+    assert main(base + ["--maintenance", "vacuum"]) == 0
+    assert main(base + ["--maintenance", "rescale"]) == 2  # missing target
+    assert main(base + ["--maintenance", "rescale", "--rescale-buckets", "8"]) == 0
+    t2 = LakeTable(root, n_buckets=4)
+    assert t2.n_buckets == 8
+    assert t2.read(spark).orderBy("repo", "path").collect() == before
+    # no --events and no --maintenance -> clear error
+    assert main(base) == 2
+
+
 def test_cli_streaming_backfill(spark, tmp_path):
     n = 1_000
     events = change_stream(spark, n, n_repos=10, paths_per_repo=4)

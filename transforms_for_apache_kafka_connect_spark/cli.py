@@ -30,8 +30,9 @@ def build_parser() -> argparse.ArgumentParser:
         prog="transforms_for_apache_kafka_connect_spark",
         description="PySpark CDC replay: chain -> LWW dedupe -> MERGE -> ledger",
     )
-    ap.add_argument("--events", required=True,
-                    help="parquet dir of envelope change events")
+    ap.add_argument("--events", default=None,
+                    help="parquet dir of envelope change events "
+                         "(required unless --maintenance)")
     ap.add_argument("--table", required=True, help="lake table root dir")
     ap.add_argument("--chain", default=None,
                     help="JSON file: list of SMT config dicts (default: empty chain)")
@@ -77,6 +78,16 @@ def build_parser() -> argparse.ArgumentParser:
                     help="DDL schema for raw JSON values (with --raw-json)")
     ap.add_argument("--master", default=None,
                     help="override master for local runs (spark-submit sets its own)")
+    ap.add_argument("--maintenance", choices=["compact", "vacuum", "rescale"],
+                    default=None,
+                    help="run a table maintenance op instead of a replay "
+                         "(--events is ignored)")
+    ap.add_argument("--compact-all-buckets", action="store_true",
+                    help="with --maintenance compact: rewrite every bucket "
+                         "(graduates a merge-on-read table to plain reads)")
+    ap.add_argument("--vacuum-keep-versions", type=int, default=2)
+    ap.add_argument("--rescale-buckets", type=int, default=None,
+                    help="target bucket count (with --maintenance rescale)")
     return ap
 
 
@@ -111,6 +122,27 @@ def main(argv: list[str] | None = None) -> int:
         discovery=not args.no_discovery,
         merge_strategy=args.merge_strategy,
     )
+    if args.maintenance:
+        if args.maintenance == "compact":
+            r = table.compact(
+                spark, all_buckets=args.compact_all_buckets
+            )
+        elif args.maintenance == "vacuum":
+            r = table.vacuum(keep_versions=args.vacuum_keep_versions)
+        else:
+            if args.rescale_buckets is None:
+                print("--maintenance rescale requires --rescale-buckets",
+                      file=sys.stderr)
+                return 2
+            r = table.rescale(spark, args.rescale_buckets)
+        print(json.dumps({"mode": "maintenance", "op": args.maintenance, **r}))
+        return 0
+
+    if not args.events:
+        print("--events is required unless --maintenance is given",
+              file=sys.stderr)
+        return 2
+
     rep = Replayer(table=table, chain=chain, epoch=args.epoch,
                    compact_every=args.compact_every,
                    error_mode=args.error_mode, dlq_dir=args.dlq_dir)
