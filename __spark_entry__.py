@@ -134,6 +134,52 @@ def q_hash_schemaless(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_filter_by_field_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Presence filter (north_star's FilterByFieldName) in the
+    schemaless MAP regime: entries with null values are genuinely
+    absent keys, so presence varies per record."""
+    from transforms_for_apache_kafka_connect_spark.operators import (
+        FilterByFieldName,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    env = ev.select(
+        F.lit("original_topic").alias("topic"),
+        F.lit(0).cast("int").alias("partition"),
+        F.struct(F.col("event_id")).alias("key"),
+        F.map_filter(
+            F.create_map(
+                F.lit("event_type"), F.col("event_type"),
+                F.lit("user"), F.col("user_id").cast("string"),
+            ),
+            lambda k, v: v.isNotNull(),
+        ).alias("value"),
+        F.lit(123).cast("long").alias("timestamp"),
+        F.lit(None).cast("map<string,string>").alias("headers"),
+    )
+    env = FilterByFieldName(field_name="event_type").apply(env)
+    return enforce(env).select(
+        F.col("key.event_id").alias("event_id"),
+        F.col("value")["event_type"].alias("event_type"),
+    )
+
+
+def q_replace_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stock ReplaceField SMT compat: exclude + rename on the value."""
+    from transforms_for_apache_kafka_connect_spark.operators import ReplaceField
+
+    ev = _read(spark, sf_dir, "events")
+    env = envelope(
+        ev, key_cols=["event_id"], value_cols=["user_id", "event_type", "value"]
+    )
+    env = ReplaceField(exclude=["value"], renames="event_type:etype").apply(env)
+    return enforce(env).select(
+        F.col("key.event_id").alias("event_id"),
+        F.col("value.user_id").alias("user_id"),
+        F.col("value.etype").alias("etype"),
+    )
+
+
 def q_filter_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events")
     env = envelope(
@@ -739,6 +785,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "case_transform": q_case_transform,
         "case_transform_schemaless": q_case_transform_schemaless,
         "hash_schemaless": q_hash_schemaless,
+        "filter_by_field_name": q_filter_by_field_name,
+        "replace_field": q_replace_field,
         "filter_by_field_value_exact": q_filter_exact,
         "filter_by_field_value_regex": q_filter_regex,
         "extract_timestamp": q_extract_timestamp,
@@ -799,6 +847,13 @@ def oracle_sql() -> dict[str, str]:
         "hash_schemaless": (
             "SELECT event_id, sha256(event_type) AS event_type_sha, "
             "CAST(user_id AS VARCHAR) AS user FROM events"
+        ),
+        "filter_by_field_name": (
+            "SELECT event_id, event_type FROM events "
+            "WHERE event_type IS NOT NULL"
+        ),
+        "replace_field": (
+            "SELECT event_id, user_id, event_type AS etype FROM events"
         ),
         "filter_by_field_value_exact": (
             "SELECT event_id, event_type, user_id FROM events "

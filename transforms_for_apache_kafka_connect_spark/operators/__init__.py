@@ -23,6 +23,9 @@ from transforms_for_apache_kafka_connect_spark.operators.extract_topic import (
 from transforms_for_apache_kafka_connect_spark.operators.extract_topic_from_schema_name import (
     ExtractTopicFromSchemaName,
 )
+from transforms_for_apache_kafka_connect_spark.operators.filter_by_field_name import (
+    FilterByFieldName,
+)
 from transforms_for_apache_kafka_connect_spark.operators.filter_by_field_value import (
     FilterByFieldValue,
 )
@@ -37,6 +40,9 @@ from transforms_for_apache_kafka_connect_spark.operators.money_converter import 
 from transforms_for_apache_kafka_connect_spark.operators.regex_router import (
     RegexRouter,
 )
+from transforms_for_apache_kafka_connect_spark.operators.replace_field import (
+    ReplaceField,
+)
 from transforms_for_apache_kafka_connect_spark.operators.tombstone_handler import (
     TombstoneHandler,
 )
@@ -49,11 +55,13 @@ __all__ = [
     "ExtractTimestamp",
     "ExtractTopic",
     "ExtractTopicFromSchemaName",
+    "FilterByFieldName",
     "FilterByFieldValue",
     "Hash",
     "KeyToValue",
     "MakeTombstone",
     "MoneyConverter",
     "RegexRouter",
+    "ReplaceField",
     "TombstoneHandler",
 ]
