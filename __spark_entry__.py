@@ -180,6 +180,33 @@ def q_replace_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stock_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stock-SMT compat pack as one fused chain: InsertField (static +
+    topic metadata) -> Cast -> ReplaceField rename -> ValueToKey."""
+    ev = _read(spark, sf_dir, "events")
+    env = envelope(
+        ev,
+        key_cols=["event_id"],
+        value_cols=["event_id", "user_id", "event_type", "value"],
+    )
+    chain = Chain([
+        {"type": "insert_field", "static.field": "src",
+         "static.value": "cdc", "topic.field": "t"},
+        {"type": "cast", "spec": "user_id:string"},
+        {"type": "replace_field", "renames": "value:val"},
+        {"type": "value_to_key", "fields": ["event_type"]},
+    ])
+    out = chain.run(env)
+    return out.select(
+        F.col("value.event_id").alias("event_id"),
+        F.col("key.event_type").alias("key_event_type"),
+        F.col("value.user_id").alias("user_id"),
+        F.col("value.val").alias("val"),
+        F.col("value.src").alias("src"),
+        F.col("value.t").alias("t"),
+    )
+
+
 def q_filter_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events")
     env = envelope(
@@ -787,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_schemaless": q_hash_schemaless,
         "filter_by_field_name": q_filter_by_field_name,
         "replace_field": q_replace_field,
+        "stock_chain": q_stock_chain,
         "filter_by_field_value_exact": q_filter_exact,
         "filter_by_field_value_regex": q_filter_regex,
         "extract_timestamp": q_extract_timestamp,
@@ -854,6 +882,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "replace_field": (
             "SELECT event_id, user_id, event_type AS etype FROM events"
+        ),
+        "stock_chain": (
+            "SELECT event_id, event_type AS key_event_type, "
+            "CAST(user_id AS VARCHAR) AS user_id, value AS val, "
+            "'cdc' AS src, 'original_topic' AS t FROM events"
         ),
         "filter_by_field_value_exact": (
             "SELECT event_id, event_type, user_id FROM events "

@@ -43,6 +43,13 @@ from transforms_for_apache_kafka_connect_spark.operators.regex_router import (
 from transforms_for_apache_kafka_connect_spark.operators.replace_field import (
     ReplaceField,
 )
+from transforms_for_apache_kafka_connect_spark.operators.stock import (
+    Cast,
+    Flatten,
+    HoistField,
+    InsertField,
+    ValueToKey,
+)
 from transforms_for_apache_kafka_connect_spark.operators.tombstone_handler import (
     TombstoneHandler,
 )
@@ -64,4 +71,9 @@ __all__ = [
     "RegexRouter",
     "ReplaceField",
     "TombstoneHandler",
+    "InsertField",
+    "ValueToKey",
+    "Cast",
+    "HoistField",
+    "Flatten",
 ]
