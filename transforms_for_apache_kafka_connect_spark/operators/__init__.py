@@ -50,6 +50,12 @@ from transforms_for_apache_kafka_connect_spark.operators.stock import (
     InsertField,
     ValueToKey,
 )
+from transforms_for_apache_kafka_connect_spark.operators.stock2 import (
+    DropHeaders,
+    InsertHeader,
+    SetSchemaMetadata,
+    TimestampConverter,
+)
 from transforms_for_apache_kafka_connect_spark.operators.tombstone_handler import (
     TombstoneHandler,
 )
@@ -76,4 +82,8 @@ __all__ = [
     "Cast",
     "HoistField",
     "Flatten",
+    "TimestampConverter",
+    "SetSchemaMetadata",
+    "InsertHeader",
+    "DropHeaders",
 ]
