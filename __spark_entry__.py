@@ -207,6 +207,121 @@ def q_stock_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stock ExtractField$Value compat: value <- one named field."""
+    from transforms_for_apache_kafka_connect_spark.operators import ExtractField
+
+    ev = _read(spark, sf_dir, "events")
+    env = envelope(ev, key_cols=["event_id"], value_cols=["user_id", "event_type"])
+    env = ExtractField(field="event_type").apply(env)
+    return enforce(env).select(
+        F.col("key.event_id").alias("event_id"),
+        F.col("value").alias("event_type"),
+    )
+
+
+def q_mask_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stock MaskField$Value compat: zero-mask a double and a string
+    field (null field values stay null)."""
+    from transforms_for_apache_kafka_connect_spark.operators import MaskField
+
+    ev = _read(spark, sf_dir, "events")
+    env = envelope(
+        ev, key_cols=["event_id"], value_cols=["user_id", "event_type", "value"]
+    )
+    env = MaskField(fields=["value", "event_type"]).apply(env)
+    return enforce(env).select(
+        F.col("key.event_id").alias("event_id"),
+        F.col("value.user_id").alias("user_id"),
+        F.col("value.event_type").alias("event_type"),
+        F.col("value.value").alias("val"),
+    )
+
+
+def q_timestamp_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stock TimestampRouter compat: topic <- format(topic, record ts)."""
+    from transforms_for_apache_kafka_connect_spark.operators import (
+        TimestampRouter,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _read(spark, sf_dir, "events")
+    env = ev.select(
+        F.lit("original_topic").alias("topic"),
+        F.lit(0).cast("int").alias("partition"),
+        F.struct(F.col("event_id")).alias("key"),
+        F.struct(F.col("event_type")).alias("value"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("timestamp"),
+        F.lit(None).cast("map<string,string>").alias("headers"),
+    )
+    st = TimestampRouter(
+        topic_format="lake.${topic}.${timestamp}", timestamp_format="yyyyMMdd"
+    )
+    return enforce(st.apply(env)).select(
+        F.col("key.event_id").alias("event_id"),
+        F.col("topic").alias("topic"),
+    )
+
+
+def q_header_from(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stock HeaderFrom$Value compat (move): field -> header, field
+    dropped from the value; read the header back out."""
+    from transforms_for_apache_kafka_connect_spark.operators import HeaderFrom
+
+    ev = _read(spark, sf_dir, "events")
+    env = envelope(
+        ev, key_cols=["event_id"], value_cols=["user_id", "event_type"]
+    )
+    env = HeaderFrom(fields=["user_id"], headers=["uid"], operation="move").apply(env)
+    out = enforce(env)
+    assert "user_id" not in out.schema["value"].dataType.fieldNames()
+    return out.select(
+        F.col("key.event_id").alias("event_id"),
+        F.element_at(F.col("headers"), F.lit("uid")).alias("uid"),
+        F.col("value.event_type").alias("event_type"),
+    )
+
+
+def q_guarded_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connect predicate guard on a mutator: route topic <- event_type,
+    then MaskField applies ONLY where TopicNameMatches 'click' — other
+    rows keep their value (the per-column when-merge path)."""
+    ev = _read(spark, sf_dir, "events")
+    env = envelope(
+        ev, key_cols=["event_id"], value_cols=["user_id", "event_type"]
+    )
+    chain = Chain([
+        {"type": "extract_topic", "field.name": "event_type",
+         "skip.missing.or.null": True},
+        {"type": "mask_field", "fields": ["user_id"],
+         "predicate": {"type": "topic_name_matches", "pattern": "click"}},
+    ])
+    return chain.run(env).select(
+        F.col("key.event_id").alias("event_id"),
+        F.col("topic").alias("topic"),
+        F.col("value.user_id").alias("user_id"),
+    )
+
+
+def q_filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stock Filter + TopicNameMatches predicate (the canonical Connect
+    usage): drop every record routed to the 'click' topic."""
+    ev = _read(spark, sf_dir, "events")
+    env = envelope(
+        ev, key_cols=["event_id"], value_cols=["user_id", "event_type"]
+    )
+    chain = Chain([
+        {"type": "extract_topic", "field.name": "event_type",
+         "skip.missing.or.null": True},
+        {"type": "filter",
+         "predicate": {"type": "topic_name_matches", "pattern": "click"}},
+    ])
+    return chain.run(env).select(
+        F.col("key.event_id").alias("event_id"),
+        F.col("topic").alias("topic"),
+    )
+
+
 def q_filter_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events")
     env = envelope(
@@ -815,6 +930,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_by_field_name": q_filter_by_field_name,
         "replace_field": q_replace_field,
         "stock_chain": q_stock_chain,
+        "extract_field": q_extract_field,
+        "mask_field": q_mask_field,
+        "timestamp_router": q_timestamp_router,
+        "header_from": q_header_from,
+        "guarded_mask": q_guarded_mask,
+        "filter_predicate": q_filter_predicate,
         "filter_by_field_value_exact": q_filter_exact,
         "filter_by_field_value_regex": q_filter_regex,
         "extract_timestamp": q_extract_timestamp,
@@ -887,6 +1008,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, event_type AS key_event_type, "
             "CAST(user_id AS VARCHAR) AS user_id, value AS val, "
             "'cdc' AS src, 'original_topic' AS t FROM events"
+        ),
+        "extract_field": (
+            "SELECT event_id, event_type FROM events"
+        ),
+        "mask_field": (
+            "SELECT event_id, user_id, "
+            "CASE WHEN event_type IS NOT NULL THEN '' END AS event_type, "
+            "CASE WHEN value IS NOT NULL THEN 0.0 END AS val FROM events"
+        ),
+        "timestamp_router": (
+            "SELECT event_id, 'lake.original_topic.' || "
+            "strftime(ts, '%Y%m%d') AS topic FROM events"
+        ),
+        "header_from": (
+            "SELECT event_id, CAST(user_id AS VARCHAR) AS uid, "
+            "event_type FROM events"
+        ),
+        "guarded_mask": (
+            "SELECT event_id, "
+            "CASE WHEN event_type IS NULL OR event_type = '' "
+            "THEN 'original_topic' ELSE event_type END AS topic, "
+            "CASE WHEN event_type = 'click' AND user_id IS NOT NULL "
+            "THEN 0 ELSE user_id END AS user_id FROM events"
+        ),
+        "filter_predicate": (
+            "SELECT event_id, "
+            "CASE WHEN event_type IS NULL OR event_type = '' "
+            "THEN 'original_topic' ELSE event_type END AS topic "
+            "FROM events WHERE event_type IS NULL OR event_type <> 'click'"
         ),
         "filter_by_field_value_exact": (
             "SELECT event_id, event_type, user_id FROM events "

@@ -56,6 +56,22 @@ from transforms_for_apache_kafka_connect_spark.operators.stock2 import (
     SetSchemaMetadata,
     TimestampConverter,
 )
+from transforms_for_apache_kafka_connect_spark.operators.stock3 import (
+    ExtractField,
+    Filter,
+    HeaderFrom,
+    MaskField,
+    TimestampRouter,
+)
+from transforms_for_apache_kafka_connect_spark.operators.predicates import (
+    PREDICATE_REGISTRY,
+    Guarded,
+    HasHeaderKey,
+    Predicate,
+    RecordIsTombstone,
+    TopicNameMatches,
+    build_predicate,
+)
 from transforms_for_apache_kafka_connect_spark.operators.tombstone_handler import (
     TombstoneHandler,
 )
@@ -86,4 +102,16 @@ __all__ = [
     "SetSchemaMetadata",
     "InsertHeader",
     "DropHeaders",
+    "ExtractField",
+    "MaskField",
+    "TimestampRouter",
+    "HeaderFrom",
+    "Filter",
+    "PREDICATE_REGISTRY",
+    "Predicate",
+    "Guarded",
+    "TopicNameMatches",
+    "HasHeaderKey",
+    "RecordIsTombstone",
+    "build_predicate",
 ]

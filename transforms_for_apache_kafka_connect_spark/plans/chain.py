@@ -44,9 +44,18 @@ def _pythonize_key(key: str) -> str:
 
 
 def build_stage(spec: Mapping) -> Stage:
-    """Instantiate a registered stage from a reference-style config dict."""
+    """Instantiate a registered stage from a reference-style config dict.
+
+    Connect predicate guards ride the same spec (``predicate`` =
+    predicate config dict or instance, ``negate`` = bool), exactly like
+    ``transforms.X.predicate`` / ``transforms.X.negate`` in connector
+    properties; the stage is wrapped so it applies only to matching
+    rows (operators/predicates.py).
+    """
     spec = dict(spec)
     type_name = spec.pop("type", None)
+    predicate = spec.pop("predicate", None)
+    negate = bool(spec.pop("negate", False))
     if type_name not in STAGE_REGISTRY:
         raise ConfigException(
             f"Unknown transform type: {type_name!r}. "
@@ -54,9 +63,16 @@ def build_stage(spec: Mapping) -> Stage:
         )
     kwargs = {_pythonize_key(k): v for k, v in spec.items()}
     try:
-        return STAGE_REGISTRY[type_name](**kwargs)
+        stage = STAGE_REGISTRY[type_name](**kwargs)
     except TypeError as exc:  # unknown config key -> config error, not a crash
         raise ConfigException(f"Invalid config for transform {type_name!r}: {exc}") from exc
+    if predicate is not None:
+        from transforms_for_apache_kafka_connect_spark.operators.predicates import (
+            Guarded,
+        )
+
+        return Guarded(stage, predicate, negate=negate)
+    return stage
 
 
 class Chain:
