@@ -70,6 +70,34 @@ def _oracle(batches):
     return state
 
 
+def test_empty_batch_broadcast_merge_commits_without_rewrite(
+    spark, tmp_path_factory
+):
+    """Regression: an empty batch in dense (broadcast) mode used to
+    make Observation.get unretrievable — AQE's empty-relation
+    propagation pruned the CollectMetrics node, PythonSQLUtils.toPyRow
+    failed its schema assertion, and the error gate (rightly refusing
+    to swallow arbitrary failures) failed the batch. observation_pruned
+    now recognizes that exact signature as 'observed subtree was empty
+    = zero errors' and the batch commits."""
+    root = str(tmp_path_factory.mktemp("empty_bcast"))
+    table = LakeTable(
+        root, key_cols=["id"], n_buckets=4,
+        discovery=False, merge_strategy="broadcast",
+    )
+    rep = Replayer(table=table, chain=Chain([]), epoch="p", unique_lsn=True)
+    batches = [[(0, "c"), (1, "c")], [], [(0, "d")], []]
+    for bi, df in enumerate(_mk_batches(spark, batches)):
+        rep.apply_batch(df, bi)
+    m = table.manifest()
+    assert ["p", 1] in m["committed"] and ["p", 3] in m["committed"]
+    got = {
+        r["id"]: r["content"]
+        for r in table.read(spark).select("id", "content").collect()
+    }
+    assert got == _oracle(batches)
+
+
 @settings(
     max_examples=8,
     deadline=None,

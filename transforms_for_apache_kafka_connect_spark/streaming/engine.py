@@ -239,17 +239,21 @@ class Replayer:
             update-row count the merge saw; None = unknown/dense mode).
 
             A metrics-retrieval failure is treated as benign ONLY when
-            the batch is verifiably empty (n_updates == 0 — a collapsed
-            zero-row plan may legitimately lose its CollectMetrics
-            node, and zero rows means zero per-record errors). Any
-            other failure (JVM/py4j error, unknown count) re-raises so
-            an errored batch can never silently commit."""
+            the batch is verifiably empty: n_updates == 0, or the
+            failure carries the pruned-CollectMetrics signature
+            (observation_pruned — AQE eliminated the observed subtree
+            because it was empty, so zero rows means zero per-record
+            errors). Any other failure (JVM/py4j error, unknown count)
+            re-raises so an errored batch can never silently commit."""
+            from transforms_for_apache_kafka_connect_spark.streaming.sink import (
+                observation_pruned,
+            )
 
             def metrics_of(o) -> dict:
                 try:
                     return o.get
-                except Exception:
-                    if n_updates == 0:
+                except Exception as exc:
+                    if n_updates == 0 or observation_pruned(exc):
                         return {}
                     raise
 
@@ -272,18 +276,23 @@ class Replayer:
             an error."""
 
             def first_error_of(o) -> bool:
+                from transforms_for_apache_kafka_connect_spark.streaming.sink import (
+                    observation_pruned,
+                )
+
                 try:
                     return o.get.get("first_error") is not None
-                except Exception:
-                    # the metrics node only disappears when the plan
-                    # collapsed to a statically-empty relation — a batch
-                    # WITH rows (errored or not) keeps its CollectMetrics
-                    # and o.get succeeds. So n_updates==0 + failure is
-                    # the benign empty case (re-raising here would wedge
-                    # a streaming query in a permanent replay loop);
-                    # anything else is a real failure that must not
-                    # silently drop quarantine rows.
-                    if n_updates == 0:
+                except Exception as exc:
+                    # the metrics node only disappears when the observed
+                    # subtree was eliminated as empty (statically, or by
+                    # AQE at runtime — observation_pruned matches that
+                    # exact signature) — a batch WITH rows (errored or
+                    # not) keeps its CollectMetrics and o.get succeeds.
+                    # Those are the benign empty cases (re-raising here
+                    # would wedge a streaming query in a permanent
+                    # replay loop); anything else is a real failure that
+                    # must not silently drop quarantine rows.
+                    if n_updates == 0 or observation_pruned(exc):
                         return False
                     raise
 

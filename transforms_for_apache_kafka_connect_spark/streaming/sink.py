@@ -54,6 +54,42 @@ def _bucket_expr(key_cols: list[str], n_buckets: int):
     return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
 
 
+def _is_statically_empty(df: DataFrame) -> bool:
+    """True iff Catalyst proved ``df`` empty (optimized plan collapsed
+    to a zero-row LocalRelation) — driver-side only, no job. Note this
+    catches only statically-known emptiness; a runtime-empty source
+    (e.g. ``createDataFrame([], schema)`` is a LogicalRDD leaf) is
+    invisible here and is handled by ``observation_pruned`` instead."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        return (
+            plan.getClass().getSimpleName() == "LocalRelation"
+            and plan.data().isEmpty()
+        )
+    except Exception:
+        return False
+
+
+def observation_pruned(exc: Exception) -> bool:
+    """True iff an ``Observation.get`` failure means the CollectMetrics
+    node was eliminated because its subtree was empty.
+
+    When AQE's empty-relation propagation (or PropagateEmptyRelation)
+    removes the observed subtree, the JVM-side metrics row comes back as
+    a schema-less empty row and ``PythonSQLUtils.toPyRow`` fails its
+    ``GenericRowWithSchema`` assertion. A metrics row that actually
+    fired always carries a schema, so this signature is specific to
+    'observed plan produced zero rows' — the one failure mode the batch
+    error gate may safely treat as zero per-record errors. Any other
+    exception (JVM crash, py4j transport error) does NOT match and must
+    keep failing the batch."""
+    try:
+        s = f"{exc!r} {exc!s}"  # py4j puts the Java exception in __str__
+    except Exception:
+        s = repr(exc)
+    return "toPyRow" in s and "AssertionError" in s
+
+
 @dataclass
 class LakeTable:
     root: str
@@ -327,8 +363,9 @@ class LakeTable:
         if n_upd is None and obs is not None:
             try:
                 n_upd = int(obs.get["n_updates"])
-            except Exception:
-                pass
+            except Exception as exc:
+                if observation_pruned(exc):
+                    n_upd = 0  # observed subtree was provably empty
 
         new_buckets = dict(m["buckets"])
         if os.path.isdir(out_dir):
@@ -673,6 +710,28 @@ class LakeTable:
             # dense-update mode: one job total — lineage via Observation
             from pyspark.sql import Observation
 
+            if _is_statically_empty(upd):
+                # a statically-empty batch (e.g. an empty micro-batch)
+                # must be short-circuited here: Catalyst's
+                # PropagateEmptyRelation would prune the CollectMetrics
+                # node below, making Observation.get unretrievable
+                # (toPyRow assertion) AND the broadcast anti-join would
+                # rewrite every survivor row for a no-op. Commit only
+                # the ledger entry instead.
+                commit = dict(m)
+                commit["version"] = m["version"] + 1
+                commit["committed"] = m["committed"] + [[epoch, batch_id]]
+                commit["n_buckets"] = self.n_buckets
+                commit["key_cols"] = self.key_cols
+                if pre_commit is not None:
+                    pre_commit(0)  # verifiably empty batch
+                self._swap(commit)
+                return {
+                    "skipped": False,
+                    "touched_buckets": [],
+                    "version": commit["version"],
+                }
+
             touched = None
             n_upd = None
             obs = Observation(f"merge_{epoch}_{batch_id}")
@@ -823,8 +882,9 @@ class LakeTable:
         if n_upd is None and obs is not None:
             try:
                 n_upd = int(obs.get["n_updates"])
-            except Exception:
-                pass
+            except Exception as exc:
+                if observation_pruned(exc):
+                    n_upd = 0  # observed subtree was provably empty
 
         if self.discovery:
             # per-partition lineage (north_rule): bucket, counts, lsn range
