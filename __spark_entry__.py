@@ -322,6 +322,82 @@ def q_filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_debezium_unwrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium ExtractNewRecordState compat: synthesize a Debezium
+    envelope over events (op from event_type, before = prior image),
+    unwrap in rewrite mode with metadata fields."""
+    from transforms_for_apache_kafka_connect_spark.operators import (
+        ExtractNewRecordState,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "error", F.lit("d"))
+        .when(F.col("event_type") == "purchase", F.lit("u"))
+        .otherwise(F.lit("c"))
+    )
+    row = lambda val: F.struct(  # noqa: E731
+        F.col("user_id").alias("user_id"), val.alias("val")
+    )
+    env = ev.select(
+        F.lit("original_topic").alias("topic"),
+        F.lit(0).cast("int").alias("partition"),
+        F.struct(F.col("event_id")).alias("key"),
+        F.struct(
+            F.when(op == "c", F.lit(None).cast(
+                "struct<user_id:bigint,val:double>"
+            )).otherwise(row(F.col("value") - 1)).alias("before"),
+            F.when(op == "d", F.lit(None).cast(
+                "struct<user_id:bigint,val:double>"
+            )).otherwise(row(F.col("value"))).alias("after"),
+            F.struct(F.col("event_id").alias("lsn")).alias("source"),
+            op.alias("op"),
+            F.col("event_id").alias("ts_ms"),
+        ).alias("value"),
+        F.lit(123).cast("long").alias("timestamp"),
+        F.lit(None).cast("map<string,string>").alias("headers"),
+    )
+    st = ExtractNewRecordState(
+        delete_handling_mode="rewrite", add_fields="op,source.lsn"
+    )
+    return enforce(st.apply(env)).select(
+        F.col("key.event_id").alias("event_id"),
+        F.col("value.user_id").alias("user_id"),
+        F.col("value.val").alias("val"),
+        F.col("value.__deleted").alias("deleted"),
+        F.col("value.__op").alias("op"),
+        F.col("value.__source_lsn").alias("lsn"),
+    )
+
+
+def q_outbox_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium outbox EventRouter compat: events as an outbox table
+    (aggregatetype/aggregateid/payload), routed by aggregate type."""
+    from transforms_for_apache_kafka_connect_spark.operators import EventRouter
+
+    ev = _read(spark, sf_dir, "events")
+    env = ev.select(
+        F.lit("outbox_topic").alias("topic"),
+        F.lit(0).cast("int").alias("partition"),
+        F.struct(F.col("event_id")).alias("key"),
+        F.struct(
+            F.col("event_type").alias("aggregatetype"),
+            F.col("user_id").cast("string").alias("aggregateid"),
+            F.col("props").alias("payload"),
+            F.col("event_id").alias("created_ms"),
+        ).alias("value"),
+        F.lit(123).cast("long").alias("timestamp"),
+        F.lit(None).cast("map<string,string>").alias("headers"),
+    )
+    st = EventRouter(table_field_event_timestamp="created_ms")
+    return enforce(st.apply(env)).select(
+        F.col("topic").alias("topic"),
+        F.col("key.id").alias("agg_id"),
+        F.col("value").alias("payload"),
+        F.col("timestamp").alias("ts"),
+    )
+
+
 def q_filter_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events")
     env = envelope(
@@ -936,6 +1012,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "header_from": q_header_from,
         "guarded_mask": q_guarded_mask,
         "filter_predicate": q_filter_predicate,
+        "debezium_unwrap": q_debezium_unwrap,
+        "outbox_router": q_outbox_router,
         "filter_by_field_value_exact": q_filter_exact,
         "filter_by_field_value_regex": q_filter_regex,
         "extract_timestamp": q_extract_timestamp,
@@ -1037,6 +1115,20 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN event_type IS NULL OR event_type = '' "
             "THEN 'original_topic' ELSE event_type END AS topic "
             "FROM events WHERE event_type IS NULL OR event_type <> 'click'"
+        ),
+        "debezium_unwrap": (
+            "WITH e AS (SELECT *, CASE WHEN event_type = 'error' THEN 'd' "
+            "WHEN event_type = 'purchase' THEN 'u' ELSE 'c' END AS op "
+            "FROM events) "
+            "SELECT event_id, user_id, "
+            "CASE WHEN op = 'd' THEN value - 1 ELSE value END AS val, "
+            "CASE WHEN op = 'd' THEN 'true' ELSE 'false' END AS deleted, "
+            "op, event_id AS lsn FROM e"
+        ),
+        "outbox_router": (
+            "SELECT 'outbox.event.' || event_type AS topic, "
+            "CAST(user_id AS VARCHAR) AS agg_id, props AS payload, "
+            "event_id AS ts FROM events"
         ),
         "filter_by_field_value_exact": (
             "SELECT event_id, event_type, user_id FROM events "

@@ -63,6 +63,10 @@ from transforms_for_apache_kafka_connect_spark.operators.stock3 import (
     MaskField,
     TimestampRouter,
 )
+from transforms_for_apache_kafka_connect_spark.operators.debezium import (
+    EventRouter,
+    ExtractNewRecordState,
+)
 from transforms_for_apache_kafka_connect_spark.operators.predicates import (
     PREDICATE_REGISTRY,
     Guarded,
@@ -114,4 +118,6 @@ __all__ = [
     "HasHeaderKey",
     "RecordIsTombstone",
     "build_predicate",
+    "ExtractNewRecordState",
+    "EventRouter",
 ]
