@@ -679,6 +679,30 @@ def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map file skipping: replay into a bucketed table (manifest
+    harvests per-file min/max from parquet footers at commit), then
+    read with a where-condition — files whose stats exclude the range
+    are pruned driver-side before the scan, and the result must equal
+    the full-scan filter (oracle)."""
+    stream = _events_as_change_stream(spark, sf_dir)
+    max_id = stream.agg(F.max("timestamp")).first()[0] or 0
+    root = tempfile.mkdtemp(prefix="tkc_skip_")
+    table = LakeTable(
+        os.path.join(root, "t"), key_cols=["user_id"], n_buckets=16,
+        discovery=False, merge_strategy="broadcast",
+    )
+    rep = Replayer(table=table, chain=Chain([]), epoch="driver")
+    rep.replay(stream, batch_width=max(1, (max_id + 3) // 3), max_pos=max_id + 1)
+    final = table.read(spark, where=[("_lsn", ">=", max_id // 2)])
+    return final.select(
+        "user_id",
+        F.col("_lsn").alias("last_event_id"),
+        "event_type",
+        "val",
+    )
+
+
 def q_cdc_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same replay as cdc_merge under the merge-on-read strategy
     (delta appends + LWW-resolved reads) — same oracle, proving the
@@ -1028,6 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_router": q_regex_router,
         "cdc_merge": q_cdc_merge,
         "cdc_merge_mor": q_cdc_merge_mor,
+        "data_skipping": q_data_skipping,
         "agg_lineitem": q_agg_lineitem,
         "join_agg": q_join_agg,
         "window_rank": q_window_rank,
@@ -1189,6 +1214,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT *, row_number() OVER "
             "(PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events) t "
             "WHERE rn = 1 AND event_type <> 'error'"
+        ),
+        "data_skipping": (
+            "SELECT user_id, event_id AS last_event_id, event_type, value AS val "
+            "FROM (SELECT *, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events) t "
+            "WHERE rn = 1 AND event_type <> 'error' "
+            "AND event_id >= (SELECT MAX(event_id) // 2 FROM events)"
         ),
         "cdc_merge_mor": (
             "SELECT user_id, event_id AS last_event_id, event_type, value AS val "

@@ -1,0 +1,147 @@
+"""Zone-map data skipping: per-file column min/max harvested from
+parquet footers into the manifest at commit, file pruning in
+read(where=...), and point lookup() via bucket + zone-map pruning."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from transforms_for_apache_kafka_connect_spark import Chain
+from transforms_for_apache_kafka_connect_spark.streaming import LakeTable, Replayer
+
+
+def _env(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "topic string, partition int, key struct<repo:string,path:string>, "
+        "value struct<op:string,lsn:bigint,ts_ms:bigint,"
+        "after:struct<content:string>>, "
+        "timestamp long, headers map<string,string>",
+    )
+
+
+def _seed(spark, root, *, strategy="shuffle", n=64):
+    table = LakeTable(
+        str(root), n_buckets=8,
+        discovery=(strategy != "broadcast"), merge_strategy=strategy,
+    )
+    rep = Replayer(table=table, chain=Chain([]), epoch="e1", unique_lsn=True)
+    rows = [
+        ("t", 0, (f"r{i % 4}", f"p{i}"), ("c", i + 1, i + 1, (f"v{i}",)),
+         i + 1, None)
+        for i in range(n)
+    ]
+    rep.apply_batch(_env(spark, rows), 0)
+    return table
+
+
+def test_stats_harvested_into_manifest(spark, tmp_path):
+    table = _seed(spark, tmp_path / "t")
+    m = table.manifest()
+    stats = m["file_stats"]
+    files = [f for fs in m["buckets"].values() for f in fs]
+    assert set(stats) == set(files)
+    # every file carries lsn + string-key zone maps
+    some = stats[files[0]]
+    assert "_lsn" in some and "repo" in some and "path" in some
+    mn, mx = some["_lsn"]
+    assert isinstance(mn, int) and mn <= mx
+
+
+def test_where_prunes_files_and_matches_full_scan(spark, tmp_path):
+    table = _seed(spark, tmp_path / "t")
+    full = table.read(spark).filter(F.col("_lsn") >= 60).collect()
+    pruned = table.read(spark, where=[("_lsn", ">=", 60)]).collect()
+    assert sorted(r["path"] for r in pruned) == sorted(
+        r["path"] for r in full
+    )
+    assert table.last_prune["files_read"] < table.last_prune["files_total"]
+
+    # equality on a key col
+    one = table.read(spark, where=[("path", "==", "p7")]).collect()
+    assert len(one) == 1 and one[0]["content"] == "v7"
+    assert table.last_prune["files_read"] < table.last_prune["files_total"]
+
+
+def test_where_validates_conditions(spark, tmp_path):
+    table = _seed(spark, tmp_path / "t", n=4)
+    with pytest.raises(ValueError, match="col, op, value"):
+        table.read(spark, where=[("path", "like", "p%")])
+
+
+def test_lookup_point_read(spark, tmp_path):
+    table = _seed(spark, tmp_path / "t")
+    got = table.lookup(spark, {"repo": "r1", "path": "p9"}).collect()
+    assert len(got) == 1 and got[0]["content"] == "v9"
+    # lookup scanned a single bucket's surviving files
+    assert table.last_prune["files_read"] <= table.last_prune["files_total"]
+    assert table.lookup(spark, {"repo": "r1", "path": "nope"}).count() == 0
+    with pytest.raises(ValueError, match="must bind exactly"):
+        table.lookup(spark, {"repo": "r1"})
+
+
+def test_mor_prunes_only_key_columns(spark, tmp_path):
+    # key p0 starts with lsn 1 (low) and is updated with lsn 100 (high);
+    # a zone-map prune on _lsn >= 100 would drop the base file but keep
+    # the delta — which LWW-resolves fine — but the dangerous direction
+    # is a predicate matching the OLD version only: _lsn <= 1 must NOT
+    # resurrect the superseded row. MoR restricts pruning to key
+    # columns and filters after resolution, so the result is empty.
+    table = LakeTable(
+        str(tmp_path / "mor"), n_buckets=4,
+        discovery=True, merge_strategy="append",
+    )
+    rep = Replayer(table=table, chain=Chain([]), epoch="e1", unique_lsn=True)
+    rep.apply_batch(
+        _env(spark, [
+            ("t", 0, ("r0", "p0"), ("c", 1, 1, ("old",)), 1, None),
+        ]),
+        0,
+    )
+    rep.apply_batch(
+        _env(spark, [
+            ("t", 0, ("r0", "p0"), ("u", 100, 100, ("new",)), 100, None),
+        ]),
+        1,
+    )
+    assert table.read(spark, where=[("_lsn", "<=", 1)]).count() == 0
+    got = table.read(spark, where=[("_lsn", ">=", 100)]).collect()
+    assert len(got) == 1 and got[0]["content"] == "new"
+    # key-column pruning still applies on MoR
+    one = table.read(spark, where=[("path", "==", "p0")]).collect()
+    assert len(one) == 1 and one[0]["content"] == "new"
+
+
+def test_stats_carry_forward_across_commits(spark, tmp_path):
+    table = _seed(spark, tmp_path / "t", n=16)
+    v1_stats = dict(table.manifest()["file_stats"])
+    rep = Replayer(table=table, chain=Chain([]), epoch="e2", unique_lsn=True)
+    rep.apply_batch(
+        _env(spark, [
+            ("t", 0, ("r0", "p0"), ("u", 1000, 1000, ("vnew",)), 1000, None),
+        ]),
+        0,
+    )
+    m = table.manifest()
+    files = {f for fs in m["buckets"].values() for f in fs}
+    assert set(m["file_stats"]) == files
+    # untouched buckets kept their old (carried-forward) stats objects
+    untouched = [f for f in files if f in v1_stats]
+    assert untouched and all(m["file_stats"][f] == v1_stats[f] for f in untouched)
+
+
+def test_collect_stats_off(spark, tmp_path):
+    table = LakeTable(
+        str(tmp_path / "ns"), n_buckets=4, collect_stats=False,
+    )
+    rep = Replayer(table=table, chain=Chain([]), epoch="e1", unique_lsn=True)
+    rep.apply_batch(
+        _env(spark, [
+            ("t", 0, ("r0", "p0"), ("c", 1, 1, ("v",)), 1, None),
+        ]),
+        0,
+    )
+    assert "file_stats" not in table.manifest()
+    # where still works (filter-only, no pruning)
+    assert table.read(spark, where=[("path", "==", "p0")]).count() == 1

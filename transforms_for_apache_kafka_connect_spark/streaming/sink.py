@@ -90,6 +90,94 @@ def observation_pruned(exc: Exception) -> bool:
     return "toPyRow" in s and "AssertionError" in s
 
 
+def _harvest_file_stats(path: str, cols: list[str] | None = None) -> dict:
+    """Per-column [min, max] zone map for one parquet file, read from
+    the file FOOTER only (pyarrow metadata — driver-side, no Spark job,
+    no data pages touched). The writers already paid for these stats;
+    harvesting them into the manifest is free data skipping.
+
+    Only top-level primitive columns with JSON-safe orderable values
+    (int/float/str/bool) are kept — nested paths and binary/temporal
+    types are skipped (absent stats simply mean 'cannot prune on this
+    column', never wrong results)."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+    except Exception:
+        return {}
+    agg: dict[str, list] = {}
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            name = col.path_in_schema
+            if "." in name:  # nested leaf — not a top-level column
+                continue
+            if cols is not None and name not in cols:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                # any row group without stats poisons the column for
+                # this file: mark unusable
+                agg[name] = None
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes) and isinstance(mx, bytes):
+                try:
+                    mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
+                except UnicodeDecodeError:
+                    agg[name] = None
+                    continue
+            if not (
+                isinstance(mn, (int, float, str)) and type(mn) is type(mx)
+            ) or isinstance(mn, bool):
+                agg[name] = None
+                continue
+            cur = agg.get(name)
+            if cur is None and name in agg:
+                continue  # poisoned by an earlier row group
+            if cur is None:
+                agg[name] = [mn, mx]
+            else:
+                agg[name] = [min(cur[0], mn), max(cur[1], mx)]
+    return {k: v for k, v in agg.items() if v is not None}
+
+
+#: supported where-condition operators -> (stats-prune test, Column op)
+_PRUNE_OPS = {
+    "==": lambda mn, mx, v: mn <= v <= mx,
+    ">=": lambda mn, mx, v: mx >= v,
+    ">": lambda mn, mx, v: mx > v,
+    "<=": lambda mn, mx, v: mn <= v,
+    "<": lambda mn, mx, v: mn < v,
+}
+
+
+def _file_matches(stats: dict, where, prunable: set[str] | None) -> bool:
+    """Can this file contain a row satisfying ALL conditions? Missing or
+    type-mismatched stats mean 'maybe' (keep). Parquet min/max exclude
+    nulls, and null values never satisfy these operators, so range
+    pruning is exact."""
+    for col, op, val in where:
+        if prunable is not None and col not in prunable:
+            continue
+        rng = stats.get(col)
+        if rng is None:
+            continue
+        mn, mx = rng
+        same_kind = (
+            isinstance(val, (int, float))
+            and isinstance(mn, (int, float))
+            and not isinstance(val, bool)
+        ) or (isinstance(val, str) and isinstance(mn, str))
+        if not same_kind:
+            continue
+        if not _PRUNE_OPS[op](mn, mx, val):
+            return False
+    return True
+
+
 @dataclass
 class LakeTable:
     root: str
@@ -115,6 +203,14 @@ class LakeTable:
     #: O(touched buckets) — the high-ingest-rate choice; reads pay one
     #: aggregate until compaction.
     merge_strategy: str = "shuffle"
+    #: harvest per-file column min/max zone maps (from parquet footers,
+    #: driver-side, no extra job) into the manifest at every commit;
+    #: ``read(where=...)`` and ``lookup`` use them for file skipping —
+    #: the Iceberg manifest-stats analog. None-cost to disable.
+    collect_stats: bool = True
+    #: restrict harvested stats to these columns (None = every
+    #: top-level primitive column the footers cover)
+    stats_cols: list[str] | None = None
 
     def __post_init__(self):
         os.makedirs(os.path.join(self.root, "_manifest"), exist_ok=True)
@@ -173,7 +269,23 @@ class LakeTable:
             return json.load(f)
 
     def _swap(self, manifest: dict[str, Any]) -> None:
-        """Write the new manifest, then atomically repoint CURRENT."""
+        """Write the new manifest, then atomically repoint CURRENT.
+
+        Zone maps ride every commit here (merge, append, compact,
+        rescale, ledger-only): stats for files surviving from the prior
+        version carry forward, new files get their footers harvested —
+        incremental, so each commit pays only for the files it wrote."""
+        if self.collect_stats:
+            prev = self.manifest().get("file_stats") or {}
+            stats: dict[str, dict] = {}
+            for fs in manifest["buckets"].values():
+                for f in fs:
+                    stats[f] = (
+                        prev[f]
+                        if f in prev
+                        else _harvest_file_stats(f, self.stats_cols)
+                    )
+            manifest["file_stats"] = stats
         version = manifest["version"]
         with open(self._manifest_path(version), "w") as f:
             json.dump(manifest, f)
@@ -192,16 +304,57 @@ class LakeTable:
         spark: SparkSession,
         buckets: list[int] | None = None,
         version: int | None = None,
+        where: list[tuple] | None = None,
     ) -> DataFrame:
         """Current table state, or a historical snapshot via ``version``
-        (Iceberg time-travel analog; snapshots survive until vacuumed)."""
+        (Iceberg time-travel analog; snapshots survive until vacuumed).
+
+        ``where`` = conjunctive conditions ``[(col, op, value), ...]``
+        with op in ``== >= > <= <``: files whose manifest zone maps
+        prove no row can match are skipped BEFORE the scan (driver-side
+        — at 100 TB this is the difference between listing a slice and
+        scanning the table), and the conditions are then applied as
+        real filters so the result is exactly the matching rows.
+
+        Merge-on-read safety: before LWW resolution a key's versions
+        may straddle files, so file skipping on a NON-key column could
+        drop a newer version and resurrect an older one. On MoR tables
+        only key-column conditions prune files (a key satisfying the
+        predicate keeps every file whose range covers it); everything
+        else still filters after resolution."""
         m = self.manifest(version)
+        for cond in where or []:
+            if len(cond) != 3 or cond[1] not in _PRUNE_OPS:
+                raise ValueError(
+                    f"where condition must be (col, op, value) with op in "
+                    f"{sorted(_PRUNE_OPS)}: {cond!r}"
+                )
         files = [
             f
             for b, fs in m["buckets"].items()
             if buckets is None or int(b) in buckets
             for f in fs
         ]
+        n_candidates = len(files)
+        if where and self.collect_stats:
+            fstats = m.get("file_stats") or {}
+            prunable = set(self.key_cols) if m.get("mor") else None
+            files = [
+                f
+                for f in files
+                if _file_matches(fstats.get(f, {}), where, prunable)
+            ]
+        self.last_prune = {"files_total": n_candidates, "files_read": len(files)}
+
+        def _filtered(df: DataFrame) -> DataFrame:
+            import operator as _op
+
+            ops = {"==": _op.eq, ">=": _op.ge, ">": _op.gt,
+                   "<=": _op.le, "<": _op.lt}
+            for col, op, val in where or []:
+                df = df.filter(ops[op](F.col(col), F.lit(val)))
+            return df
+
         if not files:
             from pyspark.sql import types as T
 
@@ -209,7 +362,8 @@ class LakeTable:
             if schema is None:
                 raise ValueError("empty table has no schema yet")
             df = spark.createDataFrame([], T.StructType.fromJson(schema))
-            return self._resolve_mor(df) if m.get("mor") else df
+            df = self._resolve_mor(df) if m.get("mor") else df
+            return _filtered(df)
         if m["schema"] is not None:
             # the manifest records the evolved (union) schema at commit
             # time — reading with it skips the per-batch distributed
@@ -221,7 +375,42 @@ class LakeTable:
         else:
             reader = spark.read.option("mergeSchema", "true")
         df = reader.parquet(*files).drop(BUCKET_COL)
-        return self._resolve_mor(df) if m.get("mor") else df
+        df = self._resolve_mor(df) if m.get("mor") else df
+        return _filtered(df)
+
+    def lookup(self, spark: SparkSession, key: dict[str, Any]) -> DataFrame:
+        """Point lookup by full key: bucket pruning (the key hashes to
+        exactly one bucket) + zone-map file skipping + the equality
+        filter — a 100 TB table answers this from one bucket's
+        surviving files. ``key`` must bind every key column."""
+        if sorted(key) != sorted(self.key_cols):
+            raise ValueError(
+                f"lookup key must bind exactly {self.key_cols}, got "
+                f"{sorted(key)}"
+            )
+        m = self.manifest()
+        if m["schema"] is None:
+            raise ValueError("empty table has no schema yet")
+        from pyspark.sql import types as T
+
+        schema = T.StructType.fromJson(m["schema"])
+        # bucket id via the engine's own hash expression on a one-row
+        # local plan (constant-folded — no data scan), so Python never
+        # re-implements Spark's xxhash64
+        lits = [
+            F.lit(key[c]).cast(schema[c].dataType) for c in self.key_cols
+        ]
+        bucket = (
+            spark.range(1)
+            .select(
+                F.pmod(F.xxhash64(*lits), F.lit(self.n_buckets))
+                .cast("int")
+                .alias("b")
+            )
+            .first()["b"]
+        )
+        where = [(c, "==", key[c]) for c in self.key_cols]
+        return self.read(spark, buckets=[bucket], where=where)
 
     def lineage(self, spark: SparkSession) -> DataFrame:
         """Per-partition lineage rows (north_rule) as a DataFrame:
