@@ -169,6 +169,45 @@ def main() -> None:
           and "Exchange" not in target_side,
           f"exchanges={p.count('Exchange')}")
 
+    # 10. predicate-guarded mutator: one fused plan, no join/cartesian,
+    # no Python — the when-merge compiles to pure projections
+    p = fmt(qs["guarded_mask"](spark, sf_dir))
+    check("guarded_mask: no join in the guarded-mutator plan",
+          "Join" not in p and "CartesianProduct" not in p)
+    check("guarded_mask: no Python eval in plan", "Python" not in p)
+
+    # 11. debezium unwrap+route chain: fused, UDF-free
+    p = fmt(qs["debezium_unwrap"](spark, sf_dir))
+    check("debezium_unwrap: no Python eval in plan", "Python" not in p)
+    # (formatted explain prints each operator twice: tree + detail)
+    check("debezium_unwrap: single scan, no shuffle",
+          p.count("Scan parquet") <= 2 and "Exchange" not in p)
+
+    # 12. zone-map data skipping: the pruned read scans fewer files
+    # than the table holds (driver-side manifest pruning, before Spark)
+    import tempfile as _tf
+
+    from transforms_for_apache_kafka_connect_spark.streaming import (
+        LakeTable as _LT, Replayer as _Rep,
+    )
+    from transforms_for_apache_kafka_connect_spark import Chain as _Chain
+
+    # MoR delta files each cover one batch's tight LSN range — the
+    # clustered layout where zone maps actually pay; a "recent changes"
+    # read (_lsn >= high) must skip the cold delta files entirely
+    stream = entrymod._events_as_change_stream(spark, sf_dir)
+    max_id = stream.agg(_F.max("timestamp")).first()[0] or 0
+    skroot = _tf.mkdtemp(prefix="audit_skip_")
+    skt = _LT(os.path.join(skroot, "t"), key_cols=["user_id"],
+              n_buckets=16, discovery=True, merge_strategy="append")
+    _Rep(table=skt, chain=_Chain([]), epoch="audit").replay(
+        stream, batch_width=max(1, (max_id + 4) // 4), max_pos=max_id + 1
+    )
+    skt.read(spark, where=[("_lsn", ">=", max_id - max_id // 10)]).count()
+    check("data skipping: recent-changes read prunes cold MoR delta files",
+          skt.last_prune["files_read"] < skt.last_prune["files_total"],
+          f"{skt.last_prune['files_read']}/{skt.last_prune['files_total']} files")
+
     n_fail = sum(1 for _, ok, _ in checks if not ok)
     lines = [
         "# BENCH/PLANS.md — Catalyst plan audit",

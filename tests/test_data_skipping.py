@@ -106,8 +106,13 @@ def test_mor_prunes_only_key_columns(spark, tmp_path):
         1,
     )
     assert table.read(spark, where=[("_lsn", "<=", 1)]).count() == 0
+    # <=/< never prunes on MoR — every file must be read
+    assert table.last_prune["files_read"] == table.last_prune["files_total"]
     got = table.read(spark, where=[("_lsn", ">=", 100)]).collect()
     assert len(got) == 1 and got[0]["content"] == "new"
+    # >=/> IS monotone-safe on the resolution column: the cold delta
+    # file (lsn range [1,1]) is skipped
+    assert table.last_prune["files_read"] < table.last_prune["files_total"]
     # key-column pruning still applies on MoR
     one = table.read(spark, where=[("path", "==", "p0")]).collect()
     assert len(one) == 1 and one[0]["content"] == "new"

@@ -319,9 +319,21 @@ class LakeTable:
         Merge-on-read safety: before LWW resolution a key's versions
         may straddle files, so file skipping on a NON-key column could
         drop a newer version and resurrect an older one. On MoR tables
-        only key-column conditions prune files (a key satisfying the
-        predicate keeps every file whose range covers it); everything
-        else still filters after resolution."""
+        three condition shapes prune files, everything else only
+        filters after resolution:
+
+        * key columns — constant per key, so a matching key keeps every
+          file whose range covers it;
+        * ``_lsn`` with ``>=`` / ``>`` — monotone in the resolution
+          order: any pruned row has ``_lsn < X``; if the key's true
+          winner satisfies the predicate its file survives (file max >=
+          winner lsn >= X) and resolution is unchanged, and if it
+          doesn't, the post-resolution filter drops the key either way.
+          This is the shape that makes "recent changes" reads on MoR
+          delta files (each covering one batch's tight LSN range) skip
+          the cold files. The symmetric ``<=`` / ``<`` must NOT prune:
+          skipping a newer version's file would resurrect a superseded
+          or deleted row."""
         m = self.manifest(version)
         for cond in where or []:
             if len(cond) != 3 or cond[1] not in _PRUNE_OPS:
@@ -338,11 +350,18 @@ class LakeTable:
         n_candidates = len(files)
         if where and self.collect_stats:
             fstats = m.get("file_stats") or {}
-            prunable = set(self.key_cols) if m.get("mor") else None
+            if m.get("mor"):
+                prune_conds = [
+                    c for c in where
+                    if c[0] in self.key_cols
+                    or (c[0] == "_lsn" and c[1] in (">=", ">"))
+                ]
+            else:
+                prune_conds = list(where)
             files = [
                 f
                 for f in files
-                if _file_matches(fstats.get(f, {}), where, prunable)
+                if _file_matches(fstats.get(f, {}), prune_conds, None)
             ]
         self.last_prune = {"files_total": n_candidates, "files_read": len(files)}
 
