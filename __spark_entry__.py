@@ -322,6 +322,44 @@ def q_filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kafka_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka-source-shape ingestion: serialize events to the exact
+    DataFrame schema Spark's Kafka connector produces (binary JSON
+    key/value, headers array, timestamp, offset), convert through
+    envelope_from_kafka, and read the typed fields back (round-trip
+    identity oracle; offset survives as the LSN channel)."""
+    from transforms_for_apache_kafka_connect_spark.sources import (
+        envelope_from_kafka,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    kafka_shaped = ev.select(
+        F.to_json(F.struct(F.col("event_id"))).cast("binary").alias("key"),
+        F.to_json(
+            F.struct(F.col("user_id"), F.col("event_type"))
+        ).cast("binary").alias("value"),
+        F.lit("t0").alias("topic"),
+        F.lit(0).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.col("ts").cast("timestamp").alias("timestamp"),
+        F.lit(0).cast("int").alias("timestampType"),
+        F.lit(None).cast(
+            "array<struct<key:string,value:binary>>"
+        ).alias("headers"),
+    )
+    env = enforce(envelope_from_kafka(
+        kafka_shaped,
+        key_schema="event_id bigint",
+        value_schema="user_id bigint, event_type string",
+    ))
+    return env.select(
+        F.col("key.event_id").alias("event_id"),
+        F.col("value.user_id").alias("user_id"),
+        F.col("value.event_type").alias("event_type"),
+        F.col("offset").alias("kafka_offset"),
+    )
+
+
 def q_debezium_unwrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Debezium ExtractNewRecordState compat: synthesize a Debezium
     envelope over events (op from event_type, before = prior image),
@@ -1038,6 +1076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_predicate": q_filter_predicate,
         "debezium_unwrap": q_debezium_unwrap,
         "outbox_router": q_outbox_router,
+        "kafka_boundary": q_kafka_boundary,
         "filter_by_field_value_exact": q_filter_exact,
         "filter_by_field_value_regex": q_filter_regex,
         "extract_timestamp": q_extract_timestamp,
@@ -1154,6 +1193,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'outbox.event.' || event_type AS topic, "
             "CAST(user_id AS VARCHAR) AS agg_id, props AS payload, "
             "event_id AS ts FROM events"
+        ),
+        "kafka_boundary": (
+            "SELECT event_id, user_id, event_type, "
+            "event_id AS kafka_offset FROM events"
         ),
         "filter_by_field_value_exact": (
             "SELECT event_id, event_type, user_id FROM events "

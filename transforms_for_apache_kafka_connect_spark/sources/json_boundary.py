@@ -101,6 +101,7 @@ def envelope_from_json(
     key_col: str = "key",
     value_col: str = "value",
     infer_sample: int = 1000,
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
     """Raw JSON-bytes stream -> typed envelope.
 
@@ -162,6 +163,7 @@ def envelope_from_json(
         # key must not point the operator at the — valid — value)
         F.when(key_bad, raw_key).otherwise(raw_value).alias("__raw_bad"),
         (value_bad | key_bad).alias("__json_bad"),
+        *[F.col(c) for c in (passthrough or []) if c in cols],
     )
     env = ensure_error_col(env)
     env = merge_error(
@@ -173,6 +175,116 @@ def envelope_from_json(
         ),
     )
     return env.drop("__raw_bad", "__json_bad")
+
+
+def envelope_from_kafka(
+    raw: DataFrame,
+    *,
+    value_schema: T.StructType | str | None = None,
+    key_schema: T.StructType | str | None = None,
+    parse_json: bool = True,
+    infer_sample: int = 1000,
+) -> DataFrame:
+    """Spark Kafka-source DataFrame -> typed envelope.
+
+    ``spark.read/readStream.format("kafka")`` produces exactly
+    ``key binary, value binary, topic string, partition int,
+    offset long, timestamp timestamp, timestampType int`` (plus
+    ``headers array<struct<key:string, value:binary>>`` with
+    ``includeHeaders=true``). This adapter turns that shape into the
+    engine envelope with pure Column expressions:
+
+    * headers array -> ``map<string,string>`` (UTF-8; Kafka allows
+      duplicate header keys — last occurrence wins, matching Connect's
+      ``Headers.lastWithName``);
+    * timestamp -> epoch millis;
+    * key/value bytes -> typed structs via the JSON converter boundary
+      (``parse_json=True``) or UTF-8 strings (``parse_json=False``,
+      the raw-passthrough path);
+    * the Kafka ``offset`` survives as a passthrough column — with
+      compacted-topic ingestion it is the natural per-partition LSN
+      for the engine's LWW dedupe.
+
+    Malformed JSON follows the converter error contract
+    (``SERIALIZATION_ERROR`` -> batch-fail gate)."""
+    cols = dict.fromkeys(raw.columns)
+    if "value" not in cols:
+        raise ValueError("kafka frame must have a 'value' column")
+
+    prepped = raw
+    if "headers" in cols and isinstance(
+        raw.schema["headers"].dataType, T.ArrayType
+    ):
+        entries = F.transform(
+            F.col("headers"),
+            lambda h: F.struct(
+                h.getField("key").alias("key"),
+                h.getField("value").cast("string").alias("value"),
+            ),
+        )
+        # map_from_entries raises on duplicate keys; Kafka headers are
+        # multi-valued, so fold duplicates last-wins first
+        deduped = F.filter(
+            entries,
+            lambda e, i: i
+            == F.array_max(
+                F.transform(
+                    entries,
+                    lambda e2, i2: F.when(
+                        e2.getField("key") == e.getField("key"), i2
+                    ).otherwise(F.lit(-1)),
+                )
+            ),
+        )
+        prepped = prepped.withColumn(
+            "headers",
+            F.when(
+                F.col("headers").isNotNull(), F.map_from_entries(deduped)
+            ).cast("map<string,string>"),
+        )
+    ts_type = (
+        raw.schema["timestamp"].dataType if "timestamp" in cols else None
+    )
+    if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
+        prepped = prepped.withColumn(
+            "timestamp", F.unix_millis(F.col("timestamp").cast("timestamp"))
+        )
+
+    passthrough = [c for c in ("offset",) if c in cols]
+    if parse_json:
+        return envelope_from_json(
+            prepped,
+            value_schema=value_schema,
+            key_schema=key_schema,
+            infer_sample=infer_sample,
+            passthrough=passthrough,
+        )
+    return ensure_error_col(
+        prepped.select(
+            (F.col("topic") if "topic" in cols else F.lit("kafka_topic"))
+            .alias("topic"),
+            (
+                F.col("partition").cast("int")
+                if "partition" in cols
+                else F.lit(0).cast("int")
+            ).alias("partition"),
+            _as_string(F.col("key")).alias("key")
+            if "key" in cols
+            else F.lit(None).cast("string").alias("key"),
+            _as_string(F.col("value")).alias("value"),
+            (
+                F.col("timestamp").cast("long")
+                if "timestamp" in cols
+                else F.lit(None).cast("long")
+            ).alias("timestamp"),
+            (
+                F.col("headers")
+                if "headers" in cols
+                else F.lit(None).cast("map<string,string>")
+            ).alias("headers"),
+            *[F.col(c) for c in passthrough],
+        )
+    )
 
 
 def envelope_to_json(env: DataFrame, *, as_binary: bool = False) -> DataFrame:
