@@ -24,3 +24,10 @@ class ConfigException(ValueError):
 
 class DataException(RuntimeError):
     """Bad record/schema encountered (reference: DataException)."""
+
+
+class CommitConflictException(RuntimeError):
+    """Another writer advanced the table between this commit's manifest
+    read and its publish (optimistic-concurrency check in the manifest
+    swap / WAP publish). Re-read and replay the batch — the
+    exactly-once ledger makes the retry safe."""

@@ -268,31 +268,101 @@ class LakeTable:
         with open(self._manifest_path(version)) as f:
             return json.load(f)
 
-    def _swap(self, manifest: dict[str, Any]) -> None:
-        """Write the new manifest, then atomically repoint CURRENT.
-
-        Zone maps ride every commit here (merge, append, compact,
+    def _attach_stats(self, manifest: dict[str, Any]) -> None:
+        """Zone maps ride every commit (merge, append, compact,
         rescale, ledger-only): stats for files surviving from the prior
         version carry forward, new files get their footers harvested —
         incremental, so each commit pays only for the files it wrote."""
-        if self.collect_stats:
-            prev = self.manifest().get("file_stats") or {}
-            stats: dict[str, dict] = {}
-            for fs in manifest["buckets"].values():
-                for f in fs:
-                    stats[f] = (
-                        prev[f]
-                        if f in prev
-                        else _harvest_file_stats(f, self.stats_cols)
-                    )
-            manifest["file_stats"] = stats
+        if not self.collect_stats:
+            return
+        prev = self.manifest().get("file_stats") or {}
+        stats: dict[str, dict] = {}
+        for fs in manifest["buckets"].values():
+            for f in fs:
+                stats[f] = (
+                    prev[f]
+                    if f in prev
+                    else _harvest_file_stats(f, self.stats_cols)
+                )
+        manifest["file_stats"] = stats
+
+    def _swap(self, manifest: dict[str, Any]) -> None:
+        """Write the new manifest, then atomically repoint CURRENT.
+
+        Optimistic concurrency: the manifest-vN file is created with
+        O_EXCL — two writers that both built against version N-1 race
+        to create the same file, exactly one wins, the loser gets
+        CommitConflictException and must re-read + replay (safe under
+        the exactly-once ledger). The CURRENT repoint then belongs to
+        the creation winner."""
+        self._attach_stats(manifest)
         version = manifest["version"]
-        with open(self._manifest_path(version), "w") as f:
-            json.dump(manifest, f)
+        try:
+            with open(self._manifest_path(version), "x") as f:
+                json.dump(manifest, f)
+        except FileExistsError:
+            from transforms_for_apache_kafka_connect_spark.errors import (
+                CommitConflictException,
+            )
+
+            raise CommitConflictException(
+                f"version {version} was already committed by another "
+                f"writer; re-read the table and replay the batch"
+            ) from None
         tmp = self._current_path + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             f.write(str(version))
         os.replace(tmp, self._current_path)  # atomic on POSIX
+
+    # -------------------------------------------------- write-audit-publish
+
+    def _stage(self, manifest: dict[str, Any]) -> str:
+        """WAP: write the commit as a STAGED manifest (no CURRENT move,
+        no version claim). Data files are already on disk; the staged
+        token can be audited with ``read_staged`` and made live with
+        ``publish`` — or abandoned (``vacuum`` reclaims the orphaned
+        files; do not vacuum while an audit is in flight)."""
+        self._attach_stats(manifest)
+        token = f"staged-{uuid.uuid4().hex}"
+        with open(os.path.join(self.root, "_manifest", f"{token}.json"), "w") as f:
+            json.dump(manifest, f)
+        return token
+
+    def read_staged(self, spark: SparkSession, token: str, **kwargs) -> DataFrame:
+        """Audit read of a staged (unpublished) commit."""
+        return self.read(spark, _manifest=self._staged_manifest(token), **kwargs)
+
+    def _staged_manifest(self, token: str) -> dict[str, Any]:
+        with open(os.path.join(self.root, "_manifest", f"{token}.json")) as f:
+            return json.load(f)
+
+    def publish(self, token: str) -> dict[str, Any]:
+        """Make a staged commit live: claim its version with an atomic
+        exclusive link (the same optimistic-concurrency gate as
+        ``_swap`` — if any writer advanced the table since the stage,
+        this raises CommitConflictException and the stage must be
+        redone against the new state), then repoint CURRENT."""
+        staged_path = os.path.join(self.root, "_manifest", f"{token}.json")
+        m = self._staged_manifest(token)
+        version = m["version"]
+        try:
+            os.link(staged_path, self._manifest_path(version))
+        except FileExistsError:
+            from transforms_for_apache_kafka_connect_spark.errors import (
+                CommitConflictException,
+            )
+
+            raise CommitConflictException(
+                f"version {version} was committed by another writer while "
+                f"this stage was under audit; re-stage against the current "
+                f"table"
+            ) from None
+        tmp = self._current_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, self._current_path)
+        os.remove(staged_path)
+        return {"published": True, "version": version}
 
     # -------------------------------------------------------------- reads
 
@@ -305,6 +375,7 @@ class LakeTable:
         buckets: list[int] | None = None,
         version: int | None = None,
         where: list[tuple] | None = None,
+        _manifest: dict[str, Any] | None = None,
     ) -> DataFrame:
         """Current table state, or a historical snapshot via ``version``
         (Iceberg time-travel analog; snapshots survive until vacuumed).
@@ -334,7 +405,7 @@ class LakeTable:
           the cold files. The symmetric ``<=`` / ``<`` must NOT prune:
           skipping a newer version's file would resurrect a superseded
           or deleted row."""
-        m = self.manifest(version)
+        m = _manifest if _manifest is not None else self.manifest(version)
         for cond in where or []:
             if len(cond) != 3 or cond[1] not in _PRUNE_OPS:
                 raise ValueError(
@@ -543,6 +614,7 @@ class LakeTable:
     def _merge_append(
         self, m, upd, *, touched, n_upd, obs, touched_rows,
         epoch, batch_id, delete_col, lineage, pre_commit,
+        publish: bool = True,
     ) -> dict[str, Any]:
         """Merge-on-read commit: append this batch's update rows
         (deletes as ``_deleted`` markers) without reading the target at
@@ -632,10 +704,15 @@ class LakeTable:
         }
         if pre_commit is not None:
             pre_commit(n_upd)
-        self._swap(commit)
+        staged = None
+        if publish:
+            self._swap(commit)
+        else:
+            staged = self._stage(commit)
         return {
             "skipped": False,
             "version": version,
+            "staged": staged,
             "touched_buckets": touched if touched is not None else "all",
             "n_updates": n_upd,
             "mode": "append",
@@ -855,9 +932,15 @@ class LakeTable:
         delete_col: str = "__is_delete",
         lineage: list[dict] | None = None,
         pre_commit=None,
+        publish: bool = True,
     ) -> dict[str, Any]:
         """Upsert/delete ``updates`` (≤1 row per key — run lww_dedupe
         first) into the table; exactly-once keyed on (epoch, batch_id).
+
+        ``publish=False`` = write-audit-publish: the commit is fully
+        written but STAGED (no CURRENT move, batch not yet in the
+        ledger); the returned ``staged`` token can be audited with
+        ``read_staged`` and made live with ``publish(token)``.
 
         ``pre_commit`` (optional callable) runs after the data files are
         written but BEFORE the manifest swap: raising there aborts the
@@ -908,9 +991,14 @@ class LakeTable:
                 commit["key_cols"] = self.key_cols
                 if pre_commit is not None:
                     pre_commit(0)  # verifiably empty batch
-                self._swap(commit)
+                staged = None
+                if publish:
+                    self._swap(commit)
+                else:
+                    staged = self._stage(commit)
                 return {
                     "skipped": False,
+                    "staged": staged,
                     "touched_buckets": [],
                     "version": commit["version"],
                 }
@@ -933,9 +1021,14 @@ class LakeTable:
                 commit["key_cols"] = self.key_cols
                 if pre_commit is not None:
                     pre_commit(0)  # verifiably empty batch
-                self._swap(commit)
+                staged = None
+                if publish:
+                    self._swap(commit)
+                else:
+                    staged = self._stage(commit)
                 return {
                     "skipped": False,
+                    "staged": staged,
                     "touched_buckets": [],
                     "version": commit["version"],
                 }
@@ -962,7 +1055,7 @@ class LakeTable:
                 m, upd, touched=touched, n_upd=n_upd, obs=obs,
                 touched_rows=touched_rows if self.discovery else None,
                 epoch=epoch, batch_id=batch_id, delete_col=delete_col,
-                lineage=lineage, pre_commit=pre_commit,
+                lineage=lineage, pre_commit=pre_commit, publish=publish,
             )
 
         have_target = bool(m["buckets"]) and (
@@ -1148,10 +1241,15 @@ class LakeTable:
         if pre_commit is not None:
             # may raise -> batch stays uncommitted (replayable)
             pre_commit(n_upd)
-        self._swap(commit)
+        staged = None
+        if publish:
+            self._swap(commit)
+        else:
+            staged = self._stage(commit)
         return {
             "skipped": False,
             "version": version,
+            "staged": staged,
             "touched_buckets": touched if touched is not None else "all",
             "n_updates": n_upd,
             "total_rows": total_rows,
