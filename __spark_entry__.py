@@ -875,6 +875,21 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_duplicates(base, num_hashes=32, bands=16, threshold=0.8)
 
 
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup pipeline tail: MinHash-LSH pairs -> connected
+    components -> (doc_id, canonical_id). Oracle = transitive closure
+    (recursive CTE) over the brute-force jaccard pair list, valid for
+    the same reason the minhash_lsh oracle is (miss prob ~1e-7)."""
+    from transforms_for_apache_kafka_connect_spark.functions import (
+        near_dup_clusters,
+    )
+
+    base = _docs_with_dups(spark, sf_dir).filter(
+        (F.col("doc_id") < 300) | (F.col("doc_id") >= 100_000)
+    )
+    return near_dup_clusters(base, num_hashes=32, bands=16, threshold=0.8)
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transforms_for_apache_kafka_connect_spark.functions import brute_force_topk
 
@@ -1103,6 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
+        "near_dup_clusters": q_near_dup_clusters,
         "ann_topk": q_ann_topk,
         "simhash": q_simhash,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1341,6 +1357,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ngram_jaccard": _jaccard_sql(0.6),
         "minhash_lsh": _jaccard_sql(0.8),
+        "near_dup_clusters": (
+            "WITH RECURSIVE pr AS (SELECT id_a, id_b FROM ("
+            + _jaccard_sql(0.8)
+            + ") jp), "
+            "edges AS (SELECT id_a AS u, id_b AS v FROM pr "
+            "UNION SELECT id_b, id_a FROM pr), "
+            "reach(u, v) AS (SELECT u, v FROM edges "
+            "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u) "
+            "SELECT u AS doc_id, least(MIN(v), u) AS canonical_id "
+            "FROM reach GROUP BY u"
+        ),
         "ann_topk": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qv "
             "FROM embeddings WHERE vec_id < 5) "

@@ -6,7 +6,9 @@ from transforms_for_apache_kafka_connect_spark.functions.text import (
 )
 from transforms_for_apache_kafka_connect_spark.functions.dedupe import (
     exact_duplicates,
+    connected_components,
     minhash_lsh_duplicates,
+    near_dup_clusters,
     ngram_jaccard_pairs,
     simhash_signatures,
     embedding_near_duplicates,
@@ -24,7 +26,9 @@ __all__ = [
     "fingerprint",
     "token_count",
     "exact_duplicates",
+    "connected_components",
     "minhash_lsh_duplicates",
+    "near_dup_clusters",
     "ngram_jaccard_pairs",
     "simhash_signatures",
     "embedding_near_duplicates",

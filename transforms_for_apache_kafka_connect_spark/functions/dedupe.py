@@ -351,3 +351,103 @@ def embedding_near_duplicates(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ------------------------------------------------- near-dup clustering
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    left_col: str = "id_a",
+    right_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair list:
+    ``(id, component)`` with component = the smallest id reachable.
+
+    Iterative min-label propagation: each round every vertex adopts the
+    minimum label in its closed neighborhood (one shuffle join + one
+    aggregate per round), stopping when a round changes nothing. Rounds
+    needed = graph diameter — near-dup graphs are unions of small
+    quasi-cliques (copies of the same document), so 2-4 rounds in
+    practice. The convergence check rides the SAME aggregate (count of
+    changed labels), not an extra pass. For adversarial long-chain
+    graphs at 10^10 edges, switch to the alternating large-star/
+    small-star formulation (Kiveris et al.) — same join shape, fewer
+    rounds; this propagation is the simple special case that matches
+    the dedup workload.
+    """
+    # iterative algorithms MUST truncate lineage each round —
+    # localCheckpoint (eager) materializes the round's result and cuts
+    # the plan, or round N's plan contains all N-1 predecessors and the
+    # driver melts before the data does. (At cluster scale with
+    # executor loss in play, swap for reliable checkpoint() on a
+    # checkpoint dir — same shape.)
+    edges = (
+        pairs.select(
+            F.col(left_col).alias("src"), F.col(right_col).alias("dst")
+        )
+        .union(
+            pairs.select(
+                F.col(right_col).alias("src"), F.col(left_col).alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id, "inner")
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        stepped = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_min"), F.col("component")),
+                ).alias("component"),
+                F.coalesce(
+                    F.col("nbr_min") < F.col("component"), F.lit(False)
+                ).alias("__changed"),
+            )
+            .localCheckpoint()  # eager: one materialization per round
+        )
+        changed = stepped.filter(F.col("__changed")).limit(1).count()
+        labels = stepped.drop("__changed")
+        if changed == 0:
+            break
+    return labels
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 16,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """End-to-end near-dup clustering: MinHash-LSH pairs → connected
+    components → one row per clustered document with its canonical
+    representative (= the smallest id in the component, the row a
+    dedup pipeline keeps). Documents with no near-dup stay absent —
+    they are their own cluster trivially."""
+    pairs = minhash_lsh_duplicates(
+        df, text_col=text_col, id_col=id_col,
+        num_hashes=num_hashes, bands=bands, n=n, threshold=threshold,
+    )
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("id").alias(id_col), F.col("component").alias("canonical_id")
+    )
