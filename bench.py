@@ -239,7 +239,12 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
         "chain_fused", "hash", "filter_by_field_value_exact",
         "extract_topic", "lww_dedupe", "cdc_merge", "cdc_merge_mor",
         # training-data ops (documents/events tables at this sf)
-        "dedup_exact", "minhash_lsh", "json_boundary", "lang_id",
+        "dedup_exact", "minhash_lsh", "near_dup_clusters", "json_boundary",
+        "lang_id",
+        # ingestion boundaries + Debezium compat
+        "kafka_boundary", "debezium_unwrap",
+        # zone-map pruned read over a replayed table
+        "data_skipping",
     ]
     out = {}
     qs = entrymod.queries()
