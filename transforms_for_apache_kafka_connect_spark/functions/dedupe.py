@@ -424,8 +424,15 @@ def connected_components(
         changed = stepped.filter(F.col("__changed")).limit(1).count()
         labels = stepped.drop("__changed")
         if changed == 0:
-            break
-    return labels
+            return labels
+    # silent non-convergence would split true components into several
+    # "canonical" clusters — a dedup pipeline would then keep duplicate
+    # copies while believing it deduped. Fail loudly instead.
+    raise RuntimeError(
+        f"connected_components did not converge within max_iter="
+        f"{max_iter} rounds; the pair graph has a longer chain than "
+        f"expected — raise max_iter (rounds needed = graph diameter)"
+    )
 
 
 def near_dup_clusters(
@@ -437,6 +444,7 @@ def near_dup_clusters(
     bands: int = 16,
     n: int = 3,
     threshold: float = 0.8,
+    max_iter: int = 25,
 ) -> DataFrame:
     """End-to-end near-dup clustering: MinHash-LSH pairs → connected
     components → one row per clustered document with its canonical
@@ -447,7 +455,7 @@ def near_dup_clusters(
         df, text_col=text_col, id_col=id_col,
         num_hashes=num_hashes, bands=bands, n=n, threshold=threshold,
     )
-    comp = connected_components(pairs)
+    comp = connected_components(pairs, max_iter=max_iter)
     return comp.select(
         F.col("id").alias(id_col), F.col("component").alias("canonical_id")
     )

@@ -214,6 +214,98 @@ SUPPORTED_SCALAR_TYPES = (
 )
 
 
+def align_to_type(
+    old: Column, old_dt: T.DataType, new_dt: T.DataType, *, context: str
+) -> Column:
+    """Rebuild ``old`` in the shape of ``new_dt`` — only for WIDENING
+    changes (new struct ⊇ old struct fields, recursively; or an atomic
+    -> atomic cast). A narrowing change (field dropped) or a
+    struct<->atomic replacement cannot be merged row-conditionally
+    without corrupting the rows that keep the old value, so it raises
+    ``ConfigException`` at plan time instead of silently losing data.
+    """
+    if old_dt == new_dt:
+        return old
+    if isinstance(old_dt, T.StructType) and isinstance(new_dt, T.StructType):
+        new_names = set(new_dt.fieldNames())
+        dropped = [n for n in old_dt.fieldNames() if n not in new_names]
+        if dropped:
+            raise ConfigException(
+                f"{context}: stage narrows the struct (drops fields "
+                f"{dropped}) — a conditional merge would silently lose "
+                f"those fields on non-matching rows"
+            )
+        old_names = set(old_dt.fieldNames())
+        parts = []
+        for f in new_dt.fields:
+            if f.name in old_names:
+                parts.append(
+                    align_to_type(
+                        old.getField(f.name),
+                        old_dt[f.name].dataType,
+                        f.dataType,
+                        context=context,
+                    ).alias(f.name)
+                )
+            else:
+                parts.append(F.lit(None).cast(f.dataType).alias(f.name))
+        # null struct in -> null struct out (tombstone-safe)
+        return F.when(old.isNotNull(), F.struct(*parts))
+    atomic = (
+        T.StringType, T.BooleanType, T.ByteType, T.ShortType,
+        T.IntegerType, T.LongType, T.FloatType, T.DoubleType,
+        T.DecimalType, T.TimestampType, T.DateType,
+    )
+    if isinstance(old_dt, atomic) and isinstance(new_dt, atomic):
+        return old.cast(new_dt)
+    raise ConfigException(
+        f"{context}: stage replaces column type "
+        f"{old_dt.simpleString()} with {new_dt.simpleString()} — "
+        f"cannot merge conditionally"
+    )
+
+
+def project_to_struct(
+    col: Column, src: T.StructType, dst: T.StructType
+) -> Column:
+    """Rebuild ``col`` (src struct) in dst's field shape: shared fields
+    copied (cast as needed), dst-only fields null, src-only fields
+    DROPPED (intentional — e.g. a Debezium before-image projected into
+    the after-image shape). For the strict widening-only variant used
+    by conditional merges, see ``align_to_type``."""
+    src_names = set(src.fieldNames())
+    parts = []
+    for f in dst.fields:
+        if f.name in src_names:
+            parts.append(col.getField(f.name).cast(f.dataType).alias(f.name))
+        else:
+            parts.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return F.when(col.isNotNull(), F.struct(*parts))
+
+
+def template_concat(template: str, placeholders: dict[str, Column]) -> Column:
+    """``"a.${x}.b"``-style format string -> one ``concat`` Column,
+    substituting each ``${name}`` with its Column (shared by
+    TimestampRouter and the outbox EventRouter)."""
+    parts: list[Column] = []
+    rest = template
+    while rest:
+        hits = [
+            (rest.find("${" + name + "}"), name)
+            for name in placeholders
+            if rest.find("${" + name + "}") >= 0
+        ]
+        if not hits:
+            parts.append(F.lit(rest))
+            break
+        idx, name = min(hits)
+        if idx > 0:
+            parts.append(F.lit(rest[:idx]))
+        parts.append(placeholders[name])
+        rest = rest[idx + len("${" + name + "}"):]
+    return F.concat(*parts) if parts else F.lit("")
+
+
 def parse_typed_literal(s: str) -> Column:
     """Typed parse of a config string, like ``Values.parseString``
     (reference FilterByFieldValue.java:83: "42" parses to a numeric and

@@ -58,11 +58,13 @@ from transforms_for_apache_kafka_connect_spark.operators.base import (
     is_struct,
     parse_list,
     place_type,
+    project_to_struct,
     register,
     struct_field_type,
     struct_has_field,
+    template_concat,
 )
-from transforms_for_apache_kafka_connect_spark.record import keep_rows
+from transforms_for_apache_kafka_connect_spark.record import keep_rows, merge_error
 
 _DELETE_MODES = ("drop", "none", "rewrite")
 
@@ -71,6 +73,11 @@ _DELETE_MODES = ("drop", "none", "rewrite")
 @dataclass
 class ExtractNewRecordState(Stage):
     """Debezium ExtractNewRecordState (envelope unwrap)."""
+
+    #: this mutator can also DROP rows (tombstones, delete events) —
+    #: the predicate-guard when-merge cannot restore dropped rows, so
+    #: Guarded refuses it (operators/predicates.py)
+    drops_rows = True
 
     delete_handling_mode: str = "none"
     drop_tombstones: bool = True
@@ -116,7 +123,20 @@ class ExtractNewRecordState(Stage):
                 )
         value = F.col("value")
         op = value.getField("op")
-        is_delete = value.isNotNull() & (op == F.lit("d"))
+        is_delete = value.isNotNull() & F.coalesce(
+            op == F.lit("d"), F.lit(False)
+        )
+
+        # a non-tombstone envelope with a null op is malformed — error
+        # the record (batch-fail gate) instead of silently dropping it
+        # (drop mode) or emitting a spurious tombstone (none mode)
+        df = merge_error(
+            df,
+            value.isNotNull() & op.isNull(),
+            F.lit(
+                "Debezium envelope record has null 'op' — cannot unwrap"
+            ),
+        )
 
         if self.drop_tombstones:
             df = keep_rows(df, F.col("value").isNotNull())
@@ -137,8 +157,8 @@ class ExtractNewRecordState(Stage):
                 struct_field_type(dt, "before"), T.StructType
             ):
                 before = value.getField("before")
-                # align before -> after field set (outer fields null)
-                state = F.when(is_delete, _project_as(before,
+                # project before -> after field shape (missing = null)
+                state = F.when(is_delete, project_to_struct(before,
                     struct_field_type(dt, "before"), after_t)).otherwise(state)
             deleted = F.when(is_delete, F.lit("true")).otherwise(F.lit("false"))
             state = state.withField("__deleted", deleted)
@@ -189,19 +209,6 @@ class ExtractNewRecordState(Stage):
         return out
 
 
-def _project_as(col: Column, src: T.StructType, dst: T.StructType) -> Column:
-    """Rebuild ``col`` (src struct) in the dst struct's field shape —
-    shared fields copied, dst-only fields null."""
-    src_names = set(src.fieldNames())
-    parts = []
-    for f in dst.fields:
-        if f.name in src_names:
-            parts.append(col.getField(f.name).cast(f.dataType).alias(f.name))
-        else:
-            parts.append(F.lit(None).cast(f.dataType).alias(f.name))
-    return F.when(col.isNotNull(), F.struct(*parts))
-
-
 @register("event_router")
 @dataclass
 class EventRouter(Stage):
@@ -226,19 +233,9 @@ class EventRouter(Stage):
                 raise DataException(f"Unknown field: {f}")
         value = F.col("value")
         routed = value.getField(self.route_by_field).cast("string")
-        # build the topic from the replacement pattern (one ${routedByValue})
-        parts: list[Column] = []
-        rest = self.route_topic_replacement
-        while rest:
-            idx = rest.find("${routedByValue}")
-            if idx < 0:
-                parts.append(F.lit(rest))
-                break
-            if idx > 0:
-                parts.append(F.lit(rest[:idx]))
-            parts.append(routed)
-            rest = rest[idx + len("${routedByValue}"):]
-        topic = F.concat(*parts) if parts else F.lit("")
+        topic = template_concat(
+            self.route_topic_replacement, {"routedByValue": routed}
+        )
 
         key = F.struct(
             value.getField(self.table_field_event_key).alias("id")
@@ -264,7 +261,15 @@ class EventRouter(Stage):
                 raise DataException(
                     f"Unknown field: {self.table_field_event_timestamp}"
                 )
-            ts = value.getField(self.table_field_event_timestamp).cast("long")
+            ts_src = value.getField(self.table_field_event_timestamp)
+            ts_t = struct_field_type(dt, self.table_field_event_timestamp)
+            # envelope timestamps are epoch MILLIS: cast(timestamp as
+            # long) would yield seconds — 1000x off — so temporal
+            # columns go through unix_millis
+            if isinstance(ts_t, (T.TimestampType, T.TimestampNTZType)):
+                ts = F.unix_millis(ts_src.cast("timestamp"))
+            else:
+                ts = ts_src.cast("long")
             out = out.withColumn(
                 "timestamp", F.coalesce(ts, F.col("timestamp"))
             )

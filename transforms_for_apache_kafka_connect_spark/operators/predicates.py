@@ -41,6 +41,7 @@ from pyspark.sql import types as T
 from transforms_for_apache_kafka_connect_spark.errors import ConfigException
 from transforms_for_apache_kafka_connect_spark.operators.base import (
     Stage,
+    align_to_type,
     missing_required,
 )
 from transforms_for_apache_kafka_connect_spark.record import ensure_error_col
@@ -145,28 +146,6 @@ class RecordIsTombstone(Predicate):
         return F.col("value").isNull()
 
 
-def _align(old: Column, old_dt: T.DataType, new_dt: T.DataType) -> Column:
-    """Rebuild ``old`` in the shape of ``new_dt`` (nulls for fields the
-    guarded stage added), so when(pred, new).otherwise(old) type-checks."""
-    if old_dt == new_dt:
-        return old
-    if isinstance(old_dt, T.StructType) and isinstance(new_dt, T.StructType):
-        old_names = set(old_dt.fieldNames())
-        parts = []
-        for f in new_dt.fields:
-            if f.name in old_names:
-                parts.append(
-                    _align(
-                        old.getField(f.name),
-                        old_dt[f.name].dataType,
-                        f.dataType,
-                    ).alias(f.name)
-                )
-            else:
-                parts.append(F.lit(None).cast(f.dataType).alias(f.name))
-        # null struct in -> null struct out (tombstone-safe)
-        return F.when(old.isNotNull(), F.struct(*parts))
-    return old.cast(new_dt)
 
 
 class Guarded(Stage):
@@ -195,6 +174,19 @@ class Guarded(Stage):
             unmatched = df.filter(~pred)
             return matched.unionByName(unmatched, allowMissingColumns=True)
 
+        if getattr(self.stage, "drops_rows", False):
+            # a guarded MUTATOR that can also DROP rows (e.g.
+            # ExtractNewRecordState's tombstone/delete handling) cannot
+            # be merged per-column: the dropped rows are gone before the
+            # merge, so non-matching records would vanish. Refuse loudly
+            # instead of losing data — split the stream by topic/route
+            # and apply the stage unguarded to the matching branch.
+            raise ConfigException(
+                f"predicate guard on {type(self.stage).__name__} is not "
+                f"supported: the stage can drop rows, so non-matching "
+                f"records could not be restored by the conditional merge"
+            )
+
         marker = "__guard_pred"
         snap_prefix = "__guard_orig_"
         snapshot = df.withColumn(marker, pred)
@@ -212,7 +204,11 @@ class Guarded(Stage):
             merged = merged.withColumn(
                 c,
                 F.when(F.col(marker), new_col).otherwise(
-                    _align(old_col, old_dtypes[c], out_dtypes[c])
+                    align_to_type(
+                        old_col, old_dtypes[c], out_dtypes[c],
+                        context=f"predicate guard on "
+                        f"{type(self.stage).__name__} (column {c!r})",
+                    )
                 ),
             )
         # columns the stage ADDED (e.g. set_schema_metadata): null when

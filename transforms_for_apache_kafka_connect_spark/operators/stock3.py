@@ -51,6 +51,7 @@ from transforms_for_apache_kafka_connect_spark.operators.base import (
     place_type,
     register,
     require,
+    template_concat,
 )
 from transforms_for_apache_kafka_connect_spark.record import keep_rows, merge_error
 
@@ -194,26 +195,10 @@ class TimestampRouter(Stage):
         formatted = F.date_format(
             F.timestamp_millis(ts), self.timestamp_format
         )
-        # split the format on the two placeholders, build one concat
-        parts: list[Column] = []
-        rest = self.topic_format
-        while rest:
-            idx_t = rest.find("${topic}")
-            idx_s = rest.find("${timestamp}")
-            candidates = [i for i in (idx_t, idx_s) if i >= 0]
-            if not candidates:
-                parts.append(F.lit(rest))
-                break
-            idx = min(candidates)
-            if idx > 0:
-                parts.append(F.lit(rest[:idx]))
-            if idx == idx_t:
-                parts.append(F.col("topic"))
-                rest = rest[idx + len("${topic}"):]
-            else:
-                parts.append(formatted)
-                rest = rest[idx + len("${timestamp}"):]
-        new_topic = F.concat(*parts) if parts else F.lit("")
+        new_topic = template_concat(
+            self.topic_format,
+            {"topic": F.col("topic"), "timestamp": formatted},
+        )
         df = merge_error(
             df,
             ts.isNull(),

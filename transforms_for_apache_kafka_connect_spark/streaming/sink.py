@@ -154,14 +154,13 @@ _PRUNE_OPS = {
 }
 
 
-def _file_matches(stats: dict, where, prunable: set[str] | None) -> bool:
-    """Can this file contain a row satisfying ALL conditions? Missing or
-    type-mismatched stats mean 'maybe' (keep). Parquet min/max exclude
-    nulls, and null values never satisfy these operators, so range
-    pruning is exact."""
+def _file_matches(stats: dict, where) -> bool:
+    """Can this file contain a row satisfying ALL conditions? (The
+    caller pre-filters ``where`` down to prune-safe conditions.)
+    Missing or type-mismatched stats mean 'maybe' (keep). Parquet
+    min/max exclude nulls, and null values never satisfy these
+    operators, so range pruning is exact."""
     for col, op, val in where:
-        if prunable is not None and col not in prunable:
-            continue
         rng = stats.get(col)
         if rng is None:
             continue
@@ -301,14 +300,38 @@ class LakeTable:
             with open(self._manifest_path(version), "x") as f:
                 json.dump(manifest, f)
         except FileExistsError:
-            from transforms_for_apache_kafka_connect_spark.errors import (
-                CommitConflictException,
-            )
+            # someone already claimed this version. Three cases:
+            # (a) same logical commit (same ledger tail) — a previous
+            #     attempt of THIS batch crashed between manifest write
+            #     and the CURRENT repoint, or a concurrent replayer of
+            #     the same batch won: ADOPT it (idempotent) and finish
+            #     the repoint; our freshly-written data files become
+            #     orphans for vacuum.
+            # (b) a partial/corrupt file from a writer that died
+            #     mid-write: overwrite it with ours.
+            # (c) a DIFFERENT batch's commit — a true conflict: raise,
+            #     the caller re-reads and replays.
+            existing = None
+            try:
+                with open(self._manifest_path(version)) as f:
+                    existing = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                pass
+            if existing is None:  # (b) corrupt claim — reclaim it
+                tmp = self._manifest_path(version) + f".tmp-{uuid.uuid4().hex}"
+                with open(tmp, "w") as f:
+                    json.dump(manifest, f)
+                os.replace(tmp, self._manifest_path(version))
+            elif existing.get("committed") != manifest["committed"]:
+                from transforms_for_apache_kafka_connect_spark.errors import (
+                    CommitConflictException,
+                )
 
-            raise CommitConflictException(
-                f"version {version} was already committed by another "
-                f"writer; re-read the table and replay the batch"
-            ) from None
+                raise CommitConflictException(
+                    f"version {version} was already committed by another "
+                    f"writer; re-read the table and replay the batch"
+                ) from None
+            # else (a): fall through and repoint to the adopted manifest
         tmp = self._current_path + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             f.write(str(version))
@@ -348,15 +371,25 @@ class LakeTable:
         try:
             os.link(staged_path, self._manifest_path(version))
         except FileExistsError:
-            from transforms_for_apache_kafka_connect_spark.errors import (
-                CommitConflictException,
-            )
+            # same adoption rule as _swap: a previous publish of this
+            # very token may have crashed between the link and the
+            # CURRENT repoint — same ledger tail means same commit,
+            # finish the repoint; anything else is a real conflict
+            try:
+                with open(self._manifest_path(version)) as f:
+                    existing = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                existing = None
+            if existing is None or existing.get("committed") != m["committed"]:
+                from transforms_for_apache_kafka_connect_spark.errors import (
+                    CommitConflictException,
+                )
 
-            raise CommitConflictException(
-                f"version {version} was committed by another writer while "
-                f"this stage was under audit; re-stage against the current "
-                f"table"
-            ) from None
+                raise CommitConflictException(
+                    f"version {version} was committed by another writer "
+                    f"while this stage was under audit; re-stage against "
+                    f"the current table"
+                ) from None
         tmp = self._current_path + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             f.write(str(version))
@@ -432,7 +465,7 @@ class LakeTable:
             files = [
                 f
                 for f in files
-                if _file_matches(fstats.get(f, {}), prune_conds, None)
+                if _file_matches(fstats.get(f, {}), prune_conds)
             ]
         self.last_prune = {"files_total": n_candidates, "files_read": len(files)}
 
