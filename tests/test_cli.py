@@ -133,6 +133,30 @@ def test_cli_maintenance_ops(spark, tmp_path):
     assert main(base) == 2
 
 
+def test_cli_lookup_and_publish(spark, tmp_path, capsys):
+    import json as _json
+
+    from transforms_for_apache_kafka_connect_spark.cli import main
+
+    events = change_stream(spark, 1_000, n_repos=10, paths_per_repo=4)
+    events.write.mode("overwrite").parquet(str(tmp_path / "events"))
+    root = str(tmp_path / "table")
+    base = ["--table", root, "--buckets", "4", "--batches", "2"]
+    assert main(base + ["--events", str(tmp_path / "events")]) == 0
+    capsys.readouterr()
+
+    table = LakeTable(root, n_buckets=4)
+    any_row = table.read(spark).select("repo", "path").first()
+    key = _json.dumps({"repo": any_row["repo"], "path": any_row["path"]})
+    assert main(base + ["--maintenance", "lookup", "--key", key]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(out["rows"]) == 1
+    assert out["rows"][0]["repo"] == any_row["repo"]
+
+    assert main(base + ["--maintenance", "lookup"]) == 2  # missing --key
+    assert main(base + ["--maintenance", "publish"]) == 2  # missing token
+
+
 def test_cli_streaming_backfill(spark, tmp_path):
     n = 1_000
     events = change_stream(spark, n, n_repos=10, paths_per_repo=4)

@@ -78,9 +78,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="DDL schema for raw JSON values (with --raw-json)")
     ap.add_argument("--master", default=None,
                     help="override master for local runs (spark-submit sets its own)")
-    ap.add_argument("--maintenance", choices=["compact", "vacuum", "rescale"],
+    ap.add_argument("--maintenance",
+                    choices=["compact", "vacuum", "rescale", "lookup",
+                             "publish"],
                     default=None,
-                    help="run a table maintenance op instead of a replay "
+                    help="run a table op instead of a replay "
                          "(--events is ignored)")
     ap.add_argument("--compact-all-buckets", action="store_true",
                     help="with --maintenance compact: rewrite every bucket "
@@ -88,6 +90,13 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--vacuum-keep-versions", type=int, default=2)
     ap.add_argument("--rescale-buckets", type=int, default=None,
                     help="target bucket count (with --maintenance rescale)")
+    ap.add_argument("--key", default=None,
+                    help="with --maintenance lookup: JSON object binding "
+                         'every key column, e.g. \'{"repo": "r1", '
+                         '"path": "a.py"}\'')
+    ap.add_argument("--staged-token", default=None,
+                    help="with --maintenance publish: the staged commit "
+                         "token returned by merge(publish=False)")
     return ap
 
 
@@ -129,13 +138,26 @@ def main(argv: list[str] | None = None) -> int:
             )
         elif args.maintenance == "vacuum":
             r = table.vacuum(keep_versions=args.vacuum_keep_versions)
+        elif args.maintenance == "lookup":
+            if not args.key:
+                print("--maintenance lookup requires --key", file=sys.stderr)
+                return 2
+            rows = table.lookup(spark, json.loads(args.key)).collect()
+            r = {"rows": [row.asDict(recursive=True) for row in rows]}
+        elif args.maintenance == "publish":
+            if not args.staged_token:
+                print("--maintenance publish requires --staged-token",
+                      file=sys.stderr)
+                return 2
+            r = table.publish(args.staged_token)
         else:
             if args.rescale_buckets is None:
                 print("--maintenance rescale requires --rescale-buckets",
                       file=sys.stderr)
                 return 2
             r = table.rescale(spark, args.rescale_buckets)
-        print(json.dumps({"mode": "maintenance", "op": args.maintenance, **r}))
+        print(json.dumps({"mode": "maintenance", "op": args.maintenance, **r},
+                         default=str))
         return 0
 
     if not args.events:
