@@ -150,3 +150,67 @@ def test_collect_stats_off(spark, tmp_path):
     assert "file_stats" not in table.manifest()
     # where still works (filter-only, no pruning)
     assert table.read(spark, where=[("path", "==", "p0")]).count() == 1
+
+
+def _clustering_table(spark, root, *, sort):
+    """One bucket, 120 keys, tiny target files -> compaction writes
+    many files; with sort they carry disjoint (repo, path) ranges."""
+    table = LakeTable(
+        str(root), n_buckets=1, discovery=True,
+        merge_strategy="shuffle", target_rows_per_file=12,
+    )
+    rep = Replayer(table=table, chain=Chain([]), epoch="e1", unique_lsn=True)
+    rows = [
+        ("t", 0, (f"r{(i * 53) % 120:03d}", f"p{(i * 53) % 120:03d}"),
+         ("c", i + 1, i + 1, (f"v{i}",)), i + 1, None)
+        for i in range(120)
+    ]
+    rep.apply_batch(_env(spark, rows), 0)
+    table.compact(spark, all_buckets=True, sort=sort)
+    return table
+
+
+def test_sorted_compaction_clusters_files(spark, tmp_path):
+    table = _clustering_table(spark, tmp_path / "sorted", sort=True)
+    m = table.manifest()
+    files = m["buckets"]["0"]
+    assert len(files) >= 5  # 120 rows / 12 per file
+    # sorted rewrite => pairwise-disjoint repo ranges across the files
+    ranges = sorted(m["file_stats"][f]["repo"] for f in files)
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(ranges, ranges[1:]):
+        assert hi_a <= lo_b
+    # a point lookup reads exactly ONE file out of the whole bucket
+    for k in ("r000", "r059", "r119"):
+        got = table.lookup(spark, {"repo": k, "path": "p" + k[1:]}).collect()
+        assert len(got) == 1
+        assert table.last_prune == {
+            "files_total": len(files), "files_read": 1,
+        }
+
+
+def test_unsorted_compaction_is_the_baseline(spark, tmp_path):
+    table = _clustering_table(spark, tmp_path / "unsorted", sort=False)
+    files = table.manifest()["buckets"]["0"]
+    assert len(files) >= 5
+    # hash-ordered input: key ranges overlap, lookups touch many files
+    reads = []
+    for k in ("r000", "r059", "r119"):
+        table.lookup(spark, {"repo": k, "path": "p" + k[1:]}).collect()
+        reads.append(table.last_prune["files_read"])
+    assert max(reads) > 1
+
+
+def test_rescale_clusters_files(spark, tmp_path):
+    table = _clustering_table(spark, tmp_path / "resc", sort=False)
+    table = LakeTable(
+        str(tmp_path / "resc"), n_buckets=1, discovery=True,
+        merge_strategy="shuffle", target_rows_per_file=12,
+    )
+    table.rescale(spark, 2)
+    m = table.manifest()
+    for b, files in m["buckets"].items():
+        if len(files) < 2:
+            continue
+        ranges = sorted(m["file_stats"][f]["repo"] for f in files)
+        for (lo_a, hi_a), (lo_b, hi_b) in zip(ranges, ranges[1:]):
+            assert hi_a <= lo_b

@@ -759,6 +759,7 @@ class LakeTable:
         *,
         max_files_per_bucket: int = 8,
         all_buckets: bool = False,
+        sort: bool = True,
     ) -> dict[str, Any]:
         """Rewrite buckets whose live file count exceeds the threshold
         into ``target_rows_per_file``-sized files.
@@ -769,6 +770,18 @@ class LakeTable:
         broadcast merge path appends O(n_buckets) small upsert files per
         batch by design — compaction is the amortized counterweight,
         exactly like Iceberg's rewrite_data_files action.
+
+        ``sort=True`` (default) clusters each bucket by ``key_cols``
+        while rewriting (Iceberg rewrite_data_files sort-strategy
+        analog): ``sortWithinPartitions`` is a per-task sort with NO
+        extra shuffle on top of the bucket repartition, and the parquet
+        writer splits the sorted run sequentially under
+        ``maxRecordsPerFile``, so the rewritten files of a bucket carry
+        pairwise-disjoint key ranges. That turns the manifest zone maps
+        from "skip cold buckets" into "skip every file but one": a
+        point lookup on a 100 TB table reads one bucket AND one file.
+        Merge batches deliberately skip this sort (the broadcast path
+        is exchange-free by design) — layout is maintenance's job.
 
         ``all_buckets=True`` rewrites every live bucket regardless of
         file count. On a merge-on-read table this fully folds all delta
@@ -796,8 +809,13 @@ class LakeTable:
         )
         version = m["version"] + 1
         out_dir = os.path.join(self.root, "data", f"v{version:08d}-compact")
+        writer_df = df.repartition(len(over), F.col(BUCKET_COL))
+        if sort:
+            writer_df = writer_df.sortWithinPartitions(
+                F.col(BUCKET_COL), *[F.col(c) for c in self.key_cols]
+            )
         (
-            df.repartition(len(over), F.col(BUCKET_COL))
+            writer_df
             .write.mode("overwrite")
             .option("maxRecordsPerFile", self.target_rows_per_file)
             .partitionBy(BUCKET_COL)
@@ -852,7 +870,9 @@ class LakeTable:
         evolution for the bucket transform). One full read+write;
         contents, ledger and lineage unchanged; commits via the same
         atomic swap. A MoR table is fully resolved by the rewrite, so
-        the mor flag clears (same rule as compact(all_buckets=True))."""
+        the mor flag clears (same rule as compact(all_buckets=True)).
+        The rewrite clusters each new bucket by ``key_cols`` (same
+        zone-map-disjoint layout as ``compact(sort=True)``)."""
         m = self.manifest()
         if n_buckets == self.n_buckets:
             return {"version": m["version"], "n_buckets": n_buckets}
@@ -863,6 +883,9 @@ class LakeTable:
         out_dir = os.path.join(self.root, "data", f"v{version:08d}-rescale")
         (
             df.repartition(n_buckets, F.col(BUCKET_COL))
+            .sortWithinPartitions(
+                F.col(BUCKET_COL), *[F.col(c) for c in self.key_cols]
+            )
             .write.mode("overwrite")
             .option("maxRecordsPerFile", self.target_rows_per_file)
             .partitionBy(BUCKET_COL)
