@@ -214,3 +214,76 @@ def test_rescale_clusters_files(spark, tmp_path):
         ranges = sorted(m["file_stats"][f]["repo"] for f in files)
         for (lo_a, hi_a), (lo_b, hi_b) in zip(ranges, ranges[1:]):
             assert hi_a <= lo_b
+
+
+def _bloom_table(spark, root, *, n_batches=4):
+    """Merge-on-read deltas where EVERY file of a bucket spans the same
+    (repo, path) zone-map range — batch b pairs repo r_i with path
+    p_{(i+b)%24}, so min/max are identical across files and only the
+    Bloom sidecars can tell which delta file holds a given pairing."""
+    table = LakeTable(
+        str(root), n_buckets=2, discovery=True,
+        merge_strategy="append", collect_blooms=True,
+    )
+    rep = Replayer(table=table, chain=Chain([]), epoch="e1", unique_lsn=True)
+    for b in range(n_batches):
+        rows = [
+            ("t", 0, (f"r{i:02d}", f"p{(i + b) % 24:02d}"),
+             ("c", b * 1000 + i + 1, b * 1000 + i + 1, (f"v{b}.{i}",)),
+             b * 1000 + i + 1, None)
+            for i in range(24)
+        ]
+        rep.apply_batch(_env(spark, rows), b)
+    return table
+
+
+def test_bloom_sidecars_prune_point_reads(spark, tmp_path):
+    import os
+
+    table = _bloom_table(spark, tmp_path / "t")
+    m = table.manifest()
+    files = [f for fs in m["buckets"].values() for f in fs]
+    assert set(m["file_blooms"]) == set(files)
+    for f in files:
+        assert os.path.exists(f + ".bloom")
+    # the batch-2 pairing (r07, p09) lives in one delta file per
+    # bucket — blooms skip the other batches' files even though every
+    # file's (repo, path) zone-map range is identical
+    got = table.lookup(spark, {"repo": "r07", "path": "p09"}).collect()
+    assert len(got) == 1 and got[0]["content"] == "v2.7"
+    assert table.last_prune["files_read"] < table.last_prune["files_total"]
+    # no false negatives: every pairing of every batch still resolves
+    for b in (0, 3):
+        for i in (0, 23):
+            got = table.lookup(
+                spark,
+                {"repo": f"r{i:02d}", "path": f"p{(i + b) % 24:02d}"},
+            ).collect()
+            assert len(got) == 1, (b, i)
+    # an absent key is (almost surely) proven absent without a scan
+    table.lookup(spark, {"repo": "nope", "path": "nope"}).collect()
+    assert table.last_prune["files_read"] <= 1
+
+
+def test_bloom_sidecars_follow_vacuum(spark, tmp_path):
+    import glob
+    import os
+
+    table = _bloom_table(spark, tmp_path / "t", n_batches=2)
+    old_files = [
+        f for fs in table.manifest()["buckets"].values() for f in fs
+    ]
+    table.compact(spark, all_buckets=True)
+    r = table.vacuum(keep_versions=1)
+    assert r["deleted_files"] > 0
+    for f in old_files:
+        assert not os.path.exists(f + ".bloom")
+    m = table.manifest()
+    live = [f for fs in m["buckets"].values() for f in fs]
+    for f in live:
+        assert os.path.exists(f + ".bloom")
+    assert set(m["file_blooms"]) == set(live)
+    # every sidecar on disk belongs to a live file
+    for s in glob.glob(str(tmp_path / "t" / "data" / "**" / "*.bloom"),
+                       recursive=True):
+        assert s[: -len(".bloom")] in live

@@ -144,6 +144,110 @@ def _harvest_file_stats(path: str, cols: list[str] | None = None) -> dict:
     return {k: v for k, v in agg.items() if v is not None}
 
 
+#: double-hashing probe count for the per-file key Bloom sidecars
+_BLOOM_K = 7
+#: bits per key (~1% false-positive rate at k=7)
+_BLOOM_BITS_PER_KEY = 10
+#: the two 16-byte siphash keys feeding h(i) = h1 + i*h2
+_BLOOM_HASH_KEYS = ("sparkgraftbloom1", "sparkgraftbloom2")
+
+
+def _bloom_serialize_keys(frame, key_cols: list[str]):
+    """One string per row from the key columns, '\\x1f'-joined.
+
+    Only defined for all-string keys (the builder refuses other types):
+    stringifying e.g. int64 vs float probes can disagree ('5' vs '5.0')
+    and a serialization mismatch would be a FALSE NEGATIVE — a wrongly
+    pruned file — so non-string keys simply don't get blooms."""
+    s = frame[key_cols[0]].astype("object").fillna("\x00")
+    for c in key_cols[1:]:
+        s = s + "\x1f" + frame[c].astype("object").fillna("\x00")
+    return s
+
+
+def _bloom_positions(keys, m_bits: int):
+    """k bit positions per serialized key, fully vectorized
+    (two independent siphash passes, double hashing)."""
+    import numpy as np
+    import pandas as pd
+
+    h1 = pd.util.hash_pandas_object(
+        keys, index=False, hash_key=_BLOOM_HASH_KEYS[0]
+    ).to_numpy(dtype="uint64")
+    h2 = pd.util.hash_pandas_object(
+        keys, index=False, hash_key=_BLOOM_HASH_KEYS[1]
+    ).to_numpy(dtype="uint64")
+    i = np.arange(_BLOOM_K, dtype="uint64")[None, :]
+    return (h1[:, None] + i * h2[:, None]) % np.uint64(m_bits)
+
+
+def _build_bloom_sidecar(path: str, key_cols: list[str]) -> dict | None:
+    """Build a Bloom filter over this parquet file's key tuples and
+    write it to ``<path>.bloom``; returns the manifest entry
+    ``{"m": bits, "k": probes}`` or None when the file can't carry one
+    (non-string key columns, unreadable file).
+
+    Driver-side like the zone-map harvest, but unlike it this reads the
+    key DATA pages (columns=key_cols only). That is the deliberate
+    trade: ~1.25 bytes/key of sidecar buys point reads that skip the
+    hash-ordered delta files zone maps cannot prune (every un-compacted
+    file's key range spans the whole bucket). Off by default
+    (``collect_blooms=False``) — enable on lookup-serving tables."""
+    import numpy as np
+
+    try:
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(path)
+        if not all(
+            str(pf.schema_arrow.field(c).type) in ("string", "large_string")
+            for c in key_cols
+        ):
+            return None
+        frame = pf.read(columns=key_cols).to_pandas()
+    except Exception:
+        return None
+    n = max(len(frame), 1)
+    m_bits = 1 << max(10, (n * _BLOOM_BITS_PER_KEY - 1).bit_length())
+    pos = _bloom_positions(_bloom_serialize_keys(frame, key_cols), m_bits)
+    bits = np.zeros(m_bits // 8, dtype="uint8")
+    np.bitwise_or.at(
+        bits,
+        (pos >> np.uint64(3)).astype("int64").ravel(),
+        (np.uint64(1) << (pos % np.uint64(8))).astype("uint8").ravel(),
+    )
+    with open(path + ".bloom", "wb") as f:
+        f.write(bits.tobytes())
+    return {"m": m_bits, "k": _BLOOM_K}
+
+
+def _bloom_maybe_contains(
+    path: str, meta: dict | None, key_cols: list[str], key: dict
+) -> bool:
+    """False only when the sidecar PROVES the key tuple is absent.
+    Missing/odd sidecar or non-string probe values mean 'maybe' —
+    pruning stays exact."""
+    import numpy as np
+    import pandas as pd
+
+    if not meta or any(not isinstance(key[c], str) for c in key_cols):
+        return True
+    try:
+        with open(path + ".bloom", "rb") as f:
+            bits = np.frombuffer(f.read(), dtype="uint8")
+    except OSError:
+        return True
+    if len(bits) * 8 != meta["m"]:
+        return True
+    probe = pd.DataFrame({c: [key[c]] for c in key_cols})
+    pos = _bloom_positions(
+        _bloom_serialize_keys(probe, key_cols), meta["m"]
+    )[0]
+    byte = (pos >> np.uint64(3)).astype("int64")
+    mask = (np.uint64(1) << (pos % np.uint64(8))).astype("uint8")
+    return bool(np.all(bits[byte] & mask))
+
+
 #: supported where-condition operators -> (stats-prune test, Column op)
 _PRUNE_OPS = {
     "==": lambda mn, mx, v: mn <= v <= mx,
@@ -210,6 +314,13 @@ class LakeTable:
     #: restrict harvested stats to these columns (None = every
     #: top-level primitive column the footers cover)
     stats_cols: list[str] | None = None
+    #: build a per-file Bloom sidecar over the key tuple at every
+    #: commit (driver-side read of the key columns of NEW files only).
+    #: Point lookups then skip files the filter proves key-free —
+    #: covering the hash-ordered delta files whose zone maps span the
+    #: whole bucket. Off by default: it reads key data pages at commit
+    #: time, which only pays for itself on lookup-serving tables.
+    collect_blooms: bool = False
 
     def __post_init__(self):
         os.makedirs(os.path.join(self.root, "_manifest"), exist_ok=True)
@@ -285,6 +396,21 @@ class LakeTable:
                 )
         manifest["file_stats"] = stats
 
+    def _attach_blooms(self, manifest: dict[str, Any]) -> None:
+        """Bloom sidecars ride commits the same incremental way as zone
+        maps: entries for surviving files carry forward, only files new
+        to this commit get built."""
+        if not self.collect_blooms:
+            return
+        prev = self.manifest().get("file_blooms") or {}
+        blooms: dict[str, dict] = {}
+        for fs in manifest["buckets"].values():
+            for f in fs:
+                meta = prev.get(f) or _build_bloom_sidecar(f, self.key_cols)
+                if meta:
+                    blooms[f] = meta
+        manifest["file_blooms"] = blooms
+
     def _swap(self, manifest: dict[str, Any]) -> None:
         """Write the new manifest, then atomically repoint CURRENT.
 
@@ -295,6 +421,7 @@ class LakeTable:
         the exactly-once ledger). The CURRENT repoint then belongs to
         the creation winner."""
         self._attach_stats(manifest)
+        self._attach_blooms(manifest)
         version = manifest["version"]
         try:
             with open(self._manifest_path(version), "x") as f:
@@ -346,6 +473,7 @@ class LakeTable:
         ``publish`` — or abandoned (``vacuum`` reclaims the orphaned
         files; do not vacuum while an audit is in flight)."""
         self._attach_stats(manifest)
+        self._attach_blooms(manifest)
         token = f"staged-{uuid.uuid4().hex}"
         with open(os.path.join(self.root, "_manifest", f"{token}.json"), "w") as f:
             json.dump(manifest, f)
@@ -467,6 +595,21 @@ class LakeTable:
                 for f in files
                 if _file_matches(fstats.get(f, {}), prune_conds)
             ]
+        if where and self.collect_blooms:
+            # a point probe (== on every key column) can additionally
+            # consult the Bloom sidecars — the only prune that works on
+            # hash-ordered delta files. Key-column-only, so it is exact
+            # under MoR by the same argument as key-column zone maps.
+            eq = {c: v for c, op, v in where if op == "==" and c in self.key_cols}
+            if set(eq) == set(self.key_cols):
+                fblooms = m.get("file_blooms") or {}
+                files = [
+                    f
+                    for f in files
+                    if _bloom_maybe_contains(
+                        f, fblooms.get(f), self.key_cols, eq
+                    )
+                ]
         self.last_prune = {"files_total": n_candidates, "files_read": len(files)}
 
         def _filtered(df: DataFrame) -> DataFrame:
@@ -952,6 +1095,8 @@ class LakeTable:
                 mv = json.load(f)
             for fs in mv["buckets"].values():
                 live.update(os.path.realpath(p) for p in fs)
+        # a Bloom sidecar lives exactly as long as its data file
+        live |= {p + ".bloom" for p in live}
         orphans = [
             p
             for p in glob.glob(os.path.join(self.root, "data", "**", "*"), recursive=True)
