@@ -180,3 +180,21 @@ def test_cli_streaming_backfill(spark, tmp_path):
     table = LakeTable(str(tmp_path / "table"), n_buckets=4)
     oracle = repositories_snapshot(spark, events)
     assert table.read(spark).count() == oracle.count()
+
+
+def test_cli_blooms_and_sorted_compact(spark, tmp_path, capsys):
+    from transforms_for_apache_kafka_connect_spark.cli import main
+
+    events = change_stream(spark, 1_000, n_repos=10, paths_per_repo=4)
+    events.write.mode("overwrite").parquet(str(tmp_path / "events"))
+    root = str(tmp_path / "table")
+    base = ["--table", root, "--buckets", "4", "--batches", "2",
+            "--collect-blooms"]
+    assert main(base + ["--events", str(tmp_path / "events")]) == 0
+    table = LakeTable(root, n_buckets=4)
+    m = table.manifest()
+    files = [f for fs in m["buckets"].values() for f in fs]
+    assert set(m["file_blooms"]) == set(files)
+    assert main(base + ["--maintenance", "compact",
+                        "--compact-all-buckets", "--compact-no-sort"]) == 0
+    capsys.readouterr()

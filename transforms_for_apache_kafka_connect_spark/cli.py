@@ -84,6 +84,13 @@ def build_parser() -> argparse.ArgumentParser:
                     default=None,
                     help="run a table op instead of a replay "
                          "(--events is ignored)")
+    ap.add_argument("--collect-blooms", action="store_true",
+                    help="build per-file key Bloom sidecars at each "
+                         "commit (speeds --maintenance lookup on "
+                         "un-compacted tables)")
+    ap.add_argument("--compact-no-sort", action="store_true",
+                    help="with --maintenance compact: skip the key "
+                         "clustering sort while rewriting buckets")
     ap.add_argument("--compact-all-buckets", action="store_true",
                     help="with --maintenance compact: rewrite every bucket "
                          "(graduates a merge-on-read table to plain reads)")
@@ -130,11 +137,13 @@ def main(argv: list[str] | None = None) -> int:
         target_rows_per_file=args.target_rows_per_file,
         discovery=not args.no_discovery,
         merge_strategy=args.merge_strategy,
+        collect_blooms=args.collect_blooms,
     )
     if args.maintenance:
         if args.maintenance == "compact":
             r = table.compact(
-                spark, all_buckets=args.compact_all_buckets
+                spark, all_buckets=args.compact_all_buckets,
+                sort=not args.compact_no_sort,
             )
         elif args.maintenance == "vacuum":
             r = table.vacuum(keep_versions=args.vacuum_keep_versions)
