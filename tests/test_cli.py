@@ -155,6 +155,13 @@ def test_cli_lookup_and_publish(spark, tmp_path, capsys):
 
     assert main(base + ["--maintenance", "lookup"]) == 2  # missing --key
     assert main(base + ["--maintenance", "publish"]) == 2  # missing token
+    # user errors exit 2 with a message, never a traceback
+    assert main(base + ["--maintenance", "lookup", "--key", "{bad"]) == 2
+    assert main(base + ["--maintenance", "lookup", "--key", "[1,2]"]) == 2
+    assert main(base + ["--maintenance", "lookup",
+                        "--key", '{"repo": "r1"}']) == 2
+    assert main(base + ["--maintenance", "publish",
+                        "--staged-token", "staged-bogus"]) == 2
 
 
 def test_cli_streaming_backfill(spark, tmp_path):

@@ -287,3 +287,62 @@ def test_bloom_sidecars_follow_vacuum(spark, tmp_path):
     for s in glob.glob(str(tmp_path / "t" / "data" / "**" / "*.bloom"),
                        recursive=True):
         assert s[: -len(".bloom")] in live
+
+
+def test_bloom_pruning_without_writer_flag(spark, tmp_path):
+    """A lookup-only process (collect_blooms unset) still uses the
+    sidecars an ingest process built — pruning gates on the manifest,
+    not on this process's writer config."""
+    _bloom_table(spark, tmp_path / "t")
+    reader = LakeTable(str(tmp_path / "t"), n_buckets=2)
+    got = reader.lookup(spark, {"repo": "r07", "path": "p09"}).collect()
+    assert len(got) == 1 and got[0]["content"] == "v2.7"
+    assert reader.last_prune["files_read"] < reader.last_prune["files_total"]
+
+
+def test_bloom_negative_marker_for_nonstring_keys(spark, tmp_path):
+    """Int-keyed tables memoize 'no bloom possible' per file instead of
+    re-reading every live file on every commit."""
+    from unittest import mock
+
+    import transforms_for_apache_kafka_connect_spark.streaming.sink as sink_mod
+
+    table = LakeTable(
+        str(tmp_path / "t"), key_cols=["k"], n_buckets=2,
+        collect_blooms=True,
+    )
+    df = spark.range(50).select(
+        F.col("id").alias("k"), F.lit("x").alias("v"),
+        F.lit(1).alias("_lsn"), F.lit(False).alias("__is_delete"),
+    )
+    table.merge(df, epoch="e", batch_id=0)
+    m = table.manifest()
+    files = [f for fs in m["buckets"].values() for f in fs]
+    assert all(m["file_blooms"][f] == {"m": 0} for f in files)
+    # second commit must not re-probe the memoized files
+    with mock.patch.object(
+        sink_mod, "_build_bloom_sidecar", wraps=sink_mod._build_bloom_sidecar
+    ) as probe:
+        table.merge(
+            df.withColumn("k", F.col("k") + 100), epoch="e", batch_id=1
+        )
+        probed = {c.args[0] for c in probe.call_args_list}
+    assert not (probed & set(files))
+    # lookups on the marker still read the file (exactness preserved)
+    got = table.lookup(spark, {"k": 7}).collect()
+    assert len(got) == 1
+
+
+def test_stats_filtered_not_rebuilt_when_flag_off(spark, tmp_path):
+    """A maintaining process without collect flags filters carried
+    stats/blooms to live files — no stale deleted-file entries."""
+    table = _bloom_table(spark, tmp_path / "t", n_batches=2)
+    plain = LakeTable(
+        str(tmp_path / "t"), n_buckets=2,
+        collect_stats=False, collect_blooms=False,
+    )
+    plain.compact(spark, all_buckets=True)
+    m = plain.manifest()
+    live = {f for fs in m["buckets"].values() for f in fs}
+    assert set(m.get("file_stats", {})) <= live
+    assert set(m.get("file_blooms", {})) <= live

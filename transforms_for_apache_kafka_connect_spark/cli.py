@@ -151,14 +151,30 @@ def main(argv: list[str] | None = None) -> int:
             if not args.key:
                 print("--maintenance lookup requires --key", file=sys.stderr)
                 return 2
-            rows = table.lookup(spark, json.loads(args.key)).collect()
+            try:
+                key = json.loads(args.key)
+                if not isinstance(key, dict):
+                    raise ValueError("--key must be a JSON object")
+                rows = table.lookup(spark, key).collect()
+            except (json.JSONDecodeError, ValueError) as exc:
+                # user error (malformed JSON, wrong key columns, empty
+                # table), not an engine failure: same exit-2 contract
+                # as the missing-argument paths above
+                print(f"lookup: {exc}", file=sys.stderr)
+                return 2
             r = {"rows": [row.asDict(recursive=True) for row in rows]}
         elif args.maintenance == "publish":
             if not args.staged_token:
                 print("--maintenance publish requires --staged-token",
                       file=sys.stderr)
                 return 2
-            r = table.publish(args.staged_token)
+            try:
+                r = table.publish(args.staged_token)
+            except FileNotFoundError:
+                print(f"publish: no staged commit {args.staged_token!r} "
+                      f"(already published, vacuumed, or mistyped)",
+                      file=sys.stderr)
+                return 2
         else:
             if args.rescale_buckets is None:
                 print("--maintenance rescale requires --rescale-buckets",

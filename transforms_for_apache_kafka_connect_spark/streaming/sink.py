@@ -221,16 +221,32 @@ def _build_bloom_sidecar(path: str, key_cols: list[str]) -> dict | None:
     return {"m": m_bits, "k": _BLOOM_K}
 
 
-def _bloom_maybe_contains(
-    path: str, meta: dict | None, key_cols: list[str], key: dict
-) -> bool:
-    """False only when the sidecar PROVES the key tuple is absent.
-    Missing/odd sidecar or non-string probe values mean 'maybe' —
-    pruning stays exact."""
-    import numpy as np
+def _bloom_probe_hashes(key_cols: list[str], key: dict):
+    """The probe's two 64-bit hashes, computed ONCE per lookup (they
+    depend only on the key — each candidate file just reduces them mod
+    its own m). None when any probe value isn't a string (builders
+    refuse non-string keys, so there is nothing to probe)."""
     import pandas as pd
 
-    if not meta or any(not isinstance(key[c], str) for c in key_cols):
+    if any(not isinstance(key[c], str) for c in key_cols):
+        return None
+    probe = pd.DataFrame({c: [key[c]] for c in key_cols})
+    keys = _bloom_serialize_keys(probe, key_cols)
+    return tuple(
+        pd.util.hash_pandas_object(keys, index=False, hash_key=hk).to_numpy(
+            dtype="uint64"
+        )[0]
+        for hk in _BLOOM_HASH_KEYS
+    )
+
+
+def _bloom_maybe_contains(path: str, meta: dict | None, hashes) -> bool:
+    """False only when the sidecar PROVES the key tuple is absent.
+    Missing/odd/negative-marker sidecar metadata means 'maybe' —
+    pruning stays exact."""
+    import numpy as np
+
+    if not meta or not meta.get("m") or hashes is None:
         return True
     try:
         with open(path + ".bloom", "rb") as f:
@@ -239,10 +255,9 @@ def _bloom_maybe_contains(
         return True
     if len(bits) * 8 != meta["m"]:
         return True
-    probe = pd.DataFrame({c: [key[c]] for c in key_cols})
-    pos = _bloom_positions(
-        _bloom_serialize_keys(probe, key_cols), meta["m"]
-    )[0]
+    h1, h2 = (np.uint64(h) for h in hashes)
+    i = np.arange(_BLOOM_K, dtype="uint64")
+    pos = (h1 + i * h2) % np.uint64(meta["m"])
     byte = (pos >> np.uint64(3)).astype("int64")
     mask = (np.uint64(1) << (pos % np.uint64(8))).astype("uint8")
     return bool(np.all(bits[byte] & mask))
@@ -378,14 +393,28 @@ class LakeTable:
         with open(self._manifest_path(version)) as f:
             return json.load(f)
 
-    def _attach_stats(self, manifest: dict[str, Any]) -> None:
+    def _attach_stats(
+        self, manifest: dict[str, Any], prev_manifest: dict[str, Any]
+    ) -> None:
         """Zone maps ride every commit (merge, append, compact,
         rescale, ledger-only): stats for files surviving from the prior
         version carry forward, new files get their footers harvested —
-        incremental, so each commit pays only for the files it wrote."""
+        incremental, so each commit pays only for the files it wrote.
+
+        With the flag OFF, entries another process built are still
+        filtered down to this commit's live files — never rebuilt, but
+        never carried forward for deleted files either (a stale dict
+        would bloat every later manifest and misstate coverage)."""
+        prev = prev_manifest.get("file_stats") or {}
         if not self.collect_stats:
+            if prev:
+                manifest["file_stats"] = {
+                    f: prev[f]
+                    for fs in manifest["buckets"].values()
+                    for f in fs
+                    if f in prev
+                }
             return
-        prev = self.manifest().get("file_stats") or {}
         stats: dict[str, dict] = {}
         for fs in manifest["buckets"].values():
             for f in fs:
@@ -396,19 +425,33 @@ class LakeTable:
                 )
         manifest["file_stats"] = stats
 
-    def _attach_blooms(self, manifest: dict[str, Any]) -> None:
+    def _attach_blooms(
+        self, manifest: dict[str, Any], prev_manifest: dict[str, Any]
+    ) -> None:
         """Bloom sidecars ride commits the same incremental way as zone
         maps: entries for surviving files carry forward, only files new
-        to this commit get built."""
+        to this commit get built. A file that CANNOT carry a bloom
+        (non-string keys, unreadable) is memoized as the negative
+        marker ``{"m": 0}`` so later commits don't re-open it; the
+        probe treats the marker as 'maybe'. Flag-off behavior mirrors
+        ``_attach_stats``: filter, never rebuild."""
+        prev = prev_manifest.get("file_blooms") or {}
         if not self.collect_blooms:
+            if prev:
+                manifest["file_blooms"] = {
+                    f: prev[f]
+                    for fs in manifest["buckets"].values()
+                    for f in fs
+                    if f in prev
+                }
             return
-        prev = self.manifest().get("file_blooms") or {}
         blooms: dict[str, dict] = {}
         for fs in manifest["buckets"].values():
             for f in fs:
-                meta = prev.get(f) or _build_bloom_sidecar(f, self.key_cols)
-                if meta:
-                    blooms[f] = meta
+                meta = prev.get(f)
+                if meta is None:
+                    meta = _build_bloom_sidecar(f, self.key_cols) or {"m": 0}
+                blooms[f] = meta
         manifest["file_blooms"] = blooms
 
     def _swap(self, manifest: dict[str, Any]) -> None:
@@ -420,8 +463,9 @@ class LakeTable:
         CommitConflictException and must re-read + replay (safe under
         the exactly-once ledger). The CURRENT repoint then belongs to
         the creation winner."""
-        self._attach_stats(manifest)
-        self._attach_blooms(manifest)
+        prev = self.manifest()  # read once, shared by both attach passes
+        self._attach_stats(manifest, prev)
+        self._attach_blooms(manifest, prev)
         version = manifest["version"]
         try:
             with open(self._manifest_path(version), "x") as f:
@@ -472,8 +516,9 @@ class LakeTable:
         token can be audited with ``read_staged`` and made live with
         ``publish`` — or abandoned (``vacuum`` reclaims the orphaned
         files; do not vacuum while an audit is in flight)."""
-        self._attach_stats(manifest)
-        self._attach_blooms(manifest)
+        prev = self.manifest()
+        self._attach_stats(manifest, prev)
+        self._attach_blooms(manifest, prev)
         token = f"staged-{uuid.uuid4().hex}"
         with open(os.path.join(self.root, "_manifest", f"{token}.json"), "w") as f:
             json.dump(manifest, f)
@@ -595,20 +640,22 @@ class LakeTable:
                 for f in files
                 if _file_matches(fstats.get(f, {}), prune_conds)
             ]
-        if where and self.collect_blooms:
+        # gate on the MANIFEST's blooms, not this process's writer
+        # config — a lookup-only process must still benefit from
+        # sidecars an ingest process built
+        fblooms = (m.get("file_blooms") or {}) if where else {}
+        if fblooms:
             # a point probe (== on every key column) can additionally
             # consult the Bloom sidecars — the only prune that works on
             # hash-ordered delta files. Key-column-only, so it is exact
             # under MoR by the same argument as key-column zone maps.
             eq = {c: v for c, op, v in where if op == "==" and c in self.key_cols}
             if set(eq) == set(self.key_cols):
-                fblooms = m.get("file_blooms") or {}
+                hashes = _bloom_probe_hashes(self.key_cols, eq)
                 files = [
                     f
                     for f in files
-                    if _bloom_maybe_contains(
-                        f, fblooms.get(f), self.key_cols, eq
-                    )
+                    if _bloom_maybe_contains(f, fblooms.get(f), hashes)
                 ]
         self.last_prune = {"files_total": n_candidates, "files_read": len(files)}
 
