@@ -717,6 +717,57 @@ def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_routed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-topic table routing (Connect delivery model): the chain's
+    ExtractTopic rewrites each record's topic from a key-stable value
+    field, and TopicTableRouter lands every topic in its OWN LakeTable
+    (chain once -> fan out -> per-table LWW merge with its own
+    exactly-once ledger). Result = union of the routed tables' final
+    states tagged with their topic; the oracle recomputes the same
+    per-key LWW winner + shard assignment in SQL."""
+    from transforms_for_apache_kafka_connect_spark.streaming import (
+        TopicTableRouter,
+    )
+
+    stream = _events_as_change_stream(spark, sf_dir)
+    # routing field must be key-stable (all versions of a key route to
+    # the same table — the Connect topic-per-table contract)
+    shard = F.concat(
+        F.lit("s"), F.pmod(F.col("key.user_id"), F.lit(3)).cast("string")
+    )
+    stream = stream.withColumn("value", F.col("value").withField("shard", shard))
+    max_id = stream.agg(F.max("timestamp")).first()[0] or 0
+    router = TopicTableRouter(
+        root=tempfile.mkdtemp(prefix="tkc_routed_"),
+        chain=Chain([{"type": "extract_topic", "field.name": "shard"}]),
+        epoch="driver",
+        table_opts={
+            "key_cols": ["user_id"], "n_buckets": 8,
+            "discovery": False, "merge_strategy": "broadcast",
+        },
+    )
+    results = router.replay(
+        stream, batch_width=max(1, (max_id + 3) // 3), max_pos=max_id + 1
+    )
+    topics = sorted({t for r in results for t in r["topics"]})
+    parts = [
+        router.table_for(t)
+        .read(spark)
+        .select(
+            F.lit(t).alias("topic"),
+            "user_id",
+            F.col("_lsn").alias("last_event_id"),
+            "event_type",
+            "val",
+        )
+        for t in topics
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def q_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map file skipping: replay into a bucketed table (manifest
     harvests per-file min/max from parquet footers at commit), then
@@ -1106,6 +1157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_router": q_regex_router,
         "cdc_merge": q_cdc_merge,
         "cdc_merge_mor": q_cdc_merge_mor,
+        "routed_merge": q_routed_merge,
         "data_skipping": q_data_skipping,
         "agg_lineitem": q_agg_lineitem,
         "join_agg": q_join_agg,
@@ -1283,6 +1335,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cdc_merge_mor": (
             "SELECT user_id, event_id AS last_event_id, event_type, value AS val "
+            "FROM (SELECT *, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events) t "
+            "WHERE rn = 1 AND event_type <> 'error'"
+        ),
+        "routed_merge": (
+            "SELECT 's' || (user_id % 3) AS topic, user_id, "
+            "event_id AS last_event_id, event_type, value AS val "
             "FROM (SELECT *, row_number() OVER "
             "(PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events) t "
             "WHERE rn = 1 AND event_type <> 'error'"

@@ -245,6 +245,8 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
         "kafka_boundary", "debezium_unwrap",
         # zone-map pruned read over a replayed table
         "data_skipping",
+        # per-topic table fan-out (chain once -> N ledgered merges)
+        "routed_merge",
     ]
     out = {}
     qs = entrymod.queries()

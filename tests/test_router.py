@@ -62,3 +62,105 @@ def test_route_write_empty_batch_returns_no_topics(spark, tmp_path):
     env = envelope(df, key_cols=["id"], value_cols=["route"])
     routed = Chain([{"type": "extract_topic", "field.name": "route"}]).run(env)
     assert route_write(routed, str(tmp_path / "topics")) == []
+
+
+def _cdc_env(spark, rows):
+    """Envelope rows with a non-canonical value field ``tenant`` that
+    an SMT can route on."""
+    return spark.createDataFrame(
+        rows,
+        "topic string, partition int, key struct<repo:string,path:string>, "
+        "value struct<op:string,lsn:bigint,ts_ms:bigint,"
+        "after:struct<content:string>,tenant:string>, "
+        "timestamp long, headers map<string,string>",
+    )
+
+
+def _tenant_rows():
+    return [
+        # acme: p0 created then updated; p1 created then deleted
+        ("src", 0, ("r0", "p0"), ("c", 1, 1, ("a-old",), "acme"), 1, None),
+        ("src", 0, ("r0", "p0"), ("u", 5, 5, ("a-new",), "acme"), 5, None),
+        ("src", 0, ("r0", "p1"), ("c", 2, 2, ("a-gone",), "acme"), 2, None),
+        ("src", 0, ("r0", "p1"), ("d", 6, 6, None, "acme"), 6, None),
+        # globex: one live key — same (repo, path) as acme's deleted one,
+        # proving keys are scoped per topic
+        ("src", 0, ("r0", "p1"), ("c", 3, 3, ("g-live",), "globex"), 3, None),
+    ]
+
+
+def test_topic_table_router_per_topic_tables(spark, tmp_path):
+    from transforms_for_apache_kafka_connect_spark.streaming import (
+        TopicTableRouter,
+    )
+
+    router = TopicTableRouter(
+        root=str(tmp_path / "tables"),
+        chain=Chain([{"type": "extract_topic", "field.name": "tenant"}]),
+        epoch="e1",
+        table_opts={"n_buckets": 4},
+        replayer_opts={"unique_lsn": True},
+    )
+    r = router.apply_batch(_cdc_env(spark, _tenant_rows()), 0)
+    assert sorted(r["topics"]) == ["acme", "globex"]
+    acme = {
+        (row["path"], row["content"])
+        for row in router.table_for("acme").read(spark).collect()
+    }
+    assert acme == {("p0", "a-new")}  # LWW applied, delete applied
+    globex = router.table_for("globex").read(spark).collect()
+    assert [(g["path"], g["content"]) for g in globex] == [("p1", "g-live")]
+    # exactly-once: replaying the batch skips every topic's commit
+    r2 = router.apply_batch(_cdc_env(spark, _tenant_rows()), 0)
+    assert all(v.get("skipped") for v in r2["topics"].values())
+
+
+def test_topic_table_router_partial_crash_replay(spark, tmp_path):
+    """Crash between topic commits: the committed table skips on
+    replay, the other commits — per-destination exactly-once."""
+    from transforms_for_apache_kafka_connect_spark.streaming import (
+        Replayer,
+        TopicTableRouter,
+    )
+
+    router = TopicTableRouter(
+        root=str(tmp_path / "tables"),
+        chain=Chain([{"type": "extract_topic", "field.name": "tenant"}]),
+        epoch="e1",
+        table_opts={"n_buckets": 4},
+    )
+    # simulate 'acme already committed before the crash'
+    pre = Replayer(table=router.table_for("acme"), chain=Chain([]), epoch="e1")
+    routed = Chain(
+        [{"type": "extract_topic", "field.name": "tenant"}]
+    ).run(_cdc_env(spark, _tenant_rows()))
+    pre.apply_batch(routed.filter(F.col("topic") == "acme"), 0)
+    v_acme = router.table_for("acme").manifest()["version"]
+
+    r = router.apply_batch(_cdc_env(spark, _tenant_rows()), 0)
+    assert r["topics"]["acme"].get("skipped") is True
+    assert r["topics"]["globex"]["skipped"] is False
+    assert router.table_for("acme").manifest()["version"] == v_acme
+    assert router.table_for("globex").read(spark).count() == 1
+
+
+def test_topic_table_router_encodes_topic_dirs(spark, tmp_path):
+    import os as _os
+
+    from transforms_for_apache_kafka_connect_spark.streaming import (
+        TopicTableRouter,
+    )
+
+    rows = [
+        ("src", 0, ("r0", "p0"), ("c", 1, 1, ("x",), "a/b c"), 1, None),
+        ("src", 0, ("r0", "p1"), ("c", 2, 2, ("y",), "a.b-c"), 2, None),
+    ]
+    router = TopicTableRouter(
+        root=str(tmp_path / "tables"),
+        chain=Chain([{"type": "extract_topic", "field.name": "tenant"}]),
+        table_opts={"n_buckets": 2},
+    )
+    r = router.apply_batch(_cdc_env(spark, rows), 0)
+    assert sorted(r["topics"]) == ["a.b-c", "a/b c"]
+    assert _os.path.isdir(str(tmp_path / "tables" / "a%2Fb%20c"))
+    assert router.table_for("a/b c").read(spark).count() == 1

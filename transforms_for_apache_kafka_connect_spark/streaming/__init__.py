@@ -1,6 +1,15 @@
 from transforms_for_apache_kafka_connect_spark.streaming.dedupe import lww_dedupe
 from transforms_for_apache_kafka_connect_spark.streaming.sink import LakeTable
 from transforms_for_apache_kafka_connect_spark.streaming.engine import Replayer
-from transforms_for_apache_kafka_connect_spark.streaming.router import route_write
+from transforms_for_apache_kafka_connect_spark.streaming.router import (
+    TopicTableRouter,
+    route_write,
+)
 
-__all__ = ["lww_dedupe", "LakeTable", "Replayer", "route_write"]
+__all__ = [
+    "lww_dedupe",
+    "LakeTable",
+    "Replayer",
+    "route_write",
+    "TopicTableRouter",
+]

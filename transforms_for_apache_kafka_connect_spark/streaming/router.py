@@ -17,6 +17,10 @@ consumer wants one file per topic per batch).
 
 from __future__ import annotations
 
+import os
+from dataclasses import dataclass
+from dataclasses import field as dataclass_field
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -72,3 +76,121 @@ def route_write(
     # exception), so a failure here is a real metric-retrieval error —
     # returning [] would misreport a committed write as "no topics"
     return sorted(obs.get["topics"])
+
+
+def _topic_dir(topic: str) -> str:
+    """Reversible, filesystem-safe directory name for a topic value
+    (percent-encoding — two distinct topics can never collide)."""
+    from urllib.parse import quote
+
+    return quote(topic, safe="")
+
+
+@dataclass
+class TopicTableRouter:
+    """Route one change stream into one LakeTable PER TOPIC — the full
+    Connect delivery model: the SMT chain rewrites ``record.topic``
+    (ExtractTopic / RegexRouter / EventRouter) and the runtime then
+    lands each record in the table of its final topic (reference
+    IntegrationTest.java:174-183 asserts exactly this per-topic
+    delivery; here 'topic' = one lake table under ``root/<topic>``).
+
+    Semantics: the chain runs ONCE over the whole batch; rows are then
+    fanned out by their post-chain ``topic`` and each slice goes
+    through the standard Replayer machinery (LWW dedupe → merge →
+    ledger) against its own table. Keys are scoped per topic, exactly
+    like Kafka Connect sink tables.
+
+    Exactly-once under crash/replay: each table carries its OWN
+    (epoch, batch_id) ledger, so a crash between topic commits replays
+    the batch and the already-committed tables skip idempotently —
+    same contract as the single-table engine, per destination.
+
+    Per-record errors abort ONLY the topic slices that contain them
+    (each sub-Replayer enforces the batch-fail contract on its slice);
+    other topics' commits proceed. Replaying the batch re-attempts the
+    failed topics and skips the committed ones.
+
+    Scale shape: one chain evaluation, one persist of the transformed
+    batch, one tiny distinct() on the topic column (O(#topics) rows to
+    the driver), then #topics independent merges — each a bucketed
+    merge over its own table, shuffling only that topic's rows.
+    """
+
+    root: str
+    chain: object = None  # transforms Chain; None = identity
+    epoch: str = "default"
+    #: kwargs forwarded to every per-topic LakeTable
+    table_opts: dict = dataclass_field(default_factory=dict)
+    #: kwargs forwarded to every per-topic Replayer (dedupe knobs etc.)
+    replayer_opts: dict = dataclass_field(default_factory=dict)
+
+    def _table(self, topic: str):
+        from transforms_for_apache_kafka_connect_spark.streaming.sink import (
+            LakeTable,
+        )
+
+        return LakeTable(
+            os.path.join(self.root, _topic_dir(topic)), **self.table_opts
+        )
+
+    def table_for(self, topic: str):
+        """The LakeTable a topic's records land in (read surface)."""
+        return self._table(topic)
+
+    def apply_batch(self, batch: DataFrame, batch_id: int) -> dict:
+        """chain once → fan out by final topic → per-table replay."""
+        from transforms_for_apache_kafka_connect_spark.plans.chain import Chain
+        from transforms_for_apache_kafka_connect_spark.record import (
+            ensure_error_col,
+        )
+        from transforms_for_apache_kafka_connect_spark.streaming.engine import (
+            Replayer,
+        )
+
+        chain = self.chain if self.chain is not None else Chain([])
+        transformed = chain.apply(ensure_error_col(batch)).persist()
+        try:
+            topics = sorted(
+                r["topic"]
+                for r in transformed.select("topic").distinct().collect()
+                if r["topic"] is not None
+            )
+            results: dict[str, dict] = {}
+            for t in topics:
+                rep = Replayer(
+                    table=self._table(t),
+                    chain=Chain([]),  # already transformed; errors ride
+                    epoch=self.epoch,  # the error column into the slice
+                    **self.replayer_opts,
+                )
+                results[t] = rep.apply_batch(
+                    transformed.filter(F.col("topic") == t), batch_id
+                )
+            return {"batch_id": batch_id, "topics": results}
+        finally:
+            transformed.unpersist()
+
+    def replay(
+        self,
+        events: DataFrame,
+        *,
+        batch_width: int,
+        max_pos: int,
+        start_pos: int = 0,
+        slice_col: str = "timestamp",
+    ) -> list[dict]:
+        """Deterministic position-range batching (same contract as
+        Replayer.replay), fanned out per topic."""
+        results = []
+        batch_id = 0
+        lo = start_pos
+        while lo < max_pos:
+            hi = min(lo + batch_width, max_pos)
+            batch = events.filter(
+                (F.col(slice_col) >= lo) & (F.col(slice_col) < hi)
+            )
+            results.append(self.apply_batch(batch, batch_id))
+            batch_id += 1
+            lo = hi
+        return results
