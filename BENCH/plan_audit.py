@@ -208,6 +208,48 @@ def main() -> None:
           skt.last_prune["files_read"] < skt.last_prune["files_total"],
           f"{skt.last_prune['files_read']}/{skt.last_prune['files_total']} files")
 
+    # 13. key-clustered compaction: sortWithinPartitions on top of the
+    # bucket repartition must add a Sort but NO second exchange (the
+    # whole point of sorting within the already-shuffled partitions)
+    cdf = skt.read(spark).withColumn(
+        BUCKET_COL, _bucket_expr(skt.key_cols, skt.n_buckets)
+    )
+    unsorted = cdf.repartition(4, _F.col(BUCKET_COL))
+    writer_df = unsorted.sortWithinPartitions(
+        _F.col(BUCKET_COL), *[_F.col(c) for c in skt.key_cols]
+    )
+    p0, p = plan_of(unsorted), plan_of(writer_df)
+    check("sorted compaction: the key sort adds zero exchanges",
+          p.count("Exchange") == p0.count("Exchange")
+          and "Sort" in p and ", false, " in p.split("Sort")[1][:120],
+          f"exchanges={p0.count('Exchange')}->{p.count('Exchange')}")
+
+    # 14. Bloom sidecars: a point lookup on hash-ordered MoR delta
+    # files (identical zone-map ranges) reads fewer files than the
+    # bucket holds — the prune zone maps cannot provide
+    from transforms_for_apache_kafka_connect_spark.sources.changestream import (
+        change_stream as _cs,
+    )
+
+    blroot = _tf.mkdtemp(prefix="audit_bloom_")
+    blt = _LT(os.path.join(blroot, "t"), n_buckets=2,
+              merge_strategy="append", collect_blooms=True)
+    brep = _Rep(table=blt, chain=_Chain([]), epoch="audit", unique_lsn=True)
+    bev = _cs(spark, 6_000, n_repos=12, paths_per_repo=6)
+    bmin, bmax = bev.agg(
+        _F.min("timestamp"), _F.max("timestamp")
+    ).first()
+    brep.replay(
+        bev, batch_width=max(1, (bmax - bmin + 3) // 3),
+        start_pos=bmin, max_pos=bmax + 1,
+    )
+    # a key absent from the table: zone maps keep every delta file
+    # (ranges straddle it), the blooms prove it absent file-by-file
+    blt.lookup(spark, {"repo": "repo-absent", "path": "src/absent.py"}).count()
+    check("bloom sidecars: point lookup skips key-free delta files",
+          blt.last_prune["files_read"] < blt.last_prune["files_total"],
+          f"{blt.last_prune['files_read']}/{blt.last_prune['files_total']} files")
+
     n_fail = sum(1 for _, ok, _ in checks if not ok)
     lines = [
         "# BENCH/PLANS.md — Catalyst plan audit",
