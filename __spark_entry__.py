@@ -746,9 +746,10 @@ def q_routed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "discovery": False, "merge_strategy": "broadcast",
         },
     )
-    results = router.replay(
-        stream, batch_width=max(1, (max_id + 3) // 3), max_pos=max_id + 1
-    )
+    # one batch: the unit being demonstrated is the per-batch fan-out
+    # (chain once -> one ledgered merge per topic); multi-batch replay
+    # and partial-crash resume are covered in tests/test_router.py
+    results = router.replay(stream, batch_width=max_id + 1, max_pos=max_id + 1)
     topics = sorted({t for r in results for t in r["topics"]})
     parts = [
         router.table_for(t)

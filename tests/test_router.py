@@ -164,3 +164,47 @@ def test_topic_table_router_encodes_topic_dirs(spark, tmp_path):
     assert sorted(r["topics"]) == ["a.b-c", "a/b c"]
     assert _os.path.isdir(str(tmp_path / "tables" / "a%2Fb%20c"))
     assert router.table_for("a/b c").read(spark).count() == 1
+
+
+def test_topic_table_router_streaming(spark, tmp_path):
+    """File-source stream -> per-topic tables via foreachBatch;
+    checkpoint restart is a no-op (per-destination exactly-once)."""
+    from transforms_for_apache_kafka_connect_spark.streaming import (
+        TopicTableRouter,
+    )
+
+    rows = _tenant_rows()
+    src = str(tmp_path / "incoming")
+    env = _cdc_env(spark, rows)
+    env.filter(F.col("timestamp") <= 3).write.parquet(src + "/f1.parquet")
+    env.filter(F.col("timestamp") > 3).write.parquet(src + "/f2.parquet")
+
+    router = TopicTableRouter(
+        root=str(tmp_path / "tables"),
+        chain=Chain([{"type": "extract_topic", "field.name": "tenant"}]),
+        epoch="s1",
+        table_opts={"n_buckets": 2},
+    )
+    stream_df = spark.readStream.schema(env.schema).parquet(src + "/*")
+    q = router.stream(stream_df, str(tmp_path / "ckpt"), available_now=True)
+    q.awaitTermination(120)
+
+    acme = {
+        (r["path"], r["content"])
+        for r in router.table_for("acme").read(spark).collect()
+    }
+    assert acme == {("p0", "a-new")}
+    assert router.table_for("globex").read(spark).count() == 1
+
+    v = {
+        t: router.table_for(t).manifest()["version"]
+        for t in ("acme", "globex")
+    }
+    q2 = router.stream(
+        spark.readStream.schema(env.schema).parquet(src + "/*"),
+        str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q2.awaitTermination(120)
+    for t in ("acme", "globex"):
+        assert router.table_for(t).manifest()["version"] == v[t]

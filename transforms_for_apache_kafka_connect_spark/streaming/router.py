@@ -171,6 +171,43 @@ class TopicTableRouter:
         finally:
             transformed.unpersist()
 
+    def stream(
+        self,
+        events: DataFrame,
+        checkpoint_dir: str,
+        trigger_seconds: int = 10,
+        available_now: bool = False,
+        raw_json: bool = False,
+        key_schema=None,
+        value_schema=None,
+    ):
+        """Structured Streaming entry: same per-topic apply_batch via
+        foreachBatch (mirror of Replayer.stream). Exactly-once =
+        Spark's checkpoint (source offsets) + each topic table's OWN
+        ledger — a batch replayed after a crash skips the topics it
+        already committed and re-attempts the rest."""
+        if raw_json:
+            from transforms_for_apache_kafka_connect_spark.sources.json_boundary import (
+                envelope_from_json,
+            )
+
+            if value_schema is None:
+                raise ValueError(
+                    "raw_json streaming requires an explicit value_schema "
+                    "(infer_json_schema on a batch sample first)"
+                )
+            events = envelope_from_json(
+                events, key_schema=key_schema, value_schema=value_schema
+            )
+        writer = events.writeStream.foreachBatch(
+            lambda df, bid: self.apply_batch(df, bid)
+        ).option("checkpointLocation", checkpoint_dir)
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+        return writer.start()
+
     def replay(
         self,
         events: DataFrame,
