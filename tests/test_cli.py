@@ -205,3 +205,42 @@ def test_cli_blooms_and_sorted_compact(spark, tmp_path, capsys):
     assert main(base + ["--maintenance", "compact",
                         "--compact-all-buckets", "--compact-no-sort"]) == 0
     capsys.readouterr()
+
+
+def test_cli_routed_mode(spark, tmp_path, capsys):
+    import json as _json
+
+    from transforms_for_apache_kafka_connect_spark.cli import main
+    from transforms_for_apache_kafka_connect_spark.streaming import (
+        TopicTableRouter,
+    )
+
+    rows = [
+        ("src", 0, ("r0", "p0"), ("c", 1, 1, ("x",), "t-a"), 1, None),
+        ("src", 0, ("r0", "p0"), ("u", 2, 2, ("y",), "t-a"), 2, None),
+        ("src", 0, ("r1", "p0"), ("c", 3, 3, ("z",), "t-b"), 3, None),
+    ]
+    env = spark.createDataFrame(
+        rows,
+        "topic string, partition int, key struct<repo:string,path:string>, "
+        "value struct<op:string,lsn:bigint,ts_ms:bigint,"
+        "after:struct<content:string>,tenant:string>, "
+        "timestamp long, headers map<string,string>",
+    )
+    env.write.parquet(str(tmp_path / "events"))
+    chain_spec = [{"type": "extract_topic", "field.name": "tenant"}]
+    (tmp_path / "chain.json").write_text(_json.dumps(chain_spec))
+
+    root = str(tmp_path / "tables")
+    assert main([
+        "--table", root, "--events", str(tmp_path / "events"),
+        "--chain", str(tmp_path / "chain.json"),
+        "--buckets", "2", "--batches", "1", "--routed",
+    ]) == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["routed"] is True and summary["topics"] == ["t-a", "t-b"]
+
+    router = TopicTableRouter(root=root, table_opts={"n_buckets": 2})
+    a = router.table_for("t-a").read(spark).collect()
+    assert [(r["path"], r["content"]) for r in a] == [("p0", "y")]
+    assert router.table_for("t-b").read(spark).count() == 1

@@ -84,6 +84,11 @@ def build_parser() -> argparse.ArgumentParser:
                     default=None,
                     help="run a table op instead of a replay "
                          "(--events is ignored)")
+    ap.add_argument("--routed", action="store_true",
+                    help="treat --table as a ROUTER ROOT: the chain's "
+                         "final topic picks the destination table "
+                         "(root/<topic>, one ledger each) instead of "
+                         "merging everything into one table")
     ap.add_argument("--collect-blooms", action="store_true",
                     help="build per-file key Bloom sidecars at each "
                          "commit (speeds --maintenance lookup on "
@@ -130,8 +135,7 @@ def main(argv: list[str] | None = None) -> int:
             spec = json.load(f)
     chain = Chain(spec)
 
-    table = LakeTable(
-        args.table,
+    table_opts = dict(
         key_cols=args.key_cols.split(","),
         n_buckets=args.buckets,
         target_rows_per_file=args.target_rows_per_file,
@@ -139,6 +143,11 @@ def main(argv: list[str] | None = None) -> int:
         merge_strategy=args.merge_strategy,
         collect_blooms=args.collect_blooms,
     )
+    # routed mode treats --table as the router root (one table per
+    # final topic); maintenance ops always target ONE concrete table
+    # (pass the per-topic path directly), so they ignore --routed
+    if not (args.routed and not args.maintenance):
+        table = LakeTable(args.table, **table_opts)
     if args.maintenance:
         if args.maintenance == "compact":
             r = table.compact(
@@ -190,9 +199,22 @@ def main(argv: list[str] | None = None) -> int:
               file=sys.stderr)
         return 2
 
-    rep = Replayer(table=table, chain=chain, epoch=args.epoch,
-                   compact_every=args.compact_every,
-                   error_mode=args.error_mode, dlq_dir=args.dlq_dir)
+    if args.routed:
+        from transforms_for_apache_kafka_connect_spark.streaming import (
+            TopicTableRouter,
+        )
+
+        engine = TopicTableRouter(
+            root=args.table, chain=chain, epoch=args.epoch,
+            table_opts=table_opts,
+            replayer_opts={
+                "error_mode": args.error_mode, "dlq_dir": args.dlq_dir,
+            },
+        )
+    else:
+        engine = Replayer(table=table, chain=chain, epoch=args.epoch,
+                          compact_every=args.compact_every,
+                          error_mode=args.error_mode, dlq_dir=args.dlq_dir)
 
     if args.streaming:
         if not args.checkpoint:
@@ -202,15 +224,19 @@ def main(argv: list[str] | None = None) -> int:
         stream = (
             spark.readStream.schema(batch_df.schema).parquet(args.events)
         )
-        q = rep.stream(
-            stream, args.checkpoint, available_now=True,
+        stream_kwargs = dict(
             raw_json=args.raw_json,
             key_schema=args.key_schema,
             value_schema=args.value_schema,
-            suppress_stale_ms=args.suppress_stale_ms,
+        )
+        if not args.routed:
+            stream_kwargs["suppress_stale_ms"] = args.suppress_stale_ms
+        q = engine.stream(
+            stream, args.checkpoint, available_now=True, **stream_kwargs
         )
         q.awaitTermination()
-        print(json.dumps({"mode": "streaming", "table": args.table}))
+        print(json.dumps({"mode": "streaming", "table": args.table,
+                          "routed": args.routed}))
         return 0
 
     events = spark.read.parquet(args.events)
@@ -246,12 +272,26 @@ def main(argv: list[str] | None = None) -> int:
             hi = bounds["hi"] + 1
     width = max(1, -(-(hi - lo) // args.batches))
 
-    results = rep.replay(
+    results = engine.replay(
         events, batch_width=width, max_pos=hi, start_pos=lo,
         slice_col=args.slice_col,
     )
     for r in results:
         print(json.dumps({k: v for k, v in r.items() if k != "transform_metrics"}))
+    if args.routed:
+        topics = sorted({t for r in results for t in r.get("topics", {})})
+        print(
+            json.dumps(
+                {
+                    "mode": "batch",
+                    "routed": True,
+                    "root": args.table,
+                    "n_batches": len(results),
+                    "topics": topics,
+                }
+            )
+        )
+        return 0
     print(
         json.dumps(
             {
