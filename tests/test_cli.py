@@ -244,3 +244,7 @@ def test_cli_routed_mode(spark, tmp_path, capsys):
     a = router.table_for("t-a").read(spark).collect()
     assert [(r["path"], r["content"]) for r in a] == [("p0", "y")]
     assert router.table_for("t-b").read(spark).count() == 1
+
+    # maintenance ops need one concrete table: --routed is an error
+    assert main(["--table", root, "--routed",
+                 "--maintenance", "compact"]) == 2

@@ -833,3 +833,51 @@ def test_route_and_mutate_metrics_in_result(spark, events, tmp_path):
     n_with_after = events.filter(F.col("value.after").isNotNull()).count()
     assert m["content_hash"]["mutated"] == n_with_after
     assert m["tomb"]["dropped"] == events.filter(F.col("value").isNull()).count()
+
+
+def test_all_errored_batch_cannot_commit(spark, tmp_path):
+    """A batch whose EVERY record is errored (fail-mode tombstones)
+    must fail, not commit as 'verifiably empty' — errored rows are
+    dropped before the update set, so n_updates == 0 and a pruned
+    metrics node do NOT imply no errors (regression: the empty-batch
+    swallow path used to assume they did)."""
+    import pytest as _pytest
+
+    from transforms_for_apache_kafka_connect_spark.errors import DataException
+
+    schema = (
+        "topic string, partition int, key struct<repo:string,path:string>, "
+        "value struct<op:string,lsn:bigint,ts_ms:bigint,"
+        "after:struct<content:string>>, "
+        "timestamp long, headers map<string,string>"
+    )
+    batch = spark.createDataFrame(
+        [("t", 0, ("r0", "p0"), None, 1, None)], schema
+    )
+    table = LakeTable(str(tmp_path / "t"), n_buckets=2)
+    rep = Replayer(
+        table=table,
+        chain=Chain([{"type": "tombstone_handler", "behavior": "fail"}]),
+        epoch="e",
+    )
+    with _pytest.raises(DataException, match="Tombstone record"):
+        rep.apply_batch(batch, 0)
+    assert not table.committed("e", 0)
+
+    # DLQ mode: the same all-errored batch quarantines instead
+    dlq = str(tmp_path / "dlq")
+    rep2 = Replayer(
+        table=LakeTable(str(tmp_path / "t2"), n_buckets=2),
+        chain=Chain([{"type": "tombstone_handler", "behavior": "fail"}]),
+        epoch="e",
+        error_mode="dlq",
+        dlq_dir=dlq,
+    )
+    r = rep2.apply_batch(batch, 0)
+    assert r.get("n_dlq") == 1
+    assert spark.read.parquet(dlq).count() == 1
+
+    # a TRULY empty batch still commits as a benign ledger-only entry
+    empty = spark.createDataFrame([], schema)
+    r3 = rep.apply_batch(empty, 1)
+    assert r3["skipped"] is False and table.committed("e", 1)

@@ -208,3 +208,102 @@ def test_topic_table_router_streaming(spark, tmp_path):
     q2.awaitTermination(120)
     for t in ("acme", "globex"):
         assert router.table_for(t).manifest()["version"] == v[t]
+
+
+def test_topic_dir_traversal_and_empty():
+    import pytest as _pytest
+
+    from transforms_for_apache_kafka_connect_spark.streaming.router import (
+        _topic_dir,
+    )
+
+    assert _topic_dir("..") == "%2E%2E"
+    assert _topic_dir(".") == "%2E"
+    assert _topic_dir("a.b") == "a.b"  # interior dots stay readable
+    with _pytest.raises(ValueError, match="empty topic"):
+        _topic_dir("")
+
+
+def test_topic_router_null_topic_fails_batch(spark, tmp_path):
+    import pytest as _pytest
+
+    from transforms_for_apache_kafka_connect_spark.errors import DataException
+    from transforms_for_apache_kafka_connect_spark.streaming import (
+        TopicTableRouter,
+    )
+
+    rows = [
+        ("src", 0, ("r0", "p0"), ("c", 1, 1, ("x",), "t-a"), 1, None),
+        (None, 0, ("r1", "p0"), ("c", 2, 2, ("y",), "t-b"), 2, None),
+    ]
+    router = TopicTableRouter(
+        root=str(tmp_path / "tables"), table_opts={"n_buckets": 2},
+    )
+    with _pytest.raises(DataException, match="NULL topic"):
+        router.apply_batch(_cdc_env(spark, rows), 0)
+
+
+def test_topic_router_poison_topic_does_not_starve_siblings(spark, tmp_path):
+    """A failing topic (per-record error, fail mode) must not block
+    later topics: every topic is attempted, the committed ones skip on
+    replay, and one exception summarizes the failures."""
+    import pytest as _pytest
+
+    from transforms_for_apache_kafka_connect_spark.errors import DataException
+    from transforms_for_apache_kafka_connect_spark.streaming import (
+        TopicTableRouter,
+    )
+
+    rows = [
+        # 'aaa' has a tombstone RECORD (value NULL) that fail-mode
+        # TombstoneHandler turns into a per-record error
+        ("aaa", 0, ("r0", "p0"), None, 1, None),
+        ("aaa", 0, ("r0", "p1"), ("c", 2, 2, ("x",), None), 2, None),
+        ("zzz", 0, ("r1", "p0"), ("c", 3, 3, ("y",), None), 3, None),
+    ]
+    router = TopicTableRouter(
+        root=str(tmp_path / "tables"),
+        chain=Chain([{"type": "tombstone_handler", "behavior": "fail"}]),
+        table_opts={"n_buckets": 2},
+    )
+    with _pytest.raises(DataException, match="1 topic.s. failed .aaa."):
+        router.apply_batch(_cdc_env(spark, rows), 0)
+    # the alphabetically-later clean topic committed anyway
+    assert router.table_for("zzz").read(spark).count() == 1
+    # replay: zzz skips via its ledger, aaa fails again
+    with _pytest.raises(DataException, match="aaa"):
+        router.apply_batch(_cdc_env(spark, rows), 0)
+    assert router.table_for("zzz").manifest()["version"] == 1
+
+
+def test_topic_router_per_topic_dlq(spark, tmp_path):
+    """DLQ mode quarantines each topic under its own subdirectory —
+    one topic's overwrite-idempotent batch dir cannot clobber
+    another's."""
+    import os as _os
+
+    from transforms_for_apache_kafka_connect_spark.streaming import (
+        TopicTableRouter,
+    )
+
+    rows = [
+        ("aaa", 0, ("r0", "p0"), None, 1, None),  # errored (tombstone)
+        ("aaa", 0, ("r0", "p1"), ("c", 2, 2, ("x",), None), 2, None),
+        ("zzz", 0, ("r1", "p0"), None, 3, None),  # errored (tombstone)
+        ("zzz", 0, ("r1", "p1"), ("c", 4, 4, ("y",), None), 4, None),
+    ]
+    dlq = str(tmp_path / "dlq")
+    router = TopicTableRouter(
+        root=str(tmp_path / "tables"),
+        chain=Chain([{"type": "tombstone_handler", "behavior": "fail"}]),
+        table_opts={"n_buckets": 2},
+        replayer_opts={"error_mode": "dlq", "dlq_dir": dlq},
+    )
+    r = router.apply_batch(_cdc_env(spark, rows), 0)
+    assert sorted(r["topics"]) == ["aaa", "zzz"]
+    for t in ("aaa", "zzz"):
+        assert router.table_for(t).read(spark).count() == 1
+        tdir = _os.path.join(dlq, t)
+        assert _os.path.isdir(tdir), tdir
+        quarantined = spark.read.parquet(tdir)
+        assert quarantined.count() == 1

@@ -145,8 +145,15 @@ def main(argv: list[str] | None = None) -> int:
     )
     # routed mode treats --table as the router root (one table per
     # final topic); maintenance ops always target ONE concrete table
-    # (pass the per-topic path directly), so they ignore --routed
-    if not (args.routed and not args.maintenance):
+    if args.routed and args.maintenance:
+        print(
+            "--maintenance targets one concrete table: pass the "
+            "per-topic path (e.g. <root>/<topic>) as --table and drop "
+            "--routed",
+            file=sys.stderr,
+        )
+        return 2
+    if not args.routed:
         table = LakeTable(args.table, **table_opts)
     if args.maintenance:
         if args.maintenance == "compact":
@@ -210,6 +217,7 @@ def main(argv: list[str] | None = None) -> int:
             replayer_opts={
                 "error_mode": args.error_mode, "dlq_dir": args.dlq_dir,
             },
+            compact_every=args.compact_every,
         )
     else:
         engine = Replayer(table=table, chain=chain, epoch=args.epoch,
@@ -224,15 +232,12 @@ def main(argv: list[str] | None = None) -> int:
         stream = (
             spark.readStream.schema(batch_df.schema).parquet(args.events)
         )
-        stream_kwargs = dict(
+        q = engine.stream(
+            stream, args.checkpoint, available_now=True,
             raw_json=args.raw_json,
             key_schema=args.key_schema,
             value_schema=args.value_schema,
-        )
-        if not args.routed:
-            stream_kwargs["suppress_stale_ms"] = args.suppress_stale_ms
-        q = engine.stream(
-            stream, args.checkpoint, available_now=True, **stream_kwargs
+            suppress_stale_ms=args.suppress_stale_ms,
         )
         q.awaitTermination()
         print(json.dumps({"mode": "streaming", "table": args.table,

@@ -31,6 +31,46 @@ from transforms_for_apache_kafka_connect_spark.streaming.sink import LakeTable
 _log = logging.getLogger(__name__)
 
 
+def prepare_stream_events(
+    events: DataFrame,
+    *,
+    raw_json: bool = False,
+    key_schema=None,
+    value_schema=None,
+    suppress_stale_ms: int | None = None,
+) -> DataFrame:
+    """Pre-fan-out stream preparation shared by Replayer.stream and
+    TopicTableRouter.stream: the raw-JSON converter boundary (explicit
+    schemas required — a stream cannot be sampled for inference) and
+    the stateful stale-LSN suppressor. Both are table-agnostic."""
+    if raw_json:
+        from transforms_for_apache_kafka_connect_spark.sources.json_boundary import (
+            envelope_from_json,
+        )
+
+        if value_schema is None:
+            raise ValueError(
+                "raw_json streaming requires an explicit value_schema "
+                "(infer_json_schema on a batch sample first)"
+            )
+        events = envelope_from_json(
+            events, key_schema=key_schema, value_schema=value_schema
+        )
+    if suppress_stale_ms is not None:
+        # live-tailing input bound: drop redelivered/stale LSNs via
+        # managed state BEFORE the per-batch chain/dedupe/merge
+        # (at-least-once sources redeliver; the ledger makes whole
+        # batches idempotent, this suppresses single stale events)
+        from transforms_for_apache_kafka_connect_spark.streaming.stateful import (
+            suppress_stale_envelope,
+        )
+
+        events = suppress_stale_envelope(
+            events, state_timeout_ms=suppress_stale_ms
+        )
+    return events
+
+
 @dataclass
 class Replayer:
     table: LakeTable
@@ -234,17 +274,36 @@ class Replayer:
         else:
             updates = self.updates_for(transformed)
 
+        # source DataFrame behind each observation, for the explicit
+        # fallback below (obs_pre watches the pre-chain rows INCLUDING
+        # ones the winner machinery later drops)
+        obs_src = {id(obs): transformed}
+        if obs_pre is not None:
+            obs_src[id(obs_pre)] = filtered
+
+        def _explicit_first_error(o):
+            """A pruned/empty-update observation proves nothing about
+            per-record errors: errored rows (e.g. fail-mode tombstones)
+            are dropped BEFORE the update set, so an all-errored batch
+            has n_updates == 0 and an eliminated metrics node. Pay one
+            explicit reduced job over the observation's source on this
+            rare path — it is the only way to distinguish 'verifiably
+            empty' from 'everything errored'."""
+            return (
+                obs_src[id(o)].agg(F.max(F.col(ERROR_COL))).first()[0]
+            )
+
         def check_errors(n_updates=None):
             """Error gate run as the merge's pre_commit (n_updates =
             update-row count the merge saw; None = unknown/dense mode).
 
-            A metrics-retrieval failure is treated as benign ONLY when
-            the batch is verifiably empty: n_updates == 0, or the
-            failure carries the pruned-CollectMetrics signature
-            (observation_pruned — AQE eliminated the observed subtree
-            because it was empty, so zero rows means zero per-record
-            errors). Any other failure (JVM/py4j error, unknown count)
-            re-raises so an errored batch can never silently commit."""
+            When metric retrieval fails with the empty-batch signature
+            (n_updates == 0, or the pruned-CollectMetrics signature —
+            AQE eliminated the observed subtree) the gate does NOT
+            assume no errors: it re-checks explicitly via
+            _explicit_first_error. Any other failure (JVM/py4j error,
+            unknown count) re-raises so an errored batch can never
+            silently commit."""
             from transforms_for_apache_kafka_connect_spark.streaming.sink import (
                 observation_pruned,
             )
@@ -254,6 +313,9 @@ class Replayer:
                     return o.get
                 except Exception as exc:
                     if n_updates == 0 or observation_pruned(exc):
+                        err = _explicit_first_error(o)
+                        if err is not None:
+                            raise DataException(err) from None
                         return {}
                     raise
 
@@ -288,12 +350,14 @@ class Replayer:
                     # AQE at runtime — observation_pruned matches that
                     # exact signature) — a batch WITH rows (errored or
                     # not) keeps its CollectMetrics and o.get succeeds.
-                    # Those are the benign empty cases (re-raising here
-                    # would wedge a streaming query in a permanent
-                    # replay loop); anything else is a real failure that
-                    # must not silently drop quarantine rows.
+                    # The empty signature alone proves nothing: an
+                    # all-errored batch also has zero updates and a
+                    # pruned node — re-check explicitly so quarantine
+                    # rows are never silently dropped. (Re-raising
+                    # blindly instead would wedge a streaming query in
+                    # a permanent replay loop on truly empty batches.)
                     if n_updates == 0 or observation_pruned(exc):
-                        return False
+                        return _explicit_first_error(o) is not None
                     raise
 
             has_err = any(
@@ -411,31 +475,13 @@ class Replayer:
         at-least-once). ``available_now=True`` drains what exists and
         stops (backfill mode).
         """
-        if raw_json:
-            from transforms_for_apache_kafka_connect_spark.sources.json_boundary import (
-                envelope_from_json,
-            )
-
-            if value_schema is None:
-                raise ValueError(
-                    "raw_json streaming requires an explicit value_schema "
-                    "(infer_json_schema on a batch sample first)"
-                )
-            events = envelope_from_json(
-                events, key_schema=key_schema, value_schema=value_schema
-            )
-        if suppress_stale_ms is not None:
-            # live-tailing input bound: drop redelivered/stale LSNs via
-            # managed state BEFORE the per-batch chain/dedupe/merge
-            # (at-least-once sources redeliver; the ledger makes whole
-            # batches idempotent, this suppresses single stale events)
-            from transforms_for_apache_kafka_connect_spark.streaming.stateful import (
-                suppress_stale_envelope,
-            )
-
-            events = suppress_stale_envelope(
-                events, state_timeout_ms=suppress_stale_ms
-            )
+        events = prepare_stream_events(
+            events,
+            raw_json=raw_json,
+            key_schema=key_schema,
+            value_schema=value_schema,
+            suppress_stale_ms=suppress_stale_ms,
+        )
         writer = events.writeStream.foreachBatch(
             lambda df, bid: self.apply_batch(df, bid)
         ).option("checkpointLocation", checkpoint_dir)

@@ -80,10 +80,21 @@ def route_write(
 
 def _topic_dir(topic: str) -> str:
     """Reversible, filesystem-safe directory name for a topic value
-    (percent-encoding — two distinct topics can never collide)."""
+    (percent-encoding — two distinct topics can never collide).
+
+    ``quote`` leaves '.' bare, so the path-traversal names '.' and
+    '..' (which would resolve to the router root / its PARENT and let
+    a data-derived topic write outside the root) get their dots
+    explicitly encoded — still reversible via unquote. Empty topics
+    are rejected outright (no directory name can round-trip them)."""
     from urllib.parse import quote
 
-    return quote(topic, safe="")
+    if topic == "":
+        raise ValueError("empty topic cannot be routed to a table")
+    q = quote(topic, safe="")
+    if q in (".", ".."):
+        q = q.replace(".", "%2E")
+    return q
 
 
 @dataclass
@@ -107,9 +118,21 @@ class TopicTableRouter:
     same contract as the single-table engine, per destination.
 
     Per-record errors abort ONLY the topic slices that contain them
-    (each sub-Replayer enforces the batch-fail contract on its slice);
-    other topics' commits proceed. Replaying the batch re-attempts the
-    failed topics and skips the committed ones.
+    (each sub-Replayer enforces the batch-fail contract on its slice):
+    every topic is ATTEMPTED regardless of earlier topics' failures,
+    then one exception summarizing the failed topics is raised so the
+    caller (or the streaming restart loop) replays the batch — the
+    committed topics skip via their ledgers, only the failed ones
+    re-run. A poison topic therefore never starves its siblings. In
+    DLQ mode each topic quarantines under its own subdirectory of
+    ``dlq_dir`` (a shared directory would let one topic's
+    overwrite-idempotent batch dir clobber another's).
+
+    A row whose post-chain topic is NULL has no destination: that is a
+    chain bug, and the batch fails (no topic committed its slice of a
+    NULL-topic batch id yet on first attempt — and on any replay the
+    same DataException fires before the fan-out) rather than silently
+    dropping rows the single-table engine would have merged.
 
     Scale shape: one chain evaluation, one persist of the transformed
     batch, one tiny distinct() on the topic column (O(#topics) rows to
@@ -124,6 +147,11 @@ class TopicTableRouter:
     table_opts: dict = dataclass_field(default_factory=dict)
     #: kwargs forwarded to every per-topic Replayer (dedupe knobs etc.)
     replayer_opts: dict = dataclass_field(default_factory=dict)
+    #: run compact() on each batch's touched topic tables every K
+    #: committed batches (0 = never) — the routed analog of
+    #: Replayer.compact_every
+    compact_every: int = 0
+    compact_max_files_per_bucket: int = 8
 
     def _table(self, topic: str):
         from transforms_for_apache_kafka_connect_spark.streaming.sink import (
@@ -148,26 +176,65 @@ class TopicTableRouter:
             Replayer,
         )
 
+        from transforms_for_apache_kafka_connect_spark.errors import (
+            DataException,
+        )
+
         chain = self.chain if self.chain is not None else Chain([])
         transformed = chain.apply(ensure_error_col(batch)).persist()
         try:
-            topics = sorted(
+            raw_topics = [
                 r["topic"]
                 for r in transformed.select("topic").distinct().collect()
-                if r["topic"] is not None
-            )
+            ]
+            if any(t is None for t in raw_topics):
+                raise DataException(
+                    "rows with NULL topic cannot be routed to a table "
+                    "(the chain must leave every record with a topic)"
+                )
             results: dict[str, dict] = {}
-            for t in topics:
+            failures: dict[str, Exception] = {}
+            for t in sorted(raw_topics):
+                opts = dict(self.replayer_opts)
+                if opts.get("dlq_dir"):
+                    # per-topic quarantine: the DLQ batch dir is
+                    # overwrite-idempotent per (epoch, batch), so two
+                    # topics sharing one dir would clobber each other
+                    opts["dlq_dir"] = os.path.join(
+                        opts["dlq_dir"], _topic_dir(t)
+                    )
                 rep = Replayer(
                     table=self._table(t),
                     chain=Chain([]),  # already transformed; errors ride
                     epoch=self.epoch,  # the error column into the slice
-                    **self.replayer_opts,
+                    **opts,
                 )
-                results[t] = rep.apply_batch(
-                    transformed.filter(F.col("topic") == t), batch_id
-                )
-            return {"batch_id": batch_id, "topics": results}
+                try:
+                    results[t] = rep.apply_batch(
+                        transformed.filter(F.col("topic") == t), batch_id
+                    )
+                except Exception as exc:  # isolate poison topics
+                    failures[t] = exc
+            result = {"batch_id": batch_id, "topics": results}
+            metrics = {}
+            for stage in getattr(chain, "stages", []):
+                name = getattr(stage, "observe_name", None)
+                last = getattr(stage, "last_observation", None)
+                if name and last is not None:
+                    try:
+                        metrics[name] = dict(last.get)
+                    except Exception:
+                        pass  # advisory; per-record errors gate above
+            if metrics:
+                result["transform_metrics"] = metrics
+            if failures:
+                first = next(iter(sorted(failures)))
+                raise DataException(
+                    f"batch {batch_id}: {len(failures)} topic(s) failed "
+                    f"({', '.join(sorted(failures))}); "
+                    f"{len(results)} committed and will skip on replay"
+                ) from failures[first]
+            return result
         finally:
             transformed.unpersist()
 
@@ -180,25 +247,27 @@ class TopicTableRouter:
         raw_json: bool = False,
         key_schema=None,
         value_schema=None,
+        suppress_stale_ms: int | None = None,
     ):
         """Structured Streaming entry: same per-topic apply_batch via
-        foreachBatch (mirror of Replayer.stream). Exactly-once =
-        Spark's checkpoint (source offsets) + each topic table's OWN
-        ledger — a batch replayed after a crash skips the topics it
-        already committed and re-attempts the rest."""
-        if raw_json:
-            from transforms_for_apache_kafka_connect_spark.sources.json_boundary import (
-                envelope_from_json,
-            )
+        foreachBatch (mirror of Replayer.stream, including the
+        raw-JSON boundary and the stateful stale-LSN suppressor —
+        both are table-agnostic and run before the fan-out).
+        Exactly-once = Spark's checkpoint (source offsets) + each
+        topic table's OWN ledger — a batch replayed after a crash
+        skips the topics it already committed and re-attempts the
+        rest."""
+        from transforms_for_apache_kafka_connect_spark.streaming.engine import (
+            prepare_stream_events,
+        )
 
-            if value_schema is None:
-                raise ValueError(
-                    "raw_json streaming requires an explicit value_schema "
-                    "(infer_json_schema on a batch sample first)"
-                )
-            events = envelope_from_json(
-                events, key_schema=key_schema, value_schema=value_schema
-            )
+        events = prepare_stream_events(
+            events,
+            raw_json=raw_json,
+            key_schema=key_schema,
+            value_schema=value_schema,
+            suppress_stale_ms=suppress_stale_ms,
+        )
         writer = events.writeStream.foreachBatch(
             lambda df, bid: self.apply_batch(df, bid)
         ).option("checkpointLocation", checkpoint_dir)
@@ -218,7 +287,9 @@ class TopicTableRouter:
         slice_col: str = "timestamp",
     ) -> list[dict]:
         """Deterministic position-range batching (same contract as
-        Replayer.replay), fanned out per topic."""
+        Replayer.replay), fanned out per topic; ``compact_every``
+        compacts each batch's touched topic tables on the same cadence
+        as the single-table engine."""
         results = []
         batch_id = 0
         lo = start_pos
@@ -228,6 +299,16 @@ class TopicTableRouter:
                 (F.col(slice_col) >= lo) & (F.col(slice_col) < hi)
             )
             results.append(self.apply_batch(batch, batch_id))
+            if (
+                self.compact_every
+                and (batch_id + 1) % self.compact_every == 0
+            ):
+                for t, r in results[-1]["topics"].items():
+                    if not r.get("skipped"):
+                        self._table(t).compact(
+                            events.sparkSession,
+                            max_files_per_bucket=self.compact_max_files_per_bucket,
+                        )
             batch_id += 1
             lo = hi
         return results
