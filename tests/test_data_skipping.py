@@ -245,7 +245,7 @@ def test_bloom_sidecars_prune_point_reads(spark, tmp_path):
     files = [f for fs in m["buckets"].values() for f in fs]
     assert set(m["file_blooms"]) == set(files)
     for f in files:
-        assert os.path.exists(f + ".bloom")
+        assert os.path.exists(table._abs(f) + ".bloom")
     # the batch-2 pairing (r07, p09) lives in one delta file per
     # bucket — blooms skip the other batches' files even though every
     # file's (repo, path) zone-map range is identical
@@ -277,16 +277,17 @@ def test_bloom_sidecars_follow_vacuum(spark, tmp_path):
     r = table.vacuum(keep_versions=1)
     assert r["deleted_files"] > 0
     for f in old_files:
-        assert not os.path.exists(f + ".bloom")
+        assert not os.path.exists(table._abs(f) + ".bloom")
     m = table.manifest()
     live = [f for fs in m["buckets"].values() for f in fs]
     for f in live:
-        assert os.path.exists(f + ".bloom")
+        assert os.path.exists(table._abs(f) + ".bloom")
     assert set(m["file_blooms"]) == set(live)
     # every sidecar on disk belongs to a live file
+    live_abs = {table._abs(f) for f in live}
     for s in glob.glob(str(tmp_path / "t" / "data" / "**" / "*.bloom"),
                        recursive=True):
-        assert s[: -len(".bloom")] in live
+        assert s[: -len(".bloom")] in live_abs
 
 
 def test_bloom_pruning_without_writer_flag(spark, tmp_path):

@@ -767,7 +767,7 @@ def test_vacuum_removes_orphans_keeps_live(spark, events, tmp_path):
     import glob as _glob
 
     live = {
-        os.path.realpath(p)
+        os.path.realpath(table._abs(p))
         for fs in table.manifest()["buckets"].values()
         for p in fs
     }

@@ -361,6 +361,15 @@ class LakeTable:
 
     # ------------------------------------------------------------ manifest
 
+    def _abs(self, path: str) -> str:
+        """Manifests store ROOT-RELATIVE data-file paths, so a table is
+        relocatable: copy/move/mount the directory tree anywhere and
+        open it at the new root — clone-by-copy, DR restore to a
+        different prefix, test fixtures. Absolute entries (manifests
+        written before this convention, or files deliberately outside
+        the root) pass through untouched."""
+        return path if os.path.isabs(path) else os.path.join(self.root, path)
+
     @property
     def _current_path(self) -> str:
         return os.path.join(self.root, "_manifest", "CURRENT")
@@ -421,7 +430,7 @@ class LakeTable:
                 stats[f] = (
                     prev[f]
                     if f in prev
-                    else _harvest_file_stats(f, self.stats_cols)
+                    else _harvest_file_stats(self._abs(f), self.stats_cols)
                 )
         manifest["file_stats"] = stats
 
@@ -450,7 +459,10 @@ class LakeTable:
             for f in fs:
                 meta = prev.get(f)
                 if meta is None:
-                    meta = _build_bloom_sidecar(f, self.key_cols) or {"m": 0}
+                    meta = (
+                        _build_bloom_sidecar(self._abs(f), self.key_cols)
+                        or {"m": 0}
+                    )
                 blooms[f] = meta
         manifest["file_blooms"] = blooms
 
@@ -488,7 +500,23 @@ class LakeTable:
                     existing = json.load(f)
             except (json.JSONDecodeError, OSError):
                 pass
-            if existing is None:  # (b) corrupt claim — reclaim it
+            if existing is not None and existing.get("committed") == manifest[
+                "committed"
+            ]:
+                # candidate for (a) — but only adopt a manifest whose
+                # data files still exist: the crashed attempt wrote to
+                # the same deterministic version directory THIS attempt
+                # just rewrote (mode=overwrite), so the stale manifest's
+                # file names are usually gone — adopting it would
+                # repoint CURRENT at deleted files. Ours references the
+                # files we just wrote; reclaim with it instead.
+                if any(
+                    not os.path.exists(self._abs(f))
+                    for fs in existing.get("buckets", {}).values()
+                    for f in fs
+                ):
+                    existing = None  # stale claim over destroyed files
+            if existing is None:  # (b) corrupt/stale claim — reclaim it
                 tmp = self._manifest_path(version) + f".tmp-{uuid.uuid4().hex}"
                 with open(tmp, "w") as f:
                     json.dump(manifest, f)
@@ -655,7 +683,7 @@ class LakeTable:
                 files = [
                     f
                     for f in files
-                    if _bloom_maybe_contains(f, fblooms.get(f), hashes)
+                    if _bloom_maybe_contains(self._abs(f), fblooms.get(f), hashes)
                 ]
         self.last_prune = {"files_total": n_candidates, "files_read": len(files)}
 
@@ -687,7 +715,7 @@ class LakeTable:
             reader = spark.read.schema(T.StructType.fromJson(m["schema"]))
         else:
             reader = spark.read.option("mergeSchema", "true")
-        df = reader.parquet(*files).drop(BUCKET_COL)
+        df = reader.parquet(*[self._abs(f) for f in files]).drop(BUCKET_COL)
         df = self._resolve_mor(df) if m.get("mor") else df
         return _filtered(df)
 
@@ -771,7 +799,7 @@ class LakeTable:
             )
         base = self.manifest(since_version)
         base_files = {
-            os.path.realpath(f)
+            os.path.realpath(self._abs(f))
             for fs in base["buckets"].values()
             for f in fs
         }
@@ -779,7 +807,7 @@ class LakeTable:
             f
             for fs in m["buckets"].values()
             for f in fs
-            if os.path.realpath(f) not in base_files
+            if os.path.realpath(self._abs(f)) not in base_files
         ]
         if not new_files:
             from pyspark.sql import types as T
@@ -796,7 +824,7 @@ class LakeTable:
 
         df = (
             spark.read.schema(T.StructType.fromJson(m["schema"]))
-            .parquet(*delta_files)
+            .parquet(*[self._abs(f) for f in delta_files])
             .drop(BUCKET_COL)
         )
         # LWW within the window, but KEEP the _deleted winner rows —
@@ -878,7 +906,7 @@ class LakeTable:
                 b = int(entry.split("=", 1)[1])
                 bdir = os.path.join(out_dir, entry)
                 files = sorted(
-                    os.path.join(bdir, fn)
+                    os.path.join(rel_dir, entry, fn)
                     for fn in os.listdir(bdir)
                     if fn.endswith(".parquet")
                 )
@@ -998,7 +1026,8 @@ class LakeTable:
             BUCKET_COL, _bucket_expr(self.key_cols, self.n_buckets)
         )
         version = m["version"] + 1
-        out_dir = os.path.join(self.root, "data", f"v{version:08d}-compact")
+        rel_dir = os.path.join("data", f"v{version:08d}-compact")
+        out_dir = os.path.join(self.root, rel_dir)
         writer_df = df.repartition(len(over), F.col(BUCKET_COL))
         if sort:
             writer_df = writer_df.sortWithinPartitions(
@@ -1018,7 +1047,7 @@ class LakeTable:
             b = int(entry.split("=", 1)[1])
             bdir = os.path.join(out_dir, entry)
             files = sorted(
-                os.path.join(bdir, fn)
+                os.path.join(rel_dir, entry, fn)
                 for fn in os.listdir(bdir)
                 if fn.endswith(".parquet")
             )
@@ -1070,7 +1099,8 @@ class LakeTable:
             BUCKET_COL, _bucket_expr(self.key_cols, n_buckets)
         )
         version = m["version"] + 1
-        out_dir = os.path.join(self.root, "data", f"v{version:08d}-rescale")
+        rel_dir = os.path.join("data", f"v{version:08d}-rescale")
+        out_dir = os.path.join(self.root, rel_dir)
         (
             df.repartition(n_buckets, F.col(BUCKET_COL))
             .sortWithinPartitions(
@@ -1088,7 +1118,7 @@ class LakeTable:
             b = int(entry.split("=", 1)[1])
             bdir = os.path.join(out_dir, entry)
             files = sorted(
-                os.path.join(bdir, fn)
+                os.path.join(rel_dir, entry, fn)
                 for fn in os.listdir(bdir)
                 if fn.endswith(".parquet")
             )
@@ -1141,7 +1171,7 @@ class LakeTable:
             with open(self._manifest_path(v)) as f:
                 mv = json.load(f)
             for fs in mv["buckets"].values():
-                live.update(os.path.realpath(p) for p in fs)
+                live.update(os.path.realpath(self._abs(p)) for p in fs)
         # a Bloom sidecar lives exactly as long as its data file
         live |= {p + ".bloom" for p in live}
         orphans = [
@@ -1405,7 +1435,7 @@ class LakeTable:
                 b = int(entry.split("=", 1)[1])
                 bdir = os.path.join(out_dir, entry)
                 files = sorted(
-                    os.path.join(bdir, fn)
+                    os.path.join(rel_dir, entry, fn)
                     for fn in os.listdir(bdir)
                     if fn.endswith(".parquet")
                 )
