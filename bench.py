@@ -232,6 +232,102 @@ def sparse_merge_benchmark(spark, work_dir: str, cpus: int) -> dict:
     }
 
 
+def streaming_benchmark(spark, work_dir: str, cpus: int) -> dict:
+    """Throughput of the Structured Streaming entry (readStream →
+    foreachBatch chain/dedupe/merge with checkpoint + ledger): drains
+    one pre-generated LSN slice (~1.5M events) in several
+    maxFilesPerTrigger micro-batches. The measured path is exactly the
+    live-tailing deployment shape; the delta vs the batch-replay
+    number is the per-micro-batch overhead (checkpoint write, ledger
+    commit, plan re-derivation)."""
+    from transforms_for_apache_kafka_connect_spark import Chain
+    from transforms_for_apache_kafka_connect_spark.streaming import (
+        LakeTable,
+        Replayer,
+    )
+
+    events_root = os.environ.get("SPARK_GRAFT_EVENTS_DIR") or os.path.join(
+        work_dir, "events"
+    )
+    events_path = os.path.join(events_root, "__slice=0")
+    if not os.path.isdir(events_path):
+        return {}
+    batch_df = spark.read.parquet(events_path)
+    n_events = batch_df.count()
+    n_files = len(
+        [f for f in os.listdir(events_path) if f.endswith(".parquet")]
+    )
+    table = LakeTable(
+        os.path.join(work_dir, "stream_table"), n_buckets=16,
+        target_rows_per_file=2_000_000, discovery=False,
+        merge_strategy="broadcast",
+    )
+    rep = Replayer(table=table, chain=Chain([]), epoch="stream",
+                   unique_lsn=True)
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        # 4 micro-batches over the slice: measures steady-state
+        # per-batch overhead without degenerating into one big batch
+        .option("maxFilesPerTrigger", max(1, n_files // 4))
+        .parquet(events_path)
+    )
+    t0 = time.perf_counter()
+    q = rep.stream(
+        stream, os.path.join(work_dir, "stream_ckpt"), available_now=True
+    )
+    q.awaitTermination()
+    elapsed = time.perf_counter() - t0
+    n_batches = len(table.manifest()["committed"])
+    return {
+        "streaming_sec": round(elapsed, 3),
+        "streaming_events_per_sec": round(n_events / elapsed),
+        "streaming_n_events": n_events,
+        "streaming_n_batches": n_batches,
+    }
+
+
+def skew_benchmark(spark, work_dir: str, cpus: int) -> dict:
+    """Hot-key evidence (north_rule: 'salted repartitioning on skewed
+    repos'): replay a pathologically skewed stream (zipf alpha=12 —
+    a handful of repos own most events) through the engine with and
+    without the two-phase salted LWW aggregate. With map-side partial
+    aggregation the plain hash aggregate already absorbs most of the
+    skew (duplicates collapse before the exchange); the salted path is
+    the insurance for keys whose per-partition cardinality defeats the
+    partial — both are measured so the trade-off is on the record."""
+    from transforms_for_apache_kafka_connect_spark import Chain
+    from transforms_for_apache_kafka_connect_spark.sources import change_stream
+    from transforms_for_apache_kafka_connect_spark.streaming import (
+        LakeTable,
+        Replayer,
+    )
+
+    n = 2_000_000
+    hot = change_stream(
+        spark, n, n_repos=2_000, paths_per_repo=20, alpha=12.0,
+        partitions=cpus * 4,
+    ).persist()
+    hot.count()  # materialize once; both legs replay identical input
+    out = {}
+    for label, n_salt in (("skew_plain", 0), ("skew_salted", 8)):
+        table = LakeTable(
+            os.path.join(work_dir, f"{label}_table"), n_buckets=16,
+            target_rows_per_file=2_000_000, discovery=False,
+            merge_strategy="broadcast",
+        )
+        rep = Replayer(
+            table=table, chain=Chain([]), epoch=label,
+            unique_lsn=(n_salt == 0), dedupe_salt=n_salt,
+            lww_pushdown=(n_salt == 0),
+        )
+        t0 = time.perf_counter()
+        rep.apply_batch(hot, 0)
+        out[f"{label}_sec"] = round(time.perf_counter() - t0, 3)
+    hot.unpersist()
+    out["skew_n_events"] = n
+    return out
+
+
 def time_queries(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
@@ -284,6 +380,10 @@ def main() -> None:
             if os.environ.get("SPARK_GRAFT_SKIP_QUERIES")
             else sparse_merge_benchmark(spark, work_dir, cpus)
         )
+        extra = {}
+        if not os.environ.get("SPARK_GRAFT_SKIP_QUERIES"):
+            extra.update(streaming_benchmark(spark, work_dir, cpus))
+            extra.update(skew_benchmark(spark, work_dir, cpus))
     finally:
         shutil.rmtree(work_dir, ignore_errors=True)
 
@@ -301,6 +401,7 @@ def main() -> None:
                 "final_rows": replay["final_rows"],
                 "cpus": cpus,
                 **sparse,
+                **extra,
             }
         )
     )
