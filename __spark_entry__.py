@@ -1021,6 +1021,20 @@ def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep over the dup-seeded corpus: exact
+    dedupe (one content-hash shuffle, min-id canonical copy) -> lang-ID
+    filter -> quality floor, fused into one plan
+    (functions/text.py prepare_training_docs)."""
+    from transforms_for_apache_kafka_connect_spark.functions import (
+        prepare_training_docs,
+    )
+
+    return prepare_training_docs(
+        _docs_with_dups(spark, sf_dir), lang="en", min_quality=0.9
+    )
+
+
 def _ann_with_recall(spark, sf_dir: str, approx) -> DataFrame:
     """Join an approximate top-k against the exact brute-force top-k on
     the same fixture and emit per-query recall@k — the gate rows ARE
@@ -1179,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "fingerprint_dup": q_fingerprint_dup,
         "token_topk": q_token_topk,
+        "docs_pipeline": q_docs_pipeline,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
         "json_boundary": q_json_boundary,
@@ -1461,6 +1476,40 @@ def oracle_sql() -> dict[str, str]:
             "+ (CASE WHEN n_chars > 0 THEN "
             "1.0 - least(CAST(n_punct AS DOUBLE) / n_chars * 4, 1.0) "
             "ELSE 0.0 END) * 0.5, 6) AS quality_score FROM s"
+        ),
+        "docs_pipeline": (
+            f"WITH b AS ({_DUPS_SQL}), "
+            "d AS (SELECT arg_min(doc_id, doc_id) AS doc_id, "
+            "arg_min(text, doc_id) AS text FROM b GROUP BY sha256(text)), "
+            "s AS (SELECT doc_id, length(text) AS n_chars, "
+            r"len(string_split_regex(trim(text), '\s+')) AS n_tokens, "
+            r"len(regexp_extract_all(text, '[^\w\s]')) AS n_punct, "
+            r"len(regexp_extract_all(text, "
+            r"'(?i)\b(?:the|and|of|to|is|that|with|for|a|in|it|on|as|are|was)\b')) "
+            "AS stop_hits, "
+            r"len(regexp_extract_all(text, '(?i)\b(?:the|and|of|to|is|that|with|for)\b')) AS s_en, "
+            r"len(regexp_extract_all(text, '(?i)\b(?:der|die|und|das|ist|nicht|mit|ein)\b')) AS s_de, "
+            r"len(regexp_extract_all(text, '(?i)\b(?:le|la|et|les|des|est|dans|une)\b')) AS s_fr, "
+            r"len(regexp_extract_all(text, '(?i)\b(?:el|la|los|que|es|una|para|con)\b')) AS s_es "
+            "FROM d), "
+            "t AS (SELECT *, greatest(s_en, s_de, s_fr, s_es) AS m, "
+            "round(least(n_tokens / 100.0, 1.0) * 0.5 "
+            "+ (CASE WHEN n_tokens > 0 THEN CAST(stop_hits AS DOUBLE) / n_tokens "
+            "ELSE 0.0 END) * 2.0 "
+            "+ (CASE WHEN n_chars > 0 THEN "
+            "1.0 - least(CAST(n_punct AS DOUBLE) / n_chars * 4, 1.0) "
+            "ELSE 0.0 END) * 0.5, 6) AS q FROM s) "
+            "SELECT doc_id, CASE "
+            "WHEN s_en = m AND m > 0 THEN 'en' "
+            "WHEN s_de = m AND m > 0 THEN 'de' "
+            "WHEN s_fr = m AND m > 0 THEN 'fr' "
+            "WHEN s_es = m AND m > 0 THEN 'es' "
+            "ELSE 'und' END AS lang_detected, n_tokens, q AS quality_score "
+            "FROM t WHERE (CASE WHEN s_en = m AND m > 0 THEN 'en' "
+            "WHEN s_de = m AND m > 0 THEN 'de' "
+            "WHEN s_fr = m AND m > 0 THEN 'fr' "
+            "WHEN s_es = m AND m > 0 THEN 'es' ELSE 'und' END) = 'en' "
+            "AND q >= 0.9"
         ),
         "fingerprint_dup": (
             f"WITH b AS ({_DUPS_SQL}), "

@@ -336,7 +336,7 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
         "extract_topic", "lww_dedupe", "cdc_merge", "cdc_merge_mor",
         # training-data ops (documents/events tables at this sf)
         "dedup_exact", "minhash_lsh", "near_dup_clusters", "json_boundary",
-        "lang_id",
+        "lang_id", "docs_pipeline",
         # ingestion boundaries + Debezium compat
         "kafka_boundary", "debezium_unwrap",
         # zone-map pruned read over a replayed table

@@ -384,3 +384,33 @@ def test_multimodal_decode_stub_raises(spark):
 
     with pytest.raises(Exception, match="NotImplementedError|imaging library"):
         extract_features(synthetic_media(spark, 5), fake=False).collect()
+
+
+def test_prepare_training_docs_pipeline(spark):
+    from transforms_for_apache_kafka_connect_spark.functions import (
+        prepare_training_docs,
+    )
+
+    en = (
+        "the quick brown fox and the lazy dog that is with us for a walk "
+        "in the park and it is a fine day as the sun is on the hill"
+    )
+    de = "der hund und die katze das ist nicht mit ein problem der tag"
+    rows = [
+        (1, en),
+        (2, en),          # exact dup of 1 -> dropped, 1 is canonical
+        (3, de),          # wrong language -> dropped
+        (4, "x! y? z."),  # punctuation junk -> fails the quality floor
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = prepare_training_docs(df, lang="en", min_quality=0.5).collect()
+    assert [r["doc_id"] for r in out] == [1]
+    r = out[0]
+    assert r["lang_detected"] == "en"
+    assert r["n_tokens"] == len(en.split())
+    assert r["quality_score"] >= 0.5
+
+    # dedupe keeps the MIN id even when the smaller id arrives later
+    df2 = spark.createDataFrame([(9, en), (5, en)], "doc_id long, text string")
+    out2 = prepare_training_docs(df2, lang="en", min_quality=0.5).collect()
+    assert [r["doc_id"] for r in out2] == [5]

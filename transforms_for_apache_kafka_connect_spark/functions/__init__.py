@@ -2,6 +2,7 @@ from transforms_for_apache_kafka_connect_spark.functions.text import (
     add_text_stats,
     detect_lang,
     fingerprint,
+    prepare_training_docs,
     token_count,
 )
 from transforms_for_apache_kafka_connect_spark.functions.dedupe import (
@@ -24,6 +25,7 @@ __all__ = [
     "add_text_stats",
     "detect_lang",
     "fingerprint",
+    "prepare_training_docs",
     "token_count",
     "exact_duplicates",
     "connected_components",

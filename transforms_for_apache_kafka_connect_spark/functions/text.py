@@ -98,3 +98,43 @@ def add_text_stats(
             ),
         )
     )
+
+
+def prepare_training_docs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang: str = "en",
+    min_quality: float = 0.9,
+) -> DataFrame:
+    """End-to-end training-data preparation pipeline: exact dedupe →
+    language filter → quality floor, in ONE fused plan.
+
+    Scale shape: the dedupe is a single shuffle on sha256(text) with a
+    map-side-combining ``min_by`` (the whole surviving row rides the
+    aggregate — no second join back to the input), and every filter/
+    scoring expression after it is a codegen'd Column over the
+    deduplicated (smaller) survivor set. At 100 TB: one wide shuffle
+    keyed by content hash, then embarrassingly parallel scoring.
+
+    Returns (id, lang_detected, n_tokens, quality_score) for the kept
+    documents — the canonical (min-id) copy of each distinct text that
+    scores as ``lang`` and clears ``min_quality``.
+    """
+    # shuffle only what the output needs: (id, text) — at corpus scale
+    # the text column dominates and is unavoidable (the quality/lang
+    # scoring runs post-dedupe), but side columns stay pruned
+    packed = F.struct(F.col(id_col), F.col(text_col))
+    canonical = (
+        df.groupBy(F.sha2(F.col(text_col), 256).alias("__text_sha"))
+        .agg(F.min_by(packed, F.col(id_col)).alias("__r"))
+        .select("__r.*")
+    )
+    scored = add_text_stats(canonical, text_col=text_col).withColumn(
+        "lang_detected", detect_lang(F.col(text_col))
+    )
+    return scored.filter(
+        (F.col("lang_detected") == lang)
+        & (F.col("quality_score") >= min_quality)
+    ).select(id_col, "lang_detected", "n_tokens", "quality_score")
