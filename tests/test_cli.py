@@ -248,3 +248,43 @@ def test_cli_routed_mode(spark, tmp_path, capsys):
     # maintenance ops need one concrete table: --routed is an error
     assert main(["--table", root, "--routed",
                  "--maintenance", "compact"]) == 2
+
+
+def test_cli_properties_chain(spark, tmp_path):
+    """--chain accepts a Kafka Connect .properties file — a reference
+    user's connector config runs unmodified."""
+    n = 1_000
+    events = change_stream(spark, n, n_repos=10, paths_per_repo=5)
+    events.write.mode("overwrite").parquet(str(tmp_path / "events"))
+    (tmp_path / "connector.properties").write_text(
+        "transforms=dropTombstones,noReads\n"
+        "transforms.dropTombstones.type="
+        "io.aiven.kafka.connect.transforms.TombstoneHandler\n"
+        "transforms.dropTombstones.behavior=drop_silent\n"
+        "transforms.noReads.type="
+        "io.aiven.kafka.connect.transforms.FilterByFieldValue$Value\n"
+        "transforms.noReads.field.name=op\n"
+        "transforms.noReads.field.value=r\n"
+        "transforms.noReads.field.value.matches=false\n"
+    )
+    env = dict(os.environ, PYTHONPATH=REPO)
+    out = subprocess.run(
+        [
+            sys.executable, "-m", "transforms_for_apache_kafka_connect_spark",
+            "--events", str(tmp_path / "events"),
+            "--table", str(tmp_path / "table"),
+            "--chain", str(tmp_path / "connector.properties"),
+            "--batches", "1",
+            "--buckets", "4",
+            "--master", "local[4]",
+            "--merge-strategy", "broadcast",
+            "--no-discovery",
+        ],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    table = LakeTable(str(tmp_path / "table"), n_buckets=4)
+    oracle = repositories_snapshot(
+        spark, events.filter(F.col("value").isNull() | (F.col("value.op") != "r"))
+    )
+    assert table.read(spark).count() == oracle.count()

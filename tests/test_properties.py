@@ -1,0 +1,174 @@
+"""Connector-properties compatibility loader tests: the reference's
+own declaration surface (README.md:33-37, IntegrationTest.java:222-229)
+parsed into a compiled Chain — a reference user's properties file runs
+unmodified."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from transforms_for_apache_kafka_connect_spark import chain_from_properties
+from transforms_for_apache_kafka_connect_spark.errors import ConfigException
+from transforms_for_apache_kafka_connect_spark.plans.properties import (
+    chain_specs_from_properties,
+    parse_properties,
+)
+
+
+def test_parse_properties_java_subset():
+    text = "\n".join(
+        [
+            "# comment",
+            "! also a comment",
+            "",
+            "a=1",
+            "b: two",
+            "c three",
+            "d.with.dots=x=y",  # only the FIRST separator splits
+            "e=multi\\",
+            "   line",  # continuation: leading whitespace stripped
+            "f=tab\\tsep",
+            "g=uni\\u0041",
+            "h=trailing\\\\",  # escaped backslash is NOT a continuation
+            "keyonly",
+        ]
+    )
+    props = parse_properties(text)
+    assert props == {
+        "a": "1",
+        "b": "two",
+        "c": "three",
+        "d.with.dots": "x=y",
+        "e": "multiline",
+        "f": "tab\tsep",
+        "g": "uniA",
+        "h": "trailing\\",
+        "keyonly": "",
+    }
+
+
+REFERENCE_PROPS = """
+# the reference README's chain shape, verbatim class names
+transforms=routeByType,hashEmail,dropTombstones
+transforms.routeByType.type=io.aiven.kafka.connect.transforms.ExtractTopic$Value
+transforms.routeByType.field.name=type
+transforms.routeByType.skip.missing.or.null=true
+transforms.hashEmail.type=io.aiven.kafka.connect.transforms.Hash$Value
+transforms.hashEmail.field.name=email
+transforms.hashEmail.function=sha256
+transforms.dropTombstones.type=io.aiven.kafka.connect.transforms.TombstoneHandler
+transforms.dropTombstones.behavior=drop_silent
+"""
+
+
+def test_specs_from_reference_properties():
+    specs = chain_specs_from_properties(parse_properties(REFERENCE_PROPS))
+    assert specs == [
+        {
+            "type": "extract_topic",
+            "place": "value",
+            "field.name": "type",
+            "skip.missing.or.null": True,
+        },
+        {
+            "type": "hash",
+            "place": "value",
+            "field.name": "email",
+            "function": "sha256",
+        },
+        {"type": "tombstone_handler", "behavior": "drop_silent"},
+    ]
+
+
+def test_chain_from_properties_end_to_end(spark):
+    rows = [
+        ("t", 0, None, ("a", "jerry@big-corp.com"), 1, None),
+        ("t", 0, None, ("b", None), 2, None),
+        ("t", 0, None, None, 3, None),  # tombstone -> dropped
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "topic string, partition int, key string, "
+        "value struct<type:string,email:string>, "
+        "timestamp long, headers map<string,string>",
+    )
+    chain = chain_from_properties(
+        REFERENCE_PROPS.replace("function=sha256", "function=sha256")
+        + "transforms.hashEmail.skip.missing.or.null=true\n"
+    )
+    out = chain.run(df).orderBy("timestamp").collect()
+    assert len(out) == 2
+    # golden digest from the reference's HashTest.java fixture value
+    assert out[0]["value"]["email"] == (
+        "20e85b05e7349963fc64746fbc7f3f4fdf31507921360847ebef333b229cf2d6"
+    )
+    assert out[0]["topic"] == "a" and out[1]["topic"] == "b"
+
+
+def test_chain_from_properties_with_predicate(spark):
+    props = """
+transforms=maskOnTopic
+transforms.maskOnTopic.type=org.apache.kafka.connect.transforms.MaskField$Value
+transforms.maskOnTopic.fields=secret
+transforms.maskOnTopic.predicate=isSensitive
+transforms.maskOnTopic.negate=false
+predicates=isSensitive
+predicates.isSensitive.type=org.apache.kafka.connect.transforms.predicates.TopicNameMatches
+predicates.isSensitive.pattern=sensitive-.*
+"""
+    rows = [
+        ("sensitive-a", 0, None, ("hush",), 1, None),
+        ("public-b", 0, None, ("loud",), 2, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "topic string, partition int, key string, "
+        "value struct<secret:string>, timestamp long, "
+        "headers map<string,string>",
+    )
+    out = chain_from_properties(props).run(df).orderBy("timestamp").collect()
+    assert out[0]["value"]["secret"] == ""  # masked (string null-value)
+    assert out[1]["value"]["secret"] == "loud"  # predicate false -> untouched
+
+
+def test_chain_from_properties_file_path(spark, tmp_path):
+    p = tmp_path / "connector.properties"
+    p.write_text(REFERENCE_PROPS)
+    chain = chain_from_properties(str(p))
+    assert len(chain.stages) == 3
+
+
+def test_properties_errors():
+    with pytest.raises(ConfigException, match="no transforms"):
+        chain_from_properties("other=1\n")
+    with pytest.raises(ConfigException, match="Unknown transformation class"):
+        chain_from_properties(
+            "transforms=x\ntransforms.x.type=com.example.Nope\n"
+        )
+    with pytest.raises(ConfigException, match="no 'transforms.x.type'"):
+        chain_from_properties("transforms=x\ntransforms.x.field.name=a\n")
+    with pytest.raises(ConfigException, match="Unknown class suffix"):
+        chain_from_properties(
+            "transforms=x\n"
+            "transforms.x.type=io.aiven.kafka.connect.transforms.Hash$Both\n"
+        )
+    with pytest.raises(ConfigException, match="undeclared predicate"):
+        chain_from_properties(
+            "transforms=x\n"
+            "transforms.x.type=io.aiven.kafka.connect.transforms.MakeTombstone\n"
+            "transforms.x.predicate=nope\n"
+        )
+    with pytest.raises(ConfigException, match="no .Key/.Value variants"):
+        chain_from_properties(
+            "transforms=x\n"
+            "transforms.x.type="
+            "io.aiven.kafka.connect.transforms.TombstoneHandler$Value\n"
+        )
+    # config errors inside a stage surface at build time (configure())
+    with pytest.raises(ConfigException):
+        chain_from_properties(
+            "transforms=x\n"
+            "transforms.x.type=io.aiven.kafka.connect.transforms.Hash$Value\n"
+            "transforms.x.function=sha999\n"
+        )

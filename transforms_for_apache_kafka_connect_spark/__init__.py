@@ -22,6 +22,9 @@ from transforms_for_apache_kafka_connect_spark.record import (
     envelope,
 )
 from transforms_for_apache_kafka_connect_spark.plans.chain import Chain, build_stage
+from transforms_for_apache_kafka_connect_spark.plans.properties import (
+    chain_from_properties,
+)
 
 __all__ = [
     "ConfigException",
@@ -30,6 +33,7 @@ __all__ = [
     "ERROR_COL",
     "envelope",
     "Chain",
+    "chain_from_properties",
     "build_stage",
 ]
 

@@ -35,7 +35,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "(required unless --maintenance)")
     ap.add_argument("--table", required=True, help="lake table root dir")
     ap.add_argument("--chain", default=None,
-                    help="JSON file: list of SMT config dicts (default: empty chain)")
+                    help="chain spec: JSON list of SMT config dicts, or a Kafka "
+                         "Connect .properties file (transforms=a,b + "
+                         "per-alias config; default: empty chain)")
     ap.add_argument("--key-cols", default="repo,path")
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--batches", type=int, default=8)
@@ -129,11 +131,20 @@ def main(argv: list[str] | None = None) -> int:
         builder = builder.master(args.master)
     spark = builder.getOrCreate()
 
-    spec = []
-    if args.chain:
-        with open(args.chain) as f:
-            spec = json.load(f)
-    chain = Chain(spec)
+    if args.chain and args.chain.endswith(".properties"):
+        # Kafka Connect connector-properties declaration (the
+        # reference's native format): transforms=a,b + per-alias config
+        from transforms_for_apache_kafka_connect_spark.plans.properties import (
+            chain_from_properties,
+        )
+
+        chain = chain_from_properties(args.chain)
+    else:
+        spec = []
+        if args.chain:
+            with open(args.chain) as f:
+                spec = json.load(f)
+        chain = Chain(spec)
 
     table_opts = dict(
         key_cols=args.key_cols.split(","),

@@ -1,0 +1,261 @@
+"""Kafka Connect properties-file compatibility loader.
+
+The reference's users declare chains in connector PROPERTIES, not
+Python specs (reference README.md:33-37, IntegrationTest.java:222-229):
+
+    transforms=routeByType,hashEmail
+    transforms.routeByType.type=io.aiven.kafka.connect.transforms.ExtractTopic$Value
+    transforms.routeByType.field.name=type
+    transforms.hashEmail.type=io.aiven.kafka.connect.transforms.Hash$Value
+    transforms.hashEmail.field.name=email
+    transforms.hashEmail.function=sha256
+    predicates=isTombstone
+    predicates.isTombstone.type=org.apache.kafka.connect.transforms.predicates.RecordIsTombstone
+    transforms.hashEmail.predicate=isTombstone
+    transforms.hashEmail.negate=true
+
+This module turns exactly that text into a compiled :class:`Chain`, so
+a reference user switches engines WITHOUT rewriting their configs:
+``chain_from_properties(open("connector.properties").read())``.
+
+Java class names map to registered stage types; the ``$Key``/``$Value``
+suffix becomes the ``place`` config on stages that carry one. Values
+stay strings (the stages own typed parsing, like ConfigDef) except the
+literals ``true``/``false``, which Connect's BOOLEAN configs parse
+case-insensitively.
+
+The parser implements the java.util.Properties subset connector files
+actually use: ``#``/``!`` comments, ``=``/``:``/whitespace separators,
+backslash line continuations, and ``\\t \\n \\r \\f \\\\ \\uXXXX``
+escapes (an unknown escape drops the backslash, like Java).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Mapping
+
+from transforms_for_apache_kafka_connect_spark.errors import ConfigException
+
+_AIVEN = "io.aiven.kafka.connect.transforms."
+_STOCK = "org.apache.kafka.connect.transforms."
+_DBZ = "io.debezium.transforms."
+
+#: Java transformation class (no $Key/$Value suffix) -> stage type
+CLASS_TO_TYPE: dict[str, str] = {
+    _AIVEN + "ExtractTopic": "extract_topic",
+    _AIVEN + "ExtractTopicFromSchemaName": "extract_topic_from_schema_name",
+    _AIVEN + "ExtractTimestamp": "extract_timestamp",
+    _AIVEN + "Hash": "hash",
+    _AIVEN + "ConcatFields": "concat_fields",
+    _AIVEN + "CaseTransform": "case_transform",
+    _AIVEN + "FilterByFieldValue": "filter_by_field_value",
+    _AIVEN + "FilterByFieldName": "filter_by_field_name",
+    _AIVEN + "MakeTombstone": "make_tombstone",
+    _AIVEN + "TombstoneHandler": "tombstone_handler",
+    _AIVEN + "KeyToValue": "key_to_value",
+    _STOCK + "RegexRouter": "regex_router",
+    _STOCK + "ExtractField": "extract_field",
+    _STOCK + "MaskField": "mask_field",
+    _STOCK + "TimestampRouter": "timestamp_router",
+    _STOCK + "HeaderFrom": "header_from",
+    _STOCK + "Filter": "filter",
+    _STOCK + "InsertField": "insert_field",
+    _STOCK + "ReplaceField": "replace_field",
+    _STOCK + "ValueToKey": "value_to_key",
+    _STOCK + "HoistField": "hoist_field",
+    _STOCK + "Flatten": "flatten",
+    _STOCK + "Cast": "cast",
+    _STOCK + "SetSchemaMetadata": "set_schema_metadata",
+    _STOCK + "TimestampConverter": "timestamp_converter",
+    _STOCK + "InsertHeader": "insert_header",
+    _STOCK + "DropHeaders": "drop_headers",
+    _DBZ + "ExtractNewRecordState": "extract_new_record_state",
+    _DBZ + "outbox.EventRouter": "event_router",
+}
+
+PREDICATE_CLASS_TO_TYPE: dict[str, str] = {
+    _STOCK + "predicates.TopicNameMatches": "topic_name_matches",
+    _STOCK + "predicates.HasHeaderKey": "has_header_key",
+    _STOCK + "predicates.RecordIsTombstone": "record_is_tombstone",
+}
+
+_ESCAPES = {"t": "\t", "n": "\n", "r": "\r", "f": "\f"}
+
+
+def _unescape(s: str) -> str:
+    out = []
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c != "\\" or i + 1 >= len(s):
+            out.append(c)
+            i += 1
+            continue
+        nxt = s[i + 1]
+        if nxt == "u":
+            out.append(chr(int(s[i + 2 : i + 6], 16)))
+            i += 6
+        else:
+            out.append(_ESCAPES.get(nxt, nxt))
+            i += 2
+    return "".join(out)
+
+
+def parse_properties(text: str) -> dict[str, str]:
+    """java.util.Properties text -> ordered {key: value} dict."""
+    # fold line continuations (a logical line ends when the physical
+    # line has an EVEN number of trailing backslashes)
+    logical: list[str] = []
+    pending = ""
+    for raw in text.splitlines():
+        line = raw.lstrip() if not pending else raw.lstrip()
+        if not pending and (not line or line[0] in "#!"):
+            continue
+        n_bs = len(line) - len(line.rstrip("\\"))
+        if n_bs % 2 == 1:
+            pending += line[:-1]
+            continue
+        logical.append(pending + line)
+        pending = ""
+    if pending:
+        logical.append(pending)
+
+    props: dict[str, str] = {}
+    for line in logical:
+        # first unescaped =, :, or whitespace splits key from value
+        key_end = None
+        i = 0
+        while i < len(line):
+            c = line[i]
+            if c == "\\":
+                i += 2
+                continue
+            if c in "=:" or c.isspace():
+                key_end = i
+                break
+            i += 1
+        if key_end is None:
+            props[_unescape(line)] = ""
+            continue
+        key = line[:key_end]
+        rest = line[key_end:].lstrip()
+        if rest[:1] in "=:":
+            rest = rest[1:].lstrip()
+        props[_unescape(key)] = _unescape(rest)
+    return props
+
+
+def _coerce(value: str):
+    if value.lower() == "true":
+        return True
+    if value.lower() == "false":
+        return False
+    return value
+
+
+def _split_class(cls: str) -> tuple[str, str | None]:
+    """'pkg.Cls$Value' -> (stage type, place) via the class table."""
+    base, _, suffix = cls.partition("$")
+    if base not in CLASS_TO_TYPE:
+        raise ConfigException(
+            f"Unknown transformation class: {cls!r}. Known classes: "
+            f"{sorted(CLASS_TO_TYPE)}"
+        )
+    place = {"Key": "key", "Value": "value", "": None}.get(suffix)
+    if place is None and suffix:
+        raise ConfigException(
+            f"Unknown class suffix {('$' + suffix)!r} in {cls!r} "
+            f"(expected $Key or $Value)"
+        )
+    return CLASS_TO_TYPE[base], place
+
+
+def _alias_config(props: Mapping[str, str], prefix: str) -> dict[str, str]:
+    plen = len(prefix)
+    return {k[plen:]: v for k, v in props.items() if k.startswith(prefix)}
+
+
+def chain_specs_from_properties(props: Mapping[str, str]) -> list[dict]:
+    """Connector properties -> the Chain compiler's list-of-dicts spec.
+
+    Reads ``transforms`` (ordered aliases), each alias's
+    ``transforms.<alias>.*`` block, and the ``predicates.<alias>.*``
+    blocks referenced via ``transforms.<alias>.predicate`` /
+    ``.negate`` — the full Connect chain-declaration surface.
+    """
+    aliases = [a.strip() for a in props.get("transforms", "").split(",") if a.strip()]
+    if not aliases:
+        raise ConfigException(
+            "properties declare no transforms (missing/empty 'transforms' key)"
+        )
+    predicate_specs: dict[str, dict] = {}
+    for palias in (
+        p.strip() for p in props.get("predicates", "").split(",") if p.strip()
+    ):
+        pconf = _alias_config(props, f"predicates.{palias}.")
+        pcls = pconf.pop("type", None)
+        if pcls not in PREDICATE_CLASS_TO_TYPE:
+            raise ConfigException(
+                f"Unknown predicate class: {pcls!r}. Known: "
+                f"{sorted(PREDICATE_CLASS_TO_TYPE)}"
+            )
+        predicate_specs[palias] = {
+            "type": PREDICATE_CLASS_TO_TYPE[pcls],
+            **{k: _coerce(v) for k, v in pconf.items()},
+        }
+
+    from transforms_for_apache_kafka_connect_spark.operators.base import (
+        STAGE_REGISTRY,
+    )
+
+    specs: list[dict] = []
+    for alias in aliases:
+        conf = _alias_config(props, f"transforms.{alias}.")
+        cls = conf.pop("type", None)
+        if cls is None:
+            raise ConfigException(
+                f"transform alias {alias!r} has no "
+                f"'transforms.{alias}.type' entry"
+            )
+        type_name, place = _split_class(cls)
+        spec: dict = {"type": type_name}
+        if place is not None:
+            fields = getattr(STAGE_REGISTRY[type_name], "__dataclass_fields__", {})
+            if "place" not in fields:
+                raise ConfigException(
+                    f"{cls!r}: {type_name} has no $Key/$Value variants"
+                )
+            spec["place"] = place
+        palias = conf.pop("predicate", None)
+        negate = conf.pop("negate", None)
+        if palias is not None:
+            if palias not in predicate_specs:
+                raise ConfigException(
+                    f"transform alias {alias!r} references undeclared "
+                    f"predicate {palias!r}"
+                )
+            spec["predicate"] = predicate_specs[palias]
+            if negate is not None:
+                spec["negate"] = _coerce(negate)
+        spec.update({k: _coerce(v) for k, v in conf.items()})
+        specs.append(spec)
+    return specs
+
+
+def chain_from_properties(source):
+    """Compile a :class:`Chain` from connector properties.
+
+    ``source`` may be the properties TEXT, a path to a ``.properties``
+    file, or an already-parsed mapping.
+    """
+    from transforms_for_apache_kafka_connect_spark.plans.chain import Chain
+
+    if isinstance(source, Mapping):
+        props = dict(source)
+    else:
+        if "\n" not in source and os.path.exists(source):
+            with open(source) as f:
+                source = f.read()
+        props = parse_properties(source)
+    return Chain(chain_specs_from_properties(props))
