@@ -270,3 +270,31 @@ def test_crash_at_every_publish_fs_op(spark, tmp_path, monkeypatch):
         pytest.fail("publish never completed within 50 fs mutations")
 
     assert crash_points >= 3, f"only {crash_points} crash points exercised"
+
+
+def test_vacuum_collects_stale_swap_tmp_files(spark, tmp_path):
+    """A crash between writing CURRENT.tmp-<uuid> and the os.replace
+    leaves the tmp file behind; vacuum must collect it (it is not a
+    data file, so the orphan scan under data/ never saw it)."""
+    b0, _ = _batches(spark)
+    root = str(tmp_path / "t")
+    table, rep = _build(spark, root)
+    rep.apply_batch(b0, 0)
+
+    stale = [
+        os.path.join(root, "_manifest", "CURRENT.tmp-deadbeef"),
+        os.path.join(root, "_manifest", "manifest-00000009.json.tmp-cafe"),
+    ]
+    for p in stale:
+        with open(p, "w") as f:
+            f.write("1")
+    r = table.vacuum(keep_versions=1)
+    assert r["stale_tmp_files"] == 2
+    for p in stale:
+        assert not os.path.exists(p)
+    # dry_run counts but keeps
+    for p in stale:
+        with open(p, "w") as f:
+            f.write("1")
+    r2 = table.vacuum(keep_versions=1, dry_run=True)
+    assert r2["stale_tmp_files"] == 2 and all(os.path.exists(p) for p in stale)

@@ -1180,7 +1180,13 @@ class LakeTable:
             if os.path.isfile(p) and os.path.realpath(p) not in live
         ]
         expired = [v for v in versions if v not in keep]
+        # a crashed _swap/publish leaves .tmp-<uuid> files next to
+        # CURRENT / the manifests (written, never os.replace'd) —
+        # harmless but immortal without this
+        stale_tmp = glob.glob(os.path.join(self.root, "_manifest", "*.tmp-*"))
         if not dry_run:
+            for p in stale_tmp:
+                os.remove(p)
             for p in orphans:
                 os.remove(p)
             # drop now-empty version/bucket directories
@@ -1195,6 +1201,7 @@ class LakeTable:
         return {
             "deleted_files": len(orphans),
             "expired_manifests": len(expired),
+            "stale_tmp_files": len(stale_tmp),
             "kept_versions": keep,
             "dry_run": dry_run,
         }
