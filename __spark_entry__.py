@@ -815,6 +815,30 @@ def q_cdc_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lookup_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched point lookups (the serving-layer multi-get): replay into
+    a bucketed table, then resolve 20 keys in ONE bucket-pruned scan
+    (zone maps + semi-join against the broadcast key set). Keys whose
+    last event was a delete — and keys never seen — return no row; the
+    oracle recomputes the LWW winner restricted to the probed range."""
+    stream = _events_as_change_stream(spark, sf_dir)
+    max_id = stream.agg(F.max("timestamp")).first()[0] or 0
+    root = tempfile.mkdtemp(prefix="tkc_lkm_")
+    table = LakeTable(
+        os.path.join(root, "t"), key_cols=["user_id"], n_buckets=16,
+        discovery=False, merge_strategy="broadcast",
+    )
+    rep = Replayer(table=table, chain=Chain([]), epoch="driver")
+    rep.replay(stream, batch_width=max(1, (max_id + 3) // 3), max_pos=max_id + 1)
+    keys = [{"user_id": i} for i in range(1, 21)]
+    return table.lookup_many(spark, keys).select(
+        "user_id",
+        F.col("_lsn").alias("last_event_id"),
+        "event_type",
+        "val",
+    )
+
+
 # ------------------------------------------- classic relational coverage
 # (SURVEY.md §2.3: aggregations / joins / windows the reference lacks but
 # the engine provides natively through Spark)
@@ -1174,6 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_mor": q_cdc_merge_mor,
         "routed_merge": q_routed_merge,
         "data_skipping": q_data_skipping,
+        "lookup_many": q_lookup_many,
         "agg_lineitem": q_agg_lineitem,
         "join_agg": q_join_agg,
         "window_rank": q_window_rank,
@@ -1341,6 +1366,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT *, row_number() OVER "
             "(PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events) t "
             "WHERE rn = 1 AND event_type <> 'error'"
+        ),
+        "lookup_many": (
+            "SELECT user_id, event_id AS last_event_id, event_type, value AS val "
+            "FROM (SELECT *, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events) t "
+            "WHERE rn = 1 AND event_type <> 'error' "
+            "AND user_id BETWEEN 1 AND 20"
         ),
         "data_skipping": (
             "SELECT user_id, event_id AS last_event_id, event_type, value AS val "

@@ -343,6 +343,8 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
         "data_skipping",
         # per-topic table fan-out (chain once -> N ledgered merges)
         "routed_merge",
+        # batched point lookups over a replayed table (multi-get)
+        "lookup_many",
     ]
     out = {}
     qs = entrymod.queries()

@@ -288,3 +288,23 @@ def test_cli_properties_chain(spark, tmp_path):
         spark, events.filter(F.col("value").isNull() | (F.col("value.op") != "r"))
     )
     assert table.read(spark).count() == oracle.count()
+
+
+def test_cli_maintenance_stats(spark, tmp_path, capsys):
+    import json as _json
+
+    from transforms_for_apache_kafka_connect_spark.cli import main
+
+    events = change_stream(spark, 1_000, n_repos=10, paths_per_repo=4)
+    events.write.mode("overwrite").parquet(str(tmp_path / "events"))
+    root = str(tmp_path / "table")
+    base = ["--table", root, "--buckets", "4", "--batches", "2"]
+    assert main(base + ["--events", str(tmp_path / "events")]) == 0
+    capsys.readouterr()
+
+    assert main(base + ["--maintenance", "stats"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["op"] == "stats"
+    assert out["n_buckets"] == 4
+    assert out["total_files"] > 0 and out["total_bytes"] > 0
+    assert out["committed_batches"] == 2

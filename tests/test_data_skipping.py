@@ -347,3 +347,116 @@ def test_stats_filtered_not_rebuilt_when_flag_off(spark, tmp_path):
     live = {f for fs in m["buckets"].values() for f in fs}
     assert set(m.get("file_stats", {})) <= live
     assert set(m.get("file_blooms", {})) <= live
+
+
+# ------------------------------------------------------- lookup_many
+
+
+def test_lookup_many_matches_individual_lookups(spark, tmp_path):
+    table = _seed(spark, tmp_path / "t")
+    keys = [
+        {"repo": "r1", "path": "p9"},
+        {"repo": "r2", "path": "p2"},
+        {"repo": "r0", "path": "p60"},
+        {"repo": "rX", "path": "nope"},  # absent
+    ]
+    got = {
+        (r["repo"], r["path"]): r["content"]
+        for r in table.lookup_many(spark, keys).collect()
+    }
+    want = {}
+    for k in keys:
+        for r in table.lookup(spark, k).collect():
+            want[(r["repo"], r["path"])] = r["content"]
+    assert got == want and len(got) == 3
+
+
+def test_lookup_many_validates(spark, tmp_path):
+    table = _seed(spark, tmp_path / "t", n=4)
+    with pytest.raises(ValueError, match="at least one key"):
+        table.lookup_many(spark, [])
+    with pytest.raises(ValueError, match="must bind exactly"):
+        table.lookup_many(spark, [{"repo": "r0"}])
+
+
+def test_lookup_many_prunes_to_probed_buckets_and_files(spark, tmp_path):
+    table = _clustering_table(spark, tmp_path / "sorted", sort=True)
+    n_files = len(table.manifest()["buckets"]["0"])
+    keys = [
+        {"repo": "r000", "path": "p000"},
+        {"repo": "r119", "path": "p119"},
+    ]
+    got = table.lookup_many(spark, keys).collect()
+    assert len(got) == 2
+    # key-clustered files: the two probes touch at most one file each
+    assert table.last_prune["files_total"] == n_files
+    assert table.last_prune["files_read"] <= 2 < n_files
+
+
+def test_lookup_many_bloom_pruning_on_mor_deltas(spark, tmp_path):
+    table = _bloom_table(spark, tmp_path / "t")
+    keys = [
+        {"repo": "r07", "path": "p09"},  # batch-2 pairing
+        {"repo": "r00", "path": "p03"},  # batch-3 pairing
+    ]
+    got = {
+        (r["repo"], r["path"]): r["content"]
+        for r in table.lookup_many(spark, keys).collect()
+    }
+    assert got == {("r07", "p09"): "v2.7", ("r00", "p03"): "v3.0"}
+    # identical zone-map ranges per bucket -> only blooms prune
+    assert table.last_prune["files_read"] < table.last_prune["files_total"]
+
+
+def test_lookup_many_mor_delete_not_resurrected(spark, tmp_path):
+    table = LakeTable(
+        str(tmp_path / "mor"), n_buckets=4,
+        discovery=True, merge_strategy="append",
+    )
+    rep = Replayer(table=table, chain=Chain([]), epoch="e1", unique_lsn=True)
+    rep.apply_batch(
+        _env(spark, [
+            ("t", 0, ("r0", "p0"), ("c", 1, 1, ("old",)), 1, None),
+            ("t", 0, ("r0", "p1"), ("c", 2, 2, ("live",)), 2, None),
+        ]),
+        0,
+    )
+    rep.apply_batch(
+        _env(spark, [
+            ("t", 0, ("r0", "p0"), ("d", 100, 100, None), 100, None),
+        ]),
+        1,
+    )
+    got = table.lookup_many(
+        spark,
+        [{"repo": "r0", "path": "p0"}, {"repo": "r0", "path": "p1"}],
+    ).collect()
+    assert len(got) == 1 and got[0]["content"] == "live"
+
+
+# ------------------------------------------------------------- stats
+
+
+def test_table_stats_summary(spark, tmp_path):
+    table = _seed(spark, tmp_path / "t")
+    s = table.stats()
+    m = table.manifest()
+    n_files = sum(len(fs) for fs in m["buckets"].values())
+    assert s["version"] == m["version"]
+    assert s["n_buckets"] == 8 and s["key_cols"] == ["repo", "path"]
+    assert s["total_files"] == n_files and s["total_bytes"] > 0
+    assert s["mor"] is False
+    assert s["committed_batches"] == 1
+    assert s["zone_mapped_files"] == n_files
+    assert s["bloom_files"] == 0
+    assert 1 <= s["nonempty_buckets"] <= 8
+    assert s["max_files_per_bucket"] >= s["median_files_per_bucket"] >= 1
+
+
+def test_table_stats_tracks_mor_and_blooms(spark, tmp_path):
+    table = _bloom_table(spark, tmp_path / "t", n_batches=2)
+    s = table.stats()
+    assert s["mor"] is True
+    assert s["bloom_files"] == s["total_files"] > 0
+    assert s["committed_batches"] == 2
+    assert s["live_versions"] >= 2

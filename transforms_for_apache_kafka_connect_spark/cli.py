@@ -82,7 +82,7 @@ def build_parser() -> argparse.ArgumentParser:
                     help="override master for local runs (spark-submit sets its own)")
     ap.add_argument("--maintenance",
                     choices=["compact", "vacuum", "rescale", "lookup",
-                             "publish"],
+                             "publish", "stats"],
                     default=None,
                     help="run a table op instead of a replay "
                          "(--events is ignored)")
@@ -174,6 +174,8 @@ def main(argv: list[str] | None = None) -> int:
             )
         elif args.maintenance == "vacuum":
             r = table.vacuum(keep_versions=args.vacuum_keep_versions)
+        elif args.maintenance == "stats":
+            r = table.stats()
         elif args.maintenance == "lookup":
             if not args.key:
                 print("--maintenance lookup requires --key", file=sys.stderr)

@@ -610,6 +610,7 @@ class LakeTable:
         version: int | None = None,
         where: list[tuple] | None = None,
         _manifest: dict[str, Any] | None = None,
+        _point_keys: list[dict] | None = None,
     ) -> DataFrame:
         """Current table state, or a historical snapshot via ``version``
         (Iceberg time-travel analog; snapshots survive until vacuumed).
@@ -653,6 +654,33 @@ class LakeTable:
             for f in fs
         ]
         n_candidates = len(files)
+        if _point_keys:
+            # batched point probes (lookup_many): a file survives if ANY
+            # key could live in it — zone maps first, then Bloom
+            # sidecars, both on key columns only (exact under MoR by the
+            # same argument as single-key pruning)
+            fstats = (m.get("file_stats") or {}) if self.collect_stats else {}
+            fblooms = m.get("file_blooms") or {}
+            key_conds = [
+                [(c, "==", k[c]) for c in self.key_cols] for k in _point_keys
+            ]
+            key_hashes = [
+                _bloom_probe_hashes(self.key_cols, k) for k in _point_keys
+            ]
+
+            def _any_key_survives(f: str) -> bool:
+                st = fstats.get(f, {})
+                bl = fblooms.get(f)
+                abs_f = self._abs(f)
+                for conds, hashes in zip(key_conds, key_hashes):
+                    if not _file_matches(st, conds):
+                        continue
+                    if fblooms and not _bloom_maybe_contains(abs_f, bl, hashes):
+                        continue
+                    return True
+                return False
+
+            files = [f for f in files if _any_key_survives(f)]
         if where and self.collect_stats:
             fstats = m.get("file_stats") or {}
             if m.get("mor"):
@@ -752,6 +780,101 @@ class LakeTable:
         )
         where = [(c, "==", key[c]) for c in self.key_cols]
         return self.read(spark, buckets=[bucket], where=where)
+
+    def lookup_many(
+        self, spark: SparkSession, keys: list[dict[str, Any]]
+    ) -> DataFrame:
+        """Batched point lookups: ONE scan serving many keys.
+
+        Buckets are computed for all keys in a single tiny local job
+        (the engine's own hash expression — Python never re-implements
+        xxhash64), candidate files are skipped unless ANY key could
+        live in them (zone maps + Bloom sidecars, key columns only —
+        exact under MoR), and the result is the scan semi-joined
+        against the broadcast key set. At serving scale this replaces
+        N single-key reads (N listings, N scans) with one bucket-pruned
+        scan — the multi-get shape a feature-store/serving layer needs.
+        """
+        if not keys:
+            raise ValueError("lookup_many needs at least one key")
+        for key in keys:
+            if sorted(key) != sorted(self.key_cols):
+                raise ValueError(
+                    f"every key must bind exactly {self.key_cols}, got "
+                    f"{sorted(key)}"
+                )
+        m = self.manifest()
+        if m["schema"] is None:
+            raise ValueError("empty table has no schema yet")
+        from pyspark.sql import types as T
+
+        schema = T.StructType.fromJson(m["schema"])
+        key_schema = T.StructType(
+            [T.StructField(c, schema[c].dataType) for c in self.key_cols]
+        )
+        keys_df = spark.createDataFrame(
+            [tuple(k[c] for c in self.key_cols) for k in keys], key_schema
+        )
+        rows = keys_df.select(
+            *self.key_cols,
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in self.key_cols]),
+                F.lit(self.n_buckets),
+            )
+            .cast("int")
+            .alias("__b"),
+        ).collect()
+        buckets = sorted({r["__b"] for r in rows})
+        df = self.read(spark, buckets=buckets, _point_keys=keys)
+        return df.join(
+            F.broadcast(keys_df), on=list(self.key_cols), how="left_semi"
+        )
+
+    def stats(self) -> dict[str, Any]:
+        """Operational summary (driver-side: manifest + file stat
+        calls, no Spark job): layout, ledger, per-bucket file skew,
+        metadata coverage — the numbers an operator checks before
+        deciding to compact/rescale/vacuum. On an object store the
+        per-file ``getsize`` calls would come from the listing the
+        manifest replaces; total_bytes is therefore best-effort
+        (missing files count 0, e.g. under concurrent vacuum)."""
+        import glob as _glob
+
+        m = self.manifest()
+        per_bucket_files = {b: len(fs) for b, fs in m["buckets"].items()}
+        total_bytes = 0
+        total_files = 0
+        for fs in m["buckets"].values():
+            for f in fs:
+                total_files += 1
+                try:
+                    total_bytes += os.path.getsize(self._abs(f))
+                except OSError:
+                    pass
+        file_counts = sorted(per_bucket_files.values())
+        n_versions = len(
+            _glob.glob(os.path.join(self.root, "_manifest", "manifest-*.json"))
+        )
+        blooms = m.get("file_blooms") or {}
+        return {
+            "version": m["version"],
+            "live_versions": n_versions,
+            "n_buckets": self.n_buckets,
+            "key_cols": list(self.key_cols),
+            "mor": bool(m.get("mor")),
+            "committed_batches": len(m["committed"]),
+            "lineage_rows": len(m["lineage"]),
+            "total_rows": (m.get("stats") or {}).get("total_rows"),
+            "total_files": total_files,
+            "total_bytes": total_bytes,
+            "nonempty_buckets": len(file_counts),
+            "max_files_per_bucket": max(file_counts, default=0),
+            "median_files_per_bucket": (
+                file_counts[len(file_counts) // 2] if file_counts else 0
+            ),
+            "zone_mapped_files": len(m.get("file_stats") or {}),
+            "bloom_files": sum(1 for v in blooms.values() if v.get("m")),
+        }
 
     def lineage(self, spark: SparkSession) -> DataFrame:
         """Per-partition lineage rows (north_rule) as a DataFrame:
@@ -1218,9 +1341,14 @@ class LakeTable:
         lineage: list[dict] | None = None,
         pre_commit=None,
         publish: bool = True,
+        manifest_extra: dict[str, Any] | None = None,
     ) -> dict[str, Any]:
         """Upsert/delete ``updates`` (≤1 row per key — run lww_dedupe
         first) into the table; exactly-once keyed on (epoch, batch_id).
+
+        ``manifest_extra`` = engine-level key/values recorded in the
+        commit's manifest under ``extra`` (e.g. the bootstrap snapshot
+        LSN); carried forward by every later commit.
 
         ``publish=False`` = write-audit-publish: the commit is fully
         written but STAGED (no CURRENT move, batch not yet in the
@@ -1274,6 +1402,10 @@ class LakeTable:
                 commit["committed"] = m["committed"] + [[epoch, batch_id]]
                 commit["n_buckets"] = self.n_buckets
                 commit["key_cols"] = self.key_cols
+                if manifest_extra:
+                    commit["extra"] = {
+                        **(m.get("extra") or {}), **manifest_extra,
+                    }
                 if pre_commit is not None:
                     pre_commit(0)  # verifiably empty batch
                 staged = None
@@ -1304,6 +1436,10 @@ class LakeTable:
                 commit["committed"] = m["committed"] + [[epoch, batch_id]]
                 commit["n_buckets"] = self.n_buckets
                 commit["key_cols"] = self.key_cols
+                if manifest_extra:
+                    commit["extra"] = {
+                        **(m.get("extra") or {}), **manifest_extra,
+                    }
                 if pre_commit is not None:
                     pre_commit(0)  # verifiably empty batch
                 staged = None
