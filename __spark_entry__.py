@@ -815,6 +815,46 @@ def q_cdc_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Initial-snapshot bootstrap → incremental handoff (the Debezium
+    snapshot phase): seed the table from the LWW state at the midpoint
+    LSN S, then replay the WHOLE stream — the engine's snapshot fence
+    must drop every event with lsn <= S itself. Final state equals a
+    from-scratch replay except seeded rows carry the snapshot LSN
+    (Debezium stamps the single snapshot position, not per-row
+    history); the oracle reproduces exactly that stamping."""
+    stream = _events_as_change_stream(spark, sf_dir)
+    max_id = stream.agg(F.max("timestamp")).first()[0] or 0
+    cut = max_id // 2  # snapshot consistent with LSN <= cut
+
+    # consistent snapshot at S: per-key LWW winner over events[<=cut],
+    # deletes excluded — table-shaped (key + payload)
+    pre = stream.filter(
+        F.col("value").isNotNull() & (F.col("value.lsn") <= cut)
+    )
+    snapshot = (
+        pre.groupBy("key")
+        .agg(F.max_by(F.col("value"), F.col("value.lsn")).alias("v"))
+        .filter(F.col("v.op") != "d")
+        .select(F.col("key.user_id").alias("user_id"), "v.after.*")
+    )
+
+    root = tempfile.mkdtemp(prefix="tkc_boot_")
+    table = LakeTable(
+        os.path.join(root, "t"), key_cols=["user_id"], n_buckets=16,
+        discovery=False, merge_strategy="broadcast",
+    )
+    rep = Replayer(table=table, chain=Chain([]), epoch="driver")
+    rep.bootstrap(snapshot, snapshot_lsn=cut)
+    rep.replay(stream, batch_width=max(1, (max_id + 3) // 3), max_pos=max_id + 1)
+    return table.read(spark).select(
+        "user_id",
+        F.col("_lsn").alias("last_event_id"),
+        "event_type",
+        "val",
+    )
+
+
 def q_lookup_many(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched point lookups (the serving-layer multi-get): replay into
     a bucketed table, then resolve 20 keys in ONE bucket-pruned scan
@@ -1196,6 +1236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_router": q_regex_router,
         "cdc_merge": q_cdc_merge,
         "cdc_merge_mor": q_cdc_merge_mor,
+        "cdc_bootstrap": q_cdc_bootstrap,
         "routed_merge": q_routed_merge,
         "data_skipping": q_data_skipping,
         "lookup_many": q_lookup_many,
@@ -1363,6 +1404,20 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cdc_merge": (
             "SELECT user_id, event_id AS last_event_id, event_type, value AS val "
+            "FROM (SELECT *, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events) t "
+            "WHERE rn = 1 AND event_type <> 'error'"
+        ),
+        "cdc_bootstrap": (
+            # snapshot fence stamping: winners at or below the midpoint
+            # LSN carry the snapshot LSN itself (Debezium stamps the
+            # single snapshot position); later winners keep their own id
+            "WITH cut AS (SELECT CAST(FLOOR(MAX(event_id) / 2.0) AS BIGINT) "
+            "AS s FROM events) "
+            "SELECT user_id, "
+            "CASE WHEN event_id <= (SELECT s FROM cut) "
+            "THEN (SELECT s FROM cut) ELSE event_id END AS last_event_id, "
+            "event_type, value AS val "
             "FROM (SELECT *, row_number() OVER "
             "(PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events) t "
             "WHERE rn = 1 AND event_type <> 'error'"

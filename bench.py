@@ -345,6 +345,8 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
         "routed_merge",
         # batched point lookups over a replayed table (multi-get)
         "lookup_many",
+        # initial-snapshot bootstrap -> incremental handoff (LSN fence)
+        "cdc_bootstrap",
     ]
     out = {}
     qs = entrymod.queries()

@@ -308,3 +308,57 @@ def test_cli_maintenance_stats(spark, tmp_path, capsys):
     assert out["n_buckets"] == 4
     assert out["total_files"] > 0 and out["total_bytes"] > 0
     assert out["committed_batches"] == 2
+
+
+def test_cli_bootstrap_then_replay(spark, tmp_path, capsys):
+    import json as _json
+
+    from transforms_for_apache_kafka_connect_spark.cli import main
+    from transforms_for_apache_kafka_connect_spark.sources.changestream import (
+        repositories_snapshot,
+    )
+    from transforms_for_apache_kafka_connect_spark.streaming.sink import (
+        LakeTable,
+    )
+
+    n, cut, base = 1_000, 500, 1_600_000_000_000
+    events = change_stream(spark, n, n_repos=10, paths_per_repo=4)
+    events.write.mode("overwrite").parquet(str(tmp_path / "events"))
+    snap = repositories_snapshot(
+        spark, events.filter(F.col("value.lsn") < cut)
+    )
+    snap.write.mode("overwrite").parquet(str(tmp_path / "snap"))
+
+    root = str(tmp_path / "table")
+    # bootstrap-only invocation (no --events)
+    assert main(["--table", root, "--buckets", "4",
+                 "--bootstrap", str(tmp_path / "snap"),
+                 "--snapshot-lsn", str(cut - 1)]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    boot = _json.loads(out[-1])
+    assert boot["mode"] == "bootstrap" and not boot.get("skipped")
+
+    # handoff: replay the WHOLE stream; the fence drops pre-cut events
+    assert main(["--table", root, "--buckets", "4", "--batches", "2",
+                 "--events", str(tmp_path / "events")]) == 0
+    capsys.readouterr()
+
+    table = LakeTable(root, n_buckets=4)
+    assert table.extra() == {"snapshot_lsn": cut - 1}
+    got = {
+        (r["repo"], r["path"]): r["content"]
+        for r in table.read(spark).collect()
+    }
+    want = {
+        (r["repo"], r["path"]): r["content"]
+        for r in repositories_snapshot(spark, events).collect()
+    }
+    assert got == want
+
+
+def test_cli_bootstrap_requires_snapshot_lsn(tmp_path, capsys):
+    from transforms_for_apache_kafka_connect_spark.cli import main
+
+    assert main(["--table", str(tmp_path / "t"),
+                 "--bootstrap", str(tmp_path / "snap")]) == 2
+    assert "--snapshot-lsn" in capsys.readouterr().err

@@ -111,6 +111,15 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--staged-token", default=None,
                     help="with --maintenance publish: the staged commit "
                          "token returned by merge(publish=False)")
+    ap.add_argument("--bootstrap", default=None,
+                    help="parquet dir of a TABLE-SHAPED consistent source "
+                         "snapshot (key cols + payload); seeds an empty "
+                         "table before replay (Debezium initial snapshot). "
+                         "Requires --snapshot-lsn; later batches drop "
+                         "events at or below that LSN")
+    ap.add_argument("--snapshot-lsn", type=int, default=None,
+                    help="source position the --bootstrap snapshot is "
+                         "consistent with")
     return ap
 
 
@@ -214,8 +223,16 @@ def main(argv: list[str] | None = None) -> int:
                          default=str))
         return 0
 
-    if not args.events:
-        print("--events is required unless --maintenance is given",
+    if not args.events and not args.bootstrap:
+        print("--events is required unless --maintenance or --bootstrap "
+              "is given",
+              file=sys.stderr)
+        return 2
+    if args.bootstrap and args.snapshot_lsn is None:
+        print("--bootstrap requires --snapshot-lsn", file=sys.stderr)
+        return 2
+    if args.bootstrap and args.routed:
+        print("--bootstrap targets one concrete table; drop --routed",
               file=sys.stderr)
         return 2
 
@@ -236,6 +253,14 @@ def main(argv: list[str] | None = None) -> int:
         engine = Replayer(table=table, chain=chain, epoch=args.epoch,
                           compact_every=args.compact_every,
                           error_mode=args.error_mode, dlq_dir=args.dlq_dir)
+
+    if args.bootstrap:
+        snap = spark.read.parquet(args.bootstrap)
+        r = engine.bootstrap(snap, snapshot_lsn=args.snapshot_lsn)
+        print(json.dumps({"mode": "bootstrap", "table": args.table,
+                          "snapshot_lsn": args.snapshot_lsn, **r}))
+        if not args.events:
+            return 0
 
     if args.streaming:
         if not args.checkpoint:

@@ -135,3 +135,46 @@ def repositories_snapshot(spark: SparkSession, events: DataFrame) -> DataFrame:
         last.filter(F.col("value.op") != "d")
         .select("value.after.*")
     )
+
+
+def snapshot_envelope(
+    df: DataFrame,
+    key_cols: list[str],
+    *,
+    lsn: int,
+    topic: str = "snapshot",
+    ts_ms: int | None = None,
+) -> DataFrame:
+    """Table-shaped rows -> op='r' change envelope (the Debezium
+    initial-snapshot *read* event; reference FilterByFieldValueTest
+    envelope shape, FilterByFieldValueTest.java:237-278).
+
+    Every row carries the SAME ``lsn`` — the source position the
+    snapshot is consistent with — exactly as Debezium stamps snapshot
+    records with the snapshot's single binlog position. Pure Column
+    expressions over ``df`` (no shuffle, no UDF): at 100 TB the
+    envelope is a free projection fused into the snapshot scan.
+    """
+    from pyspark.sql import types as T
+
+    missing = [c for c in key_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"snapshot is missing key columns {missing}")
+    after = F.struct(*[F.col(c).alias(c) for c in df.columns])
+    null_row = F.lit(None).cast(T.StructType(list(df.schema.fields)))
+    stamp = F.lit(int(lsn if ts_ms is None else ts_ms)).cast("long")
+    value = F.struct(
+        F.lit("r").alias("op"),
+        F.lit(int(lsn)).cast("long").alias("lsn"),
+        stamp.alias("ts_ms"),
+        null_row.alias("before"),
+        after.alias("after"),
+    )
+    return df.select(
+        F.lit(topic).alias("topic"),
+        F.lit(0).cast("int").alias("partition"),
+        F.struct(*[F.col(c).alias(c) for c in key_cols]).alias("key"),
+        value.alias("value"),
+        F.lit(int(lsn)).cast("long").alias("timestamp"),
+        F.lit(None).cast("map<string,string>").alias("headers"),
+    )

@@ -30,6 +30,10 @@ from transforms_for_apache_kafka_connect_spark.streaming.sink import LakeTable
 
 _log = logging.getLogger(__name__)
 
+#: reserved ledger batch id for the initial-snapshot load (Debezium
+#: snapshot phase) — ordinary replay batch ids start at 0
+BOOTSTRAP_BATCH_ID = -1
+
 
 def prepare_stream_events(
     events: DataFrame,
@@ -182,7 +186,72 @@ class Replayer:
             (F.col("value.op") == "d").alias("__is_delete"),
         )
 
-    def apply_batch(self, batch: DataFrame, batch_id: int) -> dict:
+    def _snapshot_lsn(self) -> int | None:
+        """Snapshot LSN recorded by ``bootstrap`` (None = never
+        bootstrapped, or the sink doesn't expose engine extras)."""
+        extra_fn = getattr(self.table, "extra", None)
+        if extra_fn is None:
+            return None
+        v = extra_fn().get("snapshot_lsn")
+        return int(v) if v is not None else None
+
+    def bootstrap(
+        self,
+        snapshot: DataFrame,
+        *,
+        snapshot_lsn: int,
+        is_envelope: bool = False,
+        topic: str = "snapshot",
+    ) -> dict:
+        """Debezium initial-snapshot analog: seed the table from a
+        consistent source snapshot, then hand off to incremental replay.
+
+        ``snapshot`` is a table-shaped DataFrame (key columns + payload
+        columns, ≤1 row per key — e.g. the source table read at a
+        single consistent position), or, with ``is_envelope=True``, an
+        already-built op='r' envelope stream. ``snapshot_lsn`` is the
+        source position the snapshot is consistent with; it is recorded
+        in the table manifest (``extra.snapshot_lsn``, carried forward
+        by every later commit) and every subsequent ``apply_batch``
+        drops events at or below it — see the correctness note in
+        ``apply_batch``. Snapshot records flow through the SMT chain
+        exactly like streamed events (Debezium snapshot semantics).
+
+        Ledgered under ``BOOTSTRAP_BATCH_ID`` → idempotent under
+        crash/retry like any batch. Refuses a table that already has
+        other commits: re-seeding over applied increments would regress
+        newer rows (the merge is source-wins).
+        """
+        if self.table.committed(self.epoch, BOOTSTRAP_BATCH_ID):
+            return {"skipped": True, "batch_id": BOOTSTRAP_BATCH_ID}
+        manifest_fn = getattr(self.table, "manifest", None)
+        if manifest_fn is not None and manifest_fn()["committed"]:
+            raise ValueError(
+                "bootstrap requires an empty table (no committed "
+                "batches): seeding over applied increments would "
+                "regress newer rows"
+            )
+        if not is_envelope:
+            from transforms_for_apache_kafka_connect_spark.sources.changestream import (
+                snapshot_envelope,
+            )
+
+            snapshot = snapshot_envelope(
+                snapshot, list(self.table.key_cols),
+                lsn=snapshot_lsn, topic=topic,
+            )
+        return self.apply_batch(
+            snapshot,
+            BOOTSTRAP_BATCH_ID,
+            manifest_extra={"snapshot_lsn": int(snapshot_lsn)},
+        )
+
+    def apply_batch(
+        self,
+        batch: DataFrame,
+        batch_id: int,
+        manifest_extra: dict | None = None,
+    ) -> dict:
         """chain → dedupe → merge → commit; idempotent on (epoch, batch_id).
 
         ONE Spark action per batch (the merge write): input/error/drop
@@ -200,6 +269,20 @@ class Replayer:
 
         if self.table.committed(self.epoch, batch_id):
             return {"skipped": True, "batch_id": batch_id}
+        snap_lsn = self._snapshot_lsn()
+        if snap_lsn is not None:
+            # bootstrapped table: events at or below the snapshot LSN
+            # are already reflected in the seeded state. Dropping them
+            # is REQUIRED for correctness, not just speed — the merge is
+            # source-wins (no target-LSN comparison), so a pre-snapshot
+            # event replayed afterwards (e.g. a delete whose undo the
+            # snapshot already contains) would regress the table.
+            # Tombstone records carry no LSN and pass through (their
+            # downstream handling is idempotent).
+            batch = batch.filter(
+                F.col("value").isNull()
+                | (F.col("value.lsn") > F.lit(snap_lsn))
+            )
         obs = Observation(f"chain_{self.epoch}_{batch_id}")
 
         pre, post = self._split_chain()
@@ -381,6 +464,9 @@ class Replayer:
                 errored.sparkSession.read.parquet(path).count()
             )
 
+        merge_kwargs = {}
+        if manifest_extra:
+            merge_kwargs["manifest_extra"] = manifest_extra
         result = self.table.merge(
             updates,
             epoch=self.epoch,
@@ -388,6 +474,7 @@ class Replayer:
             pre_commit=(
                 quarantine_errors if self.error_mode == "dlq" else check_errors
             ),
+            **merge_kwargs,
         )
         result["batch_id"] = batch_id
         if self.error_mode == "dlq" and dlq_written["n"]:

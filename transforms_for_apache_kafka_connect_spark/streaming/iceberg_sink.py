@@ -73,6 +73,7 @@ class IcebergLakeTable:
 
     LEDGER_PROP = "tkc.committed"
     LINEAGE_PROP = "tkc.lineage"
+    EXTRA_PROP = "tkc.extra"
 
     def _require(self, spark: SparkSession) -> None:
         if not available(spark):
@@ -105,6 +106,18 @@ class IcebergLakeTable:
 
     def read(self, spark: SparkSession) -> DataFrame:
         return spark.table(self.identifier)
+
+    def extra(self) -> dict[str, Any]:
+        """Engine-level key/values recorded via ``merge(manifest_extra=)``
+        (e.g. the bootstrap snapshot LSN) — table-properties analog of
+        the hermetic sink's manifest ``extra``."""
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise NotImplementedError(
+                "IcebergLakeTable.extra needs an active SparkSession"
+            )
+        self._require(spark)
+        return json.loads(self._props(spark).get(self.EXTRA_PROP, "{}"))
 
     # ------------------------------------------------------------ merge
 
@@ -152,6 +165,7 @@ class IcebergLakeTable:
         delete_col: str = "__is_delete",
         lineage: list[dict] | None = None,
         pre_commit=None,
+        manifest_extra: dict[str, Any] | None = None,
     ) -> dict[str, Any]:
         """Stage → error gate → evolve schema → MERGE → ledger.
 
@@ -195,10 +209,21 @@ class IcebergLakeTable:
                 {"epoch": epoch, "batch_id": batch_id, "n_updates": n_upd}
             ]
             lin = lin[-self.max_lineage_entries:]
+            prop_sets = [
+                f"'{self.LEDGER_PROP}' = '{json.dumps(ledger)}'",
+                f"'{self.LINEAGE_PROP}' = '{json.dumps(lin)}'",
+            ]
+            if manifest_extra:
+                extra = {
+                    **json.loads(props.get(self.EXTRA_PROP, "{}")),
+                    **manifest_extra,
+                }
+                prop_sets.append(
+                    f"'{self.EXTRA_PROP}' = '{json.dumps(extra)}'"
+                )
             spark.sql(
                 f"ALTER TABLE {self.identifier} SET TBLPROPERTIES ("
-                f"'{self.LEDGER_PROP}' = '{json.dumps(ledger)}', "
-                f"'{self.LINEAGE_PROP}' = '{json.dumps(lin)}')"
+                + ", ".join(prop_sets) + ")"
             )
         finally:
             updates.unpersist()

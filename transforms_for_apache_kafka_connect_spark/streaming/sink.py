@@ -876,6 +876,12 @@ class LakeTable:
             "bloom_files": sum(1 for v in blooms.values() if v.get("m")),
         }
 
+    def extra(self) -> dict[str, Any]:
+        """Engine-level key/values recorded via ``merge(manifest_extra=)``
+        (e.g. the bootstrap snapshot LSN); carried forward by every
+        commit, including maintenance rewrites."""
+        return dict(self.manifest().get("extra") or {})
+
     def lineage(self, spark: SparkSession) -> DataFrame:
         """Per-partition lineage rows (north_rule) as a DataFrame:
         (epoch, batch_id, bucket, n_updates, n_deletes, min_lsn,
@@ -988,7 +994,7 @@ class LakeTable:
     def _merge_append(
         self, m, upd, *, touched, n_upd, obs, touched_rows,
         epoch, batch_id, delete_col, lineage, pre_commit,
-        publish: bool = True,
+        publish: bool = True, manifest_extra: dict[str, Any] | None = None,
     ) -> dict[str, Any]:
         """Merge-on-read commit: append this batch's update rows
         (deletes as ``_deleted`` markers) without reading the target at
@@ -1076,6 +1082,9 @@ class LakeTable:
             "n_buckets": self.n_buckets,
             "key_cols": self.key_cols,
         }
+        carried_extra = {**(m.get("extra") or {}), **(manifest_extra or {})}
+        if carried_extra:
+            commit["extra"] = carried_extra
         if pre_commit is not None:
             pre_commit(n_upd)
         staged = None
@@ -1477,6 +1486,7 @@ class LakeTable:
                 touched_rows=touched_rows if self.discovery else None,
                 epoch=epoch, batch_id=batch_id, delete_col=delete_col,
                 lineage=lineage, pre_commit=pre_commit, publish=publish,
+                manifest_extra=manifest_extra,
             )
 
         have_target = bool(m["buckets"]) and (
@@ -1659,6 +1669,9 @@ class LakeTable:
             # buckets is idempotent (keys are unique post-merge).
             "mor": m.get("mor", False),
         }
+        carried_extra = {**(m.get("extra") or {}), **(manifest_extra or {})}
+        if carried_extra:
+            commit["extra"] = carried_extra
         if pre_commit is not None:
             # may raise -> batch stays uncommitted (replayable)
             pre_commit(n_upd)
