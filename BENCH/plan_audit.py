@@ -250,6 +250,54 @@ def main() -> None:
           blt.last_prune["files_read"] < blt.last_prune["files_total"],
           f"{blt.last_prune['files_read']}/{blt.last_prune['files_total']} files")
 
+    # 17. changelog capture: pre-images come from the target scan joined
+    # against the BROADCAST batch key set — cost bounded by batch size,
+    # never a shuffle of the (100 TB) target
+    chroot = _tf.mkdtemp(prefix="audit_chg_")
+    clt = _LT(
+        os.path.join(chroot, "chg"), n_buckets=8,
+        merge_strategy="broadcast", changelog=True,
+    )
+    crep = _Rep(table=clt, chain=_Chain([]), epoch="audit")
+    cev = _cs(spark, 4_000, n_repos=10, paths_per_repo=4)
+    cmin, cmax = cev.agg(_F.min("timestamp"), _F.max("timestamp")).first()
+    crep.replay(
+        cev, batch_width=max(1, (cmax - cmin + 2) // 2),
+        start_pos=cmin, max_pos=cmax + 1,
+    )
+    cm = clt.manifest()
+    cupd = crep.updates_for(cev.filter(_F.col("value").isNotNull()))
+    changes_df, cpre = clt._changes_for(
+        spark, cm, cupd, touched=None, delete_col="__is_delete"
+    )
+    p = fmt(changes_df)
+    check("changelog capture: pre-image join is BroadcastHashJoin",
+          "BroadcastHashJoin" in p)
+    check("changelog capture: no SortMergeJoin (target never shuffled)",
+          "SortMergeJoin" not in p and "Exchange hashpartitioning" not in
+          p.split("BroadcastHashJoin")[0])
+    if cpre is not None:
+        cpre.unpersist()
+
+    # 18. incremental view maintenance: one aggregate over the (batch-
+    # sized) changelog + a join whose left side is the agg table
+    # (cardinality = #groups), never the base table
+    from transforms_for_apache_kafka_connect_spark.streaming.incremental import (
+        batch_changes as _bc,
+        incremental_agg_update as _iau,
+    )
+
+    agg_t = _LT(
+        os.path.join(chroot, "agg"), key_cols=["lang"], n_buckets=4,
+        merge_strategy="broadcast",
+    )
+    _iau(agg_t, _bc(clt, spark, epoch="audit", batch_id=0),
+         group_cols=["lang"], sum_cols=["_lsn"], epoch="audit", batch_id=0)
+    chg1 = _bc(clt, spark, epoch="audit", batch_id=1)
+    p = fmt(chg1)
+    check("incremental agg: changelog read prunes to the batch partition",
+          re.search(r"PartitionFilters: \[[^\]]*batch_id", p))
+
     n_fail = sum(1 for _, ok, _ in checks if not ok)
     lines = [
         "# BENCH/PLANS.md — Catalyst plan audit",

@@ -855,6 +855,48 @@ def q_cdc_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog-driven incremental view maintenance: replay with
+    row-level change capture on (Delta-CDF-style pre/post images), then
+    maintain COUNT(*) + SUM(val) per event_type from each batch's
+    changelog — never rescanning the base table. The maintained
+    aggregate must equal a from-scratch GROUP BY over the final LWW
+    state (the oracle)."""
+    from transforms_for_apache_kafka_connect_spark.streaming.incremental import (
+        batch_changes,
+        incremental_agg_update,
+    )
+
+    stream = _events_as_change_stream(spark, sf_dir)
+    max_id = stream.agg(F.max("timestamp")).first()[0] or 0
+    root = tempfile.mkdtemp(prefix="tkc_incr_")
+    table = LakeTable(
+        os.path.join(root, "t"), key_cols=["user_id"], n_buckets=16,
+        discovery=False, merge_strategy="broadcast", changelog=True,
+    )
+    rep = Replayer(table=table, chain=Chain([]), epoch="driver")
+    width = max(1, (max_id + 3) // 3)
+    rep.replay(stream, batch_width=width, max_pos=max_id + 1)
+    agg = LakeTable(
+        os.path.join(root, "agg"), key_cols=["event_type"], n_buckets=4,
+        discovery=False, merge_strategy="broadcast",
+    )
+    for b in range(-(-(max_id + 1) // width)):
+        incremental_agg_update(
+            agg,
+            batch_changes(table, spark, epoch="driver", batch_id=b),
+            group_cols=["event_type"],
+            sum_cols=["val"],
+            epoch="driver",
+            batch_id=b,
+        )
+    return agg.read(spark).select(
+        "event_type",
+        "n_rows",
+        F.round(F.col("sum_val"), 4).alias("sum_val"),
+    )
+
+
 def q_lookup_many(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched point lookups (the serving-layer multi-get): replay into
     a bucketed table, then resolve 20 keys in ONE bucket-pruned scan
@@ -1237,6 +1279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge": q_cdc_merge,
         "cdc_merge_mor": q_cdc_merge_mor,
         "cdc_bootstrap": q_cdc_bootstrap,
+        "incremental_agg": q_incremental_agg,
         "routed_merge": q_routed_merge,
         "data_skipping": q_data_skipping,
         "lookup_many": q_lookup_many,
@@ -1407,6 +1450,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT *, row_number() OVER "
             "(PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events) t "
             "WHERE rn = 1 AND event_type <> 'error'"
+        ),
+        "incremental_agg": (
+            # the maintained aggregate must equal a recompute over the
+            # final LWW state; sums are 0-based under retraction
+            # semantics, hence the COALESCE
+            "SELECT event_type, COUNT(*) AS n_rows, "
+            "ROUND(COALESCE(SUM(value), 0), 4) AS sum_val "
+            "FROM (SELECT *, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events) t "
+            "WHERE rn = 1 AND event_type <> 'error' "
+            "GROUP BY event_type"
         ),
         "cdc_bootstrap": (
             # snapshot fence stamping: winners at or below the midpoint

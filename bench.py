@@ -347,6 +347,8 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
         "lookup_many",
         # initial-snapshot bootstrap -> incremental handoff (LSN fence)
         "cdc_bootstrap",
+        # change capture + incremental view maintenance from the changelog
+        "incremental_agg",
     ]
     out = {}
     qs = entrymod.queries()

@@ -5,6 +5,10 @@ from transforms_for_apache_kafka_connect_spark.streaming.router import (
     TopicTableRouter,
     route_write,
 )
+from transforms_for_apache_kafka_connect_spark.streaming.incremental import (
+    batch_changes,
+    incremental_agg_update,
+)
 
 __all__ = [
     "lww_dedupe",
@@ -12,4 +16,6 @@ __all__ = [
     "Replayer",
     "route_write",
     "TopicTableRouter",
+    "batch_changes",
+    "incremental_agg_update",
 ]

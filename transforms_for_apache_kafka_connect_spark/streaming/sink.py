@@ -336,6 +336,15 @@ class LakeTable:
     #: whole bucket. Off by default: it reads key data pages at commit
     #: time, which only pays for itself on lookup-serving tables.
     collect_blooms: bool = False
+    #: emit a row-level changelog with pre/post images at every merge
+    #: (the Delta CDF / Iceberg changelog-view analog): each batch
+    #: writes ``_changes/epoch=<e>/batch_id=<b>/`` rows tagged
+    #: ``_change_type`` ∈ {insert, update_preimage, update_postimage,
+    #: delete}. This is what ``read_changes`` cannot reconstruct from
+    #: COW commits — and what incremental view maintenance downstream
+    #: needs (retract old, add new). Costs ONE extra bucket-pruned
+    #: read of the touched target keys per batch; off by default.
+    changelog: bool = False
 
     def __post_init__(self):
         os.makedirs(os.path.join(self.root, "_manifest"), exist_ok=True)
@@ -971,6 +980,137 @@ class LakeTable:
             )
         return resolved
 
+    def _write_changes(
+        self,
+        spark: SparkSession,
+        m: dict[str, Any],
+        upd: DataFrame,
+        *,
+        touched: list[int] | None,
+        epoch: str,
+        batch_id: int,
+        delete_col: str,
+    ) -> None:
+        """Row-level change capture for this batch (``changelog=True``):
+        classify the post-LWW update set against the PRE-batch table
+        state and write ``_changes/epoch=<e>/batch_id=<b>/`` with a
+        Delta-CDF-style ``_change_type`` column (insert /
+        update_preimage / update_postimage / delete; a delete of an
+        absent key emits nothing — no net change).
+
+        Scale shape: one extra read of the target, pruned to the
+        touched buckets and inner-joined against the BROADCAST batch
+        key set (pre-image volume is bounded by the batch's key count,
+        not the table size — the same argument as the broadcast merge).
+        MoR tables resolve pre-images through the LWW aggregate first,
+        so pre-images are true current rows, not raw delta versions.
+        The write is overwrite-idempotent per (epoch, batch_id): a
+        replayed batch rewrites the same directory. Crash safety:
+        entries for batches that never reached the ledger are invisible
+        to ``read_changelog`` (committed-only join) and are GC'd by
+        ``vacuum``.
+        """
+        changes, pre = self._changes_for(
+            spark, m, upd, touched=touched, delete_col=delete_col
+        )
+        chg_dir = os.path.join(
+            self.root, "_changes", f"epoch={epoch}", f"batch_id={batch_id}"
+        )
+        changes.write.mode("overwrite").parquet(chg_dir)
+        if pre is not None:
+            pre.unpersist()
+
+    def _changes_for(
+        self,
+        spark: SparkSession,
+        m: dict[str, Any],
+        upd: DataFrame,
+        *,
+        touched: list[int] | None,
+        delete_col: str,
+    ) -> tuple[DataFrame, DataFrame | None]:
+        """Classified change set for one batch (see ``_write_changes``);
+        returns (changes, persisted pre-image DF to unpersist after the
+        action, or None). Split out so the plan audit can assert the
+        join shape of the REAL capture path."""
+        keyed = upd.drop(BUCKET_COL) if BUCKET_COL in upd.columns else upd
+        have_target = bool(m["buckets"]) and (
+            touched is None or any(str(b) in m["buckets"] for b in touched)
+        )
+        if not have_target:
+            return (
+                keyed.filter(~F.col(delete_col))
+                .drop(delete_col)
+                .withColumn("_change_type", F.lit("insert")),
+                None,
+            )
+        tgt = self.read(spark, buckets=touched, _manifest=m)
+        batch_keys = F.broadcast(
+            keyed.select(
+                *self.key_cols, F.col(delete_col).alias("__del")
+            )
+        )
+        pre = tgt.join(batch_keys, on=self.key_cols, how="inner").persist()
+        pre_rows = pre.withColumn(
+            "_change_type",
+            F.when(F.col("__del"), F.lit("delete")).otherwise(
+                F.lit("update_preimage")
+            ),
+        ).drop("__del")
+        existed = pre.select(*self.key_cols).withColumn(
+            "__existed", F.lit(True)
+        )
+        posts = (
+            keyed.filter(~F.col(delete_col))
+            .drop(delete_col)
+            .join(F.broadcast(existed), on=self.key_cols, how="left")
+            .withColumn(
+                "_change_type",
+                F.when(
+                    F.col("__existed"), F.lit("update_postimage")
+                ).otherwise(F.lit("insert")),
+            )
+            .drop("__existed")
+        )
+        return pre_rows.unionByName(posts, allowMissingColumns=True), pre
+
+    def read_changelog(
+        self, spark: SparkSession, *, epoch: str | None = None
+    ) -> DataFrame:
+        """COMMITTED row-level changes with pre/post images (Delta CDF
+        analog; requires the table to run with ``changelog=True``).
+
+        Partition columns ``epoch``/``batch_id`` come back on every row
+        (and prune the scan when filtered on). Changelog directories
+        whose batch never reached the ledger — crash leftovers, aborted
+        error-contract batches, unpublished WAP stages — are filtered
+        out against the committed ledger, so consumers only ever see
+        changes of applied batches.
+        """
+        chg_root = os.path.join(self.root, "_changes")
+        m = self.manifest()
+        if not os.path.isdir(chg_root):
+            raise ValueError(
+                "table has no changelog — create the table with "
+                "changelog=True to capture row-level changes"
+            )
+        df = (
+            spark.read.option("basePath", chg_root)
+            .option("mergeSchema", "true")
+            .parquet(chg_root)
+        )
+        committed = {f"{e}#{b}" for e, b in m["committed"]}
+        df = df.filter(
+            F.concat_ws(
+                "#", F.col("epoch"), F.col("batch_id").cast("string")
+            ).isin(*committed)
+            if committed
+            else F.lit(False)
+        )
+        if epoch is not None:
+            df = df.filter(F.col("epoch") == epoch)
+        return df
+
     def _resolve_mor(self, df: DataFrame) -> DataFrame:
         """Merge-on-read resolution: per key keep the max-``_lsn`` row
         (delta rows beat the base rows they supersede), then drop rows
@@ -1018,7 +1158,16 @@ class LakeTable:
             .partitionBy(BUCKET_COL)
             .parquet(out_dir)
         )
-        if self.discovery:
+        if self.changelog:
+            # pre-images resolve through the MoR LWW read of the
+            # PRE-append manifest — true current rows, not delta
+            # versions (this is the read the append strategy otherwise
+            # avoids; change capture is what you are paying for)
+            self._write_changes(
+                upd.sparkSession, m, upd, touched=touched,
+                epoch=epoch, batch_id=batch_id, delete_col=delete_col,
+            )
+        if self.discovery or upd.is_cached:
             upd.unpersist()
         if n_upd is None and obs is not None:
             try:
@@ -1316,7 +1465,24 @@ class LakeTable:
         # CURRENT / the manifests (written, never os.replace'd) —
         # harmless but immortal without this
         stale_tmp = glob.glob(os.path.join(self.root, "_manifest", "*.tmp-*"))
+        # changelog dirs whose batch never reached the ledger (crashed
+        # or aborted merges): invisible to read_changelog, reclaimed
+        # here. Committed changelog entries are retained indefinitely —
+        # they are the downstream consumers' replay source.
+        committed = {(e, b) for e, b in current["committed"]}
+        orphan_chg = []
+        for d in glob.glob(
+            os.path.join(self.root, "_changes", "epoch=*", "batch_id=*")
+        ):
+            e = os.path.basename(os.path.dirname(d)).split("=", 1)[1]
+            b = int(os.path.basename(d).split("=", 1)[1])
+            if (e, b) not in committed:
+                orphan_chg.append(d)
         if not dry_run:
+            import shutil
+
+            for d in orphan_chg:
+                shutil.rmtree(d, ignore_errors=True)
             for p in stale_tmp:
                 os.remove(p)
             for p in orphans:
@@ -1334,6 +1500,7 @@ class LakeTable:
             "deleted_files": len(orphans),
             "expired_manifests": len(expired),
             "stale_tmp_files": len(stale_tmp),
+            "orphan_changelog_dirs": len(orphan_chg),
             "kept_versions": keep,
             "dry_run": dry_run,
         }
@@ -1382,6 +1549,17 @@ class LakeTable:
 
         spark = updates.sparkSession
         upd = updates.withColumn(BUCKET_COL, _bucket_expr(self.key_cols, self.n_buckets))
+
+        # change capture consumes the update set one extra time; in the
+        # one mode where nothing else persists it (dense + shuffle or
+        # dense + append) pin it so chain+dedupe don't recompute
+        chg_persist = (
+            self.changelog
+            and not self.discovery
+            and self.merge_strategy != "broadcast"
+        )
+        if chg_persist:
+            upd = upd.persist()
 
         obs = None
         if self.discovery:
@@ -1577,7 +1755,12 @@ class LakeTable:
             .partitionBy(BUCKET_COL)
             .parquet(out_dir)
         )
-        if self.discovery or self.merge_strategy == "broadcast":
+        if self.changelog:
+            self._write_changes(
+                spark, m, upd, touched=touched,
+                epoch=epoch, batch_id=batch_id, delete_col=delete_col,
+            )
+        if self.discovery or self.merge_strategy == "broadcast" or chg_persist:
             upd.unpersist()
 
         written = {}
