@@ -237,3 +237,106 @@ def test_group_vanishes_when_count_reaches_zero(spark, tmp_path):
         agg, batch_changes(table, spark, epoch="e", batch_id=1),
         group_cols=["lang"], epoch="e", batch_id=1)
     assert {r["lang"] for r in agg.read(spark).collect()} == {"py"}
+
+
+# ------------------------------------------- Replayer-attached aggregates
+
+
+def test_replayer_maintained_aggregate(spark, tmp_path):
+    """maintain=[...]: the Replayer folds every batch's changelog into
+    the attached aggregate right after the merge — end state equals a
+    recompute, with zero manual loops."""
+    from transforms_for_apache_kafka_connect_spark.streaming.incremental import (
+        MaintainedAggregate,
+    )
+
+    n = 2_000
+    table = LakeTable(str(tmp_path / "t"), n_buckets=8,
+                      merge_strategy="broadcast", changelog=True)
+    agg = LakeTable(str(tmp_path / "agg"), key_cols=["lang"], n_buckets=4,
+                    merge_strategy="broadcast")
+    rep = Replayer(
+        table=table, chain=Chain([]), epoch="e",
+        maintain=[MaintainedAggregate(
+            table=agg, group_cols=["lang"], sum_cols=["_lsn"],
+        )],
+    )
+    events = change_stream(spark, n, n_repos=10, paths_per_repo=4)
+    rep.replay(events, batch_width=-(-n // 3),
+               start_pos=BASE_TS, max_pos=BASE_TS + n)
+    got = {r["lang"]: (r["n_rows"], round(r["sum__lsn"], 4))
+           for r in agg.read(spark).collect()}
+    want = {r["lang"]: (r["n"], round(r["s"], 4))
+            for r in table.read(spark).groupBy("lang").agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("_lsn").cast("double")).alias("s")).collect()}
+    assert got == want and len(got) > 0
+
+
+def test_maintenance_catches_up_on_ledger_skipped_batch(spark, tmp_path):
+    """Crash window: source batch committed, aggregate update lost.
+    Replaying the batch skips the source merge via its ledger but STILL
+    folds the changelog into the aggregate — the composition is
+    exactly-once in both directions."""
+    from transforms_for_apache_kafka_connect_spark.streaming.incremental import (
+        MaintainedAggregate,
+    )
+
+    n = 1_000
+    table = LakeTable(str(tmp_path / "t"), n_buckets=4,
+                      merge_strategy="broadcast", changelog=True)
+    # phase 1: replay WITHOUT maintenance (simulates the crash having
+    # lost the aggregate update after the source commit)
+    rep0 = Replayer(table=table, chain=Chain([]), epoch="e")
+    events = change_stream(spark, n, n_repos=8, paths_per_repo=3)
+    rep0.replay(events, batch_width=n,
+                start_pos=BASE_TS, max_pos=BASE_TS + n)
+
+    agg = LakeTable(str(tmp_path / "agg"), key_cols=["lang"], n_buckets=4,
+                    merge_strategy="broadcast")
+    rep = Replayer(
+        table=table, chain=Chain([]), epoch="e",
+        maintain=[MaintainedAggregate(table=agg, group_cols=["lang"])],
+    )
+    results = rep.replay(events, batch_width=n,
+                         start_pos=BASE_TS, max_pos=BASE_TS + n)
+    assert all(r["skipped"] for r in results)
+    got = {r["lang"]: r["n_rows"] for r in agg.read(spark).collect()}
+    want = {r["lang"]: r["n"] for r in table.read(spark).groupBy("lang")
+            .agg(F.count("*").alias("n")).collect()}
+    assert got == want and len(got) > 0
+
+    # replaying AGAIN changes nothing (agg ledger dedupes)
+    rep.replay(events, batch_width=n,
+               start_pos=BASE_TS, max_pos=BASE_TS + n)
+    assert {r["lang"]: r["n_rows"]
+            for r in agg.read(spark).collect()} == want
+
+
+def test_maintain_requires_changelog_table(tmp_path):
+    from transforms_for_apache_kafka_connect_spark.streaming.incremental import (
+        MaintainedAggregate,
+    )
+
+    table = LakeTable(str(tmp_path / "t"), n_buckets=2)
+    agg = LakeTable(str(tmp_path / "agg"), key_cols=["lang"], n_buckets=2)
+    with pytest.raises(ValueError, match="changelog=True"):
+        Replayer(table=table, chain=Chain([]),
+                 maintain=[MaintainedAggregate(table=agg,
+                                               group_cols=["lang"])])
+
+
+def test_cli_changelog_flag(spark, tmp_path, capsys):
+    from transforms_for_apache_kafka_connect_spark.cli import main
+
+    events = change_stream(spark, 800, n_repos=8, paths_per_repo=3)
+    events.write.mode("overwrite").parquet(str(tmp_path / "events"))
+    root = str(tmp_path / "table")
+    assert main(["--table", root, "--buckets", "4", "--batches", "2",
+                 "--changelog", "--events", str(tmp_path / "events")]) == 0
+    capsys.readouterr()
+    table = LakeTable(root, n_buckets=4)
+    chg = table.read_changelog(spark)
+    assert chg.count() > 0
+    assert set(r["batch_id"] for r in
+               chg.select("batch_id").distinct().collect()) == {0, 1}

@@ -91,6 +91,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "final topic picks the destination table "
                          "(root/<topic>, one ledger each) instead of "
                          "merging everything into one table")
+    ap.add_argument("--changelog", action="store_true",
+                    help="capture row-level changes (pre/post images) "
+                         "per batch under <table>/_changes (Delta CDF "
+                         "analog; feeds incremental view maintenance)")
     ap.add_argument("--collect-blooms", action="store_true",
                     help="build per-file key Bloom sidecars at each "
                          "commit (speeds --maintenance lookup on "
@@ -162,6 +166,7 @@ def main(argv: list[str] | None = None) -> int:
         discovery=not args.no_discovery,
         merge_strategy=args.merge_strategy,
         collect_blooms=args.collect_blooms,
+        changelog=args.changelog,
     )
     # routed mode treats --table as the router root (one table per
     # final topic); maintenance ops always target ONE concrete table

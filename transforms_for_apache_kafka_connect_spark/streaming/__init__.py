@@ -6,6 +6,7 @@ from transforms_for_apache_kafka_connect_spark.streaming.router import (
     route_write,
 )
 from transforms_for_apache_kafka_connect_spark.streaming.incremental import (
+    MaintainedAggregate,
     batch_changes,
     incremental_agg_update,
 )
@@ -16,6 +17,7 @@ __all__ = [
     "Replayer",
     "route_write",
     "TopicTableRouter",
+    "MaintainedAggregate",
     "batch_changes",
     "incremental_agg_update",
 ]

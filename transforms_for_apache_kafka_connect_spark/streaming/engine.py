@@ -125,12 +125,54 @@ class Replayer:
     #: actually contains errors.
     error_mode: str = "fail"
     dlq_dir: str | None = None
+    #: MaintainedAggregate specs (incremental.py) folded in after every
+    #: committed batch — downstream COUNT/SUM views kept consistent
+    #: with the table from its changelog, exactly-once end-to-end
+    #: (requires the table to run with changelog=True)
+    maintain: list = field(default_factory=list)
 
     def __post_init__(self):
         if self.error_mode not in ("fail", "dlq"):
             raise ValueError("error_mode must be 'fail' or 'dlq'")
         if self.error_mode == "dlq" and not self.dlq_dir:
             raise ValueError("error_mode='dlq' requires dlq_dir")
+        if self.maintain and not getattr(self.table, "changelog", False):
+            raise ValueError(
+                "maintained aggregates need row-level change capture: "
+                "create the table with changelog=True"
+            )
+
+    def _run_maintenance(self, spark: SparkSession, batch_id: int) -> None:
+        """Fold this batch's changelog into every attached aggregate.
+
+        Runs for fresh AND ledger-skipped batches: a crash between the
+        source merge and the aggregate update replays as (skip source,
+        apply aggregate) — each side's own ledger makes the composition
+        exactly-once. Batches that wrote no changelog entry (verifiably
+        empty) have nothing to fold.
+        """
+        if not self.maintain or not self.table.has_changes(
+            self.epoch, batch_id
+        ):
+            return
+        from transforms_for_apache_kafka_connect_spark.streaming.incremental import (
+            batch_changes,
+            incremental_agg_update,
+        )
+
+        changes = batch_changes(
+            self.table, spark, epoch=self.epoch, batch_id=batch_id
+        )
+        for spec in self.maintain:
+            incremental_agg_update(
+                spec.table,
+                changes,
+                group_cols=spec.group_cols,
+                sum_cols=spec.sum_cols,
+                count_col=spec.count_col,
+                epoch=self.epoch,
+                batch_id=batch_id,
+            )
 
     def _dlq_serialize(self, df: DataFrame) -> DataFrame:
         """Errored envelope rows -> flat JSON-string form (key/value
@@ -268,6 +310,11 @@ class Replayer:
         )
 
         if self.table.committed(self.epoch, batch_id):
+            # still fold the (already-committed) batch's changelog into
+            # attached aggregates: a crash between the source merge and
+            # the aggregate update lands here on replay, and the agg
+            # table's own ledger dedupes the other direction
+            self._run_maintenance(batch.sparkSession, batch_id)
             return {"skipped": True, "batch_id": batch_id}
         snap_lsn = self._snapshot_lsn()
         if snap_lsn is not None:
@@ -498,6 +545,7 @@ class Replayer:
                     )
         if metrics:
             result["transform_metrics"] = metrics
+        self._run_maintenance(batch.sparkSession, batch_id)
         return result
 
     def replay(

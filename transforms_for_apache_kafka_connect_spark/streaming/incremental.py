@@ -25,10 +25,25 @@ instead.
 
 from __future__ import annotations
 
+from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from transforms_for_apache_kafka_connect_spark.streaming.sink import LakeTable
+
+
+@dataclass
+class MaintainedAggregate:
+    """A COUNT/SUM group aggregate the Replayer keeps consistent with
+    the base table: attach via ``Replayer(maintain=[...])`` and every
+    committed batch's changelog is folded in right after the merge —
+    including on crash/replay, where both the source merge and the
+    aggregate update dedupe through their own ledgers."""
+
+    table: LakeTable
+    group_cols: list[str]
+    sum_cols: list[str] = field(default_factory=list)
+    count_col: str = "n_rows"
 
 
 def batch_changes(

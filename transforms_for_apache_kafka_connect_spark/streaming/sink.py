@@ -1074,6 +1074,16 @@ class LakeTable:
         )
         return pre_rows.unionByName(posts, allowMissingColumns=True), pre
 
+    def has_changes(self, epoch: str, batch_id: int) -> bool:
+        """True if this batch wrote a changelog entry (False for
+        ledger-only empty-batch commits and never-run batches)."""
+        return os.path.isdir(
+            os.path.join(
+                self.root, "_changes", f"epoch={epoch}",
+                f"batch_id={batch_id}",
+            )
+        )
+
     def read_changelog(
         self, spark: SparkSession, *, epoch: str | None = None
     ) -> DataFrame:
