@@ -222,10 +222,29 @@ def sparse_merge_benchmark(spark, work_dir: str, cpus: int) -> dict:
     t0 = time.perf_counter()
     mor_rep.apply_batch(dense, 1)
     mor_sec = time.perf_counter() - t0
+
+    # change capture overhead: the same sparse-shaped batch applied
+    # through a changelog=True handle of the SAME table — the delta vs
+    # sparse_merge_sec is what CDF costs per batch (one extra
+    # bucket-pruned pre-image read + the changelog write)
+    chg_handle = LakeTable(
+        os.path.join(work_dir, "sparse_table"), n_buckets=n_buckets,
+        discovery=True, changelog=True,
+    )
+    chg_rep = Replayer(table=chg_handle, chain=Chain([]), epoch="sparse",
+                       unique_lsn=True)
+    sparse2 = change_stream(
+        spark, 50_000, n_repos=2, paths_per_repo=20, seed=45,
+        partitions=cpus,
+    )
+    t0 = time.perf_counter()
+    chg_rep.apply_batch(sparse2, 3)
+    chg_sec = time.perf_counter() - t0
     return {
         "sparse_merge_sec": round(sparse_sec, 3),
         "dense_merge_sec": round(dense_sec, 3),
         "mor_merge_sec": round(mor_sec, 3),
+        "sparse_changelog_merge_sec": round(chg_sec, 3),
         "sparse_touched_buckets": len(r_sparse.get("touched_buckets") or []),
         "dense_touched_buckets": len(r_dense.get("touched_buckets") or []),
         "n_buckets": n_buckets,

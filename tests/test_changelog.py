@@ -340,3 +340,20 @@ def test_cli_changelog_flag(spark, tmp_path, capsys):
     assert chg.count() > 0
     assert set(r["batch_id"] for r in
                chg.select("batch_id").distinct().collect()) == {0, 1}
+
+
+def test_vacuum_changelog_retention(spark, tmp_path):
+    """changelog_keep_batches=N expires committed changelog entries
+    beyond the last N batches per epoch; None keeps all."""
+    table, _ = _replay(spark, tmp_path, strategy="broadcast", n=1_200,
+                       batches=3)
+    assert all(table.has_changes("e", b) for b in (0, 1, 2))
+    r = table.vacuum()  # default: keep all committed entries
+    assert r["orphan_changelog_dirs"] == 0
+    r = table.vacuum(changelog_keep_batches=1)
+    assert r["orphan_changelog_dirs"] == 2
+    assert not table.has_changes("e", 0)
+    assert not table.has_changes("e", 1)
+    assert table.has_changes("e", 2)
+    # reads keep working over the retained window
+    assert batch_changes(table, spark, epoch="e", batch_id=2).count() > 0

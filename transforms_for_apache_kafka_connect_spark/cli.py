@@ -106,6 +106,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="with --maintenance compact: rewrite every bucket "
                          "(graduates a merge-on-read table to plain reads)")
     ap.add_argument("--vacuum-keep-versions", type=int, default=2)
+    ap.add_argument("--vacuum-changelog-keep-batches", type=int, default=None,
+                    help="with --maintenance vacuum: also expire committed "
+                         "changelog entries beyond the last N batches per "
+                         "epoch (default: keep all)")
     ap.add_argument("--rescale-buckets", type=int, default=None,
                     help="target bucket count (with --maintenance rescale)")
     ap.add_argument("--key", default=None,
@@ -187,7 +191,10 @@ def main(argv: list[str] | None = None) -> int:
                 sort=not args.compact_no_sort,
             )
         elif args.maintenance == "vacuum":
-            r = table.vacuum(keep_versions=args.vacuum_keep_versions)
+            r = table.vacuum(
+                keep_versions=args.vacuum_keep_versions,
+                changelog_keep_batches=args.vacuum_changelog_keep_batches,
+            )
         elif args.maintenance == "stats":
             r = table.stats()
         elif args.maintenance == "lookup":

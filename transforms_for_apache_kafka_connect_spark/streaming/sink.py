@@ -1435,7 +1435,9 @@ class LakeTable:
         return {"version": version, "n_buckets": n_buckets}
 
     def vacuum(
-        self, *, keep_versions: int = 2, dry_run: bool = False
+        self, *, keep_versions: int = 2,
+        changelog_keep_batches: int | None = None,
+        dry_run: bool = False
     ) -> dict[str, Any]:
         """Garbage-collect data files no recent manifest references and
         manifest versions beyond the retention window — the engine's
@@ -1480,13 +1482,36 @@ class LakeTable:
         # here. Committed changelog entries are retained indefinitely —
         # they are the downstream consumers' replay source.
         committed = {(e, b) for e, b in current["committed"]}
+        # retention for COMMITTED changelog entries: keep the most
+        # recent ``changelog_keep_batches`` batch ids per epoch (None =
+        # keep all). Downstream consumers that may still need to fold a
+        # batch (crash-recovery of maintained aggregates) bound their
+        # lag by this window — same contract as Delta CDF retention.
+        expired_chg: set[str] = set()
+        if changelog_keep_batches is not None:
+            per_epoch: dict[str, list[int]] = {}
+            for e, b in current["committed"]:
+                per_epoch.setdefault(e, []).append(b)
+            for e, bs in per_epoch.items():
+                drop = (
+                    sorted(bs)[:-changelog_keep_batches]
+                    if changelog_keep_batches > 0
+                    else sorted(bs)
+                )
+                for b in drop:
+                    expired_chg.add(
+                        os.path.join(
+                            self.root, "_changes", f"epoch={e}",
+                            f"batch_id={b}",
+                        )
+                    )
         orphan_chg = []
         for d in glob.glob(
             os.path.join(self.root, "_changes", "epoch=*", "batch_id=*")
         ):
             e = os.path.basename(os.path.dirname(d)).split("=", 1)[1]
             b = int(os.path.basename(d).split("=", 1)[1])
-            if (e, b) not in committed:
+            if (e, b) not in committed or d in expired_chg:
                 orphan_chg.append(d)
         if not dry_run:
             import shutil
