@@ -357,3 +357,69 @@ def test_vacuum_changelog_retention(spark, tmp_path):
     assert table.has_changes("e", 2)
     # reads keep working over the retained window
     assert batch_changes(table, spark, epoch="e", batch_id=2).count() > 0
+
+
+def test_streaming_maintained_aggregate(spark, tmp_path):
+    """The stream path (foreachBatch -> apply_batch) maintains attached
+    aggregates per micro-batch too — one code path, both entries."""
+    from transforms_for_apache_kafka_connect_spark.streaming.incremental import (
+        MaintainedAggregate,
+    )
+
+    n = 1_600
+    events = change_stream(spark, n, n_repos=10, paths_per_repo=4)
+    src = str(tmp_path / "incoming")
+    events.filter(F.col("timestamp") < BASE_TS + n // 2).write.parquet(
+        src + "/f1.parquet")
+    events.filter(F.col("timestamp") >= BASE_TS + n // 2).write.parquet(
+        src + "/f2.parquet")
+
+    table = LakeTable(str(tmp_path / "t"), n_buckets=4,
+                      merge_strategy="broadcast", changelog=True)
+    agg = LakeTable(str(tmp_path / "agg"), key_cols=["lang"], n_buckets=2,
+                    merge_strategy="broadcast")
+    rep = Replayer(
+        table=table, chain=Chain([]), epoch="s1",
+        maintain=[MaintainedAggregate(table=agg, group_cols=["lang"])],
+    )
+    q = rep.stream(
+        spark.readStream.schema(events.schema).parquet(src + "/*"),
+        str(tmp_path / "ckpt"), available_now=True,
+    )
+    q.awaitTermination(120)
+
+    got = {r["lang"]: r["n_rows"] for r in agg.read(spark).collect()}
+    want = {r["lang"]: r["n"] for r in table.read(spark).groupBy("lang")
+            .agg(F.count("*").alias("n")).collect()}
+    assert got == want and len(got) > 0
+
+
+def test_routed_tables_capture_changelogs(spark, tmp_path):
+    """table_opts flow to every routed table: with changelog=True each
+    per-topic table captures its own changes."""
+    from transforms_for_apache_kafka_connect_spark.streaming import (
+        TopicTableRouter,
+    )
+
+    events = change_stream(spark, 1_000, n_repos=9, paths_per_repo=3)
+    # key-stable routing: shard by repo hash
+    shard = F.concat(
+        F.lit("s"), F.pmod(F.xxhash64("key.repo"), F.lit(2)).cast("string")
+    )
+    events = events.withColumn(
+        "topic", F.when(F.col("value").isNotNull(), shard)
+        .otherwise(F.col("topic"))
+    )
+    router = TopicTableRouter(
+        root=str(tmp_path / "router"), chain=Chain([]), epoch="e",
+        table_opts={"n_buckets": 4, "merge_strategy": "broadcast",
+                    "changelog": True},
+    )
+    router.apply_batch(events, 0)
+    n_total = 0
+    for topic in ("s0", "s1"):
+        t = router.table_for(topic)
+        n = t.read_changelog(spark).count()
+        assert n > 0
+        n_total += n
+    assert n_total > 0
