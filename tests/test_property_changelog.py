@@ -1,0 +1,94 @@
+"""Property-based check (hypothesis): for ANY sequence of batches of
+change events, the changelog is a complete and consistent record —
+
+1. folding it forward (apply post-images, retract deletes, in batch
+   order) reproduces the final table state, and
+2. an incremental COUNT aggregate maintained from it equals a
+   recompute over the final table
+
+under all three merge strategies. Same adversarial generator as
+test_property_merge (duplicate deliveries, delete-then-reinsert,
+delete of absent keys, delete-only batches, empty batches).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from transforms_for_apache_kafka_connect_spark import Chain
+from transforms_for_apache_kafka_connect_spark.streaming import (
+    LakeTable,
+    MaintainedAggregate,
+    Replayer,
+)
+
+from tests.test_property_merge import _mk_batches, _oracle, stream
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow, HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(
+    batches=stream,
+    strategy=st.sampled_from(["shuffle", "broadcast", "append"]),
+)
+def test_changelog_fold_and_maintained_count_match_oracle(
+    spark, tmp_path_factory, batches, strategy
+):
+    root = str(tmp_path_factory.mktemp("prop_chg"))
+    table = LakeTable(
+        root + "/t", key_cols=["id"], n_buckets=4,
+        discovery=(strategy != "broadcast"), merge_strategy=strategy,
+        changelog=True,
+    )
+    agg = LakeTable(
+        root + "/agg", key_cols=["id"], n_buckets=2,
+        merge_strategy="broadcast",
+    )
+    rep = Replayer(
+        table=table, chain=Chain([]), epoch="p", unique_lsn=True,
+        maintain=[MaintainedAggregate(table=agg, group_cols=["id"])],
+    )
+    for bi, df in enumerate(_mk_batches(spark, batches)):
+        rep.apply_batch(df, bi)
+
+    expected = _oracle(batches)
+
+    # 1. fold the changelog forward -> final state
+    try:
+        chg = table.read_changelog(spark)
+    except ValueError:
+        # no batch ever wrote changes -> table must be empty
+        assert not expected
+        return
+    folded = (
+        chg.filter(F.col("_change_type") != "update_preimage")
+        .groupBy("id")
+        .agg(
+            F.max_by(
+                F.struct("_change_type", "content"), F.col("batch_id")
+            ).alias("w")
+        )
+        .filter(F.col("w._change_type") != "delete")
+        .select("id", "w.content")
+    )
+    got = {r["id"]: r["content"] for r in folded.collect()}
+    assert got == expected, f"strategy={strategy} fold mismatch"
+
+    # 2. maintained per-key count == 1 for exactly the live keys
+    if expected:
+        counts = {
+            r["id"]: r["n_rows"] for r in agg.read(spark).collect()
+        }
+        assert counts == {k: 1 for k in expected}, (
+            f"strategy={strategy} maintained count mismatch"
+        )
+    else:
+        m = agg.manifest()
+        assert m["schema"] is None or agg.read(spark).count() == 0
