@@ -295,8 +295,8 @@ def main() -> None:
          group_cols=["lang"], sum_cols=["_lsn"], epoch="audit", batch_id=0)
     chg1 = _bc(clt, spark, epoch="audit", batch_id=1)
     p = fmt(chg1)
-    check("incremental agg: changelog read prunes to the batch partition",
-          re.search(r"PartitionFilters: \[[^\]]*batch_id", p))
+    check("incremental agg: batch changelog read is path-scoped to its dir",
+          "batch_id=1" in p and "batch_id=0" not in p)
 
     n_fail = sum(1 for _, ok, _ in checks if not ok)
     lines = [

@@ -49,9 +49,28 @@ class MaintainedAggregate:
 def batch_changes(
     table: LakeTable, spark: SparkSession, *, epoch: str, batch_id: int
 ) -> DataFrame:
-    """One committed batch's changelog rows (partition-pruned read)."""
-    return table.read_changelog(spark).filter(
-        (F.col("epoch") == epoch) & (F.col("batch_id") == batch_id)
+    """One committed batch's changelog rows.
+
+    Reads the batch's directory directly (no listing of the whole
+    ``_changes`` tree — at 10^6 committed batches that listing is the
+    cost that matters) after verifying the batch is in the ledger; the
+    partition columns are re-attached as literals so the shape matches
+    ``read_changelog``.
+    """
+    import os
+
+    if not table.committed(epoch, batch_id):
+        raise ValueError(
+            f"batch ({epoch!r}, {batch_id}) is not committed — its "
+            "changelog (if any) is not yet readable"
+        )
+    chg_dir = os.path.join(
+        table.root, "_changes", f"epoch={epoch}", f"batch_id={batch_id}"
+    )
+    return (
+        spark.read.parquet(chg_dir)
+        .withColumn("epoch", F.lit(epoch))
+        .withColumn("batch_id", F.lit(batch_id))
     )
 
 

@@ -1109,14 +1109,28 @@ class LakeTable:
             .option("mergeSchema", "true")
             .parquet(chg_root)
         )
-        committed = {f"{e}#{b}" for e, b in m["committed"]}
-        df = df.filter(
-            F.concat_ws(
-                "#", F.col("epoch"), F.col("batch_id").cast("string")
-            ).isin(*committed)
-            if committed
-            else F.lit(False)
-        )
+        committed = [(e, b) for e, b in m["committed"]]
+        if not committed:
+            df = df.filter(F.lit(False))
+        elif len(committed) <= 1000:
+            # small ledger: a literal isin keeps the filter inside the
+            # scan (partition pruning on epoch/batch_id)
+            keys = {f"{e}#{b}" for e, b in committed}
+            df = df.filter(
+                F.concat_ws(
+                    "#", F.col("epoch"), F.col("batch_id").cast("string")
+                ).isin(*keys)
+            )
+        else:
+            # long ledger: a million-literal In expression would bloat
+            # the plan — broadcast semi-join against the ledger instead
+            ledger_df = spark.createDataFrame(
+                committed, "epoch string, batch_id long"
+            )
+            df = df.join(
+                F.broadcast(ledger_df), on=["epoch", "batch_id"],
+                how="left_semi",
+            )
         if epoch is not None:
             df = df.filter(F.col("epoch") == epoch)
         return df
