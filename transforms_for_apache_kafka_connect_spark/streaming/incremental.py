@@ -144,3 +144,43 @@ def incremental_agg_update(
         )
     upd = upd.withColumn("__is_delete", F.col(count_col) <= 0)
     return agg_table.merge(upd, epoch=epoch, batch_id=batch_id)
+
+
+def apply_changes_to_table(
+    dst: LakeTable,
+    changes: DataFrame,
+    *,
+    epoch: str,
+    batch_id: int,
+) -> dict:
+    """Second-hop CDC (the medallion bronze→silver shape): fold one
+    batch's changelog into a DOWNSTREAM LakeTable, reproducing the
+    source table's state hop by hop without ever reading the source.
+
+    Post-images upsert; deletes re-delete, carrying ``_change_lsn``
+    (the LSN of the deleting event) as their ``_lsn`` so a
+    merge-on-read destination's LWW resolution ranks the delete marker
+    ABOVE the row it deletes — the pre-image's own LSN would tie with
+    the base row and resolve nondeterministically. Pre-image rows are
+    skipped (they exist for retraction math, not state). Exactly-once
+    per hop via the destination's own ledger under the SOURCE batch id.
+    """
+    drop_cols = [
+        c for c in ("_change_type", "_change_lsn", "epoch", "batch_id")
+        if c in changes.columns
+    ]
+    posts = (
+        changes.filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        )
+        .withColumn("__is_delete", F.lit(False))
+    )
+    dels = changes.filter(F.col("_change_type") == "delete").withColumn(
+        "__is_delete", F.lit(True)
+    )
+    if "_lsn" in changes.columns:
+        dels = dels.withColumn(
+            "_lsn", F.coalesce(F.col("_change_lsn"), F.col("_lsn"))
+        )
+    upd = posts.unionByName(dels).drop(*drop_cols)
+    return dst.merge(upd, epoch=epoch, batch_id=batch_id)

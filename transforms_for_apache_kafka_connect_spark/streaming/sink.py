@@ -1034,6 +1034,16 @@ class LakeTable:
         action, or None). Split out so the plan audit can assert the
         join shape of the REAL capture path."""
         keyed = upd.drop(BUCKET_COL) if BUCKET_COL in upd.columns else upd
+        # _change_lsn = the LSN of the change event that PRODUCED each
+        # entry (post-images carry their own row's LSN; pre-images and
+        # deletes carry the LSN of the update/delete that displaced
+        # them, NOT the displaced row's). Second-hop consumers need it:
+        # a delete re-applied downstream must outrank the row it
+        # deletes under LWW, and the pre-image's own _lsn ties with it.
+        chg_lsn = (
+            F.col("_lsn") if "_lsn" in keyed.columns
+            else F.lit(None).cast("long")
+        )
         have_target = bool(m["buckets"]) and (
             touched is None or any(str(b) in m["buckets"] for b in touched)
         )
@@ -1041,22 +1051,29 @@ class LakeTable:
             return (
                 keyed.filter(~F.col(delete_col))
                 .drop(delete_col)
-                .withColumn("_change_type", F.lit("insert")),
+                .withColumn("_change_type", F.lit("insert"))
+                .withColumn("_change_lsn", chg_lsn),
                 None,
             )
         tgt = self.read(spark, buckets=touched, _manifest=m)
         batch_keys = F.broadcast(
             keyed.select(
-                *self.key_cols, F.col(delete_col).alias("__del")
+                *self.key_cols,
+                F.col(delete_col).alias("__del"),
+                chg_lsn.alias("__chg_lsn"),
             )
         )
         pre = tgt.join(batch_keys, on=self.key_cols, how="inner").persist()
-        pre_rows = pre.withColumn(
-            "_change_type",
-            F.when(F.col("__del"), F.lit("delete")).otherwise(
-                F.lit("update_preimage")
-            ),
-        ).drop("__del")
+        pre_rows = (
+            pre.withColumn(
+                "_change_type",
+                F.when(F.col("__del"), F.lit("delete")).otherwise(
+                    F.lit("update_preimage")
+                ),
+            )
+            .withColumn("_change_lsn", F.col("__chg_lsn"))
+            .drop("__del", "__chg_lsn")
+        )
         existed = pre.select(*self.key_cols).withColumn(
             "__existed", F.lit(True)
         )
@@ -1071,6 +1088,7 @@ class LakeTable:
                 ).otherwise(F.lit("insert")),
             )
             .drop("__existed")
+            .withColumn("_change_lsn", chg_lsn)
         )
         return pre_rows.unionByName(posts, allowMissingColumns=True), pre
 
