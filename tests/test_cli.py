@@ -362,3 +362,33 @@ def test_cli_bootstrap_requires_snapshot_lsn(tmp_path, capsys):
     assert main(["--table", str(tmp_path / "t"),
                  "--bootstrap", str(tmp_path / "snap")]) == 2
     assert "--snapshot-lsn" in capsys.readouterr().err
+
+
+def test_cli_lookup_many_keys(spark, tmp_path, capsys):
+    import json as _json
+
+    from transforms_for_apache_kafka_connect_spark.cli import main
+
+    events = change_stream(spark, 600, n_repos=6, paths_per_repo=3)
+    events.write.mode("overwrite").parquet(str(tmp_path / "events"))
+    root = str(tmp_path / "table")
+    assert main(["--table", root, "--buckets", "4", "--batches", "1",
+                 "--events", str(tmp_path / "events")]) == 0
+    capsys.readouterr()
+
+    keys = _json.dumps([
+        {"repo": "repo-0", "path": "src/f0.py"},
+        {"repo": "repo-1", "path": "src/f1.py"},
+        {"repo": "repo-none", "path": "nope"},
+    ])
+    assert main(["--table", root, "--buckets", "4",
+                 "--maintenance", "lookup", "--keys", keys]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["op"] == "lookup"
+    found = {(r["repo"], r["path"]) for r in out["rows"]}
+    assert ("repo-none", "nope") not in found
+
+    # malformed --keys -> exit 2
+    assert main(["--table", root, "--buckets", "4",
+                 "--maintenance", "lookup", "--keys", '{"not": "a list"}'
+                 ]) == 2

@@ -116,6 +116,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="with --maintenance lookup: JSON object binding "
                          'every key column, e.g. \'{"repo": "r1", '
                          '"path": "a.py"}\'')
+    ap.add_argument("--keys", default=None,
+                    help="with --maintenance lookup: JSON ARRAY of key "
+                         "objects — resolved in ONE bucket-pruned scan "
+                         "(multi-get) instead of N reads")
     ap.add_argument("--staged-token", default=None,
                     help="with --maintenance publish: the staged commit "
                          "token returned by merge(publish=False)")
@@ -198,14 +202,25 @@ def main(argv: list[str] | None = None) -> int:
         elif args.maintenance == "stats":
             r = table.stats()
         elif args.maintenance == "lookup":
-            if not args.key:
-                print("--maintenance lookup requires --key", file=sys.stderr)
+            if not args.key and not args.keys:
+                print("--maintenance lookup requires --key or --keys",
+                      file=sys.stderr)
                 return 2
             try:
-                key = json.loads(args.key)
-                if not isinstance(key, dict):
-                    raise ValueError("--key must be a JSON object")
-                rows = table.lookup(spark, key).collect()
+                if args.keys:
+                    keys = json.loads(args.keys)
+                    if not isinstance(keys, list) or not all(
+                        isinstance(k, dict) for k in keys
+                    ):
+                        raise ValueError(
+                            "--keys must be a JSON array of objects"
+                        )
+                    rows = table.lookup_many(spark, keys).collect()
+                else:
+                    key = json.loads(args.key)
+                    if not isinstance(key, dict):
+                        raise ValueError("--key must be a JSON object")
+                    rows = table.lookup(spark, key).collect()
             except (json.JSONDecodeError, ValueError) as exc:
                 # user error (malformed JSON, wrong key columns, empty
                 # table), not an engine failure: same exit-2 contract
