@@ -897,6 +897,47 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_second_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-hop CDC (medallion bronze→silver): replay into a
+    changelog-enabled bronze table, then build silver purely from the
+    changelog (apply_changes_to_table, per batch) — silver must equal
+    the same LWW final state as a direct replay (the cdc_merge
+    oracle). The silver table is merge-on-read to exercise the
+    _change_lsn delete-resolution contract."""
+    from transforms_for_apache_kafka_connect_spark.streaming.incremental import (
+        apply_changes_to_table,
+        batch_changes,
+    )
+
+    stream = _events_as_change_stream(spark, sf_dir)
+    max_id = stream.agg(F.max("timestamp")).first()[0] or 0
+    root = tempfile.mkdtemp(prefix="tkc_hop_")
+    bronze = LakeTable(
+        os.path.join(root, "bronze"), key_cols=["user_id"], n_buckets=16,
+        discovery=False, merge_strategy="broadcast", changelog=True,
+    )
+    rep = Replayer(table=bronze, chain=Chain([]), epoch="driver")
+    width = max(1, (max_id + 3) // 3)
+    rep.replay(stream, batch_width=width, max_pos=max_id + 1)
+    silver = LakeTable(
+        os.path.join(root, "silver"), key_cols=["user_id"], n_buckets=16,
+        discovery=False, merge_strategy="append",
+    )
+    for b in range(-(-(max_id + 1) // width)):
+        if bronze.has_changes("driver", b):
+            apply_changes_to_table(
+                silver,
+                batch_changes(bronze, spark, epoch="driver", batch_id=b),
+                epoch="driver", batch_id=b,
+            )
+    return silver.read(spark).select(
+        "user_id",
+        F.col("_lsn").alias("last_event_id"),
+        "event_type",
+        "val",
+    )
+
+
 def q_lookup_many(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched point lookups (the serving-layer multi-get): replay into
     a bucketed table, then resolve 20 keys in ONE bucket-pruned scan
@@ -1280,6 +1321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_mor": q_cdc_merge_mor,
         "cdc_bootstrap": q_cdc_bootstrap,
         "incremental_agg": q_incremental_agg,
+        "cdc_second_hop": q_cdc_second_hop,
         "routed_merge": q_routed_merge,
         "data_skipping": q_data_skipping,
         "lookup_many": q_lookup_many,
@@ -1447,6 +1489,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cdc_merge": (
             "SELECT user_id, event_id AS last_event_id, event_type, value AS val "
+            "FROM (SELECT *, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events) t "
+            "WHERE rn = 1 AND event_type <> 'error'"
+        ),
+        "cdc_second_hop": (
+            # silver (built only from bronze's changelog) must equal the
+            # direct-replay LWW state
+            "SELECT user_id, event_id AS last_event_id, event_type, "
+            "value AS val "
             "FROM (SELECT *, row_number() OVER "
             "(PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events) t "
             "WHERE rn = 1 AND event_type <> 'error'"

@@ -368,6 +368,8 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
         "cdc_bootstrap",
         # change capture + incremental view maintenance from the changelog
         "incremental_agg",
+        # bronze -> silver replication purely from the changelog
+        "cdc_second_hop",
     ]
     out = {}
     qs = entrymod.queries()
