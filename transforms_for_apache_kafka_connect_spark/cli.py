@@ -91,6 +91,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "final topic picks the destination table "
                          "(root/<topic>, one ledger each) instead of "
                          "merging everything into one table")
+    ap.add_argument("--expectations", default=None,
+                    help="JSON file: list of data-quality expectations "
+                         '[{"name": ..., "expr": "<SQL boolean over the '
+                         'update row>", "action": "fail|drop|warn"}]')
     ap.add_argument("--changelog", action="store_true",
                     help="capture row-level changes (pre/post images) "
                          "per batch under <table>/_changes (Delta CDF "
@@ -263,6 +267,23 @@ def main(argv: list[str] | None = None) -> int:
               file=sys.stderr)
         return 2
 
+    expectations = []
+    if args.expectations:
+        from transforms_for_apache_kafka_connect_spark.streaming.expectations import (
+            Expectation,
+        )
+
+        with open(args.expectations) as f:
+            specs = json.load(f)
+        if not isinstance(specs, list):
+            print("--expectations must be a JSON list", file=sys.stderr)
+            return 2
+        try:
+            expectations = [Expectation(**s) for s in specs]
+        except (TypeError, ValueError) as exc:
+            print(f"expectations: {exc}", file=sys.stderr)
+            return 2
+
     if args.routed:
         from transforms_for_apache_kafka_connect_spark.streaming import (
             TopicTableRouter,
@@ -273,13 +294,15 @@ def main(argv: list[str] | None = None) -> int:
             table_opts=table_opts,
             replayer_opts={
                 "error_mode": args.error_mode, "dlq_dir": args.dlq_dir,
+                "expectations": expectations,
             },
             compact_every=args.compact_every,
         )
     else:
         engine = Replayer(table=table, chain=chain, epoch=args.epoch,
                           compact_every=args.compact_every,
-                          error_mode=args.error_mode, dlq_dir=args.dlq_dir)
+                          error_mode=args.error_mode, dlq_dir=args.dlq_dir,
+                          expectations=expectations)
 
     if args.bootstrap:
         snap = spark.read.parquet(args.bootstrap)

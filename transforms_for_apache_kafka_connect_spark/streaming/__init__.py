@@ -10,6 +10,9 @@ from transforms_for_apache_kafka_connect_spark.streaming.incremental import (
     batch_changes,
     incremental_agg_update,
 )
+from transforms_for_apache_kafka_connect_spark.streaming.expectations import (
+    Expectation,
+)
 
 __all__ = [
     "lww_dedupe",
@@ -17,6 +20,7 @@ __all__ = [
     "Replayer",
     "route_write",
     "TopicTableRouter",
+    "Expectation",
     "MaintainedAggregate",
     "batch_changes",
     "incremental_agg_update",

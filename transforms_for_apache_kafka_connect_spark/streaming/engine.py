@@ -130,6 +130,12 @@ class Replayer:
     #: with the table from its changelog, exactly-once end-to-end
     #: (requires the table to run with changelog=True)
     maintain: list = field(default_factory=list)
+    #: data-quality Expectation specs (expectations.py) over the
+    #: table-shaped update rows: fail aborts the batch pre-commit,
+    #: drop filters violating rows (counted), warn counts and logs.
+    #: Compiled into the merge plan; counts ride the same Observation
+    #: machinery as the error contract — no extra job
+    expectations: list = field(default_factory=list)
 
     def __post_init__(self):
         if self.error_mode not in ("fail", "dlq"):
@@ -404,6 +410,17 @@ class Replayer:
         else:
             updates = self.updates_for(transformed)
 
+        exp_obs = None
+        if self.expectations:
+            from transforms_for_apache_kafka_connect_spark.streaming.expectations import (
+                apply_expectations,
+            )
+
+            updates, exp_obs = apply_expectations(
+                updates, self.expectations,
+                obs_name=f"exp_{self.epoch}_{batch_id}",
+            )
+
         # source DataFrame behind each observation, for the explicit
         # fallback below (obs_pre watches the pre-chain rows INCLUDING
         # ones the winner machinery later drops)
@@ -511,6 +528,50 @@ class Replayer:
                 errored.sparkSession.read.parquet(path).count()
             )
 
+        exp_counts: dict = {}
+
+        def check_expectations(n_updates=None):
+            """Expectation gate (composed after the error gate): fail
+            actions abort the batch pre-commit; drop/warn counts are
+            collected for the result. A verifiably-empty update set
+            (n_updates == 0 or AQE-pruned metrics node) has nothing to
+            violate."""
+            if exp_obs is None:
+                return
+            from transforms_for_apache_kafka_connect_spark.streaming.sink import (
+                observation_pruned,
+            )
+
+            try:
+                counts = exp_obs.get
+            except Exception as exc:
+                if n_updates == 0 or observation_pruned(exc):
+                    return
+                raise
+            for e in self.expectations:
+                n = int(counts.get(e.name) or 0)
+                if not n:
+                    continue
+                exp_counts[e.name] = n
+                if e.action == "fail":
+                    raise DataException(
+                        f"expectation '{e.name}' ({e.expr}) violated "
+                        f"by {n} row(s)"
+                    )
+                if e.action == "warn":
+                    _log.warning(
+                        "expectation %r violated by %s row(s) in batch %s",
+                        e.name, n, batch_id,
+                    )
+
+        base_gate = (
+            quarantine_errors if self.error_mode == "dlq" else check_errors
+        )
+
+        def gate(n_updates=None):
+            base_gate(n_updates)
+            check_expectations(n_updates)
+
         merge_kwargs = {}
         if manifest_extra:
             merge_kwargs["manifest_extra"] = manifest_extra
@@ -518,12 +579,12 @@ class Replayer:
             updates,
             epoch=self.epoch,
             batch_id=batch_id,
-            pre_commit=(
-                quarantine_errors if self.error_mode == "dlq" else check_errors
-            ),
+            pre_commit=gate,
             **merge_kwargs,
         )
         result["batch_id"] = batch_id
+        if exp_counts:
+            result["expectation_violations"] = dict(exp_counts)
         if self.error_mode == "dlq" and dlq_written["n"]:
             result["n_dlq"] = dlq_written["n"]
         try:
