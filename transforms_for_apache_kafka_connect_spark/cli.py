@@ -82,7 +82,7 @@ def build_parser() -> argparse.ArgumentParser:
                     help="override master for local runs (spark-submit sets its own)")
     ap.add_argument("--maintenance",
                     choices=["compact", "vacuum", "rescale", "lookup",
-                             "publish", "stats"],
+                             "publish", "stats", "delete-where"],
                     default=None,
                     help="run a table op instead of a replay "
                          "(--events is ignored)")
@@ -124,6 +124,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="with --maintenance lookup: JSON ARRAY of key "
                          "objects — resolved in ONE bucket-pruned scan "
                          "(multi-get) instead of N reads")
+    ap.add_argument("--predicate", default=None,
+                    help="with --maintenance delete-where: SQL boolean "
+                         "over table rows; matching rows are deleted via "
+                         "a ledgered merge (changelog tables keep the "
+                         "erased rows' pre-images as the audit trail)")
     ap.add_argument("--staged-token", default=None,
                     help="with --maintenance publish: the staged commit "
                          "token returned by merge(publish=False)")
@@ -205,6 +210,12 @@ def main(argv: list[str] | None = None) -> int:
             )
         elif args.maintenance == "stats":
             r = table.stats()
+        elif args.maintenance == "delete-where":
+            if not args.predicate:
+                print("--maintenance delete-where requires --predicate",
+                      file=sys.stderr)
+                return 2
+            r = table.delete_where(spark, args.predicate)
         elif args.maintenance == "lookup":
             if not args.key and not args.keys:
                 print("--maintenance lookup requires --key or --keys",

@@ -367,6 +367,12 @@ class LakeTable:
                 self.root, m["key_cols"], self.key_cols,
             )
             self.key_cols = m["key_cols"]
+        # change capture is a TABLE property, not a handle option: once
+        # any commit captured changes, every later handle must keep
+        # capturing (a maintenance invocation without the flag would
+        # otherwise silently punch holes in the changelog)
+        if m.get("changelog") and not self.changelog:
+            self.changelog = True
 
     # ------------------------------------------------------------ manifest
 
@@ -885,6 +891,51 @@ class LakeTable:
             "bloom_files": sum(1 for v in blooms.values() if v.get("m")),
         }
 
+    def delete_where(
+        self,
+        spark: SparkSession,
+        predicate: str,
+        *,
+        epoch: str = "__maintenance__",
+        batch_id: int | None = None,
+    ) -> dict[str, Any]:
+        """Row retention / right-to-erasure: delete every row matching
+        a SQL predicate, as a first-class LEDGERED merge — not a bare
+        rewrite. That buys, for free: exactly-once under crash/retry
+        (``batch_id`` defaults to the current manifest version, which a
+        crashed retry re-derives identically), merge-on-read support
+        (delete markers outrank their victims by ``_lsn + 1`` per key —
+        later real events at higher LSNs can still re-create the key),
+        and — on ``changelog=True`` tables — an audit trail of the
+        deleted rows' pre-images (who was erased, when, by which
+        maintenance batch: the GDPR evidence requirement).
+
+        Scale shape: one predicate-filtered read (zone maps prune files
+        when the predicate covers stats columns) producing only
+        (key, _lsn) rows; the merge then touches only the victims'
+        buckets.
+        """
+        m = self.manifest()
+        if m["schema"] is None:
+            return {"skipped": True, "reason": "empty table"}
+        if batch_id is None:
+            batch_id = m["version"]
+        if [epoch, batch_id] in m["committed"]:
+            return {"skipped": True, "reason": "already committed"}
+        victims = self.read(spark).filter(F.expr(predicate))
+        cols = [*self.key_cols]
+        if "_lsn" in victims.columns:
+            victims = victims.withColumn(
+                "_lsn", F.col("_lsn") + F.lit(1)
+            )
+            cols.append("_lsn")
+        upd = victims.select(*cols).withColumn(
+            "__is_delete", F.lit(True)
+        )
+        r = self.merge(upd, epoch=epoch, batch_id=batch_id)
+        r["predicate"] = predicate
+        return r
+
     def extra(self) -> dict[str, Any]:
         """Engine-level key/values recorded via ``merge(manifest_extra=)``
         (e.g. the bootstrap snapshot LSN); carried forward by every
@@ -1272,6 +1323,7 @@ class LakeTable:
             "mor": True,
             "n_buckets": self.n_buckets,
             "key_cols": self.key_cols,
+            "changelog": bool(m.get("changelog") or self.changelog),
         }
         carried_extra = {**(m.get("extra") or {}), **(manifest_extra or {})}
         if carried_extra:
@@ -1656,6 +1708,8 @@ class LakeTable:
                 commit["committed"] = m["committed"] + [[epoch, batch_id]]
                 commit["n_buckets"] = self.n_buckets
                 commit["key_cols"] = self.key_cols
+                if self.changelog:
+                    commit["changelog"] = True
                 if manifest_extra:
                     commit["extra"] = {
                         **(m.get("extra") or {}), **manifest_extra,
@@ -1690,6 +1744,8 @@ class LakeTable:
                 commit["committed"] = m["committed"] + [[epoch, batch_id]]
                 commit["n_buckets"] = self.n_buckets
                 commit["key_cols"] = self.key_cols
+                if self.changelog:
+                    commit["changelog"] = True
                 if manifest_extra:
                     commit["extra"] = {
                         **(m.get("extra") or {}), **manifest_extra,
@@ -1918,6 +1974,7 @@ class LakeTable:
             # unresolved delta files. Re-resolving already-resolved
             # buckets is idempotent (keys are unique post-merge).
             "mor": m.get("mor", False),
+            "changelog": bool(m.get("changelog") or self.changelog),
         }
         carried_extra = {**(m.get("extra") or {}), **(manifest_extra or {})}
         if carried_extra:
