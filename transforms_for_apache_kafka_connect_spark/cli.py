@@ -82,7 +82,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="override master for local runs (spark-submit sets its own)")
     ap.add_argument("--maintenance",
                     choices=["compact", "vacuum", "rescale", "lookup",
-                             "publish", "stats", "delete-where"],
+                             "publish", "stats", "delete-where",
+                             "tag", "drop-tag"],
                     default=None,
                     help="run a table op instead of a replay "
                          "(--events is ignored)")
@@ -103,6 +104,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="build per-file key Bloom sidecars at each "
                          "commit (speeds --maintenance lookup on "
                          "un-compacted tables)")
+    ap.add_argument("--compact-sort-cols", default=None,
+                    help="with --maintenance compact: comma-separated "
+                         "columns to cluster files by instead of the key "
+                         "(zone maps then prune on predicates over them)")
     ap.add_argument("--compact-no-sort", action="store_true",
                     help="with --maintenance compact: skip the key "
                          "clustering sort while rewriting buckets")
@@ -129,6 +134,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "over table rows; matching rows are deleted via "
                          "a ledgered merge (changelog tables keep the "
                          "erased rows' pre-images as the audit trail)")
+    ap.add_argument("--tag-name", default=None,
+                    help="with --maintenance tag/drop-tag: snapshot tag "
+                         "name (tagged versions survive vacuum)")
+    ap.add_argument("--tag-version", type=int, default=None,
+                    help="with --maintenance tag: version to pin "
+                         "(default: current)")
     ap.add_argument("--staged-token", default=None,
                     help="with --maintenance publish: the staged commit "
                          "token returned by merge(publish=False)")
@@ -202,6 +213,10 @@ def main(argv: list[str] | None = None) -> int:
             r = table.compact(
                 spark, all_buckets=args.compact_all_buckets,
                 sort=not args.compact_no_sort,
+                sort_cols=(
+                    args.compact_sort_cols.split(",")
+                    if args.compact_sort_cols else None
+                ),
             )
         elif args.maintenance == "vacuum":
             r = table.vacuum(
@@ -216,6 +231,19 @@ def main(argv: list[str] | None = None) -> int:
                       file=sys.stderr)
                 return 2
             r = table.delete_where(spark, args.predicate)
+        elif args.maintenance in ("tag", "drop-tag"):
+            if not args.tag_name:
+                print(f"--maintenance {args.maintenance} requires "
+                      "--tag-name", file=sys.stderr)
+                return 2
+            try:
+                if args.maintenance == "tag":
+                    r = table.tag(args.tag_name, version=args.tag_version)
+                else:
+                    r = table.drop_tag(args.tag_name)
+            except ValueError as exc:
+                print(f"{args.maintenance}: {exc}", file=sys.stderr)
+                return 2
         elif args.maintenance == "lookup":
             if not args.key and not args.keys:
                 print("--maintenance lookup requires --key or --keys",

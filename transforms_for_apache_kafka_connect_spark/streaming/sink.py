@@ -618,12 +618,45 @@ class LakeTable:
     def committed(self, epoch: str, batch_id: int) -> bool:
         return [epoch, batch_id] in self.manifest()["committed"]
 
+    def tag(self, name: str, version: int | None = None) -> dict[str, Any]:
+        """Pin a manifest version under a name (Iceberg tag analog):
+        ``read(tag=name)`` resolves it, and ``vacuum`` keeps the tagged
+        version's manifest and data files alive regardless of the
+        retention window — named, durable snapshots (audits, training
+        runs pinned to exact data). Tagging is a metadata-only commit
+        through the same atomic swap as everything else."""
+        m = self.manifest()
+        target = m["version"] if version is None else version
+        if not os.path.exists(self._manifest_path(target)):
+            raise ValueError(f"no manifest version {target} to tag")
+        commit = dict(m)
+        commit["version"] = m["version"] + 1
+        tags = dict(m.get("tags") or {})
+        tags[name] = target
+        commit["tags"] = tags
+        self._swap(commit)
+        return {"tag": name, "pinned_version": target}
+
+    def drop_tag(self, name: str) -> dict[str, Any]:
+        """Remove a tag; the pinned version becomes vacuumable again."""
+        m = self.manifest()
+        tags = dict(m.get("tags") or {})
+        if name not in tags:
+            raise ValueError(f"no such tag: {name!r}")
+        pinned = tags.pop(name)
+        commit = dict(m)
+        commit["version"] = m["version"] + 1
+        commit["tags"] = tags
+        self._swap(commit)
+        return {"dropped": name, "was_version": pinned}
+
     def read(
         self,
         spark: SparkSession,
         buckets: list[int] | None = None,
         version: int | None = None,
         where: list[tuple] | None = None,
+        tag: str | None = None,
         _manifest: dict[str, Any] | None = None,
         _point_keys: list[dict] | None = None,
     ) -> DataFrame:
@@ -655,6 +688,13 @@ class LakeTable:
           the cold files. The symmetric ``<=`` / ``<`` must NOT prune:
           skipping a newer version's file would resurrect a superseded
           or deleted row."""
+        if tag is not None:
+            if version is not None:
+                raise ValueError("pass either version or tag, not both")
+            tags = self.manifest().get("tags") or {}
+            if tag not in tags:
+                raise ValueError(f"no such tag: {tag!r}")
+            version = tags[tag]
         m = _manifest if _manifest is not None else self.manifest(version)
         for cond in where or []:
             if len(cond) != 3 or cond[1] not in _PRUNE_OPS:
@@ -1325,6 +1365,8 @@ class LakeTable:
             "key_cols": self.key_cols,
             "changelog": bool(m.get("changelog") or self.changelog),
         }
+        if m.get("tags"):
+            commit["tags"] = m["tags"]
         carried_extra = {**(m.get("extra") or {}), **(manifest_extra or {})}
         if carried_extra:
             commit["extra"] = carried_extra
@@ -1353,6 +1395,7 @@ class LakeTable:
         max_files_per_bucket: int = 8,
         all_buckets: bool = False,
         sort: bool = True,
+        sort_cols: list[str] | None = None,
     ) -> dict[str, Any]:
         """Rewrite buckets whose live file count exceeds the threshold
         into ``target_rows_per_file``-sized files.
@@ -1405,8 +1448,16 @@ class LakeTable:
         out_dir = os.path.join(self.root, rel_dir)
         writer_df = df.repartition(len(over), F.col(BUCKET_COL))
         if sort:
+            # sort_cols overrides the key clustering: cluster by the
+            # columns your PREDICATES hit (e.g. a timestamp, a lang
+            # column targeted by delete_where/read(where=...)) and the
+            # zone maps prune files on those predicates instead of key
+            # lookups — same idea as Iceberg's sort-order evolution.
+            # Still sortWithinPartitions: no exchange beyond the bucket
+            # repartition either way.
+            cluster = sort_cols if sort_cols else list(self.key_cols)
             writer_df = writer_df.sortWithinPartitions(
-                F.col(BUCKET_COL), *[F.col(c) for c in self.key_cols]
+                F.col(BUCKET_COL), *[F.col(c) for c in cluster]
             )
         (
             writer_df
@@ -1542,7 +1593,13 @@ class LakeTable:
             int(os.path.basename(p).split("-")[1].split(".")[0])
             for p in glob.glob(os.path.join(self.root, "_manifest", "manifest-*.json"))
         )
-        keep = [v for v in versions if v > current["version"] - keep_versions]
+        # tagged versions are pinned: their manifests and data files
+        # survive any retention window until the tag is dropped
+        tagged = set((current.get("tags") or {}).values())
+        keep = [
+            v for v in versions
+            if v > current["version"] - keep_versions or v in tagged
+        ]
         live: set[str] = set()
         for v in keep:
             with open(self._manifest_path(v)) as f:
@@ -1976,6 +2033,8 @@ class LakeTable:
             "mor": m.get("mor", False),
             "changelog": bool(m.get("changelog") or self.changelog),
         }
+        if m.get("tags"):
+            commit["tags"] = m["tags"]
         carried_extra = {**(m.get("extra") or {}), **(manifest_extra or {})}
         if carried_extra:
             commit["extra"] = carried_extra
