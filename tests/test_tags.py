@@ -110,3 +110,47 @@ def test_compact_sort_cols_improves_nonkey_pruning(spark, tmp_path):
                   sort_cols=["lang"])
     table.read(spark, where=[("lang", "==", "py")]).count()
     assert table.last_prune["files_read"] < table.last_prune["files_total"]
+
+
+# --------------------------------------------------- schema enforcement
+
+
+def test_strict_schema_mode_rejects_new_columns(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from transforms_for_apache_kafka_connect_spark.errors import (
+        SchemaEnforcementError,
+    )
+
+    schema = T.StructType([
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("_lsn", T.LongType()),
+        T.StructField("__is_delete", T.BooleanType()),
+    ])
+    table = LakeTable(str(tmp_path / "t"), n_buckets=2,
+                      merge_strategy="broadcast", schema_mode="strict")
+    table.merge(spark.createDataFrame(
+        [("r0", "p0", "v1", 1, False)], schema), epoch="e", batch_id=0)
+
+    widened = spark.createDataFrame(
+        [("r0", "p0", "v2", 2, False, "extra")],
+        schema.add("surprise", T.StringType()),
+    )
+    with pytest.raises(SchemaEnforcementError, match="surprise"):
+        table.merge(widened, epoch="e", batch_id=1)
+    # batch stays uncommitted and the table untouched
+    assert not table.committed("e", 1)
+    assert table.read(spark).collect()[0]["content"] == "v1"
+
+    # an evolve-mode handle applies the same batch (explicit migration)
+    evolve = LakeTable(str(tmp_path / "t"), n_buckets=2,
+                       merge_strategy="broadcast")
+    evolve.merge(widened, epoch="e", batch_id=1)
+    assert evolve.read(spark).collect()[0]["surprise"] == "extra"
+
+
+def test_schema_mode_validation(tmp_path):
+    with pytest.raises(ValueError, match="schema_mode"):
+        LakeTable(str(tmp_path / "t"), schema_mode="nope")

@@ -96,6 +96,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="JSON file: list of data-quality expectations "
                          '[{"name": ..., "expr": "<SQL boolean over the '
                          'update row>", "action": "fail|drop|warn"}]')
+    ap.add_argument("--schema-mode", choices=["evolve", "strict"],
+                    default="evolve",
+                    help="strict = a batch whose rows carry columns the "
+                         "table lacks fails pre-write (Delta schema "
+                         "enforcement); evolve = additive evolution "
+                         "(default)")
     ap.add_argument("--changelog", action="store_true",
                     help="capture row-level changes (pre/post images) "
                          "per batch under <table>/_changes (Delta CDF "
@@ -195,6 +201,7 @@ def main(argv: list[str] | None = None) -> int:
         merge_strategy=args.merge_strategy,
         collect_blooms=args.collect_blooms,
         changelog=args.changelog,
+        schema_mode=args.schema_mode,
     )
     # routed mode treats --table as the router root (one table per
     # final topic); maintenance ops always target ONE concrete table

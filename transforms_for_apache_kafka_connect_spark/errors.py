@@ -31,3 +31,10 @@ class CommitConflictException(RuntimeError):
     read and its publish (optimistic-concurrency check in the manifest
     swap / WAP publish). Re-read and replay the batch — the
     exactly-once ledger makes the retry safe."""
+
+
+class SchemaEnforcementError(DataException):
+    """A strict-schema table (schema_mode='strict') received update
+    rows carrying columns its schema lacks. The batch fails BEFORE any
+    write and stays replayable; evolve explicitly or drop the columns
+    (Delta schema-enforcement analog)."""

@@ -336,6 +336,13 @@ class LakeTable:
     #: whole bucket. Off by default: it reads key data pages at commit
     #: time, which only pays for itself on lookup-serving tables.
     collect_blooms: bool = False
+    #: schema policy for merges. "evolve" (default): new update columns
+    #: join the table schema additively (north_star: added columns
+    #: propagate automatically). "strict": a batch whose update rows
+    #: carry columns the table lacks FAILS pre-write (Delta schema
+    #: enforcement analog) — for production tables where an upstream
+    #: schema change must be an explicit migration, not a side effect.
+    schema_mode: str = "evolve"
     #: emit a row-level changelog with pre/post images at every merge
     #: (the Delta CDF / Iceberg changelog-view analog): each batch
     #: writes ``_changes/epoch=<e>/batch_id=<b>/`` rows tagged
@@ -347,6 +354,8 @@ class LakeTable:
     changelog: bool = False
 
     def __post_init__(self):
+        if self.schema_mode not in ("evolve", "strict"):
+            raise ValueError("schema_mode must be 'evolve' or 'strict'")
         os.makedirs(os.path.join(self.root, "_manifest"), exist_ok=True)
         # the manifest is authoritative for the physical layout: opening
         # an existing table with different n_buckets/key_cols would
@@ -1722,6 +1731,24 @@ class LakeTable:
         m = self.manifest()
         if [epoch, batch_id] in m["committed"]:
             return {"skipped": True, "reason": "already committed"}
+        if self.schema_mode == "strict" and m["schema"] is not None:
+            known = {f["name"] for f in m["schema"]["fields"]}
+            new_cols = [
+                c for c in updates.columns
+                if c not in known and c != delete_col
+            ]
+            if new_cols:
+                from transforms_for_apache_kafka_connect_spark.errors import (
+                    SchemaEnforcementError,
+                )
+
+                # fails BEFORE any write: the batch stays uncommitted
+                # and replayable after an explicit migration
+                raise SchemaEnforcementError(
+                    f"schema_mode='strict': update columns {new_cols} "
+                    f"are not in the table schema — evolve explicitly "
+                    f"(schema_mode='evolve') or drop the columns"
+                )
 
         spark = updates.sparkSession
         upd = updates.withColumn(BUCKET_COL, _bucket_expr(self.key_cols, self.n_buckets))
