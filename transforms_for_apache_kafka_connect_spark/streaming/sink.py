@@ -938,6 +938,15 @@ class LakeTable:
             ),
             "zone_mapped_files": len(m.get("file_stats") or {}),
             "bloom_files": sum(1 for v in blooms.values() if v.get("m")),
+            "tags": dict(m.get("tags") or {}),
+            "changelog": bool(m.get("changelog")),
+            "changelog_batches": len(
+                _glob.glob(
+                    os.path.join(
+                        self.root, "_changes", "epoch=*", "batch_id=*"
+                    )
+                )
+            ),
         }
 
     def delete_where(
