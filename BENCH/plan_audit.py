@@ -298,6 +298,27 @@ def main() -> None:
     check("incremental agg: batch changelog read is path-scoped to its dir",
           "batch_id=1" in p and "batch_id=0" not in p)
 
+    # 19. expectations are free on the data path: the gated update plan
+    # has the SAME exchange count as the ungated one (predicates fold
+    # into the projection; counts ride a CollectMetrics node) and no
+    # Python eval
+    from transforms_for_apache_kafka_connect_spark.streaming.expectations import (
+        Expectation as _Exp,
+        apply_expectations as _apply_exp,
+    )
+
+    plain_upd = crep.updates_for(cev.filter(_F.col("value").isNotNull()))
+    gated_upd, _obs = _apply_exp(plain_upd, [
+        _Exp("content_present", "content IS NOT NULL", "fail"),
+        _Exp("commit_len", "length(commit) >= 8", "drop"),
+    ])
+    p0, p = plan_of(plain_upd), plan_of(gated_upd)
+    check("expectations: zero extra exchanges on the update plan",
+          p.count("Exchange") == p0.count("Exchange"),
+          f"exchanges={p0.count('Exchange')}->{p.count('Exchange')}")
+    check("expectations: no Python eval (pure Column predicates)",
+          "Python" not in p)
+
     n_fail = sum(1 for _, ok, _ in checks if not ok)
     lines = [
         "# BENCH/PLANS.md — Catalyst plan audit",
