@@ -221,7 +221,8 @@ def main(argv: list[str] | None = None) -> int:
                 spark, all_buckets=args.compact_all_buckets,
                 sort=not args.compact_no_sort,
                 sort_cols=(
-                    args.compact_sort_cols.split(",")
+                    [c.strip() for c in args.compact_sort_cols.split(",")
+                     if c.strip()]
                     if args.compact_sort_cols else None
                 ),
             )
@@ -352,7 +353,13 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.bootstrap:
         snap = spark.read.parquet(args.bootstrap)
-        r = engine.bootstrap(snap, snapshot_lsn=args.snapshot_lsn)
+        try:
+            r = engine.bootstrap(snap, snapshot_lsn=args.snapshot_lsn)
+        except ValueError as exc:
+            # user error (e.g. non-empty table): same exit-2 contract
+            # as the other argument-validation paths
+            print(f"bootstrap: {exc}", file=sys.stderr)
+            return 2
         print(json.dumps({"mode": "bootstrap", "table": args.table,
                           "snapshot_lsn": args.snapshot_lsn, **r}))
         if not args.events:

@@ -271,6 +271,14 @@ class Replayer:
         newer rows (the merge is source-wins).
         """
         if self.table.committed(self.epoch, BOOTSTRAP_BATCH_ID):
+            # same catch-up contract as apply_batch's skip path: a
+            # crash between the bootstrap commit and the aggregate fold
+            # replays here, and replay() only iterates batch ids >= 0 —
+            # this is the ONLY chance to repair the bootstrap batch's
+            # maintained aggregates
+            self._run_maintenance(
+                snapshot.sparkSession, BOOTSTRAP_BATCH_ID
+            )
             return {"skipped": True, "batch_id": BOOTSTRAP_BATCH_ID}
         manifest_fn = getattr(self.table, "manifest", None)
         if manifest_fn is not None and manifest_fn()["committed"]:
@@ -331,9 +339,14 @@ class Replayer:
             # event replayed afterwards (e.g. a delete whose undo the
             # snapshot already contains) would regress the table.
             # Tombstone records carry no LSN and pass through (their
-            # downstream handling is idempotent).
+            # downstream handling is idempotent). A DATA row with a
+            # NULL lsn also passes: it must reach the chain's error
+            # contract (fail/DLQ) exactly as it would on a
+            # never-bootstrapped table — the fence only drops rows it
+            # can PROVE are pre-snapshot.
             batch = batch.filter(
                 F.col("value").isNull()
+                | F.col("value.lsn").isNull()
                 | (F.col("value.lsn") > F.lit(snap_lsn))
             )
         obs = Observation(f"chain_{self.epoch}_{batch_id}")

@@ -64,6 +64,13 @@ def batch_changes(
             f"batch ({epoch!r}, {batch_id}) is not committed — its "
             "changelog (if any) is not yet readable"
         )
+    if not table.has_changes(epoch, batch_id):
+        # ledger-only empty batch, or a net-empty change set (e.g. only
+        # deletes of absent keys): an empty frame, not a parquet
+        # schema-inference crash
+        return spark.createDataFrame(
+            [], table._changelog_schema(table.manifest())
+        )
     chg_dir = os.path.join(
         table.root, "_changes", f"epoch={epoch}", f"batch_id={batch_id}"
     )
@@ -93,6 +100,9 @@ def incremental_agg_update(
     nothing to sums on insert AND on retraction — matching
     ``SUM``-ignores-nulls semantics; a group holding only null measures
     reports sum 0 (document ``COALESCE(SUM(x), 0)`` to SQL consumers).
+    NULL group values are NOT maintained (the lake table's key contract
+    forbids NULL keys); SQL recomputes should compare with
+    ``WHERE g IS NOT NULL``.
 
     Scale shape: one groupBy over the (batch-sized) changelog, one
     full-outer join against the aggregate table — whose cardinality is
@@ -102,10 +112,18 @@ def incremental_agg_update(
     """
     sum_cols = list(sum_cols or [])
     spark = changes.sparkSession
+    # the lake table's key contract forbids NULL keys (hash-bucket
+    # joins are not null-safe), so NULL group values cannot be
+    # maintained — they are excluded here, on BOTH insertions and
+    # retractions, keeping the non-null groups exact. SQL consumers
+    # comparing against a recompute should add `WHERE g IS NOT NULL`.
+    nn = changes
+    for g in group_cols:
+        nn = nn.filter(F.col(g).isNotNull())
     sign = F.when(
         F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
     ).otherwise(F.lit(-1))
-    delta = changes.groupBy(*group_cols).agg(
+    delta = nn.groupBy(*group_cols).agg(
         F.sum(sign).alias("__d_n"),
         *[
             F.sum(F.col(c).cast("double") * sign).alias(f"__d_{c}")
@@ -118,12 +136,15 @@ def incremental_agg_update(
         cur = agg_table.read(spark).select(
             *group_cols, count_col, *sum_out
         )
-        j = cur.join(delta, on=list(group_cols), how="full_outer")
+        # delta drives a LEFT join: only TOUCHED groups are re-emitted
+        # and merged — a batch touching 3 groups of a 10^6-group
+        # aggregate produces a 3-row update set, not a full rewrite
+        j = delta.join(cur, on=list(group_cols), how="left")
         upd = j.select(
             *group_cols,
             (
                 F.coalesce(F.col(count_col), F.lit(0))
-                + F.coalesce(F.col("__d_n"), F.lit(0))
+                + F.col("__d_n")
             ).alias(count_col),
             *[
                 (
@@ -136,7 +157,7 @@ def incremental_agg_update(
     else:
         upd = delta.select(
             *group_cols,
-            F.coalesce(F.col("__d_n"), F.lit(0)).alias(count_col),
+            F.col("__d_n").alias(count_col),
             *[
                 F.coalesce(F.col(f"__d_{c}"), F.lit(0.0)).alias(o)
                 for c, o in zip(sum_cols, sum_out)

@@ -1201,14 +1201,57 @@ class LakeTable:
         )
         return pre_rows.unionByName(posts, allowMissingColumns=True), pre
 
+    def _carry_forward(
+        self,
+        commit: dict[str, Any],
+        m: dict[str, Any],
+        manifest_extra: dict[str, Any] | None,
+    ) -> None:
+        """Table-level manifest fields every commit path must carry:
+        one helper instead of N copy-pasted blocks, so a future field
+        cannot be dropped by the one path that forgot it."""
+        commit["changelog"] = bool(m.get("changelog") or self.changelog)
+        if m.get("tags"):
+            commit["tags"] = m["tags"]
+        carried_extra = {**(m.get("extra") or {}), **(manifest_extra or {})}
+        if carried_extra:
+            commit["extra"] = carried_extra
+
     def has_changes(self, epoch: str, batch_id: int) -> bool:
-        """True if this batch wrote a changelog entry (False for
-        ledger-only empty-batch commits and never-run batches)."""
-        return os.path.isdir(
-            os.path.join(
-                self.root, "_changes", f"epoch={epoch}",
-                f"batch_id={batch_id}",
+        """True if this batch wrote a NON-EMPTY changelog entry.
+
+        False for ledger-only empty-batch commits, never-run batches,
+        and batches whose net change set was empty (e.g. only deletes
+        of absent keys) — those may leave a directory containing no
+        parquet files, which must not be treated as readable changes.
+        """
+        import glob as _glob
+
+        d = os.path.join(
+            self.root, "_changes", f"epoch={epoch}", f"batch_id={batch_id}"
+        )
+        return bool(_glob.glob(os.path.join(d, "*.parquet")))
+
+    def _changelog_schema(self, m: dict[str, Any]):
+        """Changelog row shape derived from the table schema (for empty
+        results where nothing can be inferred from parquet files)."""
+        from pyspark.sql import types as T
+
+        base = (
+            T.StructType.fromJson(m["schema"])
+            if m["schema"] is not None
+            else T.StructType(
+                [T.StructField(c, T.StringType()) for c in self.key_cols]
             )
+        )
+        return T.StructType(
+            [f for f in base.fields if f.name != "_deleted"]
+            + [
+                T.StructField("_change_type", T.StringType()),
+                T.StructField("_change_lsn", T.LongType()),
+                T.StructField("epoch", T.StringType()),
+                T.StructField("batch_id", T.IntegerType()),
+            ]
         )
 
     def read_changelog(
@@ -1224,6 +1267,8 @@ class LakeTable:
         out against the committed ledger, so consumers only ever see
         changes of applied batches.
         """
+        import glob as _glob
+
         chg_root = os.path.join(self.root, "_changes")
         m = self.manifest()
         if not os.path.isdir(chg_root):
@@ -1231,6 +1276,12 @@ class LakeTable:
                 "table has no changelog — create the table with "
                 "changelog=True to capture row-level changes"
             )
+        if not _glob.glob(
+            os.path.join(chg_root, "epoch=*", "batch_id=*", "*.parquet")
+        ):
+            # every entry expired (vacuum changelog retention) or none
+            # written yet: an empty result, not a schema-inference crash
+            return spark.createDataFrame([], self._changelog_schema(m))
         df = (
             spark.read.option("basePath", chg_root)
             .option("mergeSchema", "true")
@@ -1286,6 +1337,7 @@ class LakeTable:
         self, m, upd, *, touched, n_upd, obs, touched_rows,
         epoch, batch_id, delete_col, lineage, pre_commit,
         publish: bool = True, manifest_extra: dict[str, Any] | None = None,
+        _cache=None,
     ) -> dict[str, Any]:
         """Merge-on-read commit: append this batch's update rows
         (deletes as ``_deleted`` markers) without reading the target at
@@ -1318,8 +1370,12 @@ class LakeTable:
                 upd.sparkSession, m, upd, touched=touched,
                 epoch=epoch, batch_id=batch_id, delete_col=delete_col,
             )
-        if self.discovery or upd.is_cached:
+        if self.discovery:
             upd.unpersist()
+        elif _cache is not None:
+            # the dense-mode observe() wrapper does not sameResult the
+            # cached child plan — release the exact persisted handle
+            _cache.unpersist()
         if n_upd is None and obs is not None:
             try:
                 n_upd = int(obs.get["n_updates"])
@@ -1381,13 +1437,8 @@ class LakeTable:
             "mor": True,
             "n_buckets": self.n_buckets,
             "key_cols": self.key_cols,
-            "changelog": bool(m.get("changelog") or self.changelog),
         }
-        if m.get("tags"):
-            commit["tags"] = m["tags"]
-        carried_extra = {**(m.get("extra") or {}), **(manifest_extra or {})}
-        if carried_extra:
-            commit["extra"] = carried_extra
+        self._carry_forward(commit, m, manifest_extra)
         if pre_commit is not None:
             pre_commit(n_upd)
         staged = None
@@ -1765,13 +1816,18 @@ class LakeTable:
         # change capture consumes the update set one extra time; in the
         # one mode where nothing else persists it (dense + shuffle or
         # dense + append) pin it so chain+dedupe don't recompute
-        chg_persist = (
+        chg_cache = None
+        if (
             self.changelog
             and not self.discovery
             and self.merge_strategy != "broadcast"
-        )
-        if chg_persist:
+        ):
+            # keep a handle on the EXACT persisted plan: the dense
+            # branch later rebinds upd to an observe() wrapper whose
+            # plan does not sameResult the cached child, so
+            # unpersisting the wrapper would silently leak the cache
             upd = upd.persist()
+            chg_cache = upd
 
         obs = None
         if self.discovery:
@@ -1801,12 +1857,7 @@ class LakeTable:
                 commit["committed"] = m["committed"] + [[epoch, batch_id]]
                 commit["n_buckets"] = self.n_buckets
                 commit["key_cols"] = self.key_cols
-                if self.changelog:
-                    commit["changelog"] = True
-                if manifest_extra:
-                    commit["extra"] = {
-                        **(m.get("extra") or {}), **manifest_extra,
-                    }
+                self._carry_forward(commit, m, manifest_extra)
                 if pre_commit is not None:
                     pre_commit(0)  # verifiably empty batch
                 staged = None
@@ -1837,12 +1888,7 @@ class LakeTable:
                 commit["committed"] = m["committed"] + [[epoch, batch_id]]
                 commit["n_buckets"] = self.n_buckets
                 commit["key_cols"] = self.key_cols
-                if self.changelog:
-                    commit["changelog"] = True
-                if manifest_extra:
-                    commit["extra"] = {
-                        **(m.get("extra") or {}), **manifest_extra,
-                    }
+                self._carry_forward(commit, m, manifest_extra)
                 if pre_commit is not None:
                     pre_commit(0)  # verifiably empty batch
                 staged = None
@@ -1880,7 +1926,7 @@ class LakeTable:
                 touched_rows=touched_rows if self.discovery else None,
                 epoch=epoch, batch_id=batch_id, delete_col=delete_col,
                 lineage=lineage, pre_commit=pre_commit, publish=publish,
-                manifest_extra=manifest_extra,
+                manifest_extra=manifest_extra, _cache=chg_cache,
             )
 
         have_target = bool(m["buckets"]) and (
@@ -1976,8 +2022,10 @@ class LakeTable:
                 spark, m, upd, touched=touched,
                 epoch=epoch, batch_id=batch_id, delete_col=delete_col,
             )
-        if self.discovery or self.merge_strategy == "broadcast" or chg_persist:
+        if self.discovery or self.merge_strategy == "broadcast":
             upd.unpersist()
+        elif chg_cache is not None:
+            chg_cache.unpersist()
 
         written = {}
         if os.path.isdir(out_dir):
@@ -2067,13 +2115,8 @@ class LakeTable:
             # unresolved delta files. Re-resolving already-resolved
             # buckets is idempotent (keys are unique post-merge).
             "mor": m.get("mor", False),
-            "changelog": bool(m.get("changelog") or self.changelog),
         }
-        if m.get("tags"):
-            commit["tags"] = m["tags"]
-        carried_extra = {**(m.get("extra") or {}), **(manifest_extra or {})}
-        if carried_extra:
-            commit["extra"] = carried_extra
+        self._carry_forward(commit, m, manifest_extra)
         if pre_commit is not None:
             # may raise -> batch stays uncommitted (replayable)
             pre_commit(n_upd)
