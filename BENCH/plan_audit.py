@@ -55,8 +55,9 @@ def main() -> None:
     check("chain_fused: whole-stage codegen (all SMT stages in one span)",
           "codegen id : 1" in p and "codegen id : 2" not in p.split("(1) Scan")[0])
 
-    # 2. filter exact: predicate pushdown
-    p = fmt(qs["filter_by_field_value_exact"](spark, sf_dir))
+    # 2. filter exact: predicate pushdown (the exact-match leg of the
+    # composite gate entry, timed standalone)
+    p = fmt(entrymod.q_filter_exact(spark, sf_dir))
     check("filter_exact: pushed filter on event_type",
           re.search(r"PushedFilters: \[[^\]]*event_type", p), "")
 
@@ -69,9 +70,33 @@ def main() -> None:
     p = fmt(qs["ann_topk"](spark, sf_dir))
     check("ann_topk: query side broadcast (BroadcastNestedLoopJoin)",
           "BroadcastNestedLoop" in p or "BroadcastExchange" in p)
+    # local_topk=True default: the only row exchange is the final rank
+    # shuffle over the Arrow-reduced candidate set (<= queries x k rows
+    # per scan batch), partitioned by query_id — never by the corpus id
+    check("ann_topk: exchange keyed on query_id only (local top-k cut)",
+          not re.search(r"Exchange hashpartitioning\(neighbor_id", p))
 
-    # 5. lww_dedupe: partial aggregation before the exchange (map-side combine)
-    df = qs["lww_dedupe"](spark, sf_dir)
+    # 4b. ivf_topk: the index-build assignment is exchange-free — no
+    # per-corpus-vector window (row_number over neighbor_id) and no
+    # exchange keyed on the corpus id anywhere; corpus sims come from a
+    # 1-row broadcast centroid array + slice(sort_array(...))
+    from pyspark.sql import functions as SF
+    from transforms_for_apache_kafka_connect_spark.functions.similarity import (
+        ivf_topk,
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ivq = emb.limit(5).select(
+        (SF.col("vec_id") + 100_000).alias("query_id"), "embedding"
+    )
+    p = fmt(ivf_topk(emb, ivq, k=5, n_lists=8, n_probe=2, n_assign=2))
+    check("ivf_topk: no window over the corpus id (assignment is a "
+          "projection)", "windowspecdefinition(neighbor_id" not in p)
+    check("ivf_topk: no exchange keyed on the corpus id",
+          not re.search(r"Exchange hashpartitioning\(neighbor_id", p))
+
+    # 5. lww_dedupe: partial aggregation before the exchange (map-side
+    # combine) — the plain leg of the composite gate entry
+    df = entrymod.q_lww_dedupe(spark, sf_dir)
     simple = plan_of(df)
     first_agg = simple.find("HashAggregate")
     first_exch = simple.find("Exchange")

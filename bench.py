@@ -350,6 +350,15 @@ def skew_benchmark(spark, work_dir: str, cpus: int) -> dict:
 def time_queries(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
+    # keys are kept identical to BENCH_r01/r02 for round-over-round
+    # comparison; where the gate entry became a composite (variant
+    # union), the timed plan is the original single-variant function so
+    # the number still measures the same work
+    overrides = {
+        "hash": entrymod.q_hash,
+        "filter_by_field_value_exact": entrymod.q_filter_exact,
+        "lww_dedupe": entrymod.q_lww_dedupe,
+    }
     names = [
         "chain_fused", "hash", "filter_by_field_value_exact",
         "extract_topic", "lww_dedupe", "cdc_merge", "cdc_merge_mor",
@@ -374,8 +383,9 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
     out = {}
     qs = entrymod.queries()
     for name in names:
+        fn = overrides.get(name) or qs[name]
         t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         out[name] = round(time.perf_counter() - t0, 3)
     return out
 

@@ -1,0 +1,237 @@
+"""AvroConverter boundary (the schema-ful converter regime,
+SURVEY.md §1.2): Avro binary bytes -> typed envelope -> chain, plus the
+serialize direction, the pure-Python spec codec's golden bytes, and the
+Confluent wire-framing contract. The JVM from_avro path is jar-gated
+(skips in the sandbox, mirrors the Iceberg e2e gating)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from transforms_for_apache_kafka_connect_spark import Chain
+from transforms_for_apache_kafka_connect_spark.errors import DataException
+from transforms_for_apache_kafka_connect_spark.record import ERROR_COL, enforce
+from transforms_for_apache_kafka_connect_spark.sources import (
+    avro_schema_to_spark,
+    change_stream,
+    decode_record,
+    encode_record,
+    envelope_from_avro,
+    envelope_to_avro,
+    jvm_avro_available,
+    spark_to_avro_schema,
+)
+
+VALUE_SCHEMA = {
+    "type": "record",
+    "name": "v",
+    "fields": [
+        {"name": "user_id", "type": ["null", "long"]},
+        {"name": "event_type", "type": ["null", "string"]},
+        {"name": "amount", "type": ["null", "double"]},
+    ],
+}
+KEY_SCHEMA = {
+    "type": "record",
+    "name": "k",
+    "fields": [{"name": "id", "type": ["null", "long"]}],
+}
+
+
+# ----------------------------------------------------------- codec goldens
+# Byte values pinned directly from the public Avro 1.12 spec's Binary
+# Encoding section (zigzag examples: 1 -> 0x02, -1 -> 0x01, 64 -> 0x80
+# 0x01; strings are length-prefixed UTF-8).
+
+def _flat(name, typ):
+    return {"type": "record", "name": "r", "fields": [{"name": name, "type": typ}]}
+
+
+@pytest.mark.parametrize(
+    "typ,val,expected",
+    [
+        ("long", 1, b"\x02"),
+        ("long", -1, b"\x01"),
+        ("long", 64, b"\x80\x01"),
+        ("int", -64, b"\x7f"),
+        ("string", "foo", b"\x06foo"),
+        ("boolean", True, b"\x01"),
+        ("bytes", b"\x00\xff", b"\x04\x00\xff"),
+        (["null", "long"], None, b"\x00"),
+        (["null", "long"], 3, b"\x02\x06"),
+    ],
+)
+def test_codec_golden_bytes(typ, val, expected):
+    sch = _flat("x", typ)
+    assert encode_record(sch, {"x": val}) == expected
+    assert decode_record(sch, expected) == {"x": val}
+
+
+def test_codec_roundtrip_all_types():
+    sch = {
+        "type": "record",
+        "name": "all",
+        "fields": [
+            {"name": "a", "type": ["null", "long"]},
+            {"name": "b", "type": "string"},
+            {"name": "c", "type": "double"},
+            {"name": "d", "type": "float"},
+            {"name": "e", "type": {"type": "array", "items": "int"}},
+            {"name": "f", "type": {"type": "map", "values": ["null", "string"]}},
+            {"name": "g", "type": {"type": "enum", "name": "E", "symbols": ["x", "y"]}},
+            {"name": "h", "type": {"type": "fixed", "name": "Fx", "size": 2}},
+            {"name": "i", "type": {"type": "record", "name": "nested",
+                                   "fields": [{"name": "z", "type": "boolean"}]}},
+        ],
+    }
+    rec = {
+        "a": -(2**62), "b": "héllo 世界", "c": 3.14159,
+        "d": 0.5, "e": [1, -2, 0], "f": {"k": "v", "n": None},
+        "g": "y", "h": b"ab", "i": {"z": True},
+    }
+    assert decode_record(sch, encode_record(sch, rec)) == rec
+
+
+def test_decode_rejects_trailing_and_truncated():
+    sch = _flat("x", "long")
+    with pytest.raises(ValueError):
+        decode_record(sch, b"\x02\x02")  # trailing byte
+    with pytest.raises(Exception):
+        decode_record(sch, b"\x80")  # truncated varint
+
+
+def test_schema_mapping():
+    st = avro_schema_to_spark(VALUE_SCHEMA)
+    assert [f.name for f in st.fields] == ["user_id", "event_type", "amount"]
+    assert isinstance(st["user_id"].dataType, T.LongType)
+    with pytest.raises(ValueError):
+        avro_schema_to_spark(["null", "long", "string"])  # multi-branch
+    # spark -> avro -> spark closes the loop
+    back = avro_schema_to_spark(spark_to_avro_schema(st, "v"))
+    assert back == st
+
+
+# ------------------------------------------------------------ envelope path
+
+def _raw(spark, with_frame=False):
+    rows = [
+        (encode_record(KEY_SCHEMA, {"id": i}),
+         encode_record(VALUE_SCHEMA,
+                       {"user_id": i * 10, "event_type": "click" if i % 2 else None,
+                        "amount": float(i) / 4}))
+        for i in range(50)
+    ]
+    if with_frame:
+        frame = b"\x00" + (7).to_bytes(4, "big")
+        rows = [(frame + k, frame + v) for k, v in rows]
+    return spark.createDataFrame(rows, "key binary, value binary")
+
+
+def test_envelope_from_avro_python_path(spark):
+    env = envelope_from_avro(
+        _raw(spark), key_schema=KEY_SCHEMA, value_schema=VALUE_SCHEMA,
+        use_jvm=False,
+    )
+    assert env.filter(F.col(ERROR_COL).isNotNull()).count() == 0
+    out = enforce(env)
+    rows = {r["id"]: r for r in out.select(
+        F.col("key.id").alias("id"), F.col("value.user_id").alias("uid"),
+        F.col("value.event_type").alias("et"), F.col("value.amount").alias("amt"),
+    ).collect()}
+    assert len(rows) == 50
+    assert rows[3].uid == 30 and rows[3].et == "click" and rows[3].amt == 0.75
+    assert rows[4].et is None
+
+
+def test_envelope_avro_roundtrip_via_change_stream(spark):
+    events = change_stream(spark, 300, n_repos=8, paths_per_repo=3)
+    v_schema = spark_to_avro_schema(events.schema["value"].dataType, "v")
+    k_schema = spark_to_avro_schema(events.schema["key"].dataType, "k")
+    raw = envelope_to_avro(
+        events, value_schema=v_schema, key_schema=k_schema, use_jvm=False
+    )
+    assert dict(raw.dtypes)["value"] == "binary"
+    back = enforce(envelope_from_avro(
+        raw, value_schema=v_schema, key_schema=k_schema, use_jvm=False
+    ))
+    a = events.drop("headers")
+    b = back.select(*a.columns)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_confluent_framing_strip_and_id(spark):
+    env = envelope_from_avro(
+        _raw(spark, with_frame=True), key_schema=KEY_SCHEMA,
+        value_schema=VALUE_SCHEMA, confluent_framing=True, use_jvm=False,
+    )
+    assert env.filter(F.col(ERROR_COL).isNotNull()).count() == 0
+    ids = env.select("avro_schema_id").distinct().collect()
+    assert [r[0] for r in ids] == [7]
+
+
+def test_bad_frame_and_corrupt_payload_set_error(spark):
+    good_v = encode_record(VALUE_SCHEMA, {"user_id": 1, "event_type": "x", "amount": None})
+    frame = b"\x00" + (7).to_bytes(4, "big")
+    rows = [
+        (None, frame + good_v),          # ok
+        (None, b"\x01" + good_v[:4]),    # wrong magic byte
+        (None, frame + b"\x80\x80"),     # truncated varint body
+        (None, None),                    # tombstone: never an error
+    ]
+    raw = spark.createDataFrame(rows, "key binary, value binary")
+    env = envelope_from_avro(
+        raw, value_schema=VALUE_SCHEMA, confluent_framing=True, use_jvm=False
+    )
+    errs = env.filter(F.col(ERROR_COL).isNotNull()).count()
+    assert errs == 2
+    with pytest.raises(DataException):
+        enforce(env)
+
+
+def test_tombstone_value_stays_null(spark):
+    good = encode_record(VALUE_SCHEMA, {"user_id": 1, "event_type": "x", "amount": 1.0})
+    raw = spark.createDataFrame(
+        [(b"k1", good), (b"k2", None)], "key binary, value binary"
+    )
+    env = enforce(envelope_from_avro(raw, value_schema=VALUE_SCHEMA, use_jvm=False))
+    assert env.filter(F.col("value").isNull()).count() == 1
+
+
+def test_chain_runs_on_avro_envelope(spark):
+    """Avro bytes -> envelope -> reference SMT chain: the schema-ful
+    regime entry path end-to-end (reference README.md converter+SMT
+    stack)."""
+    rows = [
+        (encode_record(KEY_SCHEMA, {"id": i}),
+         encode_record(VALUE_SCHEMA,
+                       {"user_id": i, "event_type": "click" if i % 2 else "view",
+                        "amount": 1.0}))
+        for i in range(40)
+    ]
+    raw = spark.createDataFrame(rows, "key binary, value binary")
+    env = envelope_from_avro(
+        raw, key_schema=KEY_SCHEMA, value_schema=VALUE_SCHEMA, use_jvm=False
+    )
+    chain = Chain([
+        {"type": "filter_by_field_value", "field.name": "event_type",
+         "field.value": "click", "field.value.matches": True},
+        {"type": "hash", "field.name": "event_type", "function": "sha256"},
+    ])
+    out = chain.run(env)
+    got = {r[0] for r in out.select("value.event_type").distinct().collect()}
+    import hashlib
+    assert got == {hashlib.sha256(b"click").hexdigest()}
+
+
+def test_jvm_path_when_available(spark):
+    """Runs the JVM from_avro path when the spark-avro jar is present;
+    skips (declared) in the sandbox pip build."""
+    if not jvm_avro_available(spark):
+        pytest.skip("spark-avro jar not on classpath (sandbox pip build)")
+    env = enforce(envelope_from_avro(
+        _raw(spark), key_schema=KEY_SCHEMA, value_schema=VALUE_SCHEMA,
+        use_jvm=True,
+    ))
+    assert env.count() == 50

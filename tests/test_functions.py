@@ -287,7 +287,7 @@ def test_brute_force_local_topk_identical_to_plain(spark, emb):
     # the Arrow local-top-k pre-reduction must not change the result:
     # a global top-k row is by definition in its batch's local top-k
     queries = emb.limit(4).select(F.col("vec_id").alias("query_id"), "embedding")
-    plain = brute_force_topk(emb, queries, k=7).collect()
+    plain = brute_force_topk(emb, queries, k=7, local_topk=False).collect()
     local = brute_force_topk(emb, queries, k=7, local_topk=True).collect()
     key = lambda r: (r["query_id"], r["rank"])
     assert sorted(
@@ -378,12 +378,71 @@ def test_multimodal_resize(spark):
 
 def test_multimodal_decode_stub_raises(spark):
     from transforms_for_apache_kafka_connect_spark.functions.multimodal import (
+        HAS_PIL,
         extract_features,
         synthetic_media,
     )
 
-    with pytest.raises(Exception, match="NotImplementedError|imaging library"):
+    if HAS_PIL:
+        pytest.skip("Pillow present: the real-codec tests cover fake=False")
+    with pytest.raises(Exception, match="NotImplementedError|Pillow"):
         extract_features(synthetic_media(spark, 5), fake=False).collect()
+
+
+def _png_media(spark, n=8):
+    """Tiny real PNGs (solid-color gradients) as a media table —
+    only constructible when Pillow is importable."""
+    import io as _io
+
+    from PIL import Image
+
+    rows = []
+    for i in range(n):
+        im = Image.new("RGB", (8 + i, 6 + i), (i * 20 % 256, 80, 160))
+        buf = _io.BytesIO()
+        im.save(buf, format="PNG")
+        rows.append((i, "image", "image/png", 8 + i, 6 + i, None, buf.getvalue()))
+    from transforms_for_apache_kafka_connect_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+    )
+
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_multimodal_real_codec_features(spark):
+    from transforms_for_apache_kafka_connect_spark.functions.multimodal import (
+        FEATURE_DIM,
+        HAS_PIL,
+        extract_features,
+    )
+
+    if not HAS_PIL:
+        pytest.skip("Pillow not on this container (sandbox pip build)")
+    media = _png_media(spark)
+    feats = extract_features(media, fake=False).collect()
+    assert len(feats) == 8
+    for r in feats:
+        assert len(r["features"]) == FEATURE_DIM
+        assert all(0.0 <= f <= 1.0 for f in r["features"])
+    # deterministic across runs
+    again = extract_features(media, fake=False).collect()
+    assert {r["media_id"]: r["features"] for r in feats} == {
+        r["media_id"]: r["features"] for r in again
+    }
+
+
+def test_multimodal_real_codec_resize(spark):
+    from transforms_for_apache_kafka_connect_spark.functions.multimodal import (
+        HAS_PIL,
+        resize_images,
+    )
+
+    if not HAS_PIL:
+        pytest.skip("Pillow not on this container (sandbox pip build)")
+    out = resize_images(_png_media(spark), 16, 12, fake=False).collect()
+    assert len(out) == 8
+    # real L-mode resample keeps the byte-count contract
+    assert all(len(r["payload"]) == 16 * 12 for r in out)
 
 
 def test_prepare_training_docs_pipeline(spark):

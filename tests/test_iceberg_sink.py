@@ -120,9 +120,13 @@ def test_error_gate_runs_before_any_mutation():
     with pytest.raises(RuntimeError):
         tbl.merge(upd, epoch="e1", batch_id=0, pre_commit=failing_gate)
     # the gate saw the staged count, and the table was never touched:
-    # no MERGE, no ALTER of any kind — only the ledger SHOW lookups
+    # no MERGE, no ALTER of any kind — only read-side lookups (the
+    # ledger SHOW and the snapshot-summary recovery SELECT)
     assert seen["n"] == 10
-    assert all(q.strip().startswith("SHOW TBLPROPERTIES") for q in fake.queries)
+    assert all(
+        q.strip().startswith(("SHOW TBLPROPERTIES", "SELECT"))
+        for q in fake.queries
+    )
     assert upd.persisted and upd.unpersisted
 
 
@@ -143,13 +147,15 @@ def test_success_sequence_and_merge_sql_golden():
     assert merge_idx < ledger_idx, kinds
     merge_sql = fake.queries[merge_idx]
     assert merge_sql == (
-        "MERGE INTO lake.db.repositories t\n"
-        "USING __tkc_updates_e1_3 s\n"
-        "ON t.repo = s.repo AND t.path = s.path\n"
-        "WHEN MATCHED AND s.__is_delete THEN DELETE\n"
-        "WHEN MATCHED THEN UPDATE SET t.content = s.content, t._lsn = s._lsn\n"
-        "WHEN NOT MATCHED AND NOT s.__is_delete THEN INSERT\n"
-        "  (repo, path, content, _lsn) VALUES (s.repo, s.path, s.content, s._lsn)"
+        "MERGE INTO `lake`.`db`.`repositories` t\n"
+        "USING `__tkc_updates_e1_3` s\n"
+        "ON t.`repo` = s.`repo` AND t.`path` = s.`path`\n"
+        "WHEN MATCHED AND s.`__is_delete` THEN DELETE\n"
+        "WHEN MATCHED THEN UPDATE SET t.`content` = s.`content`, "
+        "t.`_lsn` = s.`_lsn`\n"
+        "WHEN NOT MATCHED AND NOT s.`__is_delete` THEN INSERT\n"
+        "  (`repo`, `path`, `content`, `_lsn`) VALUES "
+        "(s.`repo`, s.`path`, s.`content`, s.`_lsn`)"
     )
     assert json.loads(fake.props["tkc.committed"]) == [["e1", 3]]
     assert upd.views == ["__tkc_updates_e1_3"]
@@ -188,7 +194,7 @@ def test_schema_evolution_adds_columns_after_gate_before_merge():
         i for i, q in enumerate(fake.queries) if q.startswith("MERGE")
     )
     assert add_idx < merge_idx
-    assert "(_lsn bigint)" in fake.queries[add_idx]
+    assert "(`_lsn` bigint)" in fake.queries[add_idx]
     # the delete flag never becomes a table column
     assert "__is_delete" not in fake.queries[add_idx]
 
@@ -202,6 +208,113 @@ def test_lineage_recorded_and_capped():
     assert len(lin) == 3
     assert [x["batch_id"] for x in lin] == [2, 3, 4]
     assert len(json.loads(fake.props["tkc.committed"])) == 5
+
+
+def test_key_only_table_drops_update_clause():
+    # every column is a key column: UPDATE SET with an empty assignment
+    # list is malformed SQL — the clause must be dropped entirely (a
+    # matched non-delete row is already byte-identical)
+    tbl = IcebergLakeTable("lake.db.keys", key_cols=["repo", "path"])
+    sql = tbl._merge_sql(["repo", "path"], "__is_delete", "v")
+    assert "UPDATE SET" not in sql
+    assert "WHEN MATCHED AND s.`__is_delete` THEN DELETE" in sql
+    assert "WHEN NOT MATCHED AND NOT s.`__is_delete` THEN INSERT" in sql
+
+
+def test_quoting_survives_reserved_word_identifiers():
+    tbl = IcebergLakeTable("lake.db.t", key_cols=["order"])
+    sql = tbl._merge_sql(["order", "select"], "__is_delete", "v")
+    assert "t.`order` = s.`order`" in sql
+    assert "t.`select` = s.`select`" in sql
+
+
+class FakeCommitMetadata:
+    """Pins the single-commit protocol: the MERGE must run INSIDE
+    withCommitProperties with the ledger entry in the property map."""
+
+    def __init__(self):
+        self.calls: list[dict] = []
+
+    def withCommitProperties(self, jmap, callable_, exc_cls):
+        self.calls.append(dict(jmap))
+        callable_.call()
+
+
+class _FakeHashMap(dict):
+    def put(self, k, v):
+        self[k] = v
+
+
+class _FakeGateway:
+    class jvm:
+        class java:
+            class util:
+                HashMap = _FakeHashMap
+
+            class lang:
+                RuntimeException = RuntimeError
+
+
+def test_single_commit_path_stamps_snapshot_props(monkeypatch):
+    fake, upd, tbl = _mk()
+    fake.sparkContext = type("SC", (), {"_gateway": _FakeGateway()})()
+    cm = FakeCommitMetadata()
+    monkeypatch.setattr(iceberg_sink, "_commit_metadata", lambda s: cm)
+    monkeypatch.setattr(iceberg_sink, "_ensure_callback", lambda gw: None)
+    r = tbl.merge(upd, epoch="e9", batch_id=4, pre_commit=lambda n: None)
+    assert r["one_commit"] and not r["skipped"]
+    # the MERGE ran exactly once, inside the thread-local wrapper,
+    # carrying epoch + batch id in the snapshot summary
+    assert len(cm.calls) == 1
+    assert cm.calls[0]["tkc.epoch"] == "e9"
+    assert cm.calls[0]["tkc.batch-id"] == "4"
+    assert sum(q.startswith("MERGE") for q in fake.queries) == 1
+    # the table-properties ledger cache still updates afterwards
+    assert json.loads(fake.props["tkc.committed"]) == [["e9", 4]]
+
+
+def test_single_commit_merge_failure_not_rerun(monkeypatch):
+    fake, upd, tbl = _mk()
+    fake.sparkContext = type("SC", (), {"_gateway": _FakeGateway()})()
+
+    class ExplodingCM:
+        def withCommitProperties(self, jmap, callable_, exc_cls):
+            callable_.call()
+
+    real_sql = fake.sql
+
+    def exploding_sql(q):
+        if q.startswith("MERGE"):
+            fake.queries.append(q)
+            raise RuntimeError("commit conflict")
+        return real_sql(q)
+
+    fake.sql = exploding_sql
+    monkeypatch.setattr(iceberg_sink, "_commit_metadata", lambda s: ExplodingCM())
+    monkeypatch.setattr(iceberg_sink, "_ensure_callback", lambda gw: None)
+    with pytest.raises(RuntimeError, match="commit conflict"):
+        tbl.merge(upd, epoch="e9", batch_id=5, pre_commit=lambda n: None)
+    # a started MERGE must never silently re-run on the fallback path
+    assert sum(q.startswith("MERGE") for q in fake.queries) == 1
+
+
+def test_committed_falls_back_to_snapshot_summaries(monkeypatch):
+    fake, upd, tbl = _mk()
+
+    def sql_with_snapshots(q):
+        if ".`snapshots`" in q or ".snapshots" in q:
+            fake.queries.append(q)
+            return FakeResult([{"e": "e1", "b": "9"}])
+        return FakeSpark.sql(fake, q)
+
+    fake.sql = sql_with_snapshots
+    monkeypatch.setattr(
+        iceberg_sink.SparkSession, "getActiveSession", staticmethod(lambda: fake)
+    )
+    # not in the table-properties ledger, but present in a snapshot
+    # summary (crash between MERGE and ledger cache): still committed
+    assert tbl.committed("e1", 9) is True
+    assert tbl.committed("e1", 8) is False
 
 
 def test_jar_gated_end_to_end(spark, tmp_path, monkeypatch):

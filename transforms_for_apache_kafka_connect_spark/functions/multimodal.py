@@ -1,14 +1,18 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
 metadata, with Spark-side plumbing (schema, partitioning, Arrow batch
-shape) fully real and the *codec* step stubbed — the container ships no
-image/audio libraries, so decode raises NotImplementedError unless
-``fake=True`` picks the deterministic fake (hash-derived features),
-which keeps the distributed pipeline testable end-to-end.
+shape) fully real and the *codec* step optional-dependency-gated (the
+Iceberg-sink pattern): when Pillow is importable on the executors the
+real JPEG/PNG decode/resize runs; otherwise ``fake=True`` (the sandbox
+default — no imaging libs in this container) picks the deterministic
+hash-derived fake so the distributed pipeline stays testable
+end-to-end. Pass ``fake=None`` to auto-select (real codec iff Pillow
+is present).
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
 from collections.abc import Iterator
 
 import numpy as np
@@ -16,6 +20,18 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+try:  # optional dependency — never required
+    from PIL import Image as _PILImage
+
+    HAS_PIL = True
+except Exception:  # pragma: no cover - import guard
+    _PILImage = None
+    HAS_PIL = False
+
+
+def _resolve_fake(fake: bool | None) -> bool:
+    return not HAS_PIL if fake is None else fake
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -61,12 +77,27 @@ def synthetic_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes) -> np.ndarray:  # pragma: no cover - stub
-    """Real decode needs PIL/libjpeg — not in this container."""
-    raise NotImplementedError(
-        "image decode requires an imaging library not present in this "
-        "environment; use fake=True for the deterministic fake path"
-    )
+def decode_image(payload: bytes) -> np.ndarray:
+    """JPEG/PNG bytes -> HxWx3 uint8 array via Pillow when present;
+    raises NotImplementedError otherwise (sandbox containers ship no
+    imaging library — the deterministic fake path covers them)."""
+    if not HAS_PIL:
+        raise NotImplementedError(
+            "image decode requires Pillow, which is not present in this "
+            "environment; use fake=True for the deterministic fake path"
+        )
+    with _PILImage.open(io.BytesIO(payload)) as im:
+        return np.asarray(im.convert("RGB"))
+
+
+def _real_features(payload: bytes) -> np.ndarray:
+    """Decode + featurize: 4x4 grayscale thumbnail -> FEATURE_DIM
+    floats in [0, 1] (deterministic, resolution-invariant)."""
+    arr = decode_image(payload).astype(np.float32)
+    gray = arr.mean(axis=2)
+    with _PILImage.fromarray(gray.astype(np.uint8), mode="L") as im:
+        thumb = np.asarray(im.resize((4, 4), _PILImage.BILINEAR))
+    return (thumb.astype(np.float32) / 255.0).reshape(FEATURE_DIM)
 
 
 def _fake_features(payload: bytes) -> np.ndarray:
@@ -79,18 +110,22 @@ def _fake_features(payload: bytes) -> np.ndarray:
     )
 
 
-def extract_features(media: DataFrame, *, fake: bool = True) -> DataFrame:
+def extract_features(media: DataFrame, *, fake: bool | None = True) -> DataFrame:
     """mapInPandas feature extraction: Arrow batches of binary payloads
     in, float vectors out. Partitioning, schema and batch shape are the
-    real production plumbing; only the codec is faked/stubbed."""
+    real production plumbing; the codec step is real when Pillow is
+    importable (``fake=False``/``fake=None``) and the deterministic
+    hash fake otherwise."""
+    fake = _resolve_fake(fake)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
             for payload in pdf["payload"]:
-                if not fake:
-                    decode_image(payload)  # raises: no codec in container
-                feats.append(_fake_features(payload))
+                if fake:
+                    feats.append(_fake_features(payload))
+                else:
+                    feats.append(_real_features(payload))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -117,14 +152,17 @@ RESIZED_SCHEMA = T.StructType(
 
 
 def resize_images(
-    media: DataFrame, width: int, height: int, *, fake: bool = True
+    media: DataFrame, width: int, height: int, *, fake: bool | None = True
 ) -> DataFrame:
     """Image resize plumbing: images flow through Arrow batches and come
     out with the target dimensions and a payload of exactly
-    width*height bytes. The resample itself is the stubbed codec step
-    (``fake=True`` expands the payload's sha512 keystream
-    deterministically — byte-count and schema behave like a real
-    resampler, so partitioning/batch-shape tests are meaningful)."""
+    width*height bytes. With Pillow present (``fake=False``/``None``)
+    the resample is a real bilinear grayscale resize (L-mode raw bytes,
+    so the byte-count contract is identical); the fake path expands the
+    payload's sha512 keystream deterministically — byte-count and
+    schema behave like a real resampler, so partitioning/batch-shape
+    tests are meaningful either way."""
+    fake = _resolve_fake(fake)
     imgs = media.filter(F.col("kind") == "image")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -134,10 +172,18 @@ def resize_images(
                 continue
             out = []
             for payload in pdf["payload"]:
-                if not fake:
-                    decode_image(payload)  # raises: no codec in container
                 if payload is None:
                     out.append(None)
+                    continue
+                if not fake:
+                    gray = decode_image(bytes(payload)).mean(axis=2)
+                    with _PILImage.fromarray(
+                        gray.astype(np.uint8), mode="L"
+                    ) as im:
+                        out.append(
+                            im.resize((width, height), _PILImage.BILINEAR)
+                            .tobytes()
+                        )
                     continue
                 # deterministic keystream expansion to the target size
                 buf = bytearray()

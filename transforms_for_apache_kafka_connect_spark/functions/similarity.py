@@ -44,7 +44,7 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
-    local_topk: bool = False,
+    local_topk: bool = True,
 ) -> DataFrame:
     """Exact top-k by cosine: broadcast queries x streamed corpus.
 
@@ -52,16 +52,18 @@ def brute_force_topk(
     its rows against the (small, broadcast) query set. The final
     per-query top-k is a window over (query_id):
 
-    * ``local_topk=False`` (default): the window shuffles all
-      #queries x |corpus| scored rows — pure-JVM plan, right for small
-      and mid corpora (and for oracle comparisons).
-    * ``local_topk=True``: an Arrow-batched ``mapInPandas`` stage cuts
-      each scan batch to its local top-k per query BEFORE the exchange,
-      so the shuffle carries ≤ #queries x k rows per batch instead of
-      every scored row — the lever that keeps an exact scan viable on
-      large corpora (the result is identical: a global top-k row is by
-      definition in its batch's local top-k). The windowed re-rank over
-      the reduced set produces the same deterministic ordering.
+    * ``local_topk=True`` (default): an Arrow-batched ``mapInPandas``
+      stage cuts each scan batch to its local top-k per query BEFORE
+      the exchange, so the shuffle carries ≤ #queries x k rows per
+      batch instead of every scored row — the lever that keeps an
+      exact scan viable on large corpora (the result is identical: a
+      global top-k row is by definition in its batch's local top-k).
+      The windowed re-rank over the reduced set produces the same
+      deterministic ordering.
+    * ``local_topk=False``: the window shuffles all
+      #queries x |corpus| scored rows — pure-JVM plan with zero Python
+      stages, kept as the oracle-comparison mode (the two modes are
+      provably identical; tests/test_functions.py pins it).
 
     For sub-linear scan cost use ``lsh_topk``/``ivf_topk`` instead.
     """
@@ -128,6 +130,15 @@ def ivf_topk(
     query sets, analogous to a partitioned ANN index); each query
     scores ~``n_probe/n_lists`` of the corpus instead of all of it.
 
+    The assignment itself is **exchange-free**: the centroid set is
+    folded into ONE broadcast row (an array of (list_id, vector)
+    structs), each corpus vector computes all ``n_lists`` similarities
+    as an array column in a single projection, and the top ``n_assign``
+    lists come from ``slice(sort_array(...))`` — no row amplification,
+    no per-vector window shuffle. At 100 TB the index build is the
+    dominant cost, so the only corpus exchange in the whole build is
+    the final shuffle on list id.
+
     ``n_assign`` > 1 assigns each corpus vector to its n nearest lists
     (redundant storage, the recall lever for boundary vectors — a
     neighbor is found if ANY of its lists is probed); duplicate
@@ -145,19 +156,32 @@ def ivf_topk(
         .withColumn("list_id", F.dense_rank().over(Window.orderBy("cid")) - 1)
         .drop("cid")
     )
-    cent_b = F.broadcast(cent)
+    # fold the (tiny) centroid set into a single broadcast row so the
+    # corpus-side join is a 1-row BroadcastNestedLoopJoin: zero shuffle,
+    # zero row amplification
+    cent_row = F.broadcast(
+        cent.agg(F.collect_list(F.struct("list_id", "cv")).alias("__cents"))
+    )
 
     def nearest_lists(df: DataFrame, idc: str, vc: str, n: int) -> DataFrame:
-        scored = df.crossJoin(cent_b).select(
-            F.col(idc), F.col(vc),
-            F.col("list_id"),
-            cosine_expr(F.col(vc), F.col("cv")).alias("__sim"),
+        # per-vector: array of (neg_sim, list_id) -> sort_array ascending
+        # == sim desc, ties by list_id asc (same order the old windowed
+        # row_number produced) -> slice top n -> explode list ids
+        sims = F.transform(
+            F.col("__cents"),
+            lambda c: F.struct(
+                (-cosine_expr(F.col(vc), c.getField("cv"))).alias("neg_sim"),
+                c.getField("list_id").alias("list_id"),
+            ),
         )
-        w = Window.partitionBy(idc).orderBy(F.desc("__sim"), F.asc("list_id"))
+        top = F.slice(F.sort_array(sims), 1, n)
         return (
-            scored.withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") <= n)
-            .drop("__r", "__sim")
+            df.crossJoin(cent_row)
+            .select(
+                F.col(idc),
+                F.col(vc),
+                F.explode(top.getField("list_id")).alias("list_id"),
+            )
         )
 
     assigned = nearest_lists(

@@ -1,3 +1,12 @@
+from transforms_for_apache_kafka_connect_spark.sources.avro_boundary import (
+    avro_schema_to_spark,
+    decode_record,
+    encode_record,
+    envelope_from_avro,
+    envelope_to_avro,
+    jvm_avro_available,
+    spark_to_avro_schema,
+)
 from transforms_for_apache_kafka_connect_spark.sources.changestream import (
     change_stream,
     repositories_snapshot,
@@ -16,4 +25,11 @@ __all__ = [
     "envelope_from_kafka",
     "envelope_to_json",
     "infer_json_schema",
+    "envelope_from_avro",
+    "envelope_to_avro",
+    "avro_schema_to_spark",
+    "spark_to_avro_schema",
+    "encode_record",
+    "decode_record",
+    "jvm_avro_available",
 ]

@@ -1,0 +1,616 @@
+"""Avro bytes ↔ struct converter boundary (reference AvroConverter
+analog — the schema-ful half of the converter contract).
+
+The reference's SMT chains run behind Kafka Connect converters
+(reference README.md usage; IntegrationTest.java wires JsonConverter —
+production Aiven/Confluent deployments overwhelmingly use
+AvroConverter + schema registry for the schema-ful regime, SURVEY.md
+§1.2). ``json_boundary`` closed the schemaless half; this module closes
+the schema-ful half: raw Avro-binary key/value payloads become the
+typed envelope the operators consume, and an envelope serializes back
+to Avro bytes for a bytes-oriented sink.
+
+Two execution paths, same semantics (the Iceberg-sink gating pattern):
+
+* **JVM path** — when the ``spark-avro`` module is on the classpath
+  (it ships with every real Spark distribution; absent from this
+  sandbox's pip build), ``from_avro``/``to_avro`` run the whole decode
+  inside codegen — zero Python. Detected at runtime, preferred
+  automatically.
+* **Arrow-batched Python codec** — a spec-complete Avro binary
+  decoder/encoder (Avro 1.12 spec §Binary Encoding: zigzag varints,
+  length-prefixed strings/bytes, block-encoded arrays/maps, union
+  branch indexes) applied per Arrow batch through ``pandas_udf``. The
+  per-record byte walk is inherently sequential, but batches move via
+  Arrow and the loop touches only the bytes column — this is the
+  sandbox-verified fallback, proven byte-identical to the spec by
+  golden-bytes tests (tests/test_avro_boundary.py).
+
+Confluent wire framing: schema-registry payloads prefix the Avro body
+with 1 magic byte (0x00) + a 4-byte big-endian schema id
+(public Confluent wire-format doc). ``confluent_framing=True`` strips
+and validates the frame on decode and re-adds it on encode; the schema
+id survives as a passthrough column for registry-aware routing.
+
+Error contract matches the JSON boundary (SURVEY.md §4.3): a non-null
+payload that fails to decode sets the per-record error column with the
+converter ``SERIALIZATION_ERROR`` message; the engine's batch-fail gate
+raises ``DataException`` before anything commits. Null payloads are
+tombstones, never errors.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import math
+import struct as _struct
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from transforms_for_apache_kafka_connect_spark.record import (
+    ensure_error_col,
+    merge_error,
+)
+from transforms_for_apache_kafka_connect_spark.sources.json_boundary import (
+    SERIALIZATION_ERROR,
+)
+
+_PRIMITIVE_SPARK = {
+    "null": T.NullType(),
+    "boolean": T.BooleanType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "string": T.StringType(),
+    "bytes": T.BinaryType(),
+}
+
+
+def _norm(schema: Any) -> Any:
+    """Avro schemas appear as JSON strings, bare type-name strings, or
+    dicts; normalize to dict/list/str form."""
+    if isinstance(schema, str):
+        s = schema.strip()
+        if s.startswith("{") or s.startswith("["):
+            return json.loads(s)
+        return s
+    return schema
+
+
+def avro_schema_to_spark(schema: Any) -> T.DataType:
+    """Map an Avro schema to the Spark type the decoder produces.
+
+    Unions must be ``["null", T]`` (the nullable idiom — multi-branch
+    unions have no stable columnar shape and are rejected loudly).
+    ``enum`` -> string, ``fixed`` -> binary, logical types ride their
+    underlying primitive (the reference operators treat timestamps as
+    epoch longs already)."""
+    schema = _norm(schema)
+    if isinstance(schema, str):
+        if schema in _PRIMITIVE_SPARK:
+            return _PRIMITIVE_SPARK[schema]
+        raise ValueError(f"unsupported avro type: {schema!r}")
+    if isinstance(schema, list):  # union
+        non_null = [s for s in schema if _norm(s) != "null"]
+        if len(non_null) != 1:
+            raise ValueError(
+                "only nullable unions ['null', T] are supported, got "
+                f"{schema!r}"
+            )
+        return avro_schema_to_spark(non_null[0])
+    t = schema["type"]
+    if t == "record":
+        return T.StructType(
+            [
+                T.StructField(
+                    f["name"], avro_schema_to_spark(f["type"]), nullable=True
+                )
+                for f in schema["fields"]
+            ]
+        )
+    if t == "array":
+        return T.ArrayType(avro_schema_to_spark(schema["items"]))
+    if t == "map":
+        return T.MapType(T.StringType(), avro_schema_to_spark(schema["values"]))
+    if t == "enum":
+        return T.StringType()
+    if t == "fixed":
+        return T.BinaryType()
+    if t in _PRIMITIVE_SPARK or isinstance(t, (dict, list)):
+        # {"type": "long", "logicalType": ...} wrapper form
+        return avro_schema_to_spark(t)
+    raise ValueError(f"unsupported avro type: {schema!r}")
+
+
+# ------------------------------------------------------------- binary codec
+# Avro spec, Binary Encoding section (public): ints/longs are
+# zigzag-varint; strings/bytes are length-prefixed; float/double are
+# IEEE little-endian; arrays/maps are blocks terminated by count 0;
+# unions are a varint branch index then the value; enums are the varint
+# symbol index; fixed is raw width bytes.
+
+
+def _zigzag_encode(n: int) -> bytes:
+    u = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag_decode(buf: memoryview, pos: int) -> tuple[int, int]:
+    shift = 0
+    acc = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+        if shift > 70:
+            raise ValueError("varint too long")
+    return (acc >> 1) ^ -(acc & 1), pos
+
+
+def _encode(schema: Any, val: Any, out: io.BytesIO) -> None:
+    schema = _norm(schema)
+    if isinstance(schema, list):  # nullable union
+        non_null = [s for s in schema if _norm(s) != "null"]
+        null_idx = 0 if _norm(schema[0]) == "null" else 1
+        if val is None:
+            out.write(_zigzag_encode(null_idx))
+        else:
+            out.write(_zigzag_encode(1 - null_idx))
+            _encode(non_null[0], val, out)
+        return
+    t = schema if isinstance(schema, str) else schema["type"]
+    if isinstance(t, (dict, list)):
+        _encode(t, val, out)
+    elif t == "null":
+        pass
+    elif t == "boolean":
+        out.write(b"\x01" if val else b"\x00")
+    elif t in ("int", "long"):
+        out.write(_zigzag_encode(int(val)))
+    elif t == "float":
+        out.write(_struct.pack("<f", float(val)))
+    elif t == "double":
+        out.write(_struct.pack("<d", float(val)))
+    elif t == "string":
+        b = str(val).encode("utf-8")
+        out.write(_zigzag_encode(len(b)))
+        out.write(b)
+    elif t in ("bytes", "fixed"):
+        b = bytes(val)
+        if t == "fixed":
+            if len(b) != schema["size"]:
+                raise ValueError("fixed size mismatch")
+            out.write(b)
+        else:
+            out.write(_zigzag_encode(len(b)))
+            out.write(b)
+    elif t == "enum":
+        out.write(_zigzag_encode(schema["symbols"].index(val)))
+    elif t == "record":
+        for f in schema["fields"]:
+            fv = val.get(f["name"]) if isinstance(val, dict) else val[f["name"]]
+            _encode(f["type"], fv, out)
+    elif t == "array":
+        items = list(val)
+        if items:
+            out.write(_zigzag_encode(len(items)))
+            for item in items:
+                _encode(schema["items"], item, out)
+        out.write(b"\x00")
+    elif t == "map":
+        entries = list(val.items()) if isinstance(val, dict) else list(val)
+        if entries:
+            out.write(_zigzag_encode(len(entries)))
+            for k, v in entries:
+                _encode("string", k, out)
+                _encode(schema["values"], v, out)
+        out.write(b"\x00")
+    else:
+        raise ValueError(f"unsupported avro type: {schema!r}")
+
+
+def _decode(schema: Any, buf: memoryview, pos: int) -> tuple[Any, int]:
+    schema = _norm(schema)
+    if isinstance(schema, list):  # nullable union
+        idx, pos = _zigzag_decode(buf, pos)
+        branch = _norm(schema[idx])
+        if branch == "null":
+            return None, pos
+        return _decode(branch, buf, pos)
+    t = schema if isinstance(schema, str) else schema["type"]
+    if isinstance(t, (dict, list)):
+        return _decode(t, buf, pos)
+    if t == "null":
+        return None, pos
+    if t == "boolean":
+        return buf[pos] != 0, pos + 1
+    if t in ("int", "long"):
+        return _zigzag_decode(buf, pos)
+    if t == "float":
+        return _struct.unpack_from("<f", buf, pos)[0], pos + 4
+    if t == "double":
+        return _struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if t == "string":
+        n, pos = _zigzag_decode(buf, pos)
+        return str(buf[pos : pos + n], "utf-8"), pos + n
+    if t == "bytes":
+        n, pos = _zigzag_decode(buf, pos)
+        return bytes(buf[pos : pos + n]), pos + n
+    if t == "fixed":
+        n = schema["size"]
+        return bytes(buf[pos : pos + n]), pos + n
+    if t == "enum":
+        i, pos = _zigzag_decode(buf, pos)
+        return schema["symbols"][i], pos
+    if t == "record":
+        rec = {}
+        for f in schema["fields"]:
+            rec[f["name"]], pos = _decode(f["type"], buf, pos)
+        return rec, pos
+    if t == "array":
+        out = []
+        while True:
+            n, pos = _zigzag_decode(buf, pos)
+            if n == 0:
+                return out, pos
+            if n < 0:  # block with byte-size prefix
+                n = -n
+                _, pos = _zigzag_decode(buf, pos)
+            for _i in range(n):
+                item, pos = _decode(schema["items"], buf, pos)
+                out.append(item)
+    if t == "map":
+        out = {}
+        while True:
+            n, pos = _zigzag_decode(buf, pos)
+            if n == 0:
+                return out, pos
+            if n < 0:
+                n = -n
+                _, pos = _zigzag_decode(buf, pos)
+            for _i in range(n):
+                k, pos = _decode("string", buf, pos)
+                out[k], pos = _decode(schema["values"], buf, pos)
+    raise ValueError(f"unsupported avro type: {schema!r}")
+
+
+def encode_record(schema: Any, record: dict) -> bytes:
+    """One record dict -> Avro binary body (no framing)."""
+    out = io.BytesIO()
+    _encode(_norm(schema), record, out)
+    return out.getvalue()
+
+
+def decode_record(schema: Any, payload: bytes) -> dict:
+    """Avro binary body -> record dict; raises on malformed/trailing
+    bytes (the converter contract needs a loud decode failure)."""
+    val, pos = _decode(_norm(schema), memoryview(payload), 0)
+    if pos != len(payload):
+        raise ValueError(f"{len(payload) - pos} trailing bytes after record")
+    return val
+
+
+# ---------------------------------------------------------------- JVM probe
+
+_JVM_AVRO: bool | None = None
+
+
+def jvm_avro_available(spark) -> bool:
+    """True when the spark-avro module is on the classpath (real Spark
+    distributions ship it; the sandbox pip build does not)."""
+    global _JVM_AVRO
+    if _JVM_AVRO is None:
+        try:
+            spark._jvm.java.lang.Class.forName(
+                "org.apache.spark.sql.avro.AvroDataToCatalyst"
+            )
+            _JVM_AVRO = True
+        except Exception:
+            _JVM_AVRO = False
+    return _JVM_AVRO
+
+
+# ------------------------------------------------------------ column codecs
+
+#: Confluent wire format: magic 0x00 + 4-byte big-endian schema id
+_FRAME_LEN = 5
+
+
+def _decode_column(
+    raw: Column,
+    schema: Any,
+    spark_type: T.DataType,
+    *,
+    confluent_framing: bool,
+    use_jvm: bool,
+) -> tuple[Column, Column]:
+    """binary column -> (decoded struct column, bad flag column)."""
+    schema = _norm(schema)
+    body = raw
+    frame_bad = F.lit(False)
+    if confluent_framing:
+        frame_bad = raw.isNotNull() & (
+            (F.length(raw) < _FRAME_LEN + 1)
+            | (F.substring(raw, 1, 1) != F.lit(b"\x00"))
+        )
+        # binary substr is 1-based; Column.substr takes Column args so
+        # the frame strip works for any source column, not just "value"
+        body = F.when(~frame_bad, raw.substr(F.lit(_FRAME_LEN + 1), F.length(raw)))
+    if use_jvm:
+        from pyspark.sql.avro.functions import from_avro
+
+        decoded = from_avro(body, json.dumps(schema), {"mode": "PERMISSIVE"})
+        bad = body.isNotNull() & decoded.isNull()
+        return decoded, bad | frame_bad
+
+    from pyspark.sql.functions import pandas_udf
+
+    out_type = T.StructType(
+        [
+            T.StructField("rec", spark_type, nullable=True),
+            T.StructField("bad", T.BooleanType(), nullable=False),
+        ]
+    )
+    schema_json = json.dumps(schema) if not isinstance(schema, str) else schema
+
+    @pandas_udf(returnType=out_type)
+    def dec(s: pd.Series) -> pd.DataFrame:
+        sch = _norm(schema_json)
+        recs, bads = [], []
+        for payload in s:
+            if payload is None:
+                recs.append(None)
+                bads.append(False)
+                continue
+            try:
+                recs.append(decode_record(sch, bytes(payload)))
+                bads.append(False)
+            except Exception:
+                recs.append(None)
+                bads.append(True)
+        return pd.DataFrame({"rec": recs, "bad": bads})
+
+    d = dec(body)
+    return d.getField("rec"), d.getField("bad") | frame_bad
+
+
+def envelope_from_avro(
+    raw: DataFrame,
+    *,
+    value_schema: Any,
+    key_schema: Any | None = None,
+    key_col: str = "key",
+    value_col: str = "value",
+    confluent_framing: bool = False,
+    use_jvm: bool | None = None,
+    passthrough: list[str] | None = None,
+) -> DataFrame:
+    """Raw Avro-bytes stream -> typed envelope.
+
+    ``raw`` needs ``value`` (Avro binary; null = tombstone) and
+    optionally ``key``/``topic``/``partition``/``timestamp``/
+    ``headers`` — missing envelope slots get the JSON-boundary
+    defaults. Schemas are Avro JSON (string or dict); no registry call
+    happens here — resolve the writer schema upstream and pin it, the
+    same way a Connect worker pins ``value.converter`` config.
+
+    With ``confluent_framing=True`` the 5-byte registry frame is
+    validated + stripped and the schema id survives as an
+    ``avro_schema_id`` passthrough column.
+
+    Malformed payloads (bad frame, truncated varint, trailing bytes)
+    set the per-record error column with the converter
+    ``SERIALIZATION_ERROR`` message — the engine batch-fail gate turns
+    the first one into ``DataException``."""
+    value_schema = _norm(value_schema)
+    spark_value = avro_schema_to_spark(value_schema)
+    if use_jvm is None:
+        use_jvm = jvm_avro_available(raw.sparkSession)
+
+    cols = dict.fromkeys(raw.columns)
+    value_expr, value_bad = _decode_column(
+        F.col(value_col),
+        value_schema,
+        spark_value,
+        confluent_framing=confluent_framing,
+        use_jvm=use_jvm,
+    )
+    if key_col in cols and key_schema is not None:
+        # key and value converters frame independently but identically
+        # (Connect's key.converter/value.converter are both
+        # registry-backed when the topic is)
+        key_schema = _norm(key_schema)
+        key_expr, key_bad = _decode_column(
+            F.col(key_col),
+            key_schema,
+            avro_schema_to_spark(key_schema),
+            confluent_framing=confluent_framing,
+            use_jvm=use_jvm,
+        )
+    elif key_col in cols:
+        key_expr = F.col(key_col).cast("string")
+        key_bad = F.lit(False)
+    else:
+        key_expr = F.lit(None).cast("string")
+        key_bad = F.lit(False)
+
+    extra = list(passthrough or [])
+    env = raw.select(
+        (F.col("topic") if "topic" in cols else F.lit("avro_topic")).alias(
+            "topic"
+        ),
+        (
+            F.col("partition").cast("int")
+            if "partition" in cols
+            else F.lit(0).cast("int")
+        ).alias("partition"),
+        key_expr.alias("key"),
+        value_expr.alias("value"),
+        (
+            F.col("timestamp").cast("long")
+            if "timestamp" in cols
+            else F.lit(None).cast("long")
+        ).alias("timestamp"),
+        (
+            F.col("headers")
+            if "headers" in cols
+            else F.lit(None).cast(T.MapType(T.StringType(), T.StringType()))
+        ).alias("headers"),
+        (value_bad | key_bad).alias("__avro_bad"),
+        *(
+            [
+                F.when(
+                    F.col(value_col).isNotNull(),
+                    F.conv(F.hex(F.substring(F.col(value_col), 2, 4)), 16, 10)
+                    .cast("long"),
+                ).alias("avro_schema_id")
+            ]
+            if confluent_framing
+            else []
+        ),
+        *[F.col(c) for c in extra if c in cols],
+    )
+    env = ensure_error_col(env)
+    env = merge_error(
+        env,
+        F.col("__avro_bad"),
+        F.lit(SERIALIZATION_ERROR + "invalid Avro payload"),
+    )
+    return env.drop("__avro_bad")
+
+
+def envelope_to_avro(
+    env: DataFrame,
+    *,
+    value_schema: Any,
+    key_schema: Any | None = None,
+    confluent_framing: bool = False,
+    schema_id: int = 1,
+    use_jvm: bool | None = None,
+) -> DataFrame:
+    """Typed envelope -> raw Avro-binary columns (serialize direction).
+    Tombstones stay null. Scalar keys pass through as UTF-8 bytes when
+    no ``key_schema`` is given."""
+    value_schema = _norm(value_schema)
+    if use_jvm is None:
+        use_jvm = jvm_avro_available(env.sparkSession)
+
+    def enc_col(col: Column, schema: Any) -> Column:
+        if use_jvm:
+            from pyspark.sql.avro.functions import to_avro
+
+            body = to_avro(col, json.dumps(schema))
+        else:
+            from pyspark.sql.functions import pandas_udf
+
+            schema_json = json.dumps(schema)
+
+            def _clean(v: Any) -> Any:
+                # Arrow hands a struct column to a pandas UDF as a
+                # DataFrame, losing None-vs-NaN for float fields; a
+                # nullable Avro field must take the null branch for NaN
+                # (a genuine NaN payload is not representable through
+                # this fallback — the JVM path preserves it)
+                if isinstance(v, float) and math.isnan(v):
+                    return None
+                if isinstance(v, dict):
+                    return {k: _clean(x) for k, x in v.items()}
+                if isinstance(v, (list, tuple)):
+                    return [_clean(x) for x in v]
+                return v
+
+            @pandas_udf(returnType=T.BinaryType())
+            def enc(s: pd.Series) -> pd.Series:
+                # a struct column arrives as a DataFrame or (depending
+                # on structHandlingMode) a Series of dicts — handle both
+                sch = _norm(schema_json)
+                recs = (
+                    s.to_dict("records")
+                    if isinstance(s, pd.DataFrame)
+                    else list(s)
+                )
+                return pd.Series(
+                    [
+                        None if r is None else encode_record(sch, _clean(r))
+                        for r in recs
+                    ],
+                    dtype=object,
+                )
+
+            body = enc(col)
+        body = F.when(col.isNotNull(), body)
+        if confluent_framing:
+            frame = F.lit(b"\x00" + schema_id.to_bytes(4, "big"))
+            body = F.when(col.isNotNull(), F.concat(frame, body))
+        return body
+
+    if key_schema is not None:
+        key_expr = enc_col(F.col("key"), _norm(key_schema))
+    else:
+        key_expr = F.col("key").cast("string").cast("binary")
+    return env.select(
+        "topic",
+        "partition",
+        key_expr.alias("key"),
+        enc_col(F.col("value"), value_schema).alias("value"),
+        "timestamp",
+        "headers",
+    )
+
+
+def spark_to_avro_schema(dt: T.DataType, name: str = "record") -> dict:
+    """Spark type -> nullable Avro schema (the serialize direction's
+    default writer schema)."""
+
+    def conv(t: T.DataType, nm: str) -> Any:
+        if isinstance(t, T.StructType):
+            return {
+                "type": "record",
+                "name": nm,
+                "fields": [
+                    {
+                        "name": f.name,
+                        "type": ["null", conv(f.dataType, nm + "_" + f.name)],
+                    }
+                    for f in t.fields
+                ],
+            }
+        if isinstance(t, T.ArrayType):
+            return {"type": "array", "items": ["null", conv(t.elementType, nm)]}
+        if isinstance(t, T.MapType):
+            return {"type": "map", "values": ["null", conv(t.valueType, nm)]}
+        m = {
+            T.BooleanType: "boolean",
+            T.IntegerType: "int",
+            T.ShortType: "int",
+            T.ByteType: "int",
+            T.LongType: "long",
+            T.FloatType: "float",
+            T.DoubleType: "double",
+            T.StringType: "string",
+            T.BinaryType: "bytes",
+        }
+        for k, v in m.items():
+            if isinstance(t, k):
+                return v
+        raise ValueError(f"no avro mapping for spark type {t}")
+
+    return conv(dt, name)

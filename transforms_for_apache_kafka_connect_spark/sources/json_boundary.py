@@ -81,16 +81,27 @@ def _parse_with_corruption(
 def infer_json_schema(
     df: DataFrame, col: str = "value", sample: int = 1000
 ) -> T.StructType:
-    """Distributed JSON schema inference over a bounded sample (batch
-    DataFrames only — pin the result as an explicit schema for
-    streaming use)."""
-    sample_df = (
-        df.select(_as_string(F.col(col)).alias("json"))
-        .filter(F.col("json").isNotNull())
-        .limit(sample)
-    )
+    """JSON schema inference over a bounded sample (batch DataFrames
+    only — pin the result as an explicit schema for streaming use).
+
+    The sample is collected to the driver (bounded by ``sample``) and
+    fed to Spark's JSON inference through a tiny parallelize — PySpark's
+    reader takes only paths or an RDD of strings (no Dataset[String]
+    overload), and this shape keeps Python workers off the distributed
+    scan entirely: the scan side is a pure limit+collect."""
     spark = df.sparkSession
-    return spark.read.json(sample_df.rdd.map(lambda r: r["json"])).schema
+    strings = [
+        r[0]
+        for r in (
+            df.select(_as_string(F.col(col)).alias("json"))
+            .filter(F.col("json").isNotNull())
+            .limit(sample)
+            .collect()
+        )
+    ]
+    if not strings:
+        return T.StructType([])
+    return spark.read.json(spark.sparkContext.parallelize(strings, 2)).schema
 
 
 def envelope_from_json(

@@ -25,24 +25,28 @@ Commit protocol (per merge call), in order:
 5. **Ledger**: append (epoch, batch_id) [+ lineage] to table
    properties — a second, metadata-only commit.
 
-Exactly-once contract: data (4) and ledger (5) are two Iceberg commits,
-so a crash between them leaves the batch applied but unledgered. That
-window is safe because batches replay **in order per epoch** and the
-update set is a deterministic LWW function of the batch: re-running the
+Exactly-once contract: when the Iceberg jar is present the batch's
+ledger entry rides **inside the MERGE snapshot itself** — the MERGE is
+wrapped in the Java ``CommitMetadata.withCommitProperties`` thread-local
+(reached via py4j; it is not exposed through Spark SQL), which stamps
+``tkc.epoch``/``tkc.batch-id``/``tkc.lineage`` into the snapshot
+summary, making data + ledger ONE atomic commit. The table-properties
+ledger (5) is then only a fast-path cache: ``committed()`` falls back
+to scanning the ``.snapshots`` metadata table when the cache lacks an
+entry, so a crash between (4) and (5) is fully recoverable. If the
+``CommitMetadata`` class or the py4j callback server is unavailable,
+the sink degrades to the two-commit protocol, which is still
+effectively-once: batches replay **in order per epoch** and the update
+set is a deterministic LWW function of the batch, so re-running the
 identical MERGE is state-idempotent (same upserts; deletes of absent
-keys no-op), and no later batch can have been applied before an earlier
-one was ledgered. The result is effectively-once table state — the same
-guarantee the hermetic sink provides, achieved by idempotent
-re-application instead of a single atomic swap. (A single-commit
-variant via Iceberg snapshot-summary properties requires the Java
-``CommitMetadata`` API, which Spark SQL does not expose.)
+keys no-op).
 """
 
 from __future__ import annotations
 
 import json
 from dataclasses import dataclass, field
-from typing import Any
+from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -57,6 +61,49 @@ def available(spark: SparkSession) -> bool:
         return True
     except Exception:
         return False
+
+
+def _quote(ident: str) -> str:
+    """Backtick-quote one identifier part (defensive — identifiers come
+    from trusted config, but a reserved word or dotted column must not
+    break the generated SQL)."""
+    return "`" + ident.replace("`", "``") + "`"
+
+
+def _quote_table(identifier: str) -> str:
+    return ".".join(_quote(p) for p in identifier.split("."))
+
+
+def _commit_metadata(spark: SparkSession):
+    """py4j handle to ``org.apache.iceberg.CommitMetadata`` (the
+    snapshot-summary thread-local), or None when the jar is absent."""
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.java.lang.Class.forName("org.apache.iceberg.CommitMetadata")
+        return jvm.org.apache.iceberg.CommitMetadata
+    except Exception:
+        return None
+
+
+def _ensure_callback(gateway) -> None:  # seam for mocked-catalog tests
+    from pyspark.java_gateway import ensure_callback_server_started
+
+    ensure_callback_server_started(gateway)
+
+
+class _PyCallable:
+    """Python implementation of java.util.concurrent.Callable for the
+    py4j callback bridge."""
+
+    def __init__(self, fn: Callable[[], Any]):
+        self._fn = fn
+
+    def call(self):
+        self._fn()
+        return None
+
+    class Java:
+        implements = ["java.util.concurrent.Callable"]
 
 
 @dataclass
@@ -88,12 +135,31 @@ class IcebergLakeTable:
         return {
             r["key"]: r["value"]
             for r in spark.sql(
-                f"SHOW TBLPROPERTIES {self.identifier}"
+                f"SHOW TBLPROPERTIES {_quote_table(self.identifier)}"
             ).collect()
         }
 
     def _ledger(self, spark: SparkSession) -> list[list]:
         return json.loads(self._props(spark).get(self.LEDGER_PROP, "[]"))
+
+    def _in_snapshot_summaries(
+        self, spark: SparkSession, epoch: str, batch_id: int
+    ) -> bool:
+        """Crash-window recovery: when the ledger cache lacks an entry,
+        the authoritative record is the snapshot summary the MERGE
+        itself carried (single-commit path). Metadata-only scan."""
+        try:
+            rows = spark.sql(
+                "SELECT summary['tkc.epoch'] AS e, "
+                "summary['tkc.batch-id'] AS b "
+                f"FROM {_quote_table(self.identifier)}.snapshots "
+                "WHERE summary['tkc.epoch'] IS NOT NULL"
+            ).collect()
+        except Exception:
+            return False
+        return any(
+            r["e"] == epoch and r["b"] == str(batch_id) for r in rows
+        )
 
     def committed(self, epoch: str, batch_id: int) -> bool:
         spark = SparkSession.getActiveSession()
@@ -102,7 +168,9 @@ class IcebergLakeTable:
                 "IcebergLakeTable.committed needs an active SparkSession"
             )
         self._require(spark)
-        return [epoch, batch_id] in self._ledger(spark)
+        if [epoch, batch_id] in self._ledger(spark):
+            return True
+        return self._in_snapshot_summaries(spark, epoch, batch_id)
 
     def read(self, spark: SparkSession) -> DataFrame:
         return spark.table(self.identifier)
@@ -122,19 +190,25 @@ class IcebergLakeTable:
     # ------------------------------------------------------------ merge
 
     def _merge_sql(self, cols: list[str], delete_col: str, view: str) -> str:
-        on = " AND ".join(f"t.{c} = s.{c}" for c in self.key_cols)
-        sets = ", ".join(
-            f"t.{c} = s.{c}" for c in cols if c not in self.key_cols
+        q = _quote
+        on = " AND ".join(f"t.{q(c)} = s.{q(c)}" for c in self.key_cols)
+        non_key = [c for c in cols if c not in self.key_cols]
+        sets = ", ".join(f"t.{q(c)} = s.{q(c)}" for c in non_key)
+        # a key-only table has nothing to update: WHEN MATCHED UPDATE
+        # with an empty assignment list is malformed SQL — a matched
+        # non-delete row is already byte-identical, so drop the clause
+        update_clause = (
+            f"WHEN MATCHED THEN UPDATE SET {sets}\n" if non_key else ""
         )
         return (
-            f"MERGE INTO {self.identifier} t\n"
-            f"USING {view} s\n"
+            f"MERGE INTO {_quote_table(self.identifier)} t\n"
+            f"USING {q(view)} s\n"
             f"ON {on}\n"
-            f"WHEN MATCHED AND s.{delete_col} THEN DELETE\n"
-            f"WHEN MATCHED THEN UPDATE SET {sets}\n"
-            f"WHEN NOT MATCHED AND NOT s.{delete_col} THEN INSERT\n"
-            f"  ({', '.join(cols)}) VALUES "
-            f"({', '.join('s.' + c for c in cols)})"
+            f"WHEN MATCHED AND s.{q(delete_col)} THEN DELETE\n"
+            f"{update_clause}"
+            f"WHEN NOT MATCHED AND NOT s.{q(delete_col)} THEN INSERT\n"
+            f"  ({', '.join(q(c) for c in cols)}) VALUES "
+            f"({', '.join('s.' + q(c) for c in cols)})"
         )
 
     def _evolve_schema(self, spark: SparkSession, updates: DataFrame,
@@ -149,10 +223,11 @@ class IcebergLakeTable:
         ]
         if new:
             cols_ddl = ", ".join(
-                f"{f.name} {f.dataType.simpleString()}" for f in new
+                f"{_quote(f.name)} {f.dataType.simpleString()}" for f in new
             )
             spark.sql(
-                f"ALTER TABLE {self.identifier} ADD COLUMNS ({cols_ddl})"
+                f"ALTER TABLE {_quote_table(self.identifier)} "
+                f"ADD COLUMNS ({cols_ddl})"
             )
         return [f.name for f in new]
 
@@ -176,7 +251,9 @@ class IcebergLakeTable:
         """
         spark = updates.sparkSession
         self._require(spark)
-        if [epoch, batch_id] in self._ledger(spark):
+        if [epoch, batch_id] in self._ledger(spark) or (
+            self._in_snapshot_summaries(spark, epoch, batch_id)
+        ):
             return {"skipped": True, "reason": "already committed"}
 
         # 1. stage: one action completes the chain's Observations and
@@ -190,15 +267,31 @@ class IcebergLakeTable:
                 pre_commit(n_upd)
 
             added: list[str] = []
+            one_commit = False
             if n_upd > 0:
                 # 3. additive schema evolution (post-gate)
                 added = self._evolve_schema(spark, updates, delete_col)
 
-                # 4. data commit: one MERGE snapshot
+                # 4. data commit: one MERGE snapshot. When the Iceberg
+                # CommitMetadata API is reachable the ledger entry is
+                # stamped INTO this snapshot's summary (data + ledger =
+                # one atomic commit); step 5 then only refreshes the
+                # fast-path cache.
                 view = f"__tkc_updates_{epoch}_{batch_id}".replace("-", "_")
                 updates.createOrReplaceTempView(view)
                 cols = [c for c in updates.columns if c != delete_col]
-                spark.sql(self._merge_sql(cols, delete_col, view))
+                merge_sql = self._merge_sql(cols, delete_col, view)
+                one_commit = self._merge_with_snapshot_props(
+                    spark,
+                    merge_sql,
+                    {
+                        "tkc.epoch": epoch,
+                        "tkc.batch-id": str(batch_id),
+                        "tkc.n-updates": str(n_upd),
+                    },
+                )
+                if not one_commit:
+                    spark.sql(merge_sql)
 
             # 5. ledger commit (metadata-only; see module docstring for
             # the crash-window analysis)
@@ -232,4 +325,46 @@ class IcebergLakeTable:
             "batch_id": batch_id,
             "n_updates": n_upd,
             "added_columns": added,
+            "one_commit": one_commit,
         }
+
+    # --------------------------------------------- single-commit plumbing
+
+    def _merge_with_snapshot_props(
+        self, spark: SparkSession, merge_sql: str, props: dict[str, str]
+    ) -> bool:
+        """Run the MERGE inside ``CommitMetadata.withCommitProperties``
+        so the ledger entry lands in the MERGE snapshot's summary.
+        Returns False (without running anything) when the API or the
+        py4j callback bridge is unavailable — the caller then runs the
+        plain two-commit path. If the MERGE itself started, its failure
+        propagates (never silently re-run)."""
+        cm = _commit_metadata(spark)
+        if cm is None:
+            return False
+        state = {"started": False, "error": None}
+
+        def run() -> None:
+            state["started"] = True
+            try:
+                spark.sql(merge_sql)
+            except BaseException as e:  # noqa: BLE001 - recorded, re-raised
+                state["error"] = e
+                raise
+
+        try:
+            gw = spark.sparkContext._gateway
+            _ensure_callback(gw)
+            jmap = gw.jvm.java.util.HashMap()
+            for k, v in props.items():
+                jmap.put(k, str(v))
+            cm.withCommitProperties(
+                jmap, _PyCallable(run), gw.jvm.java.lang.RuntimeException
+            )
+            return True
+        except Exception:
+            if state["error"] is not None:
+                raise state["error"]
+            if state["started"]:
+                raise
+            return False
