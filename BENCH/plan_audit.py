@@ -135,6 +135,32 @@ def main() -> None:
     check("replay updates plan: single shuffle for LWW (agg exchanges)",
           p.count("Exchange") <= 3, f"exchanges={p.count('Exchange')}")
 
+    # 6b. merge-plan golden: the changelog-off update plan's operator
+    # sequence is pinned in BENCH/merge_plan_golden.txt — any round-over-
+    # round change to the headline replay dataflow shows up as a diff
+    # here, separating engine plan regressions from VM-noise swings in
+    # the bench numbers
+    golden_path = os.path.join(os.path.dirname(__file__),
+                               "merge_plan_golden.txt")
+    fingerprint = "\n".join(
+        re.sub(r"#\d+L?", "", m.group(1)).strip()
+        for m in re.finditer(r"^[\s:+*-]*([A-Z][A-Za-z]+)", p, re.M)
+    )
+    if not os.path.exists(golden_path):
+        with open(golden_path, "w") as fh:
+            fh.write(fingerprint + "\n")
+        check("merge plan golden: pinned (first run)", True)
+    else:
+        with open(golden_path) as fh:
+            pinned = fh.read().strip()
+        same = pinned == fingerprint.strip()
+        if not same:
+            import difflib
+            print("\n".join(difflib.unified_diff(
+                pinned.splitlines(), fingerprint.splitlines(),
+                "golden", "current", lineterm="")))
+        check("merge plan golden: operator sequence unchanged", same)
+
     # 7. merge-on-read resolution: aggregate-based LWW with map-side combine
     import tempfile as _tf
 

@@ -136,12 +136,20 @@ def replay_benchmark(spark, n_events: int, work_dir: str, cpus: int) -> dict:
         # JIT/codegen warmup (JMH-style): replay a small identically-shaped
         # stream into a throwaway table so whole-stage-codegen classes,
         # parquet reader paths and shuffle codecs are compiled before the
-        # timed loop — we measure the engine, not HotSpot's first pass
+        # timed loop — we measure the engine, not HotSpot's first pass.
+        # TWO warm batches so both distinct merge plan shapes are
+        # compiled: batch 0 (initial load into an empty table) and
+        # batch 1+ (incremental merge against existing buckets) — a
+        # single-batch warmup leaves the incremental shape cold and the
+        # first timed batches pay its JIT (measured ~2x on batch 0-1).
         warm_path = os.path.join(work_dir, "warm_events")
         (
-            change_stream(spark, 200_000, n_repos=2_000, paths_per_repo=20,
+            change_stream(spark, 1_000_000, n_repos=2_000, paths_per_repo=20,
                           partitions=cpus)
-            .withColumn("__slice", F.lit(0))
+            .withColumn(
+                "__slice",
+                (F.col("timestamp") % 2).cast("int"),
+            )
             .write.mode("overwrite").partitionBy("__slice").parquet(warm_path)
         )
         warm_table = LakeTable(
@@ -150,7 +158,7 @@ def replay_benchmark(spark, n_events: int, work_dir: str, cpus: int) -> dict:
             merge_strategy="broadcast",
         )
         Replayer(table=warm_table, chain=chain, epoch="warm", unique_lsn=True).replay(
-            spark.read.parquet(warm_path), batch_width=1, max_pos=1,
+            spark.read.parquet(warm_path), batch_width=1, max_pos=2,
             slice_col="__slice",
         )
 
@@ -251,6 +259,25 @@ def sparse_merge_benchmark(spark, work_dir: str, cpus: int) -> dict:
     }
 
 
+def scan_probe(spark, events_path: str) -> dict:
+    """Bare-Spark ceiling probe IN the same run: scan + per-row sha256 +
+    aggregate over the same generated events, zero engine code. The
+    replay number divided by this probe separates engine regressions
+    from VM contention — both move together when the machine is the
+    bottleneck (BENCH/BASELINE.md run history shows 2x same-code swings
+    across windows)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(events_path)
+    n = df.count()
+    t0 = time.perf_counter()
+    df.select(
+        F.sha2(F.coalesce(F.col("value.after.content"), F.lit("")), 256).alias("h")
+    ).agg(F.count(F.lit(1)), F.min("h")).collect()
+    t = time.perf_counter() - t0
+    return {"scan_probe_rows_per_sec": round(n / t), "scan_probe_sec": round(t, 3)}
+
+
 def streaming_benchmark(spark, work_dir: str, cpus: int) -> dict:
     """Throughput of the Structured Streaming entry (readStream →
     foreachBatch chain/dedupe/merge with checkpoint + ledger): drains
@@ -297,12 +324,46 @@ def streaming_benchmark(spark, work_dir: str, cpus: int) -> dict:
     q.awaitTermination()
     elapsed = time.perf_counter() - t0
     n_batches = len(table.manifest()["committed"])
-    return {
+    out = {
         "streaming_sec": round(elapsed, 3),
         "streaming_events_per_sec": round(n_events / elapsed),
         "streaming_n_events": n_events,
         "streaming_n_batches": n_batches,
     }
+
+    # steady-state leg: production-shaped trigger (~one LSN slice,
+    # ~1.5M events, per micro-batch over the WHOLE stream) — shows the
+    # ~0.33 s/micro-batch framework overhead amortizing toward the
+    # batch-replay number (BENCH/BASELINE.md streaming analysis)
+    all_df = spark.read.parquet(events_root)
+    n_all = all_df.count()
+    table2 = LakeTable(
+        os.path.join(work_dir, "stream_steady_table"), n_buckets=16,
+        target_rows_per_file=2_000_000, discovery=False,
+        merge_strategy="broadcast",
+    )
+    rep2 = Replayer(table=table2, chain=Chain([]), epoch="steady",
+                    unique_lsn=True)
+    stream2 = (
+        spark.readStream.schema(all_df.schema)
+        .option("maxFilesPerTrigger", n_files)  # = one slice per trigger
+        .parquet(events_root)
+        .drop("__slice")
+    )
+    t0 = time.perf_counter()
+    q2 = rep2.stream(
+        stream2, os.path.join(work_dir, "stream_steady_ckpt"),
+        available_now=True,
+    )
+    q2.awaitTermination()
+    steady_sec = time.perf_counter() - t0
+    out.update({
+        "streaming_steady_sec": round(steady_sec, 3),
+        "streaming_steady_events_per_sec": round(n_all / steady_sec),
+        "streaming_steady_n_events": n_all,
+        "streaming_steady_n_batches": len(table2.manifest()["committed"]),
+    })
+    return out
 
 
 def skew_benchmark(spark, work_dir: str, cpus: int) -> dict:
@@ -407,6 +468,10 @@ def main() -> None:
     work_dir = tempfile.mkdtemp(prefix="tkc_bench_", dir=_fast_local_dir())
     try:
         replay = replay_benchmark(spark, n_events, work_dir, cpus)
+        events_path = os.environ.get("SPARK_GRAFT_EVENTS_DIR") or os.path.join(
+            work_dir, "events"
+        )
+        probe = scan_probe(spark, events_path)
         queries = (
             {}
             if os.environ.get("SPARK_GRAFT_SKIP_QUERIES")
@@ -437,6 +502,21 @@ def main() -> None:
                 "n_batches": replay["n_batches"],
                 "final_rows": replay["final_rows"],
                 "cpus": cpus,
+                **probe,
+                # replay throughput normalized by the same-run bare-Spark
+                # scan+sha256 ceiling: compare THIS across rounds to
+                # separate engine changes from VM-contention windows
+                "replay_vs_scan_ratio": round(
+                    replay["events_per_sec"] / probe["scan_probe_rows_per_sec"], 3
+                ),
+                # these query timings include building their input lake
+                # table inside the measured window (full table-build +
+                # replay cycles — harness shape, not per-op cost)
+                "build_inclusive_queries": [
+                    "cdc_merge", "cdc_merge_mor", "data_skipping",
+                    "routed_merge", "lookup_many", "cdc_bootstrap",
+                    "incremental_agg", "cdc_second_hop",
+                ],
                 **sparse,
                 **extra,
             }
