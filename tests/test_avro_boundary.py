@@ -225,6 +225,78 @@ def test_chain_runs_on_avro_envelope(spark):
     assert got == {hashlib.sha256(b"click").hexdigest()}
 
 
+def test_raw_avro_stream_end_to_end(spark, tmp_path):
+    # raw Avro bytes on disk -> readStream -> AvroConverter boundary ->
+    # chain -> LWW -> merge: the schema-ful analog of the raw-JSON
+    # streaming entry (test_json_boundary.py)
+    from pyspark.sql import functions as F
+
+    from transforms_for_apache_kafka_connect_spark.sources import (
+        repositories_snapshot,
+    )
+    from transforms_for_apache_kafka_connect_spark.streaming import (
+        LakeTable,
+        Replayer,
+    )
+
+    n = 2_000
+    events = change_stream(spark, n, n_repos=20, paths_per_repo=5)
+    v_schema = spark_to_avro_schema(events.schema["value"].dataType, "v")
+    k_schema = spark_to_avro_schema(events.schema["key"].dataType, "k")
+    raw = envelope_to_avro(
+        events, value_schema=v_schema, key_schema=k_schema,
+        confluent_framing=True, use_jvm=False,
+    )
+    src = str(tmp_path / "raw")
+    raw.write.parquet(src)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    table = LakeTable(str(tmp_path / "t"), n_buckets=8)
+    rep = Replayer(
+        table=table,
+        chain=Chain([{"type": "tombstone_handler", "behavior": "drop_silent"}]),
+        epoch="e1",
+    )
+    q = rep.stream(
+        stream,
+        str(tmp_path / "ckpt"),
+        available_now=True,
+        raw_format="avro",
+        key_schema=k_schema,
+        value_schema=v_schema,
+        confluent_framing=True,
+    )
+    q.awaitTermination(300)
+    q.stop()
+
+    oracle = repositories_snapshot(spark, events)
+    final = table.read(spark)
+    assert final.count() == oracle.count()
+    cmp = final.select("repo", "path", "content").join(
+        oracle.select("repo", "path", F.col("content").alias("c2")),
+        ["repo", "path"],
+        "full_outer",
+    )
+    assert cmp.filter(
+        "content IS NULL OR c2 IS NULL OR content != c2"
+    ).count() == 0
+
+
+def test_raw_avro_stream_requires_schema(spark, tmp_path):
+    from transforms_for_apache_kafka_connect_spark.streaming import (
+        LakeTable,
+        Replayer,
+    )
+
+    table = LakeTable(str(tmp_path / "t"), n_buckets=4)
+    rep = Replayer(table=table, chain=Chain([]), epoch="e1")
+    df = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="value_schema"):
+        rep.stream(df, str(tmp_path / "ckpt"), raw_format="avro")
+
+
 def test_jvm_path_when_available(spark):
     """Runs the JVM from_avro path when the spark-avro jar is present;
     skips (declared) in the sandbox pip build."""

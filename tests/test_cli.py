@@ -189,6 +189,49 @@ def test_cli_streaming_backfill(spark, tmp_path):
     assert table.read(spark).count() == oracle.count()
 
 
+def test_cli_streaming_raw_avro(spark, tmp_path):
+    # --raw-avro with an .avsc schema file: the Confluent-framed Avro
+    # tail through the CLI's streaming backfill
+    import json as _json
+
+    from transforms_for_apache_kafka_connect_spark.sources import (
+        envelope_to_avro,
+        spark_to_avro_schema,
+    )
+
+    n = 800
+    events = change_stream(spark, n, n_repos=10, paths_per_repo=4)
+    v_schema = spark_to_avro_schema(events.schema["value"].dataType, "v")
+    k_schema = spark_to_avro_schema(events.schema["key"].dataType, "k")
+    envelope_to_avro(
+        events, value_schema=v_schema, key_schema=k_schema,
+        confluent_framing=True, use_jvm=False,
+    ).write.mode("overwrite").parquet(str(tmp_path / "raw"))
+    (tmp_path / "v.avsc").write_text(_json.dumps(v_schema))
+    (tmp_path / "k.avsc").write_text(_json.dumps(k_schema))
+
+    env = dict(os.environ, PYTHONPATH=REPO)
+    out = subprocess.run(
+        [
+            sys.executable, "-m", "transforms_for_apache_kafka_connect_spark",
+            "--events", str(tmp_path / "raw"),
+            "--table", str(tmp_path / "table"),
+            "--streaming",
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--raw-avro", "--confluent-framing",
+            "--key-schema", str(tmp_path / "k.avsc"),
+            "--value-schema", str(tmp_path / "v.avsc"),
+            "--buckets", "4",
+            "--master", "local[4]",
+        ],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    table = LakeTable(str(tmp_path / "table"), n_buckets=4)
+    oracle = repositories_snapshot(spark, events)
+    assert table.read(spark).count() == oracle.count()
+
+
 def test_cli_blooms_and_sorted_compact(spark, tmp_path, capsys):
     from transforms_for_apache_kafka_connect_spark.cli import main
 

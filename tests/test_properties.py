@@ -172,3 +172,123 @@ def test_properties_errors():
             "transforms.x.type=io.aiven.kafka.connect.transforms.Hash$Value\n"
             "transforms.x.function=sha999\n"
         )
+
+
+def test_converters_from_properties():
+    from transforms_for_apache_kafka_connect_spark.plans.properties import (
+        converters_from_properties,
+    )
+
+    # no converter declared -> empty (caller keeps explicit kwargs)
+    assert converters_from_properties("transforms=\n") == {}
+    # JsonConverter with pinned DDL schema
+    conv = converters_from_properties(
+        "value.converter=org.apache.kafka.connect.json.JsonConverter\n"
+        "value.converter.schema=user_id bigint, event_type string\n"
+    )
+    assert conv["raw_format"] == "json"
+    assert conv["confluent_framing"] is False
+    # AvroConverter implies the Confluent wire frame
+    conv = converters_from_properties(
+        "value.converter=io.confluent.connect.avro.AvroConverter\n"
+        'value.converter.schema={"type":"record","name":"v","fields":[]}\n'
+    )
+    assert conv["raw_format"] == "avro" and conv["confluent_framing"] is True
+    # StringConverter -> passthrough, no schema needed
+    assert converters_from_properties(
+        "value.converter=org.apache.kafka.connect.storage.StringConverter\n"
+    ) == {"raw_format": None}
+
+
+def test_converters_from_properties_errors():
+    from transforms_for_apache_kafka_connect_spark.plans.properties import (
+        converters_from_properties,
+    )
+
+    with pytest.raises(ConfigException, match="Unknown converter class"):
+        converters_from_properties("value.converter=com.example.Bogus\n")
+    with pytest.raises(ConfigException, match="must be pinned"):
+        converters_from_properties(
+            "value.converter=io.confluent.connect.avro.AvroConverter\n"
+        )
+    with pytest.raises(ConfigException, match="formats differ"):
+        converters_from_properties(
+            "key.converter=org.apache.kafka.connect.json.JsonConverter\n"
+            "key.converter.schema=id bigint\n"
+            "value.converter=io.confluent.connect.avro.AvroConverter\n"
+            'value.converter.schema={"type":"record","name":"v","fields":[]}\n'
+        )
+
+
+def test_converters_schema_file(tmp_path):
+    from transforms_for_apache_kafka_connect_spark.plans.properties import (
+        converters_from_properties,
+    )
+
+    f = tmp_path / "v.avsc"
+    f.write_text('{"type":"record","name":"v","fields":[]}')
+    conv = converters_from_properties(
+        "value.converter=io.confluent.connect.avro.AvroConverter\n"
+        f"value.converter.schema.file={f}\n"
+    )
+    assert conv["value_schema"].startswith('{"type":"record"')
+
+
+def test_properties_driven_avro_stream(spark, tmp_path):
+    """One .properties file declares the chain AND the Avro converter
+    (pinned schemas) — the whole Connect deployment surface drives the
+    streaming entry via prepare_stream_events kwargs."""
+    import json as _json
+
+    from transforms_for_apache_kafka_connect_spark.plans.properties import (
+        converters_from_properties,
+    )
+    from transforms_for_apache_kafka_connect_spark.sources import (
+        change_stream,
+        envelope_to_avro,
+        repositories_snapshot,
+        spark_to_avro_schema,
+    )
+    from transforms_for_apache_kafka_connect_spark.streaming import (
+        LakeTable,
+        Replayer,
+    )
+
+    events = change_stream(spark, 1_000, n_repos=10, paths_per_repo=4)
+    v_schema = spark_to_avro_schema(events.schema["value"].dataType, "v")
+    k_schema = spark_to_avro_schema(events.schema["key"].dataType, "k")
+    src = str(tmp_path / "raw")
+    envelope_to_avro(
+        events, value_schema=v_schema, key_schema=k_schema,
+        confluent_framing=True, use_jvm=False,
+    ).write.parquet(src)
+    (tmp_path / "v.avsc").write_text(_json.dumps(v_schema))
+    (tmp_path / "k.avsc").write_text(_json.dumps(k_schema))
+    props_file = tmp_path / "connector.properties"
+    props_file.write_text(
+        "transforms=drop\n"
+        "transforms.drop.type="
+        "io.aiven.kafka.connect.transforms.TombstoneHandler\n"
+        "transforms.drop.behavior=drop_silent\n"
+        "key.converter=io.confluent.connect.avro.AvroConverter\n"
+        f"key.converter.schema.file={tmp_path / 'k.avsc'}\n"
+        "value.converter=io.confluent.connect.avro.AvroConverter\n"
+        f"value.converter.schema.file={tmp_path / 'v.avsc'}\n"
+    )
+
+    conv = converters_from_properties(str(props_file))
+    table = LakeTable(str(tmp_path / "t"), n_buckets=4)
+    rep = Replayer(
+        table=table, chain=chain_from_properties(str(props_file)), epoch="e1"
+    )
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    q = rep.stream(
+        stream, str(tmp_path / "ckpt"), available_now=True, **conv
+    )
+    q.awaitTermination(300)
+    q.stop()
+    assert table.read(spark).count() == repositories_snapshot(
+        spark, events
+    ).count()

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -73,11 +74,19 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--raw-json", action="store_true",
                     help="streaming: events are raw JSON bytes/strings; "
                          "requires --value-schema")
+    ap.add_argument("--raw-avro", action="store_true",
+                    help="streaming: events are raw Avro binary; requires "
+                         "--value-schema (Avro JSON, inline or a .avsc "
+                         "file path)")
+    ap.add_argument("--confluent-framing", action="store_true",
+                    help="with --raw-avro: strip + validate the Confluent "
+                         "5-byte wire frame (magic + schema id)")
     ap.add_argument("--key-schema", default=None,
-                    help="DDL schema for raw JSON keys, e.g. "
-                         "'repo string, path string'")
+                    help="key schema: DDL with --raw-json, Avro JSON or "
+                         ".avsc path with --raw-avro")
     ap.add_argument("--value-schema", default=None,
-                    help="DDL schema for raw JSON values (with --raw-json)")
+                    help="value schema: DDL with --raw-json, Avro JSON or "
+                         ".avsc path with --raw-avro")
     ap.add_argument("--master", default=None,
                     help="override master for local runs (spark-submit sets its own)")
     ap.add_argument("--maintenance",
@@ -369,15 +378,49 @@ def main(argv: list[str] | None = None) -> int:
         if not args.checkpoint:
             print("--streaming requires --checkpoint", file=sys.stderr)
             return 2
+        if args.raw_json and args.raw_avro:
+            print("--raw-json and --raw-avro are exclusive", file=sys.stderr)
+            return 2
+
+        def _avro_schema(s):
+            # inline Avro JSON or a path to a .avsc file
+            if s is not None and os.path.exists(s):
+                with open(s) as fh:
+                    return fh.read()
+            return s
+
+        raw_format = ("avro" if args.raw_avro
+                      else "json" if args.raw_json else None)
+        key_schema, value_schema = args.key_schema, args.value_schema
+        confluent_framing = args.confluent_framing
+        if raw_format == "avro":
+            key_schema = _avro_schema(key_schema)
+            value_schema = _avro_schema(value_schema)
+        if (raw_format is None and args.chain
+                and args.chain.endswith(".properties")):
+            # the connector file may declare its converters too
+            # (key.converter/value.converter + pinned schema keys) —
+            # the full Connect deployment surface from ONE file
+            from transforms_for_apache_kafka_connect_spark.plans.properties import (
+                converters_from_properties,
+            )
+
+            conv = converters_from_properties(args.chain)
+            if conv.get("raw_format"):
+                raw_format = conv["raw_format"]
+                key_schema = conv.get("key_schema")
+                value_schema = conv.get("value_schema")
+                confluent_framing = conv.get("confluent_framing", False)
         batch_df = spark.read.parquet(args.events)
         stream = (
             spark.readStream.schema(batch_df.schema).parquet(args.events)
         )
         q = engine.stream(
             stream, args.checkpoint, available_now=True,
-            raw_json=args.raw_json,
-            key_schema=args.key_schema,
-            value_schema=args.value_schema,
+            raw_format=raw_format,
+            key_schema=key_schema,
+            value_schema=value_schema,
+            confluent_framing=confluent_framing,
             suppress_stale_ms=args.suppress_stale_ms,
         )
         q.awaitTermination()

@@ -243,6 +243,15 @@ def chain_specs_from_properties(props: Mapping[str, str]) -> list[dict]:
     return specs
 
 
+def _load_props(source) -> dict[str, str]:
+    if isinstance(source, Mapping):
+        return dict(source)
+    if "\n" not in source and os.path.exists(source):
+        with open(source) as f:
+            source = f.read()
+    return parse_properties(source)
+
+
 def chain_from_properties(source):
     """Compile a :class:`Chain` from connector properties.
 
@@ -251,11 +260,83 @@ def chain_from_properties(source):
     """
     from transforms_for_apache_kafka_connect_spark.plans.chain import Chain
 
-    if isinstance(source, Mapping):
-        props = dict(source)
-    else:
-        if "\n" not in source and os.path.exists(source):
-            with open(source) as f:
-                source = f.read()
-        props = parse_properties(source)
-    return Chain(chain_specs_from_properties(props))
+    return Chain(chain_specs_from_properties(_load_props(source)))
+
+
+#: Connect converter class -> engine raw_format (None = UTF-8 string
+#: passthrough, no typed boundary)
+CONVERTER_CLASS_TO_FORMAT: dict[str, str | None] = {
+    "org.apache.kafka.connect.json.JsonConverter": "json",
+    "io.confluent.connect.avro.AvroConverter": "avro",
+    "org.apache.kafka.connect.storage.StringConverter": None,
+    "org.apache.kafka.connect.converters.ByteArrayConverter": None,
+}
+
+
+def converters_from_properties(source) -> dict:
+    """Connect worker/connector converter declarations -> the engine's
+    streaming-boundary kwargs (``prepare_stream_events`` /
+    ``Replayer.stream``).
+
+    Reads ``key.converter`` / ``value.converter`` and their config
+    blocks. Since this engine runs offline (no schema-registry call),
+    the writer schema must be PINNED next to the converter — the engine
+    extension keys are:
+
+    * ``value.converter.schema`` — inline schema (Spark DDL for
+      JsonConverter, Avro JSON for AvroConverter)
+    * ``value.converter.schema.file`` — path to a file holding it
+      (same two spellings for ``key.converter.*``)
+
+    For AvroConverter the Confluent 5-byte wire framing is implied
+    (that IS the converter's wire format). Returns a dict with
+    ``raw_format``, ``key_schema``, ``value_schema``,
+    ``confluent_framing`` — empty dict when no converter is declared.
+    """
+    props = _load_props(source)
+    if "value.converter" not in props and "key.converter" not in props:
+        return {}
+
+    def fmt(side: str):
+        cls = props.get(f"{side}.converter")
+        if cls is None:
+            return None
+        if cls not in CONVERTER_CLASS_TO_FORMAT:
+            raise ConfigException(
+                f"Unknown converter class: {cls!r}. Known: "
+                f"{sorted(CONVERTER_CLASS_TO_FORMAT)}"
+            )
+        return CONVERTER_CLASS_TO_FORMAT[cls]
+
+    def schema(side: str):
+        inline = props.get(f"{side}.converter.schema")
+        if inline is not None:
+            return inline
+        path = props.get(f"{side}.converter.schema.file")
+        if path is not None:
+            with open(path) as f:
+                return f.read()
+        return None
+
+    vfmt, kfmt = fmt("value"), fmt("key")
+    if kfmt is not None and vfmt is not None and kfmt != vfmt:
+        raise ConfigException(
+            f"key.converter ({kfmt}) and value.converter ({vfmt}) "
+            "formats differ; the engine boundary decodes both sides "
+            "with one converter per stream"
+        )
+    raw_format = vfmt or kfmt
+    out: dict = {"raw_format": raw_format}
+    if raw_format is None:
+        return out
+    out["key_schema"] = schema("key")
+    out["value_schema"] = schema("value")
+    out["confluent_framing"] = raw_format == "avro"
+    if out["value_schema"] is None:
+        raise ConfigException(
+            "converter declared but no pinned schema: set "
+            "'value.converter.schema' (inline) or "
+            "'value.converter.schema.file' — this engine runs without "
+            "a schema registry, so the writer schema must be pinned"
+        )
+    return out

@@ -38,27 +38,51 @@ BOOTSTRAP_BATCH_ID = -1
 def prepare_stream_events(
     events: DataFrame,
     *,
+    raw_format: str | None = None,
     raw_json: bool = False,
     key_schema=None,
     value_schema=None,
+    confluent_framing: bool = False,
     suppress_stale_ms: int | None = None,
 ) -> DataFrame:
     """Pre-fan-out stream preparation shared by Replayer.stream and
-    TopicTableRouter.stream: the raw-JSON converter boundary (explicit
-    schemas required — a stream cannot be sampled for inference) and
-    the stateful stale-LSN suppressor. Both are table-agnostic."""
-    if raw_json:
+    TopicTableRouter.stream: the converter boundary (explicit schemas
+    required — a stream cannot be sampled for inference) and the
+    stateful stale-LSN suppressor. Both are table-agnostic.
+
+    ``raw_format``: None (already an envelope), ``"json"``
+    (JsonConverter boundary; schemas are Spark DDL/StructType), or
+    ``"avro"`` (AvroConverter boundary; schemas are Avro JSON,
+    ``confluent_framing`` strips the registry wire frame).
+    ``raw_json=True`` is the back-compat spelling of
+    ``raw_format="json"``."""
+    if raw_json and raw_format is None:
+        raw_format = "json"
+    if raw_format not in (None, "json", "avro"):
+        raise ValueError(f"unknown raw_format: {raw_format!r}")
+    if raw_format is not None and value_schema is None:
+        raise ValueError(
+            f"raw_format={raw_format!r} streaming requires an explicit "
+            "value_schema (a stream cannot be sampled for inference)"
+        )
+    if raw_format == "json":
         from transforms_for_apache_kafka_connect_spark.sources.json_boundary import (
             envelope_from_json,
         )
 
-        if value_schema is None:
-            raise ValueError(
-                "raw_json streaming requires an explicit value_schema "
-                "(infer_json_schema on a batch sample first)"
-            )
         events = envelope_from_json(
             events, key_schema=key_schema, value_schema=value_schema
+        )
+    elif raw_format == "avro":
+        from transforms_for_apache_kafka_connect_spark.sources.avro_boundary import (
+            envelope_from_avro,
+        )
+
+        events = envelope_from_avro(
+            events,
+            key_schema=key_schema,
+            value_schema=value_schema,
+            confluent_framing=confluent_framing,
         )
     if suppress_stale_ms is not None:
         # live-tailing input bound: drop redelivered/stale LSNs via
@@ -666,29 +690,35 @@ class Replayer:
         trigger_seconds: int = 10,
         available_now: bool = False,
         raw_json: bool = False,
+        raw_format: str | None = None,
         key_schema=None,
         value_schema=None,
+        confluent_framing: bool = False,
         suppress_stale_ms: int | None = None,
     ):
         """Structured Streaming entry: same apply_batch via foreachBatch.
 
         ``events`` must be a streaming DataFrame with the envelope
-        schema — or, with ``raw_json=True``, a raw stream of JSON
-        bytes/strings (``key``/``value`` columns) that is passed
-        through the JsonConverter boundary first; ``value_schema`` (and
-        usually ``key_schema``) are then required, since a stream
-        cannot be sampled for inference. Exactly-once = Spark's
-        checkpoint (source offsets) + our ledger (idempotent
-        re-application of replayed batch ids — the double-bookkeeping
-        that makes foreachBatch exactly-once instead of
-        at-least-once). ``available_now=True`` drains what exists and
-        stops (backfill mode).
+        schema — or, with ``raw_format="json"`` (back-compat spelling
+        ``raw_json=True``) / ``raw_format="avro"``, a raw stream of
+        converter bytes (``key``/``value`` columns) that is passed
+        through the matching converter boundary first; ``value_schema``
+        (and usually ``key_schema``) are then required, since a stream
+        cannot be sampled for inference — DDL/StructType for JSON,
+        Avro JSON for Avro (``confluent_framing`` strips the registry
+        wire frame). Exactly-once = Spark's checkpoint (source
+        offsets) + our ledger (idempotent re-application of replayed
+        batch ids — the double-bookkeeping that makes foreachBatch
+        exactly-once instead of at-least-once). ``available_now=True``
+        drains what exists and stops (backfill mode).
         """
         events = prepare_stream_events(
             events,
+            raw_format=raw_format,
             raw_json=raw_json,
             key_schema=key_schema,
             value_schema=value_schema,
+            confluent_framing=confluent_framing,
             suppress_stale_ms=suppress_stale_ms,
         )
         writer = events.writeStream.foreachBatch(

@@ -245,16 +245,18 @@ class TopicTableRouter:
         trigger_seconds: int = 10,
         available_now: bool = False,
         raw_json: bool = False,
+        raw_format: str | None = None,
         key_schema=None,
         value_schema=None,
+        confluent_framing: bool = False,
         suppress_stale_ms: int | None = None,
     ):
         """Structured Streaming entry: same per-topic apply_batch via
         foreachBatch (mirror of Replayer.stream, including the
-        raw-JSON boundary and the stateful stale-LSN suppressor —
-        both are table-agnostic and run before the fan-out).
-        Exactly-once = Spark's checkpoint (source offsets) + each
-        topic table's OWN ledger — a batch replayed after a crash
+        raw-JSON/raw-Avro converter boundaries and the stateful
+        stale-LSN suppressor — all table-agnostic, run before the
+        fan-out). Exactly-once = Spark's checkpoint (source offsets) +
+        each topic table's OWN ledger — a batch replayed after a crash
         skips the topics it already committed and re-attempts the
         rest."""
         from transforms_for_apache_kafka_connect_spark.streaming.engine import (
@@ -263,9 +265,11 @@ class TopicTableRouter:
 
         events = prepare_stream_events(
             events,
+            raw_format=raw_format,
             raw_json=raw_json,
             key_schema=key_schema,
             value_schema=value_schema,
+            confluent_framing=confluent_framing,
             suppress_stale_ms=suppress_stale_ms,
         )
         writer = events.writeStream.foreachBatch(
