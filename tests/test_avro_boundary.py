@@ -225,6 +225,124 @@ def test_chain_runs_on_avro_envelope(spark):
     assert got == {hashlib.sha256(b"click").hexdigest()}
 
 
+# ------------------------------------------------------ schema resolution
+
+V1 = {
+    "type": "record", "name": "v",
+    "fields": [
+        {"name": "user_id", "type": "int"},
+        {"name": "event_type", "type": ["null", "string"]},
+        {"name": "legacy_flag", "type": "boolean"},
+    ],
+}
+V2 = {
+    "type": "record", "name": "v",
+    "fields": [
+        {"name": "user_id", "type": "long"},           # int -> long promotion
+        {"name": "event_type", "type": ["null", "string"]},
+        {"name": "amount", "type": ["null", "double"]},  # added, nullable
+        {"name": "region", "type": "string", "default": "emea"},  # added, default
+        # legacy_flag removed
+    ],
+}
+
+
+def test_resolve_record_rules():
+    from transforms_for_apache_kafka_connect_spark.sources import resolve_record
+
+    old = {"user_id": 7, "event_type": "click", "legacy_flag": True}
+    out = resolve_record(V1, V2, old)
+    assert out == {
+        "user_id": 7,            # promoted int->long
+        "event_type": "click",
+        "amount": None,          # added nullable -> null
+        "region": "emea",        # added with default
+    }
+    assert isinstance(out["user_id"], int)
+    # reader field with no default and no null branch -> loud error
+    bad_reader = {
+        "type": "record", "name": "v",
+        "fields": [{"name": "missing", "type": "string"}],
+    }
+    with pytest.raises(ValueError, match="no default"):
+        resolve_record(V1, bad_reader, old)
+
+
+def test_resolve_record_nested():
+    from transforms_for_apache_kafka_connect_spark.sources import resolve_record
+
+    w = {
+        "type": "record", "name": "o",
+        "fields": [{"name": "inner", "type": {
+            "type": "record", "name": "i",
+            "fields": [{"name": "a", "type": "int"}],
+        }}],
+    }
+    r = {
+        "type": "record", "name": "o",
+        "fields": [{"name": "inner", "type": {
+            "type": "record", "name": "i",
+            "fields": [
+                {"name": "a", "type": "long"},
+                {"name": "b", "type": ["null", "string"]},
+            ],
+        }}],
+    }
+    assert resolve_record(w, r, {"inner": {"a": 3}}) == {
+        "inner": {"a": 3, "b": None}
+    }
+
+
+def test_evolving_topic_lands_in_one_spark_type(spark):
+    """Payloads written under schema id 1 (V1) and id 2 (V2) decode and
+    resolve onto the V2 reader in one pass — the mid-stream
+    schema-evolution contract of a real registry-backed topic."""
+    from transforms_for_apache_kafka_connect_spark.sources import encode_record
+
+    def framed(sid, schema, rec):
+        return b"\x00" + sid.to_bytes(4, "big") + encode_record(schema, rec)
+
+    rows = [
+        (None, framed(1, V1, {"user_id": 1, "event_type": "a", "legacy_flag": True})),
+        (None, framed(1, V1, {"user_id": 2, "event_type": None, "legacy_flag": False})),
+        (None, framed(2, V2, {"user_id": 3, "event_type": "b", "amount": 1.5,
+                              "region": "apac"})),
+        (None, framed(9, V1, {"user_id": 4, "event_type": "c", "legacy_flag": True})),
+    ]
+    raw = spark.createDataFrame(rows, "key binary, value binary")
+    env = envelope_from_avro(
+        raw, value_schema=V2, confluent_framing=True,
+        writer_schemas={1: V1, 2: V2}, use_jvm=False,
+    )
+    good = env.filter(F.col(ERROR_COL).isNull()).select(
+        F.col("value.user_id").alias("uid"),
+        F.col("value.amount").alias("amount"),
+        F.col("value.region").alias("region"),
+        F.col("avro_schema_id").alias("sid"),
+    ).collect()
+    by_uid = {r.uid: r for r in good}
+    assert set(by_uid) == {1, 2, 3}
+    assert by_uid[1].amount is None and by_uid[1].region == "emea"
+    assert by_uid[3].amount == 1.5 and by_uid[3].region == "apac"
+    assert by_uid[1].sid == 1 and by_uid[3].sid == 2
+    # unknown schema id 9 follows the converter error contract
+    assert env.filter(F.col(ERROR_COL).isNotNull()).count() == 1
+
+
+def test_writer_schemas_guardrails(spark):
+    raw = spark.createDataFrame([(None, b"\x00")], "key binary, value binary")
+    with pytest.raises(ValueError, match="confluent_framing"):
+        envelope_from_avro(
+            raw, value_schema=V2, writer_schemas={1: V1},
+            confluent_framing=False, use_jvm=False,
+        )
+    with pytest.raises(ValueError, match="Python codec path"):
+        envelope_from_avro(
+            raw, value_schema=V2, writer_schemas={1: V1},
+            confluent_framing=True, use_jvm=True,
+        )
+
+
 def test_raw_avro_stream_end_to_end(spark, tmp_path):
     # raw Avro bytes on disk -> readStream -> AvroConverter boundary ->
     # chain -> LWW -> merge: the schema-ful analog of the raw-JSON

@@ -292,3 +292,33 @@ def test_properties_driven_avro_stream(spark, tmp_path):
     assert table.read(spark).count() == repositories_snapshot(
         spark, events
     ).count()
+
+
+def test_converters_writer_schemas_file(tmp_path):
+    import json as _json
+
+    from transforms_for_apache_kafka_connect_spark.plans.properties import (
+        converters_from_properties,
+    )
+
+    v1 = {"type": "record", "name": "v",
+          "fields": [{"name": "a", "type": "int"}]}
+    v2 = {"type": "record", "name": "v",
+          "fields": [{"name": "a", "type": "long"},
+                     {"name": "b", "type": ["null", "string"]}]}
+    (tmp_path / "v.avsc").write_text(_json.dumps(v2))
+    (tmp_path / "writers.json").write_text(_json.dumps({"1": v1, "2": v2}))
+    conv = converters_from_properties(
+        "value.converter=io.confluent.connect.avro.AvroConverter\n"
+        f"value.converter.schema.file={tmp_path / 'v.avsc'}\n"
+        f"value.converter.writer.schemas.file={tmp_path / 'writers.json'}\n"
+    )
+    assert set(conv["writer_schemas"]) == {1, 2}
+    assert conv["writer_schemas"][1]["fields"][0]["type"] == "int"
+    # writer schemas on a JSON converter make no sense
+    with pytest.raises(ConfigException, match="only applies to"):
+        converters_from_properties(
+            "value.converter=org.apache.kafka.connect.json.JsonConverter\n"
+            "value.converter.schema=a bigint\n"
+            f"value.converter.writer.schemas.file={tmp_path / 'writers.json'}\n"
+        )

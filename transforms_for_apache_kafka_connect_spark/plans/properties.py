@@ -287,11 +287,17 @@ def converters_from_properties(source) -> dict:
       JsonConverter, Avro JSON for AvroConverter)
     * ``value.converter.schema.file`` — path to a file holding it
       (same two spellings for ``key.converter.*``)
+    * ``value.converter.writer.schemas.file`` — path to a JSON object
+      ``{schema_id: avro schema}``: a registryless snapshot of the
+      registry's id->schema map, enabling mid-stream schema evolution
+      (each payload decoded with the writer schema its frame names,
+      resolved onto the reader ``value.converter.schema``)
 
     For AvroConverter the Confluent 5-byte wire framing is implied
     (that IS the converter's wire format). Returns a dict with
     ``raw_format``, ``key_schema``, ``value_schema``,
-    ``confluent_framing`` — empty dict when no converter is declared.
+    ``confluent_framing`` (+ ``writer_schemas`` when declared) — empty
+    dict when no converter is declared.
     """
     props = _load_props(source)
     if "value.converter" not in props and "key.converter" not in props:
@@ -332,6 +338,20 @@ def converters_from_properties(source) -> dict:
     out["key_schema"] = schema("key")
     out["value_schema"] = schema("value")
     out["confluent_framing"] = raw_format == "avro"
+    writers_path = props.get("value.converter.writer.schemas.file")
+    if writers_path is not None:
+        if raw_format != "avro":
+            raise ConfigException(
+                "value.converter.writer.schemas.file only applies to "
+                "AvroConverter (per-id writer schemas ride the "
+                "Confluent frame)"
+            )
+        import json as _json
+
+        with open(writers_path) as f:
+            out["writer_schemas"] = {
+                int(k): v for k, v in _json.load(f).items()
+            }
     if out["value_schema"] is None:
         raise ConfigException(
             "converter declared but no pinned schema: set "

@@ -5,6 +5,7 @@ from transforms_for_apache_kafka_connect_spark.sources.avro_boundary import (
     envelope_from_avro,
     envelope_to_avro,
     jvm_avro_available,
+    resolve_record,
     spark_to_avro_schema,
 )
 from transforms_for_apache_kafka_connect_spark.sources.changestream import (
@@ -31,5 +32,6 @@ __all__ = [
     "spark_to_avro_schema",
     "encode_record",
     "decode_record",
+    "resolve_record",
     "jvm_avro_available",
 ]

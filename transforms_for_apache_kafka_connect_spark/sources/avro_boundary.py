@@ -299,6 +299,93 @@ def encode_record(schema: Any, record: dict) -> bytes:
     return out.getvalue()
 
 
+# ------------------------------------------------------- schema resolution
+# Avro spec, Schema Resolution section (public): reader/writer field
+# match by name; writer-only fields are skipped; reader-only fields take
+# their default (or the null branch of a nullable union); numeric
+# promotions int->long->float->double are allowed.
+
+_PROMOTIONS = {
+    "int": {"int", "long", "float", "double"},
+    "long": {"long", "float", "double"},
+    "float": {"float", "double"},
+    "string": {"string"},
+    "bytes": {"bytes"},
+    "boolean": {"boolean"},
+    "double": {"double"},
+    "null": {"null"},
+}
+
+
+def _base_type(schema: Any) -> str:
+    schema = _norm(schema)
+    if isinstance(schema, list):
+        non_null = [s for s in schema if _norm(s) != "null"]
+        return _base_type(non_null[0]) if non_null else "null"
+    if isinstance(schema, dict):
+        t = schema["type"]
+        return t if isinstance(t, str) else _base_type(t)
+    return schema
+
+
+def _promote(value: Any, writer: Any, reader: Any) -> Any:
+    if value is None:
+        return None
+    wt, rt = _base_type(writer), _base_type(reader)
+    if wt == rt:
+        return value
+    if rt not in _PROMOTIONS.get(wt, ()):  # pragma: no cover - guarded upstream
+        raise ValueError(f"cannot promote {wt} -> {rt}")
+    return float(value) if rt in ("float", "double") else int(value)
+
+
+def _reader_default(field: dict) -> Any:
+    if "default" in field:
+        return field["default"]
+    t = _norm(field["type"])
+    if isinstance(t, list) and any(_norm(b) == "null" for b in t):
+        return None
+    raise ValueError(
+        f"reader field {field['name']!r} absent from writer schema and "
+        "has no default (Avro schema-resolution error)"
+    )
+
+
+def resolve_record(
+    writer_schema: Any, reader_schema: Any, record: dict
+) -> dict:
+    """Project a writer-decoded record onto the reader schema (Avro
+    schema-resolution rules: name match, defaults, numeric promotion;
+    writer-only fields dropped). Nested records resolve recursively."""
+    writer_schema, reader_schema = _norm(writer_schema), _norm(reader_schema)
+    w_fields = {f["name"]: f for f in writer_schema["fields"]}
+    out = {}
+    for rf in reader_schema["fields"]:
+        name = rf["name"]
+        wf = w_fields.get(name)
+        if wf is None:
+            out[name] = _reader_default(rf)
+            continue
+        v = record.get(name)
+        if (
+            isinstance(v, dict)
+            and _base_type(wf["type"]) not in _PRIMITIVE_SPARK
+        ):
+            wt, rt = _norm(wf["type"]), _norm(rf["type"])
+            if isinstance(wt, list):
+                wt = next(_norm(b) for b in wt if _norm(b) != "null")
+            if isinstance(rt, list):
+                rt = next(_norm(b) for b in rt if _norm(b) != "null")
+            if (
+                isinstance(wt, dict) and wt.get("type") == "record"
+                and isinstance(rt, dict) and rt.get("type") == "record"
+            ):
+                out[name] = resolve_record(wt, rt, v)
+                continue
+        out[name] = _promote(v, wf["type"], rf["type"])
+    return out
+
+
 def decode_record(schema: Any, payload: bytes) -> dict:
     """Avro binary body -> record dict; raises on malformed/trailing
     bytes (the converter contract needs a loud decode failure)."""
@@ -341,9 +428,27 @@ def _decode_column(
     *,
     confluent_framing: bool,
     use_jvm: bool,
+    writer_schemas: dict | None = None,
 ) -> tuple[Column, Column]:
-    """binary column -> (decoded struct column, bad flag column)."""
+    """binary column -> (decoded struct column, bad flag column).
+
+    With ``writer_schemas`` ({schema_id: avro schema}), each payload is
+    decoded with the writer schema its Confluent frame names and
+    resolved onto ``schema`` (the reader schema) per Avro
+    schema-resolution rules — the evolving-topic contract."""
     schema = _norm(schema)
+    if writer_schemas:
+        if not confluent_framing:
+            raise ValueError(
+                "writer_schemas requires confluent_framing=True (the "
+                "frame's schema id selects the writer schema)"
+            )
+        if use_jvm:
+            raise ValueError(
+                "per-id writer-schema resolution runs on the Python "
+                "codec path; pass use_jvm=False (the JVM from_avro "
+                "expression takes a single static schema)"
+            )
     body = raw
     frame_bad = F.lit(False)
     if confluent_framing:
@@ -351,9 +456,12 @@ def _decode_column(
             (F.length(raw) < _FRAME_LEN + 1)
             | (F.substring(raw, 1, 1) != F.lit(b"\x00"))
         )
-        # binary substr is 1-based; Column.substr takes Column args so
-        # the frame strip works for any source column, not just "value"
-        body = F.when(~frame_bad, raw.substr(F.lit(_FRAME_LEN + 1), F.length(raw)))
+        if not writer_schemas:
+            # binary substr is 1-based; Column.substr takes Column args
+            # so the frame strip works for any source column
+            body = F.when(
+                ~frame_bad, raw.substr(F.lit(_FRAME_LEN + 1), F.length(raw))
+            )
     if use_jvm:
         from pyspark.sql.avro.functions import from_avro
 
@@ -370,10 +478,20 @@ def _decode_column(
         ]
     )
     schema_json = json.dumps(schema) if not isinstance(schema, str) else schema
+    writers_json = (
+        {int(k): json.dumps(_norm(v)) for k, v in writer_schemas.items()}
+        if writer_schemas
+        else None
+    )
 
     @pandas_udf(returnType=out_type)
     def dec(s: pd.Series) -> pd.DataFrame:
-        sch = _norm(schema_json)
+        reader = _norm(schema_json)
+        writers = (
+            {k: _norm(v) for k, v in writers_json.items()}
+            if writers_json
+            else None
+        )
         recs, bads = [], []
         for payload in s:
             if payload is None:
@@ -381,7 +499,20 @@ def _decode_column(
                 bads.append(False)
                 continue
             try:
-                recs.append(decode_record(sch, bytes(payload)))
+                b = bytes(payload)
+                if writers is not None:
+                    # frame validity is checked JVM-side; here we only
+                    # need the id -> writer schema lookup
+                    sid = int.from_bytes(b[1:_FRAME_LEN], "big")
+                    writer = writers.get(sid)
+                    if writer is None:
+                        raise ValueError(f"unknown schema id {sid}")
+                    rec = decode_record(writer, b[_FRAME_LEN:])
+                    if writer != reader:
+                        rec = resolve_record(writer, reader, rec)
+                else:
+                    rec = decode_record(reader, b)
+                recs.append(rec)
                 bads.append(False)
             except Exception:
                 recs.append(None)
@@ -401,6 +532,7 @@ def envelope_from_avro(
     value_col: str = "value",
     confluent_framing: bool = False,
     use_jvm: bool | None = None,
+    writer_schemas: dict | None = None,
     passthrough: list[str] | None = None,
 ) -> DataFrame:
     """Raw Avro-bytes stream -> typed envelope.
@@ -416,14 +548,24 @@ def envelope_from_avro(
     validated + stripped and the schema id survives as an
     ``avro_schema_id`` passthrough column.
 
-    Malformed payloads (bad frame, truncated varint, trailing bytes)
-    set the per-record error column with the converter
-    ``SERIALIZATION_ERROR`` message — the engine batch-fail gate turns
-    the first one into ``DataException``."""
+    **Schema evolution**: ``writer_schemas`` ({schema_id: avro schema})
+    decodes each VALUE payload with the writer schema its frame names
+    and resolves it onto ``value_schema`` (the reader) per the Avro
+    spec's schema-resolution rules — name match, reader defaults /
+    nullable-null for added fields, writer-only fields dropped,
+    int->long->float->double promotion. This is how a topic whose
+    schema evolved mid-stream lands in ONE stable Spark type. Requires
+    the Python codec path (a registryless snapshot of the registry's
+    id->schema map; unknown ids follow the error contract).
+
+    Malformed payloads (bad frame, truncated varint, trailing bytes,
+    unknown schema id) set the per-record error column with the
+    converter ``SERIALIZATION_ERROR`` message — the engine batch-fail
+    gate turns the first one into ``DataException``."""
     value_schema = _norm(value_schema)
     spark_value = avro_schema_to_spark(value_schema)
     if use_jvm is None:
-        use_jvm = jvm_avro_available(raw.sparkSession)
+        use_jvm = jvm_avro_available(raw.sparkSession) and not writer_schemas
 
     cols = dict.fromkeys(raw.columns)
     value_expr, value_bad = _decode_column(
@@ -432,6 +574,7 @@ def envelope_from_avro(
         spark_value,
         confluent_framing=confluent_framing,
         use_jvm=use_jvm,
+        writer_schemas=writer_schemas,
     )
     if key_col in cols and key_schema is not None:
         # key and value converters frame independently but identically

@@ -43,6 +43,7 @@ def prepare_stream_events(
     key_schema=None,
     value_schema=None,
     confluent_framing: bool = False,
+    writer_schemas: dict | None = None,
     suppress_stale_ms: int | None = None,
 ) -> DataFrame:
     """Pre-fan-out stream preparation shared by Replayer.stream and
@@ -53,7 +54,9 @@ def prepare_stream_events(
     ``raw_format``: None (already an envelope), ``"json"``
     (JsonConverter boundary; schemas are Spark DDL/StructType), or
     ``"avro"`` (AvroConverter boundary; schemas are Avro JSON,
-    ``confluent_framing`` strips the registry wire frame).
+    ``confluent_framing`` strips the registry wire frame, and
+    ``writer_schemas`` ({schema_id: avro schema}) resolves an evolving
+    topic onto the reader ``value_schema``).
     ``raw_json=True`` is the back-compat spelling of
     ``raw_format="json"``."""
     if raw_json and raw_format is None:
@@ -83,6 +86,7 @@ def prepare_stream_events(
             key_schema=key_schema,
             value_schema=value_schema,
             confluent_framing=confluent_framing,
+            writer_schemas=writer_schemas,
         )
     if suppress_stale_ms is not None:
         # live-tailing input bound: drop redelivered/stale LSNs via
@@ -694,6 +698,7 @@ class Replayer:
         key_schema=None,
         value_schema=None,
         confluent_framing: bool = False,
+        writer_schemas: dict | None = None,
         suppress_stale_ms: int | None = None,
     ):
         """Structured Streaming entry: same apply_batch via foreachBatch.
@@ -719,6 +724,7 @@ class Replayer:
             key_schema=key_schema,
             value_schema=value_schema,
             confluent_framing=confluent_framing,
+            writer_schemas=writer_schemas,
             suppress_stale_ms=suppress_stale_ms,
         )
         writer = events.writeStream.foreachBatch(

@@ -249,6 +249,7 @@ class TopicTableRouter:
         key_schema=None,
         value_schema=None,
         confluent_framing: bool = False,
+        writer_schemas: dict | None = None,
         suppress_stale_ms: int | None = None,
     ):
         """Structured Streaming entry: same per-topic apply_batch via
@@ -270,6 +271,7 @@ class TopicTableRouter:
             key_schema=key_schema,
             value_schema=value_schema,
             confluent_framing=confluent_framing,
+            writer_schemas=writer_schemas,
             suppress_stale_ms=suppress_stale_ms,
         )
         writer = events.writeStream.foreachBatch(
