@@ -102,6 +102,63 @@ def test_decode_rejects_trailing_and_truncated():
         decode_record(sch, b"\x80")  # truncated varint
 
 
+def test_encode_rejects_multibranch_union():
+    # branch-index arithmetic assumes ['null', T]; anything wider must
+    # refuse loudly instead of writing the wrong branch
+    sch = _flat("x", ["null", "string", "long"])
+    with pytest.raises(ValueError, match="nullable unions"):
+        encode_record(sch, {"x": 5})
+
+
+def test_zero_byte_body_roundtrips_framed(spark):
+    # a record whose only field is null-typed encodes to a 0-byte body:
+    # the framed payload is exactly the 5 frame bytes and must be valid
+    sch = {"type": "record", "name": "e",
+           "fields": [{"name": "x", "type": "null"}]}
+    body = encode_record(sch, {"x": None})
+    assert body == b""
+    framed = b"\x00" + (3).to_bytes(4, "big") + body
+    raw = spark.createDataFrame([(None, framed)], "key binary, value binary")
+    env = envelope_from_avro(
+        raw, value_schema=sch, confluent_framing=True, use_jvm=False
+    )
+    assert env.filter(F.col(ERROR_COL).isNotNull()).count() == 0
+    assert env.select("avro_schema_id").collect()[0][0] == 3
+
+
+def test_resolve_record_inside_arrays_and_maps():
+    # spec resolution must reach records nested in arrays/maps
+    from transforms_for_apache_kafka_connect_spark.sources import resolve_record
+
+    w = {"type": "record", "name": "o", "fields": [
+        {"name": "items", "type": {"type": "array", "items": {
+            "type": "record", "name": "i",
+            "fields": [{"name": "a", "type": "int"}]}}},
+        {"name": "m", "type": {"type": "map", "values": {
+            "type": "record", "name": "mv",
+            "fields": [{"name": "x", "type": "int"}]}}},
+    ]}
+    r = {"type": "record", "name": "o", "fields": [
+        {"name": "items", "type": {"type": "array", "items": {
+            "type": "record", "name": "i",
+            "fields": [{"name": "a", "type": "long"},
+                       {"name": "region", "type": "string",
+                        "default": "emea"}]}}},
+        {"name": "m", "type": {"type": "map", "values": {
+            "type": "record", "name": "mv",
+            "fields": [{"name": "x", "type": "double"}]}}},
+    ]}
+    out = resolve_record(w, r, {
+        "items": [{"a": 1}, {"a": 2}],
+        "m": {"k": {"x": 7}},
+    })
+    assert out == {
+        "items": [{"a": 1, "region": "emea"}, {"a": 2, "region": "emea"}],
+        "m": {"k": {"x": 7.0}},
+    }
+    assert isinstance(out["m"]["k"]["x"], float)
+
+
 def test_schema_mapping():
     st = avro_schema_to_spark(VALUE_SCHEMA)
     assert [f.name for f in st.fields] == ["user_id", "event_type", "amount"]

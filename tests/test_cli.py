@@ -232,6 +232,87 @@ def test_cli_streaming_raw_avro(spark, tmp_path):
     assert table.read(spark).count() == oracle.count()
 
 
+def test_cli_properties_evolving_avro_stream(spark, tmp_path):
+    """Regression (review finding): the CLI must forward the properties
+    file's writer.schemas.file map to engine.stream — without it, old
+    writer-schema payloads fail decode (or byte-misparse)."""
+    import json as _json
+
+    from transforms_for_apache_kafka_connect_spark.sources import encode_record
+
+    K = {"type": "record", "name": "k",
+         "fields": [{"name": "repo", "type": "string"},
+                    {"name": "path", "type": "string"}]}
+    AFTER_V1 = {"type": "record", "name": "a",
+                "fields": [{"name": "content", "type": ["null", "string"]}]}
+    V1 = {"type": "record", "name": "v",
+          "fields": [{"name": "op", "type": "string"},
+                     {"name": "lsn", "type": "long"},
+                     {"name": "ts_ms", "type": ["null", "long"]},
+                     {"name": "after", "type": ["null", AFTER_V1]}]}
+    AFTER_V2 = {"type": "record", "name": "a",
+                "fields": [{"name": "content", "type": ["null", "string"]},
+                           {"name": "lang", "type": ["null", "string"]}]}
+    V2 = {"type": "record", "name": "v",
+          "fields": [{"name": "op", "type": "string"},
+                     {"name": "lsn", "type": "long"},
+                     {"name": "ts_ms", "type": ["null", "long"]},
+                     {"name": "after", "type": ["null", AFTER_V2]}]}
+
+    def framed(sid, schema, rec):
+        return b"\x00" + sid.to_bytes(4, "big") + encode_record(schema, rec)
+
+    rows = [
+        (framed(1, K, {"repo": "r0", "path": f"p{i}"}),
+         framed(1, V1, {"op": "c", "lsn": i, "ts_ms": i,
+                        "after": {"content": f"old_{i}"}}))
+        for i in range(10)
+    ] + [
+        (framed(2, K, {"repo": "r0", "path": "p0"}),
+         framed(2, V2, {"op": "u", "lsn": 100, "ts_ms": 100,
+                        "after": {"content": "new_0", "lang": "py"}}))
+    ]
+    spark.createDataFrame(rows, "key binary, value binary").write.parquet(
+        str(tmp_path / "raw")
+    )
+    (tmp_path / "v.avsc").write_text(_json.dumps(V2))
+    (tmp_path / "k.avsc").write_text(_json.dumps(K))
+    (tmp_path / "writers.json").write_text(_json.dumps({"1": V1, "2": V2}))
+    props = tmp_path / "connector.properties"
+    props.write_text(
+        "transforms=drop\n"
+        "transforms.drop.type="
+        "io.aiven.kafka.connect.transforms.TombstoneHandler\n"
+        "transforms.drop.behavior=drop_silent\n"
+        "key.converter=io.confluent.connect.avro.AvroConverter\n"
+        f"key.converter.schema.file={tmp_path / 'k.avsc'}\n"
+        "value.converter=io.confluent.connect.avro.AvroConverter\n"
+        f"value.converter.schema.file={tmp_path / 'v.avsc'}\n"
+        f"value.converter.writer.schemas.file={tmp_path / 'writers.json'}\n"
+    )
+    env = dict(os.environ, PYTHONPATH=REPO)
+    out = subprocess.run(
+        [
+            sys.executable, "-m", "transforms_for_apache_kafka_connect_spark",
+            "--events", str(tmp_path / "raw"),
+            "--table", str(tmp_path / "table"),
+            "--streaming",
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--chain", str(props),
+            "--buckets", "4",
+            "--master", "local[4]",
+        ],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    table = LakeTable(str(tmp_path / "table"), n_buckets=4)
+    final = {(r["repo"], r["path"]): r for r in table.read(spark).collect()}
+    assert len(final) == 10
+    assert final[("r0", "p0")]["content"] == "new_0"
+    assert final[("r0", "p0")]["lang"] == "py"
+    assert final[("r0", "p1")]["lang"] is None
+
+
 def test_cli_blooms_and_sorted_compact(spark, tmp_path, capsys):
     from transforms_for_apache_kafka_connect_spark.cli import main
 

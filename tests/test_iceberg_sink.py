@@ -300,6 +300,10 @@ def test_single_commit_merge_failure_not_rerun(monkeypatch):
 
 def test_committed_falls_back_to_snapshot_summaries(monkeypatch):
     fake, upd, tbl = _mk()
+    # the snapshots scan only runs when CommitMetadata is reachable
+    # (two-commit mode can't have stamped summaries) — simulate its
+    # presence
+    monkeypatch.setattr(iceberg_sink, "_commit_metadata", lambda s: object())
 
     def sql_with_snapshots(q):
         if ".`snapshots`" in q or ".snapshots" in q:

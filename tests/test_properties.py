@@ -211,12 +211,26 @@ def test_converters_from_properties_errors():
         converters_from_properties(
             "value.converter=io.confluent.connect.avro.AvroConverter\n"
         )
-    with pytest.raises(ConfigException, match="formats differ"):
+    with pytest.raises(ConfigException, match="differs from the value"):
         converters_from_properties(
             "key.converter=org.apache.kafka.connect.json.JsonConverter\n"
             "key.converter.schema=id bigint\n"
             "value.converter=io.confluent.connect.avro.AvroConverter\n"
             'value.converter.schema={"type":"record","name":"v","fields":[]}\n'
+        )
+    # a typed KEY converter cannot hijack an untyped/absent VALUE
+    # converter (review finding: StringConverter values + Avro keys
+    # must refuse, not decode strings as framed Avro)
+    with pytest.raises(ConfigException, match="differs from the value"):
+        converters_from_properties(
+            "key.converter=io.confluent.connect.avro.AvroConverter\n"
+            'key.converter.schema={"type":"record","name":"k","fields":[]}\n'
+            "value.converter=org.apache.kafka.connect.storage.StringConverter\n"
+        )
+    with pytest.raises(ConfigException, match="differs from the value"):
+        converters_from_properties(
+            "key.converter=org.apache.kafka.connect.json.JsonConverter\n"
+            "key.converter.schema=id bigint\n"
         )
 
 

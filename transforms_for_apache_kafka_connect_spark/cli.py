@@ -393,6 +393,7 @@ def main(argv: list[str] | None = None) -> int:
                       else "json" if args.raw_json else None)
         key_schema, value_schema = args.key_schema, args.value_schema
         confluent_framing = args.confluent_framing
+        writer_schemas = None
         if raw_format == "avro":
             key_schema = _avro_schema(key_schema)
             value_schema = _avro_schema(value_schema)
@@ -411,6 +412,7 @@ def main(argv: list[str] | None = None) -> int:
                 key_schema = conv.get("key_schema")
                 value_schema = conv.get("value_schema")
                 confluent_framing = conv.get("confluent_framing", False)
+                writer_schemas = conv.get("writer_schemas")
         batch_df = spark.read.parquet(args.events)
         stream = (
             spark.readStream.schema(batch_df.schema).parquet(args.events)
@@ -421,6 +423,7 @@ def main(argv: list[str] | None = None) -> int:
             key_schema=key_schema,
             value_schema=value_schema,
             confluent_framing=confluent_framing,
+            writer_schemas=writer_schemas,
             suppress_stale_ms=args.suppress_stale_ms,
         )
         q.awaitTermination()

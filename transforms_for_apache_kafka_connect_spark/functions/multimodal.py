@@ -1,12 +1,14 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
 metadata, with Spark-side plumbing (schema, partitioning, Arrow batch
 shape) fully real and the *codec* step optional-dependency-gated (the
-Iceberg-sink pattern): when Pillow is importable on the executors the
-real JPEG/PNG decode/resize runs; otherwise ``fake=True`` (the sandbox
-default — no imaging libs in this container) picks the deterministic
-hash-derived fake so the distributed pipeline stays testable
-end-to-end. Pass ``fake=None`` to auto-select (real codec iff Pillow
-is present).
+Iceberg-sink pattern): when Pillow is importable the real JPEG/PNG
+decode/resize runs; otherwise ``fake=True`` (the sandbox default — no
+imaging libs in this container) picks the deterministic hash-derived
+fake so the distributed pipeline stays testable end-to-end. Pass
+``fake=None`` to auto-select — the probe runs on the DRIVER and
+assumes a uniform driver/executor Python environment (the normal
+spark-submit contract); a driver-only Pillow install fails in the
+workers with an actionable message (see ``decode_image``).
 """
 
 from __future__ import annotations
@@ -80,11 +82,18 @@ def synthetic_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
 def decode_image(payload: bytes) -> np.ndarray:
     """JPEG/PNG bytes -> HxWx3 uint8 array via Pillow when present;
     raises NotImplementedError otherwise (sandbox containers ship no
-    imaging library — the deterministic fake path covers them)."""
+    imaging library — the deterministic fake path covers them).
+
+    ``fake=None`` auto-selection happens on the DRIVER (assuming a
+    uniform Python environment, the normal spark-submit contract); this
+    runs in executor workers, so the message below names the actual
+    fix when the environments diverge."""
     if not HAS_PIL:
         raise NotImplementedError(
-            "image decode requires Pillow, which is not present in this "
-            "environment; use fake=True for the deterministic fake path"
+            "image decode requires Pillow, which is not importable in "
+            "this Python worker. If it IS installed on the driver, ship "
+            "it to the executors (spark-submit --archives / a uniform "
+            "image) or pass fake=True for the deterministic fake path"
         )
     with _PILImage.open(io.BytesIO(payload)) as im:
         return np.asarray(im.convert("RGB"))

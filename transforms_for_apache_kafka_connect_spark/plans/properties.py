@@ -325,13 +325,22 @@ def converters_from_properties(source) -> dict:
         return None
 
     vfmt, kfmt = fmt("value"), fmt("key")
-    if kfmt is not None and vfmt is not None and kfmt != vfmt:
+    v_declared = "value.converter" in props
+    k_declared = "key.converter" in props
+    # the boundary decodes both sides with ONE converter per stream:
+    # the value converter decides the format. A typed KEY converter
+    # next to an untyped/absent VALUE converter (e.g. Avro keys over
+    # StringConverter values) is a real Connect config the engine
+    # cannot express — refuse loudly instead of hijacking the value
+    # decode (a passthrough value payload parsed as framed Avro would
+    # error every record).
+    raw_format = vfmt if v_declared else None
+    if k_declared and kfmt is not None and kfmt != raw_format:
         raise ConfigException(
-            f"key.converter ({kfmt}) and value.converter ({vfmt}) "
-            "formats differ; the engine boundary decodes both sides "
-            "with one converter per stream"
+            f"key.converter format ({kfmt}) differs from the value "
+            f"converter's ({raw_format}); the engine boundary decodes "
+            "both sides with one converter per stream"
         )
-    raw_format = vfmt or kfmt
     out: dict = {"raw_format": raw_format}
     if raw_format is None:
         return out

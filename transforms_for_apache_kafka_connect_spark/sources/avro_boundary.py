@@ -169,6 +169,15 @@ def _encode(schema: Any, val: Any, out: io.BytesIO) -> None:
     schema = _norm(schema)
     if isinstance(schema, list):  # nullable union
         non_null = [s for s in schema if _norm(s) != "null"]
+        if len(non_null) != 1 or len(schema) > 2:
+            # the decode direction rejects these loudly in
+            # avro_schema_to_spark; the encoder must not corrupt
+            # silently either (branch-index arithmetic below assumes
+            # exactly ['null', T])
+            raise ValueError(
+                f"only nullable unions ['null', T] are supported, got "
+                f"{schema!r}"
+            )
         null_idx = 0 if _norm(schema[0]) == "null" else 1
         if val is None:
             out.write(_zigzag_encode(null_idx))
@@ -351,12 +360,41 @@ def _reader_default(field: dict) -> Any:
     )
 
 
+def _unwrap_nullable(schema: Any) -> Any:
+    schema = _norm(schema)
+    if isinstance(schema, list):
+        return next((_norm(b) for b in schema if _norm(b) != "null"), "null")
+    return schema
+
+
+def _resolve_value(writer_t: Any, reader_t: Any, value: Any) -> Any:
+    """Schema-resolve one VALUE: recurses through records, arrays and
+    maps; primitives go through numeric promotion."""
+    if value is None:
+        return None
+    wt, rt = _unwrap_nullable(writer_t), _unwrap_nullable(reader_t)
+    w_kind, r_kind = _base_type(wt), _base_type(rt)
+    if w_kind == "record" and r_kind == "record":
+        return resolve_record(wt, rt, value)
+    if w_kind == "array" and r_kind == "array":
+        return [
+            _resolve_value(wt["items"], rt["items"], item) for item in value
+        ]
+    if w_kind == "map" and r_kind == "map":
+        items = value.items() if isinstance(value, dict) else value
+        return {
+            k: _resolve_value(wt["values"], rt["values"], v) for k, v in items
+        }
+    return _promote(value, wt, rt)
+
+
 def resolve_record(
     writer_schema: Any, reader_schema: Any, record: dict
 ) -> dict:
     """Project a writer-decoded record onto the reader schema (Avro
-    schema-resolution rules: name match, defaults, numeric promotion;
-    writer-only fields dropped). Nested records resolve recursively."""
+    spec Schema Resolution: name match, reader defaults, numeric
+    promotion; writer-only fields dropped). Resolution recurses through
+    nested records AND records inside arrays/maps."""
     writer_schema, reader_schema = _norm(writer_schema), _norm(reader_schema)
     w_fields = {f["name"]: f for f in writer_schema["fields"]}
     out = {}
@@ -366,23 +404,7 @@ def resolve_record(
         if wf is None:
             out[name] = _reader_default(rf)
             continue
-        v = record.get(name)
-        if (
-            isinstance(v, dict)
-            and _base_type(wf["type"]) not in _PRIMITIVE_SPARK
-        ):
-            wt, rt = _norm(wf["type"]), _norm(rf["type"])
-            if isinstance(wt, list):
-                wt = next(_norm(b) for b in wt if _norm(b) != "null")
-            if isinstance(rt, list):
-                rt = next(_norm(b) for b in rt if _norm(b) != "null")
-            if (
-                isinstance(wt, dict) and wt.get("type") == "record"
-                and isinstance(rt, dict) and rt.get("type") == "record"
-            ):
-                out[name] = resolve_record(wt, rt, v)
-                continue
-        out[name] = _promote(v, wf["type"], rf["type"])
+        out[name] = _resolve_value(wf["type"], rf["type"], record.get(name))
     return out
 
 
@@ -452,8 +474,11 @@ def _decode_column(
     body = raw
     frame_bad = F.lit(False)
     if confluent_framing:
+        # >= _FRAME_LEN, not > : a record whose every field is null-typed
+        # legally encodes to a ZERO-byte body, so the minimal framed
+        # payload is exactly the 5 frame bytes
         frame_bad = raw.isNotNull() & (
-            (F.length(raw) < _FRAME_LEN + 1)
+            (F.length(raw) < _FRAME_LEN)
             | (F.substring(raw, 1, 1) != F.lit(b"\x00"))
         )
         if not writer_schemas:

@@ -147,7 +147,12 @@ class IcebergLakeTable:
     ) -> bool:
         """Crash-window recovery: when the ledger cache lacks an entry,
         the authoritative record is the snapshot summary the MERGE
-        itself carried (single-commit path). Metadata-only scan."""
+        itself carried (single-commit path). Metadata-only scan —
+        skipped entirely in degraded two-commit mode (no CommitMetadata
+        class => no summary can ever carry tkc.* keys), so the normal
+        per-batch cache miss costs nothing there."""
+        if _commit_metadata(spark) is None:
+            return False
         try:
             rows = spark.sql(
                 "SELECT summary['tkc.epoch'] AS e, "

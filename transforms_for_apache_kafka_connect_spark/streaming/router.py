@@ -245,12 +245,14 @@ class TopicTableRouter:
         trigger_seconds: int = 10,
         available_now: bool = False,
         raw_json: bool = False,
-        raw_format: str | None = None,
         key_schema=None,
         value_schema=None,
+        suppress_stale_ms: int | None = None,
+        # new keyword args strictly AFTER the pre-existing ones so
+        # positional callers of the old signature keep working
+        raw_format: str | None = None,
         confluent_framing: bool = False,
         writer_schemas: dict | None = None,
-        suppress_stale_ms: int | None = None,
     ):
         """Structured Streaming entry: same per-topic apply_batch via
         foreachBatch (mirror of Replayer.stream, including the
