@@ -92,7 +92,7 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--maintenance",
                     choices=["compact", "vacuum", "rescale", "lookup",
                              "publish", "stats", "delete-where",
-                             "tag", "drop-tag"],
+                             "tag", "drop-tag", "relay"],
                     default=None,
                     help="run a table op instead of a replay "
                          "(--events is ignored)")
@@ -136,6 +136,13 @@ def build_parser() -> argparse.ArgumentParser:
                          "epoch (default: keep all)")
     ap.add_argument("--rescale-buckets", type=int, default=None,
                     help="target bucket count (with --maintenance rescale)")
+    ap.add_argument("--relay-out", default=None,
+                    help="with --maintenance relay: output parquet dir for "
+                         "the published converter-bytes stream")
+    ap.add_argument("--relay-format", choices=["json", "avro"],
+                    default="json",
+                    help="with --maintenance relay: converter serialization "
+                         "(avro implies Confluent framing)")
     ap.add_argument("--key", default=None,
                     help="with --maintenance lookup: JSON object binding "
                          'every key column, e.g. \'{"repo": "r1", '
@@ -288,6 +295,30 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"lookup: {exc}", file=sys.stderr)
                 return 2
             r = {"rows": [row.asDict(recursive=True) for row in rows]}
+        elif args.maintenance == "relay":
+            # CDC-source direction: committed changelog -> converter
+            # bytes (Debezium-envelope shaped) written to --relay-out,
+            # ready for a bytes-oriented producer / downstream engine
+            if not args.relay_out:
+                print("--maintenance relay requires --relay-out",
+                      file=sys.stderr)
+                return 2
+            from transforms_for_apache_kafka_connect_spark.streaming.relay import (
+                publish_changelog,
+            )
+
+            try:
+                raw = publish_changelog(
+                    table, spark, format=args.relay_format,
+                    epoch=args.epoch,
+                    confluent_framing=(args.relay_format == "avro"),
+                )
+            except ValueError as exc:
+                print(f"relay: {exc}", file=sys.stderr)
+                return 2
+            raw.write.mode("overwrite").parquet(args.relay_out)
+            r = {"out": args.relay_out, "format": args.relay_format,
+                 "n_events": spark.read.parquet(args.relay_out).count()}
         elif args.maintenance == "publish":
             if not args.staged_token:
                 print("--maintenance publish requires --staged-token",

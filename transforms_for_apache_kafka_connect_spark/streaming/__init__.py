@@ -13,8 +13,14 @@ from transforms_for_apache_kafka_connect_spark.streaming.incremental import (
 from transforms_for_apache_kafka_connect_spark.streaming.expectations import (
     Expectation,
 )
+from transforms_for_apache_kafka_connect_spark.streaming.relay import (
+    changelog_envelope,
+    publish_changelog,
+)
 
 __all__ = [
+    "changelog_envelope",
+    "publish_changelog",
     "lww_dedupe",
     "LakeTable",
     "Replayer",
