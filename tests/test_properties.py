@@ -336,3 +336,69 @@ def test_converters_writer_schemas_file(tmp_path):
             "value.converter.schema=a bigint\n"
             f"value.converter.writer.schemas.file={tmp_path / 'writers.json'}\n"
         )
+
+
+def test_error_policy_from_properties(tmp_path):
+    from transforms_for_apache_kafka_connect_spark.plans.properties import (
+        error_policy_from_properties,
+    )
+
+    # undeclared -> caller keeps defaults
+    assert error_policy_from_properties("transforms=\n") == {}
+    assert error_policy_from_properties("errors.tolerance=none\n") == {
+        "error_mode": "fail"
+    }
+    assert error_policy_from_properties(
+        "errors.tolerance=all\n"
+        "errors.deadletterqueue.dir=/data/dlq\n"
+    ) == {"error_mode": "dlq", "dlq_dir": "/data/dlq"}
+    # the stock Connect key works as the dir name too
+    assert error_policy_from_properties(
+        "errors.tolerance=all\n"
+        "errors.deadletterqueue.topic.name=dlq_topic\n"
+    ) == {"error_mode": "dlq", "dlq_dir": "dlq_topic"}
+    with pytest.raises(ConfigException, match="quarantine target"):
+        error_policy_from_properties("errors.tolerance=all\n")
+    with pytest.raises(ConfigException, match="'none' or 'all'"):
+        error_policy_from_properties("errors.tolerance=sometimes\n")
+
+
+def test_cli_error_policy_from_properties(spark, tmp_path):
+    """A .properties chain declaring errors.tolerance=all routes errored
+    records to the declared DLQ dir instead of aborting the batch."""
+    import os as _os
+    import subprocess
+    import sys as _sys
+
+    from transforms_for_apache_kafka_connect_spark.sources import change_stream
+
+    # error events: null event field hashed WITHOUT skip -> per-record error
+    events = change_stream(spark, 500, n_repos=10, paths_per_repo=4)
+    events.write.mode("overwrite").parquet(str(tmp_path / "events"))
+    dlq = str(tmp_path / "dlq")
+    props = tmp_path / "c.properties"
+    props.write_text(
+        "transforms=h\n"
+        "transforms.h.type=io.aiven.kafka.connect.transforms.Hash$Value\n"
+        "transforms.h.field.name=after.content\n"
+        "transforms.h.function=sha256\n"   # no skip: tombstones error
+        "errors.tolerance=all\n"
+        f"errors.deadletterqueue.dir={dlq}\n"
+    )
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    out = subprocess.run(
+        [
+            _sys.executable, "-m", "transforms_for_apache_kafka_connect_spark",
+            "--events", str(tmp_path / "events"),
+            "--table", str(tmp_path / "table"),
+            "--chain", str(props),
+            "--batches", "1",
+            "--buckets", "4",
+            "--master", "local[4]",
+        ],
+        env=dict(_os.environ, PYTHONPATH=repo),
+        capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    # tombstones (null value) have no after.content -> DLQ'd, batch merged
+    assert _os.path.isdir(dlq)

@@ -56,10 +56,12 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--target-rows-per-file", type=int, default=2_000_000)
     ap.add_argument("--compact-every", type=int, default=0,
                     help="run bucket compaction every K committed batches")
-    ap.add_argument("--error-mode", choices=["fail", "dlq"], default="fail",
+    ap.add_argument("--error-mode", choices=["fail", "dlq"], default=None,
                     help="fail = first errored record aborts the batch "
-                         "(reference DataException model); dlq = quarantine "
-                         "errored records to --dlq-dir and merge the rest")
+                         "(reference DataException model, the default); "
+                         "dlq = quarantine errored records to --dlq-dir and "
+                         "merge the rest. Unset, a .properties --chain may "
+                         "supply it via errors.tolerance/deadletterqueue")
     ap.add_argument("--dlq-dir", default=None,
                     help="dead-letter directory (required with "
                          "--error-mode dlq)")
@@ -371,6 +373,31 @@ def main(argv: list[str] | None = None) -> int:
             print(f"expectations: {exc}", file=sys.stderr)
             return 2
 
+    # error policy: explicit flags win; otherwise a .properties chain
+    # may declare errors.tolerance / errors.deadletterqueue.* (the
+    # Connect worker surface); default = fail (reference model)
+    error_mode, dlq_dir = args.error_mode, args.dlq_dir
+    if error_mode is None and args.chain and args.chain.endswith(".properties"):
+        from transforms_for_apache_kafka_connect_spark.errors import (
+            ConfigException,
+        )
+        from transforms_for_apache_kafka_connect_spark.plans.properties import (
+            error_policy_from_properties,
+        )
+
+        try:
+            policy = error_policy_from_properties(args.chain)
+        except ConfigException as exc:
+            print(f"error policy: {exc}", file=sys.stderr)
+            return 2
+        if policy:
+            error_mode = policy["error_mode"]
+            dlq_dir = policy.get("dlq_dir") or dlq_dir
+    error_mode = error_mode or "fail"
+    if error_mode == "dlq" and not dlq_dir:
+        print("--error-mode dlq requires --dlq-dir", file=sys.stderr)
+        return 2
+
     if args.routed:
         from transforms_for_apache_kafka_connect_spark.streaming import (
             TopicTableRouter,
@@ -380,7 +407,7 @@ def main(argv: list[str] | None = None) -> int:
             root=args.table, chain=chain, epoch=args.epoch,
             table_opts=table_opts,
             replayer_opts={
-                "error_mode": args.error_mode, "dlq_dir": args.dlq_dir,
+                "error_mode": error_mode, "dlq_dir": dlq_dir,
                 "expectations": expectations,
             },
             compact_every=args.compact_every,
@@ -388,7 +415,7 @@ def main(argv: list[str] | None = None) -> int:
     else:
         engine = Replayer(table=table, chain=chain, epoch=args.epoch,
                           compact_every=args.compact_every,
-                          error_mode=args.error_mode, dlq_dir=args.dlq_dir,
+                          error_mode=error_mode, dlq_dir=dlq_dir,
                           expectations=expectations)
 
     if args.bootstrap:

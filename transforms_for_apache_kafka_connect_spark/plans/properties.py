@@ -369,3 +369,43 @@ def converters_from_properties(source) -> dict:
             "a schema registry, so the writer schema must be pinned"
         )
     return out
+
+
+def error_policy_from_properties(source) -> dict:
+    """Connect error-handling declarations -> the engine's Replayer
+    kwargs (``error_mode``/``dlq_dir``).
+
+    Maps the standard worker keys (public Connect config):
+
+    * ``errors.tolerance=none`` (default) -> ``error_mode="fail"``
+      (first errored record aborts the batch — the reference's
+      DataException model)
+    * ``errors.tolerance=all`` -> ``error_mode="dlq"``; the quarantine
+      directory comes from ``errors.deadletterqueue.topic.name``
+      resolved against the engine extension key
+      ``errors.deadletterqueue.dir`` (the engine writes a directory,
+      not a Kafka topic — one of the two must be set)
+
+    Returns an empty dict when no error keys are declared (caller
+    keeps its defaults).
+    """
+    props = _load_props(source)
+    tolerance = props.get("errors.tolerance")
+    if tolerance is None:
+        return {}
+    if tolerance == "none":
+        return {"error_mode": "fail"}
+    if tolerance != "all":
+        raise ConfigException(
+            f"errors.tolerance must be 'none' or 'all', got {tolerance!r}"
+        )
+    dlq_dir = props.get("errors.deadletterqueue.dir") or props.get(
+        "errors.deadletterqueue.topic.name"
+    )
+    if not dlq_dir:
+        raise ConfigException(
+            "errors.tolerance=all requires a quarantine target: set "
+            "'errors.deadletterqueue.dir' (engine extension) or "
+            "'errors.deadletterqueue.topic.name'"
+        )
+    return {"error_mode": "dlq", "dlq_dir": dlq_dir}
