@@ -142,9 +142,17 @@ def replay_benchmark(spark, n_events: int, work_dir: str, cpus: int) -> dict:
         # batch 1+ (incremental merge against existing buckets) — a
         # single-batch warmup leaves the incremental shape cold and the
         # first timed batches pay its JIT (measured ~2x on batch 0-1).
+        # Warm size: HotSpot C2 needs real iteration volume, not just
+        # plan-shape coverage — 2x1.5M warm events take the timed loop
+        # from 15.5 s to ~13 s on identical input (still excluded from
+        # timing, standard JMH discipline; override via
+        # SPARK_GRAFT_WARM_EVENTS).
         warm_path = os.path.join(work_dir, "warm_events")
         (
-            change_stream(spark, 1_000_000, n_repos=2_000, paths_per_repo=20,
+            change_stream(spark,
+                          int(os.environ.get("SPARK_GRAFT_WARM_EVENTS",
+                                             "3000000")),
+                          n_repos=2_000, paths_per_repo=20,
                           partitions=cpus)
             .withColumn(
                 "__slice",
