@@ -147,6 +147,37 @@ def main() -> None:
     print(f"6. retention: erased {gone} 'md' rows; "
           f"audit trail holds {audit} pre-images")
 
+    # 7. CDC relay: publish bronze's changelog as Confluent-framed Avro
+    # bytes, then consume them back through the stock boundary into a
+    # fresh table — the engine as a CDC source
+    from transforms_for_apache_kafka_connect_spark.record import enforce
+    from transforms_for_apache_kafka_connect_spark.sources import (
+        envelope_from_avro,
+        spark_to_avro_schema,
+    )
+    from transforms_for_apache_kafka_connect_spark.streaming import (
+        changelog_envelope,
+        publish_changelog,
+    )
+
+    env = changelog_envelope(bronze, spark, epoch="prod")
+    raw = publish_changelog(bronze, spark, format="avro", epoch="prod",
+                            confluent_framing=True, use_jvm=False)
+    replica = LakeTable(os.path.join(work, "relay_replica"), n_buckets=8)
+    consumed = enforce(envelope_from_avro(
+        raw,
+        key_schema=spark_to_avro_schema(env.schema["key"].dataType, "key"),
+        value_schema=spark_to_avro_schema(
+            env.schema["value"].dataType, "value"
+        ),
+        confluent_framing=True, use_jvm=False,
+    ))
+    Replayer(table=replica, chain=Chain([]), epoch="relay",
+             unique_lsn=True).apply_batch(consumed, 0)
+    print(f"7. relay: published {raw.count()} Avro change events; "
+          f"replica rows = {replica.read(spark).count()} "
+          f"(bronze pre-retention state)")
+
     spark.stop()
     print(f"done — table root: {work}")
 
