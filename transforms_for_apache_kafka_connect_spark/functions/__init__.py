@@ -14,6 +14,12 @@ from transforms_for_apache_kafka_connect_spark.functions.dedupe import (
     simhash_signatures,
     embedding_near_duplicates,
 )
+from transforms_for_apache_kafka_connect_spark.functions.sampling import (
+    deterministic_top_sample,
+    hash_sample,
+    hash_split,
+    stratified_sample,
+)
 from transforms_for_apache_kafka_connect_spark.functions.similarity import (
     brute_force_topk,
     cosine_expr,
@@ -22,6 +28,10 @@ from transforms_for_apache_kafka_connect_spark.functions.similarity import (
 )
 
 __all__ = [
+    "hash_split",
+    "hash_sample",
+    "stratified_sample",
+    "deterministic_top_sample",
     "add_text_stats",
     "detect_lang",
     "fingerprint",

@@ -1,0 +1,152 @@
+"""Deterministic sampling and dataset splitting for training-data
+pipelines — the ops that carve a 100 TB corpus into train/val/test and
+bounded samples without ever shuffling it.
+
+Everything here is a pure Column expression over a stable hash of the
+row's id (xxhash64, seeded): no RNG state, no shuffle, no driver
+round-trip — the same row lands in the same split/sample on every run,
+on any cluster layout, under any partitioning. That determinism is the
+property training pipelines actually need (resumable jobs, reproducible
+ablations, leakage-free splits that survive re-partitioning); Spark's
+``df.sample``/``randomSplit`` are per-partition-RNG based and change
+membership when the partitioning changes.
+
+Scale shapes:
+
+* ``hash_split`` / ``hash_sample`` — zero-shuffle projections (a
+  filter on a hash range); at 100 TB they run at scan speed.
+* ``stratified_sample`` — same zero-shuffle filter, per-stratum
+  fractions resolved from a broadcastable dict (no groupBy).
+* ``deterministic_top_sample`` — exact fixed-size N: rank by hash via
+  one partial top-N aggregation (WindowGroupLimit prunes map-side), the
+  only op here that pays an exchange, bounded to N rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: hash-space denominator: xxhash64 spans the full signed 64-bit range;
+#: map it to [0, 1) for threshold comparisons
+_SPAN = float(2**64)
+
+
+def _unit_hash(cols: list[str] | list[Column], seed: int) -> Column:
+    """Stable per-row position in [0, 1): seeded xxhash64 of the id
+    columns, shifted to unsigned and scaled."""
+    h = F.xxhash64(*cols, F.lit(seed))
+    return (h.cast("double") + F.lit(2.0**63)) / F.lit(_SPAN)
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    *,
+    id_cols: list[str],
+    seed: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to exactly one named split (train/val/test…)
+    by hash range — deterministic, leakage-free, zero-shuffle.
+
+    ``weights`` maps split name -> relative weight (normalized
+    internally). Rows with equal ``id_cols`` always land in the same
+    split — hash the DOCUMENT id, not the chunk id, to keep all chunks
+    of one document on the same side of the split.
+    """
+    if not weights:
+        raise ValueError("weights must name at least one split")
+    if any(w < 0 for w in weights.values()) or sum(weights.values()) <= 0:
+        raise ValueError(f"weights must be non-negative and sum > 0: {weights}")
+    total = float(sum(weights.values()))
+    u = _unit_hash(id_cols, seed)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction: float,
+    *,
+    id_cols: list[str],
+    seed: int = 42,
+) -> DataFrame:
+    """Keep a deterministic ~``fraction`` of rows (hash threshold).
+    Nested property: the ``fraction=0.1`` sample is a SUBSET of the
+    ``fraction=0.2`` sample at the same seed — shrink/grow a training
+    mix without resampling the world."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1]: {fraction}")
+    return df.filter(_unit_hash(id_cols, seed) < F.lit(float(fraction)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict,
+    *,
+    strata_col: str,
+    id_cols: list[str],
+    default_fraction: float = 0.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. rebalance languages in
+    a training mix): ``fractions`` maps stratum value -> keep fraction;
+    unlisted strata keep ``default_fraction``. Zero shuffle — the
+    per-stratum threshold is a CASE expression, not a join."""
+    for k, v in fractions.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"fraction for {k!r} must be in [0, 1]: {v}")
+    u = _unit_hash(id_cols, seed)
+    thr = None
+    for k, v in fractions.items():
+        cond = F.col(strata_col) == F.lit(k)
+        thr = F.when(cond, F.lit(float(v))) if thr is None else thr.when(
+            cond, F.lit(float(v))
+        )
+    thr = (
+        F.lit(float(default_fraction))
+        if thr is None
+        else thr.otherwise(F.lit(float(default_fraction)))
+    )
+    return df.filter(u < thr)
+
+
+def deterministic_top_sample(
+    df: DataFrame,
+    n: int,
+    *,
+    id_cols: list[str],
+    seed: int = 42,
+) -> DataFrame:
+    """Exactly ``min(n, count)`` rows, chosen deterministically: rank
+    all rows by their seeded hash and keep the smallest ``n`` — a
+    reproducible stand-in for reservoir sampling whose membership is
+    stable across runs AND nested across sizes (top-1000 ⊃ top-100).
+
+    The only sampling op that moves rows — and Catalyst plans it as
+    ``TakeOrderedAndProject``: each task keeps its local top-``n`` and
+    one bounded reduce merges them, so at most n×tasks rows ever leave
+    a task (verified by plan test), not the corpus."""
+    if n < 0:
+        raise ValueError(f"n must be >= 0: {n}")
+    if n == 0:
+        return df.limit(0)
+    u = _unit_hash(id_cols, seed).alias("__u")
+    w = Window.orderBy(F.col("__u"), *[F.col(c) for c in id_cols])
+    return (
+        df.withColumn("__u", u)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n)
+        .drop("__u", "__rk")
+    )
