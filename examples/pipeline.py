@@ -153,24 +153,18 @@ def main() -> None:
     from transforms_for_apache_kafka_connect_spark.record import enforce
     from transforms_for_apache_kafka_connect_spark.sources import (
         envelope_from_avro,
-        spark_to_avro_schema,
     )
     from transforms_for_apache_kafka_connect_spark.streaming import (
-        changelog_envelope,
         publish_changelog,
+        relay_schemas,
     )
 
-    env = changelog_envelope(bronze, spark, epoch="prod")
     raw = publish_changelog(bronze, spark, format="avro", epoch="prod",
                             confluent_framing=True, use_jvm=False)
+    schemas = relay_schemas(bronze, spark, epoch="prod")
     replica = LakeTable(os.path.join(work, "relay_replica"), n_buckets=8)
     consumed = enforce(envelope_from_avro(
-        raw,
-        key_schema=spark_to_avro_schema(env.schema["key"].dataType, "key"),
-        value_schema=spark_to_avro_schema(
-            env.schema["value"].dataType, "value"
-        ),
-        confluent_framing=True, use_jvm=False,
+        raw, **schemas, confluent_framing=True, use_jvm=False,
     ))
     Replayer(table=replica, chain=Chain([]), epoch="relay",
              unique_lsn=True).apply_batch(consumed, 0)

@@ -96,12 +96,12 @@ def test_publish_roundtrip_and_consume(spark, tmp_path, fmt):
             value_schema=env.schema["value"].dataType,
         )
     else:
+        from transforms_for_apache_kafka_connect_spark.streaming import (
+            relay_schemas,
+        )
+
         back = envelope_from_avro(
-            raw,
-            key_schema=spark_to_avro_schema(env.schema["key"].dataType, "key"),
-            value_schema=spark_to_avro_schema(
-                env.schema["value"].dataType, "value"
-            ),
+            raw, **relay_schemas(src, spark),
             confluent_framing=True,
             use_jvm=False,
         )
@@ -112,6 +112,16 @@ def test_publish_roundtrip_and_consume(spark, tmp_path, fmt):
     a = src.read(spark).select("repo", "path", "content")
     b = dst.read(spark).select("repo", "path", "content")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_publish_json_rejects_framing_args(spark, tmp_path):
+    # refusing beats silently publishing unframed bytes a framed
+    # consumer would corrupt
+    _, src = _build_source(spark, tmp_path, n=500)
+    with pytest.raises(ValueError, match="format='avro'"):
+        publish_changelog(src, spark, format="json", confluent_framing=True)
+    with pytest.raises(ValueError, match="format='avro'"):
+        publish_changelog(src, spark, format="json", schema_id=9)
 
 
 def test_relay_requires_changelog(spark, tmp_path):
@@ -152,7 +162,7 @@ def test_cli_relay_maintenance(spark, tmp_path):
             "--maintenance", "relay",
             "--relay-out", out_dir,
             "--relay-format", "avro",
-            "--epoch", "e1",
+            # no --epoch: relay defaults to ALL committed epochs
             "--buckets", "4",
             "--master", "local[4]",
         ],

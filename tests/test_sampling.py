@@ -135,6 +135,12 @@ def test_top_sample_exchange_is_bounded(spark, docs):
     )
 
 
+def test_fraction_one_keeps_every_row(spark, docs):
+    # the unit hash must be STRICTLY below 1.0 for every row (2^53
+    # bucket fold) so fraction=1.0 is a true keep-all
+    assert hash_sample(docs, 1.0, id_cols=["doc_id"]).count() == docs.count()
+
+
 def test_validation_errors(spark, docs):
     with pytest.raises(ValueError, match="at least one split"):
         hash_split(docs, {}, id_cols=["doc_id"])
@@ -145,5 +151,8 @@ def test_validation_errors(spark, docs):
     with pytest.raises(ValueError, match=r"in \[0, 1\]"):
         stratified_sample(docs, {"en": 2.0}, strata_col="lang",
                           id_cols=["doc_id"])
+    with pytest.raises(ValueError, match="default_fraction"):
+        stratified_sample(docs, {"en": 0.5}, strata_col="lang",
+                          id_cols=["doc_id"], default_fraction=5.0)
     with pytest.raises(ValueError, match=">= 0"):
         deterministic_top_sample(docs, -1, id_cols=["doc_id"])

@@ -42,7 +42,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--key-cols", default="repo,path")
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--batches", type=int, default=8)
-    ap.add_argument("--epoch", default="default")
+    ap.add_argument("--epoch", default=None,
+                    help="replay epoch name (default: 'default'); for "
+                         "--maintenance relay, unset means ALL epochs")
     ap.add_argument("--slice-col", default="timestamp",
                     help="monotone batching column (e.g. timestamp or __slice)")
     ap.add_argument("--start-pos", type=int, default=None)
@@ -312,7 +314,7 @@ def main(argv: list[str] | None = None) -> int:
             try:
                 raw = publish_changelog(
                     table, spark, format=args.relay_format,
-                    epoch=args.epoch,
+                    epoch=args.epoch,  # None = every committed epoch
                     confluent_framing=(args.relay_format == "avro"),
                 )
             except ValueError as exc:
@@ -392,7 +394,8 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         if policy:
             error_mode = policy["error_mode"]
-            dlq_dir = policy.get("dlq_dir") or dlq_dir
+            # explicit --dlq-dir always wins over the declared topic/dir
+            dlq_dir = dlq_dir or policy.get("dlq_dir")
     error_mode = error_mode or "fail"
     if error_mode == "dlq" and not dlq_dir:
         print("--error-mode dlq requires --dlq-dir", file=sys.stderr)
@@ -404,7 +407,7 @@ def main(argv: list[str] | None = None) -> int:
         )
 
         engine = TopicTableRouter(
-            root=args.table, chain=chain, epoch=args.epoch,
+            root=args.table, chain=chain, epoch=args.epoch or "default",
             table_opts=table_opts,
             replayer_opts={
                 "error_mode": error_mode, "dlq_dir": dlq_dir,
@@ -413,7 +416,8 @@ def main(argv: list[str] | None = None) -> int:
             compact_every=args.compact_every,
         )
     else:
-        engine = Replayer(table=table, chain=chain, epoch=args.epoch,
+        engine = Replayer(table=table, chain=chain,
+                          epoch=args.epoch or "default",
                           compact_every=args.compact_every,
                           error_mode=error_mode, dlq_dir=dlq_dir,
                           expectations=expectations)

@@ -27,16 +27,18 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-#: hash-space denominator: xxhash64 spans the full signed 64-bit range;
-#: map it to [0, 1) for threshold comparisons
-_SPAN = float(2**64)
+#: hash-space modulus: 2^53 buckets keep every value exactly
+#: representable as a double, so u = bucket / 2^53 lies in [0, 1)
+#: STRICTLY (a raw int64->double cast can round up to 2^63 and produce
+#: exactly 1.0, making those rows unreachable by any fraction)
+_BUCKETS = 2**53
 
 
 def _unit_hash(cols: list[str] | list[Column], seed: int) -> Column:
     """Stable per-row position in [0, 1): seeded xxhash64 of the id
-    columns, shifted to unsigned and scaled."""
-    h = F.xxhash64(*cols, F.lit(seed))
-    return (h.cast("double") + F.lit(2.0**63)) / F.lit(_SPAN)
+    columns, folded into 2^53 exactly-representable buckets."""
+    h = F.pmod(F.xxhash64(*cols, F.lit(seed)), F.lit(_BUCKETS))
+    return h.cast("double") / F.lit(float(_BUCKETS))
 
 
 def hash_split(
@@ -107,6 +109,10 @@ def stratified_sample(
     for k, v in fractions.items():
         if not 0.0 <= v <= 1.0:
             raise ValueError(f"fraction for {k!r} must be in [0, 1]: {v}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(
+            f"default_fraction must be in [0, 1]: {default_fraction}"
+        )
     u = _unit_hash(id_cols, seed)
     thr = None
     for k, v in fractions.items():
@@ -133,6 +139,13 @@ def deterministic_top_sample(
     all rows by their seeded hash and keep the smallest ``n`` — a
     reproducible stand-in for reservoir sampling whose membership is
     stable across runs AND nested across sizes (top-1000 ⊃ top-100).
+
+    ``id_cols`` must uniquely identify rows: the tie-break is
+    (hash, id_cols), so duplicate-id rows at the rank-``n`` boundary
+    would be resolved by partition layout, not deterministically —
+    which ids are kept stays stable, but which duplicate PAYLOAD
+    survives would not. Feed row-unique ids (e.g. doc_id + chunk_id),
+    unlike ``hash_split`` where the shared document id is the point.
 
     The only sampling op that moves rows — and Catalyst plans it as
     ``TakeOrderedAndProject``: each task keeps its local top-``n`` and

@@ -16,11 +16,13 @@ from transforms_for_apache_kafka_connect_spark.streaming.expectations import (
 from transforms_for_apache_kafka_connect_spark.streaming.relay import (
     changelog_envelope,
     publish_changelog,
+    relay_schemas,
 )
 
 __all__ = [
     "changelog_envelope",
     "publish_changelog",
+    "relay_schemas",
     "lww_dedupe",
     "LakeTable",
     "Replayer",

@@ -130,27 +130,53 @@ def publish_changelog(
     """
     env = changelog_envelope(table, spark, epoch=epoch, topic=topic)
     if format == "json":
+        if confluent_framing or schema_id != 1:
+            raise ValueError(
+                "confluent_framing/schema_id apply only to format='avro' "
+                "(JSON payloads are unframed); refusing to silently "
+                "publish unframed bytes a framed consumer would corrupt"
+            )
         from transforms_for_apache_kafka_connect_spark.sources.json_boundary import (
             envelope_to_json,
         )
 
-        out = envelope_to_json(env, as_binary=True)
-        # envelope_to_json keeps topic/partition/timestamp/headers
-        return out
+        return envelope_to_json(env, as_binary=True)
     if format == "avro":
         from transforms_for_apache_kafka_connect_spark.sources.avro_boundary import (
             envelope_to_avro,
-            spark_to_avro_schema,
         )
 
+        schemas = relay_schemas(table, spark, epoch=epoch, topic=topic)
         return envelope_to_avro(
             env,
-            value_schema=spark_to_avro_schema(
-                env.schema["value"].dataType, "value"
-            ),
-            key_schema=spark_to_avro_schema(env.schema["key"].dataType, "key"),
+            value_schema=schemas["value_schema"],
+            key_schema=schemas["key_schema"],
             confluent_framing=confluent_framing,
             schema_id=schema_id,
             use_jvm=use_jvm,
         )
     raise ValueError(f"unknown publish format: {format!r} (json|avro)")
+
+
+def relay_schemas(
+    table: Any,
+    spark: SparkSession,
+    *,
+    epoch: str | None = None,
+    topic: str | None = None,
+) -> dict:
+    """The Avro key/value schemas a ``publish_changelog(format="avro")``
+    stream is written with — the ONE place both sides derive them, so a
+    consumer passes these straight to ``envelope_from_avro`` instead of
+    re-deriving them by hand from the envelope's Spark types."""
+    from transforms_for_apache_kafka_connect_spark.sources.avro_boundary import (
+        spark_to_avro_schema,
+    )
+
+    env = changelog_envelope(table, spark, epoch=epoch, topic=topic)
+    return {
+        "key_schema": spark_to_avro_schema(env.schema["key"].dataType, "key"),
+        "value_schema": spark_to_avro_schema(
+            env.schema["value"].dataType, "value"
+        ),
+    }
