@@ -282,6 +282,98 @@ def test_chain_runs_on_avro_envelope(spark):
     assert got == {hashlib.sha256(b"click").hexdigest()}
 
 
+# -------------------------------------------------------- logical types
+
+def test_decimal_logical_type_codec():
+    from decimal import Decimal
+
+    sch = _flat("x", {"type": "bytes", "logicalType": "decimal",
+                      "precision": 10, "scale": 2})
+    for v in (Decimal("123.45"), Decimal("-0.01"), Decimal("0.00"),
+              Decimal("-99999999.99")):
+        enc = encode_record(sch, {"x": v})
+        assert decode_record(sch, enc) == {"x": v}
+    # spec example: 123.45 -> unscaled 12345 -> big-endian 0x3039
+    assert encode_record(sch, {"x": Decimal("123.45")}) == b"\x04\x30\x39"
+    # fixed-width decimal pads to the declared size
+    fsch = _flat("x", {"type": "fixed", "name": "d", "size": 4,
+                       "logicalType": "decimal", "precision": 9, "scale": 0})
+    assert decode_record(fsch, encode_record(fsch, {"x": Decimal("7")})) == {
+        "x": Decimal("7")
+    }
+
+
+def test_temporal_logical_types_codec():
+    import datetime as dt
+
+    sch = {
+        "type": "record", "name": "t",
+        "fields": [
+            {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+            {"name": "tm", "type": {"type": "long",
+                                    "logicalType": "timestamp-millis"}},
+            {"name": "tu", "type": {"type": "long",
+                                    "logicalType": "timestamp-micros"}},
+        ],
+    }
+    rec = {
+        "d": dt.date(2023, 6, 15),
+        "tm": dt.datetime(2023, 6, 15, 12, 30, 45, 123000),
+        "tu": dt.datetime(1969, 12, 31, 23, 59, 59, 999999),
+    }
+    assert decode_record(sch, encode_record(sch, rec)) == rec
+    # epoch day zero encodes as varint 0
+    assert encode_record(_flat("x", {"type": "int", "logicalType": "date"}),
+                         {"x": dt.date(1970, 1, 1)}) == b"\x00"
+
+
+def test_logical_types_spark_mapping_and_roundtrip(spark):
+    from decimal import Decimal
+
+    sch = {
+        "type": "record", "name": "v",
+        "fields": [
+            {"name": "amount", "type": ["null", {
+                "type": "bytes", "logicalType": "decimal",
+                "precision": 12, "scale": 2}]},
+            {"name": "day", "type": ["null", {
+                "type": "int", "logicalType": "date"}]},
+            {"name": "ts", "type": ["null", {
+                "type": "long", "logicalType": "timestamp-micros"}]},
+        ],
+    }
+    st = avro_schema_to_spark(sch)
+    assert isinstance(st["amount"].dataType, T.DecimalType)
+    assert st["amount"].dataType.scale == 2
+    assert isinstance(st["day"].dataType, T.DateType)
+    assert isinstance(st["ts"].dataType, T.TimestampType)
+    # spark -> avro keeps the logical annotations
+    back = spark_to_avro_schema(st, "v")
+    assert back["fields"][0]["type"][1]["logicalType"] == "decimal"
+
+    import datetime as dt
+
+    rows = [
+        (encode_record(sch, {"amount": Decimal("19.99"),
+                             "day": dt.date(2024, 2, 29),
+                             "ts": dt.datetime(2024, 2, 29, 8, 0, 0)}),),
+        (encode_record(sch, {"amount": None, "day": None, "ts": None}),),
+    ]
+    raw = spark.createDataFrame(rows, "value binary")
+    env = enforce(envelope_from_avro(raw, value_schema=sch, use_jvm=False))
+    got = env.select("value.amount", "value.day", "value.ts").collect()
+    by_amount = {str(r["amount"]): r for r in got}
+    assert by_amount["19.99"]["day"] == dt.date(2024, 2, 29)
+    assert by_amount["19.99"]["ts"] == dt.datetime(2024, 2, 29, 8, 0, 0)
+    assert by_amount["None"]["day"] is None
+    # and the serialize direction round-trips through envelope_to_avro
+    out = envelope_to_avro(env, value_schema=sch, use_jvm=False)
+    env2 = enforce(envelope_from_avro(out, value_schema=sch, use_jvm=False))
+    a = env.select("value.amount", "value.day", "value.ts")
+    b = env2.select("value.amount", "value.day", "value.ts")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
 # ------------------------------------------------------ schema resolution
 
 V1 = {

@@ -89,9 +89,12 @@ def avro_schema_to_spark(schema: Any) -> T.DataType:
 
     Unions must be ``["null", T]`` (the nullable idiom — multi-branch
     unions have no stable columnar shape and are rejected loudly).
-    ``enum`` -> string, ``fixed`` -> binary, logical types ride their
-    underlying primitive (the reference operators treat timestamps as
-    epoch longs already)."""
+    ``enum`` -> string, ``fixed`` -> binary. Logical types with a
+    faithful Spark analog map to it — ``decimal`` -> DecimalType
+    (Debezium's money/NUMERIC columns), ``date`` -> DateType,
+    ``timestamp-millis``/``timestamp-micros`` -> TimestampType; other
+    logical types (time-*, uuid, duration) ride their underlying
+    primitive."""
     schema = _norm(schema)
     if isinstance(schema, str):
         if schema in _PRIMITIVE_SPARK:
@@ -106,6 +109,13 @@ def avro_schema_to_spark(schema: Any) -> T.DataType:
             )
         return avro_schema_to_spark(non_null[0])
     t = schema["type"]
+    lt = schema.get("logicalType")
+    if lt == "decimal" and t in ("bytes", "fixed"):
+        return T.DecimalType(schema.get("precision", 38), schema.get("scale", 0))
+    if lt == "date" and t == "int":
+        return T.DateType()
+    if lt in ("timestamp-millis", "timestamp-micros") and t == "long":
+        return T.TimestampType()
     if t == "record":
         return T.StructType(
             [
@@ -186,6 +196,7 @@ def _encode(schema: Any, val: Any, out: io.BytesIO) -> None:
             _encode(non_null[0], val, out)
         return
     t = schema if isinstance(schema, str) else schema["type"]
+    lt = schema.get("logicalType") if isinstance(schema, dict) else None
     if isinstance(t, (dict, list)):
         _encode(t, val, out)
     elif t == "null":
@@ -193,6 +204,17 @@ def _encode(schema: Any, val: Any, out: io.BytesIO) -> None:
     elif t == "boolean":
         out.write(b"\x01" if val else b"\x00")
     elif t in ("int", "long"):
+        import datetime as _dt
+
+        if lt == "date" and isinstance(val, _dt.date):
+            val = (val - _dt.date(1970, 1, 1)).days
+        elif lt in ("timestamp-millis", "timestamp-micros") and isinstance(
+            val, _dt.datetime
+        ):
+            delta = val.replace(tzinfo=None) - _dt.datetime(1970, 1, 1)
+            us = (delta.days * 86_400_000_000
+                  + delta.seconds * 1_000_000 + delta.microseconds)
+            val = us // 1000 if lt == "timestamp-millis" else us
         out.write(_zigzag_encode(int(val)))
     elif t == "float":
         out.write(_struct.pack("<f", float(val)))
@@ -203,7 +225,17 @@ def _encode(schema: Any, val: Any, out: io.BytesIO) -> None:
         out.write(_zigzag_encode(len(b)))
         out.write(b)
     elif t in ("bytes", "fixed"):
-        b = bytes(val)
+        if lt == "decimal":
+            from decimal import Decimal
+
+            d = val if isinstance(val, Decimal) else Decimal(str(val))
+            unscaled = int(d.scaleb(schema.get("scale", 0)))
+            width = max(1, (unscaled.bit_length() + 8) // 8)
+            if t == "fixed":
+                width = schema["size"]
+            b = unscaled.to_bytes(width, "big", signed=True)
+        else:
+            b = bytes(val)
         if t == "fixed":
             if len(b) != schema["size"]:
                 raise ValueError("fixed size mismatch")
@@ -245,6 +277,7 @@ def _decode(schema: Any, buf: memoryview, pos: int) -> tuple[Any, int]:
             return None, pos
         return _decode(branch, buf, pos)
     t = schema if isinstance(schema, str) else schema["type"]
+    lt = schema.get("logicalType") if isinstance(schema, dict) else None
     if isinstance(t, (dict, list)):
         return _decode(t, buf, pos)
     if t == "null":
@@ -252,7 +285,19 @@ def _decode(schema: Any, buf: memoryview, pos: int) -> tuple[Any, int]:
     if t == "boolean":
         return buf[pos] != 0, pos + 1
     if t in ("int", "long"):
-        return _zigzag_decode(buf, pos)
+        v, pos = _zigzag_decode(buf, pos)
+        if lt == "date":
+            import datetime as _dt
+
+            return _dt.date(1970, 1, 1) + _dt.timedelta(days=v), pos
+        if lt in ("timestamp-millis", "timestamp-micros"):
+            import datetime as _dt
+
+            us = v * 1000 if lt == "timestamp-millis" else v
+            return (
+                _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=us)
+            ), pos
+        return v, pos
     if t == "float":
         return _struct.unpack_from("<f", buf, pos)[0], pos + 4
     if t == "double":
@@ -260,12 +305,22 @@ def _decode(schema: Any, buf: memoryview, pos: int) -> tuple[Any, int]:
     if t == "string":
         n, pos = _zigzag_decode(buf, pos)
         return str(buf[pos : pos + n], "utf-8"), pos + n
-    if t == "bytes":
-        n, pos = _zigzag_decode(buf, pos)
-        return bytes(buf[pos : pos + n]), pos + n
-    if t == "fixed":
-        n = schema["size"]
-        return bytes(buf[pos : pos + n]), pos + n
+    if t in ("bytes", "fixed"):
+        if t == "fixed":
+            n = schema["size"]
+        else:
+            n, pos = _zigzag_decode(buf, pos)
+        raw = bytes(buf[pos : pos + n])
+        if lt == "decimal":
+            # spec: unscaled two's-complement big-endian integer
+            from decimal import Decimal
+
+            unscaled = int.from_bytes(raw, "big", signed=True) if raw else 0
+            return (
+                Decimal(unscaled).scaleb(-schema.get("scale", 0)),
+                pos + n,
+            )
+        return raw, pos + n
     if t == "enum":
         i, pos = _zigzag_decode(buf, pos)
         return schema["symbols"][i], pos
@@ -696,7 +751,13 @@ def envelope_to_avro(
                 # DataFrame, losing None-vs-NaN for float fields; a
                 # nullable Avro field must take the null branch for NaN
                 # (a genuine NaN payload is not representable through
-                # this fallback — the JVM path preserves it)
+                # this fallback — the JVM path preserves it). Temporal
+                # values arrive as pandas Timestamp/NaT — fold them to
+                # stdlib datetimes for the codec's logical-type branch.
+                if v is pd.NaT:
+                    return None
+                if isinstance(v, pd.Timestamp):
+                    return v.to_pydatetime()
                 if isinstance(v, float) and math.isnan(v):
                     return None
                 if isinstance(v, dict):
@@ -765,6 +826,13 @@ def spark_to_avro_schema(dt: T.DataType, name: str = "record") -> dict:
             return {"type": "array", "items": ["null", conv(t.elementType, nm)]}
         if isinstance(t, T.MapType):
             return {"type": "map", "values": ["null", conv(t.valueType, nm)]}
+        if isinstance(t, T.DecimalType):
+            return {"type": "bytes", "logicalType": "decimal",
+                    "precision": t.precision, "scale": t.scale}
+        if isinstance(t, T.DateType):
+            return {"type": "int", "logicalType": "date"}
+        if isinstance(t, (T.TimestampType, T.TimestampNTZType)):
+            return {"type": "long", "logicalType": "timestamp-micros"}
         m = {
             T.BooleanType: "boolean",
             T.IntegerType: "int",
