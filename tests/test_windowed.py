@@ -1,0 +1,171 @@
+"""Event-time windowed aggregation (streaming/windowed.py): batch ==
+streaming parity, tolerated-late-data updates, watermark drops of
+too-late events, exactly-once landing in a LakeTable."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from transforms_for_apache_kafka_connect_spark.sources import change_stream
+from transforms_for_apache_kafka_connect_spark.streaming import (
+    LakeTable,
+    stream_windowed_into,
+    windowed_aggregate,
+)
+
+BASE = 1_600_000_000_000
+
+
+def test_batch_windowed_aggregate_matches_sql(spark):
+    events = change_stream(spark, 2_000, n_repos=10, paths_per_repo=4)
+    out = windowed_aggregate(
+        events, window_duration="1 second", group_cols=["value.op"]
+    )
+    got = {
+        (r["window_start_ms"], r["op"]): r["n_events"] for r in out.collect()
+    }
+    oracle = {
+        (r["w"], r["op"]): r["n"]
+        for r in events.select(
+            (F.floor(F.col("timestamp") / 1000) * 1000).alias("w"),
+            F.col("value.op").alias("op"),
+        )
+        .groupBy("w", "op")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == oracle
+    # window bounds are coherent
+    assert all(
+        r["window_end_ms"] - r["window_start_ms"] == 1000
+        for r in out.collect()
+    )
+
+
+def test_sliding_windows_cover_each_event_twice(spark):
+    events = change_stream(spark, 500, n_repos=5, paths_per_repo=3)
+    tumb = windowed_aggregate(events, window_duration="2 seconds")
+    slide = windowed_aggregate(
+        events, window_duration="2 seconds", slide="1 second"
+    )
+    n = events.count()
+    assert sum(r["n_events"] for r in tumb.collect()) == n
+    # every event lands in exactly 2 sliding windows
+    assert sum(r["n_events"] for r in slide.collect()) == 2 * n
+
+
+def _envelope(spark, rows):
+    """rows: (repo, lsn, ts_ms) -> minimal envelope"""
+    df = spark.createDataFrame(rows, "repo string, lsn long, ts long")
+    return df.select(
+        F.lit("t").alias("topic"),
+        F.lit(0).cast("int").alias("partition"),
+        F.struct(F.col("repo")).alias("key"),
+        F.struct(
+            F.lit("u").alias("op"), F.col("lsn").alias("lsn"),
+            F.col("ts").alias("ts_ms"),
+        ).alias("value"),
+        F.col("ts").alias("timestamp"),
+        F.lit(None).cast("map<string,string>").alias("headers"),
+    )
+
+
+def test_streaming_windows_land_exactly_once_with_late_data(spark, tmp_path):
+    """Three micro-batches in file order: (1) fills two windows,
+    (2) advances event time far AND carries one tolerated-late event,
+    (3) carries an event LATER than the watermark — dropped by the
+    state store. The landed table must show the late update applied
+    and the too-late event ignored."""
+    src = str(tmp_path / "stream_src")
+    w0, w1 = BASE, BASE + 10_000  # two 10s windows
+    far = BASE + 200_000  # advances the watermark well past w0/w1
+
+    # micro-batch 1: 3 events in w0, 2 in w1
+    _envelope(spark, [("a", 1, w0 + 1_000), ("b", 2, w0 + 2_000),
+                      ("c", 3, w0 + 3_000), ("d", 4, w1 + 1_000),
+                      ("e", 5, w1 + 2_000)]).write.parquet(f"{src}/b0")
+    # micro-batch 2: watermark mover + ONE tolerated late event into w1
+    # (watermark after batch 1 = (w0+3s now w1+2s) - 30s tolerance,
+    # far behind w1, so this late event still updates w1)
+    _envelope(spark, [("f", 6, far), ("g", 7, w1 + 5_000)]).write.parquet(
+        f"{src}/b1"
+    )
+    # micro-batch 3: watermark is now (far - 30s) >> w0's end: an event
+    # for w0 is TOO late and must be dropped by the state store
+    _envelope(spark, [("h", 8, w0 + 4_000), ("i", 9, far + 1_000)]).write.parquet(
+        f"{src}/b2"
+    )
+
+    schema = spark.read.parquet(f"{src}/b0").schema
+    table = LakeTable(
+        str(tmp_path / "wins"), key_cols=["window_start_ms"], n_buckets=2
+    )
+    # one file per trigger, file-name order = b0, b1, b2
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    q = stream_windowed_into(
+        table, stream, str(tmp_path / "ckpt"),
+        window_duration="10 seconds", watermark="30 seconds",
+        available_now=True,
+    )
+    q.awaitTermination(300)
+    q.stop()
+
+    got = {r["window_start_ms"]: r["n_events"]
+           for r in table.read(spark).collect()}
+    assert got[w0] == 3          # the too-late 4th event was dropped
+    assert got[w1] == 3          # the tolerated late event WAS applied
+    # the two far-future events share one 10s window
+    assert got[far // 10_000 * 10_000] == 2
+
+    # exactly-once: re-running the drained stream is a ledger no-op
+    q2 = stream_windowed_into(
+        table,
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*"),
+        str(tmp_path / "ckpt"),  # same checkpoint: nothing new to read
+        window_duration="10 seconds", watermark="30 seconds",
+        available_now=True,
+    )
+    q2.awaitTermination(300)
+    q2.stop()
+    again = {r["window_start_ms"]: r["n_events"]
+             for r in table.read(spark).collect()}
+    assert again == got
+
+
+def test_streaming_batch_parity_when_nothing_is_late(spark, tmp_path):
+    """With no late data, the streamed windowed table equals the batch
+    aggregate of the same events — the batch call is the oracle."""
+    events = change_stream(spark, 1_500, n_repos=8, paths_per_repo=3)
+    src = str(tmp_path / "src")
+    events.write.parquet(src)
+    table = LakeTable(
+        str(tmp_path / "wins"),
+        key_cols=["window_start_ms", "op"], n_buckets=2,
+    )
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).option("maxFilesPerTrigger", 2).parquet(src)
+    q = stream_windowed_into(
+        table, stream, str(tmp_path / "ckpt"),
+        window_duration="1 second", watermark="1 hour",
+        group_cols=["value.op"], available_now=True,
+    )
+    q.awaitTermination(300)
+    q.stop()
+    got = {
+        (r["window_start_ms"], r["op"]): r["n_events"]
+        for r in table.read(spark).collect()
+    }
+    oracle = {
+        (r["window_start_ms"], r["op"]): r["n_events"]
+        for r in windowed_aggregate(
+            events, window_duration="1 second", group_cols=["value.op"]
+        ).collect()
+    }
+    assert got == oracle

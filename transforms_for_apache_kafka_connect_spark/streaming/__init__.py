@@ -18,11 +18,17 @@ from transforms_for_apache_kafka_connect_spark.streaming.relay import (
     publish_changelog,
     relay_schemas,
 )
+from transforms_for_apache_kafka_connect_spark.streaming.windowed import (
+    stream_windowed_into,
+    windowed_aggregate,
+)
 
 __all__ = [
     "changelog_envelope",
     "publish_changelog",
     "relay_schemas",
+    "windowed_aggregate",
+    "stream_windowed_into",
     "lww_dedupe",
     "LakeTable",
     "Replayer",

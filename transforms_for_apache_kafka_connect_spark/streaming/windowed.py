@@ -1,0 +1,137 @@
+"""Event-time windowed aggregation with watermarked late-data handling
+(Structured Streaming's windowed-agg surface, over the engine envelope).
+
+The change-stream envelope carries event time as epoch millis in
+``timestamp``; ``windowed_aggregate`` turns that into tumbling/sliding
+event-time windows with Spark's built-in ``window()`` + ``withWatermark``
+— state for a window is kept until the watermark (max observed event
+time minus the allowed lateness) passes its end, late events inside the
+tolerance still update their window, and events later than the
+watermark are dropped by Spark's state store, bounding state size on an
+unbounded stream (the property that matters at 100 TB: without a
+watermark, windowed state grows forever).
+
+``stream_windowed_into`` lands the aggregate in a :class:`LakeTable`
+exactly-once: update-mode emission via ``foreachBatch`` upserts each
+trigger's CHANGED windows (keyed on window start + group), the batch id
+rides as ``_lsn`` so merge-on-read destinations resolve re-emissions by
+recency, and the table's ledger dedupes replayed micro-batches. The
+same aggregation works on a batch DataFrame (no watermark — batch data
+is complete by definition), which is what the parity test uses as the
+oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: event-time column derived from the envelope's epoch-millis timestamp
+_EVENT_TIME = "__event_time"
+
+
+def windowed_aggregate(
+    events: DataFrame,
+    *,
+    window_duration: str = "1 minute",
+    slide: str | None = None,
+    watermark: str | None = "10 minutes",
+    group_cols: list[str] | None = None,
+    aggs: list[Column] | None = None,
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """Envelope stream/batch -> per-window aggregates.
+
+    * ``window_duration``/``slide`` — tumbling (default) or sliding
+      event-time windows (Spark interval strings).
+    * ``watermark`` — allowed lateness on STREAMING input: events later
+      than (max event time - watermark) are dropped, everything inside
+      it still updates its window. Ignored for batch input (complete
+      data needs no lateness bound), so the identical call is the batch
+      oracle for the streaming run.
+    * ``group_cols`` — extra grouping expressions (e.g.
+      ``["value.op"]``); dotted paths are aliased by their leaf name.
+    * ``aggs`` — aggregate Columns (default: ``count(*) AS n_events``).
+
+    Output columns: ``window_start_ms``/``window_end_ms`` (epoch
+    millis — join/merge-friendly, no session-zone ambiguity), the
+    group leaves, then the aggregates.
+    """
+    df = events.withColumn(
+        _EVENT_TIME, F.timestamp_millis(F.col(ts_col).cast("long"))
+    )
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark(_EVENT_TIME, watermark)
+    groups = []
+    for g in group_cols or []:
+        leaf = g.split(".")[-1]
+        groups.append(F.col(g).alias(leaf))
+    out = df.groupBy(
+        F.window(F.col(_EVENT_TIME), window_duration, slide or window_duration
+                 ).alias("__w"),
+        *groups,
+    ).agg(*(aggs or [F.count(F.lit(1)).alias("n_events")]))
+    leaf_names = [g.split(".")[-1] for g in group_cols or []]
+    return out.select(
+        F.unix_millis(F.col("__w.start")).alias("window_start_ms"),
+        F.unix_millis(F.col("__w.end")).alias("window_end_ms"),
+        *leaf_names,
+        *[c for c in out.columns if c not in ("__w", *leaf_names)],
+    )
+
+
+def stream_windowed_into(
+    table: Any,
+    events: DataFrame,
+    checkpoint_dir: str,
+    *,
+    window_duration: str = "1 minute",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+    group_cols: list[str] | None = None,
+    aggs: list[Column] | None = None,
+    epoch: str = "windows",
+    available_now: bool = False,
+    trigger_seconds: int = 10,
+    prepare: Callable[[DataFrame], DataFrame] | None = None,
+):
+    """Maintain a windowed aggregate table from a streaming envelope.
+
+    ``table.key_cols`` must cover ``window_start_ms`` plus the group
+    leaves — each trigger upserts the windows it changed (update-mode
+    semantics through ``foreachBatch``), so a late-but-tolerated event
+    simply re-merges its window's new totals; the ledger + ``_lsn`` =
+    micro-batch id make redelivery and merge-on-read resolution safe.
+    ``prepare`` (optional) runs on the raw stream before aggregation —
+    e.g. a converter boundary or an SMT chain.
+    """
+    if prepare is not None:
+        events = prepare(events)
+    agg = windowed_aggregate(
+        events,
+        window_duration=window_duration,
+        slide=slide,
+        watermark=watermark,
+        group_cols=group_cols,
+        aggs=aggs,
+    )
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        updates = (
+            df.withColumn("_lsn", F.lit(batch_id).cast("long"))
+            .withColumn("__is_delete", F.lit(False))
+        )
+        table.merge(updates, epoch=epoch, batch_id=batch_id)
+
+    writer = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
