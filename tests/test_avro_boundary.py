@@ -574,3 +574,56 @@ def test_jvm_path_when_available(spark):
         use_jvm=True,
     ))
     assert env.count() == 50
+
+
+def test_decimal_high_precision_no_rounding():
+    # the default decimal context rounds at 28 significant digits;
+    # the codec must carry the full advertised precision (38)
+    from decimal import Decimal
+
+    sch = _flat("x", {"type": "bytes", "logicalType": "decimal",
+                      "precision": 38, "scale": 2})
+    v = Decimal("123456789012345678901234567890123456.78")
+    assert decode_record(sch, encode_record(sch, {"x": v})) == {"x": v}
+
+
+def test_decimal_scale_overflow_is_an_error():
+    from decimal import Decimal
+
+    sch = _flat("x", {"type": "bytes", "logicalType": "decimal",
+                      "precision": 10, "scale": 2})
+    with pytest.raises(ValueError, match="does not fit scale"):
+        encode_record(sch, {"x": Decimal("1.239")})
+
+
+def test_timestamp_codec_respects_tz():
+    import datetime as dt
+    from zoneinfo import ZoneInfo
+
+    sch = _flat("x", {"type": "long", "logicalType": "timestamp-micros"})
+    ny = ZoneInfo("America/New_York")
+    wall = dt.datetime(2024, 1, 15, 12, 0, 0)  # noon ET = 17:00 UTC
+    enc_ny = encode_record(sch, {"x": wall}, tz=ny)
+    enc_utc = encode_record(sch, {"x": wall})
+    assert enc_ny != enc_utc  # the zone matters on the wire
+    # round-trip in the same zone restores the wall time
+    assert decode_record(sch, enc_ny, tz=ny) == {"x": wall}
+    # and the UTC reading of the ET encoding is shifted by 5h
+    assert decode_record(sch, enc_ny) == {
+        "x": dt.datetime(2024, 1, 15, 17, 0, 0)
+    }
+
+
+def test_resolution_rejects_logical_type_kind_mismatch():
+    from transforms_for_apache_kafka_connect_spark.sources import resolve_record
+
+    w = _flat("x", "long")  # plain epoch long
+    r = _flat("x", {"type": "long", "logicalType": "timestamp-micros"})
+    with pytest.raises(ValueError, match="logicalType mismatch"):
+        resolve_record(w, r, {"x": 1_000_000})
+    # same KIND with different unit is fine (both decode to datetime)
+    import datetime as dt
+
+    w2 = _flat("x", {"type": "long", "logicalType": "timestamp-millis"})
+    v = dt.datetime(2024, 3, 1, 10, 0, 0)
+    assert resolve_record(w2, r, {"x": v}) == {"x": v}

@@ -72,30 +72,37 @@ def _envelope(spark, rows):
 
 
 def test_streaming_windows_land_exactly_once_with_late_data(spark, tmp_path):
-    """Three micro-batches in file order: (1) fills two windows,
+    """Four micro-batches in file order: (1) fills two windows,
     (2) advances event time far AND carries one tolerated-late event,
-    (3) carries an event LATER than the watermark — dropped by the
-    state store. The landed table must show the late update applied
-    and the too-late event ignored."""
+    (3) a spacer — Spark folds a batch's event-time stats into the
+    watermark one batch later, so the advance from (2) takes effect
+    in (4) — then (4) carries an event LATER than the watermark,
+    dropped by the state store. The landed table must show the late
+    update applied and the too-late event ignored."""
     src = str(tmp_path / "stream_src")
     w0, w1 = BASE, BASE + 10_000  # two 10s windows
     far = BASE + 200_000  # advances the watermark well past w0/w1
 
-    # micro-batch 1: 3 events in w0, 2 in w1
+    # micro-batch 1: 3 events in w0, 2 in w1. coalesce(1): exactly ONE
+    # file per logical batch so maxFilesPerTrigger=1 gives a
+    # deterministic trigger sequence (multiple part files would split a
+    # batch across triggers and race the watermark)
     _envelope(spark, [("a", 1, w0 + 1_000), ("b", 2, w0 + 2_000),
                       ("c", 3, w0 + 3_000), ("d", 4, w1 + 1_000),
-                      ("e", 5, w1 + 2_000)]).write.parquet(f"{src}/b0")
+                      ("e", 5, w1 + 2_000)]).coalesce(1).write.parquet(f"{src}/b0")
     # micro-batch 2: watermark mover + ONE tolerated late event into w1
-    # (watermark after batch 1 = (w0+3s now w1+2s) - 30s tolerance,
-    # far behind w1, so this late event still updates w1)
-    _envelope(spark, [("f", 6, far), ("g", 7, w1 + 5_000)]).write.parquet(
-        f"{src}/b1"
-    )
-    # micro-batch 3: watermark is now (far - 30s) >> w0's end: an event
+    # (current watermark derives from batch 1's max ET minus the 30s
+    # tolerance — far behind w1, so this late event still updates w1)
+    _envelope(spark, [("f", 6, far), ("g", 7, w1 + 5_000)]).coalesce(1)\
+        .write.parquet(f"{src}/b1")
+    # micro-batch 3: spacer — lets the far-jump from batch 2 reach the
+    # watermark (measured: batch N's stats affect batch N+2's filter)
+    _envelope(spark, [("s", 10, far + 5_000)]).coalesce(1)\
+        .write.parquet(f"{src}/b2")
+    # micro-batch 4: watermark is now (far - 30s) >> w0's end: an event
     # for w0 is TOO late and must be dropped by the state store
-    _envelope(spark, [("h", 8, w0 + 4_000), ("i", 9, far + 1_000)]).write.parquet(
-        f"{src}/b2"
-    )
+    _envelope(spark, [("h", 8, w0 + 4_000), ("i", 9, far + 6_000)])\
+        .coalesce(1).write.parquet(f"{src}/b3")
 
     schema = spark.read.parquet(f"{src}/b0").schema
     table = LakeTable(
@@ -117,10 +124,10 @@ def test_streaming_windows_land_exactly_once_with_late_data(spark, tmp_path):
 
     got = {r["window_start_ms"]: r["n_events"]
            for r in table.read(spark).collect()}
-    assert got[w0] == 3          # the too-late 4th event was dropped
+    assert got[w0] == 3          # the too-late event was dropped
     assert got[w1] == 3          # the tolerated late event WAS applied
-    # the two far-future events share one 10s window
-    assert got[far // 10_000 * 10_000] == 2
+    # far, far+5s, far+6s share one 10s window
+    assert got[far // 10_000 * 10_000] == 3
 
     # exactly-once: re-running the drained stream is a ledger no-op
     q2 = stream_windowed_into(
@@ -169,3 +176,20 @@ def test_streaming_batch_parity_when_nothing_is_late(spark, tmp_path):
         ).collect()
     }
     assert got == oracle
+
+
+def test_windowed_validation_errors(spark, tmp_path):
+    events = change_stream(spark, 100, n_repos=4, paths_per_repo=2)
+    with pytest.raises(ValueError, match="collide"):
+        windowed_aggregate(events, group_cols=["key.repo", "value.after.repo"])
+    with pytest.raises(ValueError, match="reserved"):
+        windowed_aggregate(events, group_cols=["value.window_start_ms"])
+    # mis-keyed sink table refused at start() time, not silently lossy
+    table = LakeTable(str(tmp_path / "t"), key_cols=["window_start_ms"],
+                      n_buckets=2)
+    stream = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="aggregation grain"):
+        stream_windowed_into(
+            table, stream, str(tmp_path / "ck"),
+            group_cols=["value.op"], available_now=True,
+        )

@@ -41,13 +41,20 @@ tombstones, never errors.
 
 from __future__ import annotations
 
+import datetime as _dt
 import io
 import json
 import math
 import struct as _struct
+from decimal import Decimal, localcontext
 from typing import Any
 
 import pandas as pd
+
+#: decimal contexts default to 28 significant digits — far below the
+#: 38 the Spark mapping advertises; all unscaled-int conversions run
+#: under this precision so high-precision NUMERIC values never round
+_DECIMAL_PREC = 80
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -175,7 +182,7 @@ def _zigzag_decode(buf: memoryview, pos: int) -> tuple[int, int]:
     return (acc >> 1) ^ -(acc & 1), pos
 
 
-def _encode(schema: Any, val: Any, out: io.BytesIO) -> None:
+def _encode(schema: Any, val: Any, out: io.BytesIO, tz=None) -> None:
     schema = _norm(schema)
     if isinstance(schema, list):  # nullable union
         non_null = [s for s in schema if _norm(s) != "null"]
@@ -193,27 +200,32 @@ def _encode(schema: Any, val: Any, out: io.BytesIO) -> None:
             out.write(_zigzag_encode(null_idx))
         else:
             out.write(_zigzag_encode(1 - null_idx))
-            _encode(non_null[0], val, out)
+            _encode(non_null[0], val, out, tz)
         return
     t = schema if isinstance(schema, str) else schema["type"]
     lt = schema.get("logicalType") if isinstance(schema, dict) else None
     if isinstance(t, (dict, list)):
-        _encode(t, val, out)
+        _encode(t, val, out, tz)
     elif t == "null":
         pass
     elif t == "boolean":
         out.write(b"\x01" if val else b"\x00")
     elif t in ("int", "long"):
-        import datetime as _dt
-
         if lt == "date" and isinstance(val, _dt.date):
             val = (val - _dt.date(1970, 1, 1)).days
         elif lt in ("timestamp-millis", "timestamp-micros") and isinstance(
             val, _dt.datetime
         ):
-            delta = val.replace(tzinfo=None) - _dt.datetime(1970, 1, 1)
-            us = (delta.days * 86_400_000_000
-                  + delta.seconds * 1_000_000 + delta.microseconds)
+            # naive datetimes are wall time in `tz` (the Spark session
+            # zone when called through the boundary; UTC for the bare
+            # codec); aware datetimes carry their own offset
+            if val.tzinfo is None:
+                val = val.replace(tzinfo=tz or _dt.timezone.utc)
+            us_epoch = val.astimezone(_dt.timezone.utc) - _dt.datetime(
+                1970, 1, 1, tzinfo=_dt.timezone.utc
+            )
+            us = (us_epoch.days * 86_400_000_000
+                  + us_epoch.seconds * 1_000_000 + us_epoch.microseconds)
             val = us // 1000 if lt == "timestamp-millis" else us
         out.write(_zigzag_encode(int(val)))
     elif t == "float":
@@ -226,10 +238,18 @@ def _encode(schema: Any, val: Any, out: io.BytesIO) -> None:
         out.write(b)
     elif t in ("bytes", "fixed"):
         if lt == "decimal":
-            from decimal import Decimal
-
             d = val if isinstance(val, Decimal) else Decimal(str(val))
-            unscaled = int(d.scaleb(schema.get("scale", 0)))
+            with localcontext() as ctx:
+                ctx.prec = _DECIMAL_PREC
+                scaled = d.scaleb(schema.get("scale", 0))
+            if scaled != scaled.to_integral_value():
+                # Avro spec: a value that does not fit the declared
+                # scale is a serialization error, never silent rounding
+                raise ValueError(
+                    f"decimal {d} does not fit scale "
+                    f"{schema.get('scale', 0)}"
+                )
+            unscaled = int(scaled)
             width = max(1, (unscaled.bit_length() + 8) // 8)
             if t == "fixed":
                 width = schema["size"]
@@ -248,13 +268,13 @@ def _encode(schema: Any, val: Any, out: io.BytesIO) -> None:
     elif t == "record":
         for f in schema["fields"]:
             fv = val.get(f["name"]) if isinstance(val, dict) else val[f["name"]]
-            _encode(f["type"], fv, out)
+            _encode(f["type"], fv, out, tz)
     elif t == "array":
         items = list(val)
         if items:
             out.write(_zigzag_encode(len(items)))
             for item in items:
-                _encode(schema["items"], item, out)
+                _encode(schema["items"], item, out, tz)
         out.write(b"\x00")
     elif t == "map":
         entries = list(val.items()) if isinstance(val, dict) else list(val)
@@ -262,24 +282,24 @@ def _encode(schema: Any, val: Any, out: io.BytesIO) -> None:
             out.write(_zigzag_encode(len(entries)))
             for k, v in entries:
                 _encode("string", k, out)
-                _encode(schema["values"], v, out)
+                _encode(schema["values"], v, out, tz)
         out.write(b"\x00")
     else:
         raise ValueError(f"unsupported avro type: {schema!r}")
 
 
-def _decode(schema: Any, buf: memoryview, pos: int) -> tuple[Any, int]:
+def _decode(schema: Any, buf: memoryview, pos: int, tz=None) -> tuple[Any, int]:
     schema = _norm(schema)
     if isinstance(schema, list):  # nullable union
         idx, pos = _zigzag_decode(buf, pos)
         branch = _norm(schema[idx])
         if branch == "null":
             return None, pos
-        return _decode(branch, buf, pos)
+        return _decode(branch, buf, pos, tz)
     t = schema if isinstance(schema, str) else schema["type"]
     lt = schema.get("logicalType") if isinstance(schema, dict) else None
     if isinstance(t, (dict, list)):
-        return _decode(t, buf, pos)
+        return _decode(t, buf, pos, tz)
     if t == "null":
         return None, pos
     if t == "boolean":
@@ -287,15 +307,17 @@ def _decode(schema: Any, buf: memoryview, pos: int) -> tuple[Any, int]:
     if t in ("int", "long"):
         v, pos = _zigzag_decode(buf, pos)
         if lt == "date":
-            import datetime as _dt
-
             return _dt.date(1970, 1, 1) + _dt.timedelta(days=v), pos
         if lt in ("timestamp-millis", "timestamp-micros"):
-            import datetime as _dt
-
             us = v * 1000 if lt == "timestamp-millis" else v
-            return (
-                _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=us)
+            utc = _dt.datetime(
+                1970, 1, 1, tzinfo=_dt.timezone.utc
+            ) + _dt.timedelta(microseconds=us)
+            # hand back naive wall time in `tz` (the Spark session zone
+            # through the boundary; UTC for the bare codec) — exactly
+            # what Spark's TimestampType conversion expects
+            return utc.astimezone(tz or _dt.timezone.utc).replace(
+                tzinfo=None
             ), pos
         return v, pos
     if t == "float":
@@ -312,14 +334,16 @@ def _decode(schema: Any, buf: memoryview, pos: int) -> tuple[Any, int]:
             n, pos = _zigzag_decode(buf, pos)
         raw = bytes(buf[pos : pos + n])
         if lt == "decimal":
-            # spec: unscaled two's-complement big-endian integer
-            from decimal import Decimal
-
+            # spec: unscaled two's-complement big-endian integer. The
+            # default decimal context rounds at 28 significant digits —
+            # far below the mapping's precision 38 — so widen it.
             unscaled = int.from_bytes(raw, "big", signed=True) if raw else 0
-            return (
-                Decimal(unscaled).scaleb(-schema.get("scale", 0)),
-                pos + n,
-            )
+            with localcontext() as ctx:
+                ctx.prec = _DECIMAL_PREC
+                return (
+                    Decimal(unscaled).scaleb(-schema.get("scale", 0)),
+                    pos + n,
+                )
         return raw, pos + n
     if t == "enum":
         i, pos = _zigzag_decode(buf, pos)
@@ -327,7 +351,7 @@ def _decode(schema: Any, buf: memoryview, pos: int) -> tuple[Any, int]:
     if t == "record":
         rec = {}
         for f in schema["fields"]:
-            rec[f["name"]], pos = _decode(f["type"], buf, pos)
+            rec[f["name"]], pos = _decode(f["type"], buf, pos, tz)
         return rec, pos
     if t == "array":
         out = []
@@ -339,7 +363,7 @@ def _decode(schema: Any, buf: memoryview, pos: int) -> tuple[Any, int]:
                 n = -n
                 _, pos = _zigzag_decode(buf, pos)
             for _i in range(n):
-                item, pos = _decode(schema["items"], buf, pos)
+                item, pos = _decode(schema["items"], buf, pos, tz)
                 out.append(item)
     if t == "map":
         out = {}
@@ -352,14 +376,15 @@ def _decode(schema: Any, buf: memoryview, pos: int) -> tuple[Any, int]:
                 _, pos = _zigzag_decode(buf, pos)
             for _i in range(n):
                 k, pos = _decode("string", buf, pos)
-                out[k], pos = _decode(schema["values"], buf, pos)
+                out[k], pos = _decode(schema["values"], buf, pos, tz)
     raise ValueError(f"unsupported avro type: {schema!r}")
 
 
-def encode_record(schema: Any, record: dict) -> bytes:
-    """One record dict -> Avro binary body (no framing)."""
+def encode_record(schema: Any, record: dict, tz=None) -> bytes:
+    """One record dict -> Avro binary body (no framing). ``tz``: the
+    zone naive datetimes are wall time in (default UTC)."""
     out = io.BytesIO()
-    _encode(_norm(schema), record, out)
+    _encode(_norm(schema), record, out, tz)
     return out.getvalue()
 
 
@@ -392,9 +417,37 @@ def _base_type(schema: Any) -> str:
     return schema
 
 
+def _logical_of(schema: Any) -> str | None:
+    schema = _norm(schema)
+    if isinstance(schema, list):
+        non_null = [s for s in schema if _norm(s) != "null"]
+        return _logical_of(non_null[0]) if non_null else None
+    if isinstance(schema, dict):
+        return schema.get("logicalType")
+    return None
+
+
 def _promote(value: Any, writer: Any, reader: Any) -> Any:
     if value is None:
         return None
+    # logicalType KIND disagreement is a resolution ERROR, not a
+    # pass-through: a plain epoch long flowing into a timestamp-typed
+    # reader field (or a date object into an int field) would land
+    # silently wrong — or crash the whole Arrow batch instead of
+    # marking one record bad. Same-kind differences (timestamp-millis
+    # vs -micros, decimal scale changes) are fine: both sides decode to
+    # the same Python type.
+    kinds = {"decimal": "decimal", "date": "date",
+             "timestamp-millis": "ts", "timestamp-micros": "ts"}
+    wk = kinds.get(_logical_of(writer))
+    rk = kinds.get(_logical_of(reader))
+    if wk != rk:
+        raise ValueError(
+            f"logicalType mismatch in schema resolution: writer kind "
+            f"{wk!r} vs reader kind {rk!r}"
+        )
+    if wk is not None:
+        return value  # same logical kind: already the right Python type
     wt, rt = _base_type(writer), _base_type(reader)
     if wt == rt:
         return value
@@ -463,10 +516,11 @@ def resolve_record(
     return out
 
 
-def decode_record(schema: Any, payload: bytes) -> dict:
+def decode_record(schema: Any, payload: bytes, tz=None) -> dict:
     """Avro binary body -> record dict; raises on malformed/trailing
-    bytes (the converter contract needs a loud decode failure)."""
-    val, pos = _decode(_norm(schema), memoryview(payload), 0)
+    bytes (the converter contract needs a loud decode failure).
+    ``tz``: zone for naive timestamp wall times (default UTC)."""
+    val, pos = _decode(_norm(schema), memoryview(payload), 0, tz)
     if pos != len(payload):
         raise ValueError(f"{len(payload) - pos} trailing bytes after record")
     return val
@@ -506,6 +560,7 @@ def _decode_column(
     confluent_framing: bool,
     use_jvm: bool,
     writer_schemas: dict | None = None,
+    session_tz: str = "UTC",
 ) -> tuple[Column, Column]:
     """binary column -> (decoded struct column, bad flag column).
 
@@ -566,6 +621,9 @@ def _decode_column(
 
     @pandas_udf(returnType=out_type)
     def dec(s: pd.Series) -> pd.DataFrame:
+        from zoneinfo import ZoneInfo
+
+        zone = ZoneInfo(session_tz)
         reader = _norm(schema_json)
         writers = (
             {k: _norm(v) for k, v in writers_json.items()}
@@ -587,11 +645,11 @@ def _decode_column(
                     writer = writers.get(sid)
                     if writer is None:
                         raise ValueError(f"unknown schema id {sid}")
-                    rec = decode_record(writer, b[_FRAME_LEN:])
+                    rec = decode_record(writer, b[_FRAME_LEN:], tz=zone)
                     if writer != reader:
                         rec = resolve_record(writer, reader, rec)
                 else:
-                    rec = decode_record(reader, b)
+                    rec = decode_record(reader, b, tz=zone)
                 recs.append(rec)
                 bads.append(False)
             except Exception:
@@ -647,6 +705,9 @@ def envelope_from_avro(
     if use_jvm is None:
         use_jvm = jvm_avro_available(raw.sparkSession) and not writer_schemas
 
+    session_tz = raw.sparkSession.conf.get(
+        "spark.sql.session.timeZone", "UTC"
+    ) or "UTC"
     cols = dict.fromkeys(raw.columns)
     value_expr, value_bad = _decode_column(
         F.col(value_col),
@@ -655,6 +716,7 @@ def envelope_from_avro(
         confluent_framing=confluent_framing,
         use_jvm=use_jvm,
         writer_schemas=writer_schemas,
+        session_tz=session_tz,
     )
     if key_col in cols and key_schema is not None:
         # key and value converters frame independently but identically
@@ -667,6 +729,7 @@ def envelope_from_avro(
             avro_schema_to_spark(key_schema),
             confluent_framing=confluent_framing,
             use_jvm=use_jvm,
+            session_tz=session_tz,
         )
     elif key_col in cols:
         key_expr = F.col(key_col).cast("string")
@@ -735,6 +798,9 @@ def envelope_to_avro(
     value_schema = _norm(value_schema)
     if use_jvm is None:
         use_jvm = jvm_avro_available(env.sparkSession)
+    session_tz = env.sparkSession.conf.get(
+        "spark.sql.session.timeZone", "UTC"
+    ) or "UTC"
 
     def enc_col(col: Column, schema: Any) -> Column:
         if use_jvm:
@@ -770,6 +836,9 @@ def envelope_to_avro(
             def enc(s: pd.Series) -> pd.Series:
                 # a struct column arrives as a DataFrame or (depending
                 # on structHandlingMode) a Series of dicts — handle both
+                from zoneinfo import ZoneInfo
+
+                zone = ZoneInfo(session_tz)
                 sch = _norm(schema_json)
                 recs = (
                     s.to_dict("records")
@@ -778,7 +847,9 @@ def envelope_to_avro(
                 )
                 return pd.Series(
                     [
-                        None if r is None else encode_record(sch, _clean(r))
+                        None
+                        if r is None
+                        else encode_record(sch, _clean(r), tz=zone)
                         for r in recs
                     ],
                     dtype=object,

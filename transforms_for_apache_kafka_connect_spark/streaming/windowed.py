@@ -59,6 +59,21 @@ def windowed_aggregate(
     millis — join/merge-friendly, no session-zone ambiguity), the
     group leaves, then the aggregates.
     """
+    leaf_names = [g.split(".")[-1] for g in group_cols or []]
+    if len(set(leaf_names)) != len(leaf_names):
+        raise ValueError(
+            f"group_cols leaf names collide after aliasing: {leaf_names} "
+            "(two dotted paths share a leaf — alias one upstream)"
+        )
+    reserved = {"window_start_ms", "window_end_ms", "__w", _EVENT_TIME}
+    clash = reserved.intersection(leaf_names)
+    if clash:
+        raise ValueError(f"group_cols leaf names are reserved: {sorted(clash)}")
+    # NOTE: rows whose event time is NULL are excluded by Spark's
+    # window() rewrite — a stream whose envelope carries no timestamp
+    # (e.g. a raw source without a ts column, where the boundary
+    # defaults it to NULL) aggregates to NOTHING. Check the envelope
+    # wiring, not this function, when windows come back empty.
     df = events.withColumn(
         _EVENT_TIME, F.timestamp_millis(F.col(ts_col).cast("long"))
     )
@@ -107,6 +122,17 @@ def stream_windowed_into(
     ``prepare`` (optional) runs on the raw stream before aggregation —
     e.g. a converter boundary or an SMT chain.
     """
+    # merge() requires <=1 row per key: the table key must cover the
+    # whole aggregation grain or ties silently drop groups
+    required = {"window_start_ms", *[g.split(".")[-1] for g in group_cols or []]}
+    missing = required - set(table.key_cols)
+    if missing:
+        raise ValueError(
+            f"table.key_cols {list(table.key_cols)} must cover the "
+            f"aggregation grain {sorted(required)} (missing: "
+            f"{sorted(missing)}) — a coarser key keeps an arbitrary "
+            "group's totals per merge and drops the rest"
+        )
     if prepare is not None:
         events = prepare(events)
     agg = windowed_aggregate(
