@@ -8,7 +8,9 @@ engine itself. Aliases match between Spark and SQL per driver contract.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import sys
 import tempfile
 from collections.abc import Callable
@@ -37,6 +39,32 @@ from transforms_for_apache_kafka_connect_spark.streaming.dedupe import lww_dedup
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _scratch(prefix: str) -> str:
+    """Temp root for gate-query lake tables — same fast-local-dir policy
+    as bench.py:_fast_local_dir(). The r03 verdict traced a 2x swing on
+    the build-inclusive bench legs (cdc_merge 5.3->11.4 s) to these
+    tables landing on default /tmp (shared NVMe, contended) while the
+    headline replay used /dev/shm; routing BOTH through the same root
+    removes the asymmetry. tmpfs is the closer analog of per-executor
+    local disks / a scalable DFS when measuring plan CPU cost.
+    Override off via SPARK_GRAFT_NO_SHM=1 (same knob as bench.py)."""
+    d = tempfile.mkdtemp(prefix=prefix, dir=scratch_base())
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
+def scratch_base() -> str | None:
+    """The directory gate-query lake tables land in (None = default
+    /tmp). bench.py reports this per leg so any future bench-leg swing
+    is adjudicable from the JSON alone."""
+    if not os.environ.get("SPARK_GRAFT_NO_SHM"):
+        if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+            base = "/dev/shm/tkc_spark_scratch"
+            os.makedirs(base, exist_ok=True)
+            return base
+    return None
 
 
 # --------------------------------------------------------------------- SMTs
@@ -701,7 +729,7 @@ def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     with delete semantics -> commit ledger) over the events table."""
     stream = _events_as_change_stream(spark, sf_dir)
     max_id = stream.agg(F.max("timestamp")).first()[0] or 0
-    root = tempfile.mkdtemp(prefix="tkc_merge_")
+    root = _scratch("tkc_merge_")
     table = LakeTable(
         os.path.join(root, "t"), key_cols=["user_id"], n_buckets=16,
         discovery=False, merge_strategy="broadcast",
@@ -738,7 +766,7 @@ def q_routed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stream.withColumn("value", F.col("value").withField("shard", shard))
     max_id = stream.agg(F.max("timestamp")).first()[0] or 0
     router = TopicTableRouter(
-        root=tempfile.mkdtemp(prefix="tkc_routed_"),
+        root=_scratch("tkc_routed_"),
         chain=Chain([{"type": "extract_topic", "field.name": "shard"}]),
         epoch="driver",
         table_opts={
@@ -777,7 +805,7 @@ def q_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full-scan filter (oracle)."""
     stream = _events_as_change_stream(spark, sf_dir)
     max_id = stream.agg(F.max("timestamp")).first()[0] or 0
-    root = tempfile.mkdtemp(prefix="tkc_skip_")
+    root = _scratch("tkc_skip_")
     table = LakeTable(
         os.path.join(root, "t"), key_cols=["user_id"], n_buckets=16,
         discovery=False, merge_strategy="broadcast",
@@ -799,7 +827,7 @@ def q_cdc_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     two merge paths converge to identical state."""
     stream = _events_as_change_stream(spark, sf_dir)
     max_id = stream.agg(F.max("timestamp")).first()[0] or 0
-    root = tempfile.mkdtemp(prefix="tkc_mor_")
+    root = _scratch("tkc_mor_")
     table = LakeTable(
         os.path.join(root, "t"), key_cols=["user_id"], n_buckets=16,
         discovery=False, merge_strategy="append",
@@ -839,7 +867,7 @@ def q_cdc_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("key.user_id").alias("user_id"), "v.after.*")
     )
 
-    root = tempfile.mkdtemp(prefix="tkc_boot_")
+    root = _scratch("tkc_boot_")
     table = LakeTable(
         os.path.join(root, "t"), key_cols=["user_id"], n_buckets=16,
         discovery=False, merge_strategy="broadcast",
@@ -869,7 +897,7 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = _events_as_change_stream(spark, sf_dir)
     max_id = stream.agg(F.max("timestamp")).first()[0] or 0
-    root = tempfile.mkdtemp(prefix="tkc_incr_")
+    root = _scratch("tkc_incr_")
     table = LakeTable(
         os.path.join(root, "t"), key_cols=["user_id"], n_buckets=16,
         discovery=False, merge_strategy="broadcast", changelog=True,
@@ -911,7 +939,7 @@ def q_cdc_second_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = _events_as_change_stream(spark, sf_dir)
     max_id = stream.agg(F.max("timestamp")).first()[0] or 0
-    root = tempfile.mkdtemp(prefix="tkc_hop_")
+    root = _scratch("tkc_hop_")
     bronze = LakeTable(
         os.path.join(root, "bronze"), key_cols=["user_id"], n_buckets=16,
         discovery=False, merge_strategy="broadcast", changelog=True,
@@ -946,7 +974,7 @@ def q_lookup_many(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes the LWW winner restricted to the probed range."""
     stream = _events_as_change_stream(spark, sf_dir)
     max_id = stream.agg(F.max("timestamp")).first()[0] or 0
-    root = tempfile.mkdtemp(prefix="tkc_lkm_")
+    root = _scratch("tkc_lkm_")
     table = LakeTable(
         os.path.join(root, "t"), key_cols=["user_id"], n_buckets=16,
         discovery=False, merge_strategy="broadcast",

@@ -416,6 +416,33 @@ def skew_benchmark(spark, work_dir: str, cpus: int) -> dict:
     return out
 
 
+def write_probe(spark, target_dir: str, n_rows: int = 2_000_000) -> dict:
+    """Bare-Spark parquet WRITE ceiling to a given directory: generate
+    n_rows in-memory (spark.range + a payload column, no source IO) and
+    time the parquet write. Complements scan_probe — the r03 verdict
+    showed build-inclusive query legs doubling while the READ probe
+    stayed healthy, so slow-scratch windows were invisible. Run against
+    the same root the gate queries build their lake tables under."""
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    out = os.path.join(target_dir, "write_probe")
+    df = spark.range(n_rows, numPartitions=32).select(
+        F.col("id"),
+        F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+    )
+    t0 = time.perf_counter()
+    df.write.mode("overwrite").parquet(out)
+    t = time.perf_counter() - t0
+    _sh.rmtree(out, ignore_errors=True)
+    return {
+        "write_probe_rows_per_sec": round(n_rows / t),
+        "write_probe_sec": round(t, 3),
+        "write_probe_dir": target_dir,
+    }
+
+
 def time_queries(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
@@ -449,14 +476,31 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
         # bronze -> silver replication purely from the changelog
         "cdc_second_hop",
     ]
-    out = {}
+    build_inclusive = {
+        "cdc_merge", "cdc_merge_mor", "data_skipping", "routed_merge",
+        "lookup_many", "cdc_bootstrap", "incremental_agg", "cdc_second_hop",
+    }
+    scratch = entrymod.scratch_base() or tempfile.gettempdir()
     qs = entrymod.queries()
+    out = {}
+    probes = {}
     for name in names:
         fn = overrides.get(name) or qs[name]
+        if name in build_inclusive:
+            # per-leg disk health: a bare parquet write to the SAME
+            # root this leg builds its lake table under, immediately
+            # before the leg — if the leg number moves round-over-round
+            # while its probe holds, it's the engine; if both move,
+            # it's the scratch device (r03 verdict item 1)
+            p = write_probe(spark, scratch, n_rows=500_000)
+            probes[name] = {
+                "write_rows_per_sec": p["write_probe_rows_per_sec"],
+                "temp_root": scratch,
+            }
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         out[name] = round(time.perf_counter() - t0, 3)
-    return out
+    return out, probes
 
 
 def main() -> None:
@@ -480,11 +524,10 @@ def main() -> None:
             work_dir, "events"
         )
         probe = scan_probe(spark, events_path)
-        queries = (
-            {}
-            if os.environ.get("SPARK_GRAFT_SKIP_QUERIES")
-            else time_queries(spark, sf_dir)
-        )
+        if os.environ.get("SPARK_GRAFT_SKIP_QUERIES"):
+            queries, leg_probes = {}, {}
+        else:
+            queries, leg_probes = time_queries(spark, sf_dir)
         sparse = (
             {}
             if os.environ.get("SPARK_GRAFT_SKIP_QUERIES")
@@ -525,6 +568,10 @@ def main() -> None:
                     "routed_merge", "lookup_many", "cdc_bootstrap",
                     "incremental_agg", "cdc_second_hop",
                 ],
+                # per-leg scratch-root + bare-write ceiling taken right
+                # before each build-inclusive leg (verdict r03 item 1:
+                # makes disk-contention windows self-evident per leg)
+                "query_leg_probes": leg_probes,
                 **sparse,
                 **extra,
             }

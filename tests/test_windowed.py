@@ -178,6 +178,132 @@ def test_streaming_batch_parity_when_nothing_is_late(spark, tmp_path):
     assert got == oracle
 
 
+def test_batch_session_windows_match_islands_oracle(spark):
+    """Session windows (gap 5s) on a hand-built stream: the classic
+    gaps-and-islands computation is the oracle — a new session starts
+    when the gap to the previous event of the group exceeds 5s; the
+    session runs first-event .. last-event + gap."""
+    rows = [
+        # group a: two sessions — {0s,3s,6s} then {20s,24s}
+        ("a", 1, BASE), ("a", 2, BASE + 3_000), ("a", 3, BASE + 6_000),
+        ("a", 4, BASE + 20_000), ("a", 5, BASE + 24_000),
+        # group b: one session with exactly-gap spacing (5s edges chain)
+        ("b", 6, BASE + 1_000), ("b", 7, BASE + 6_000),
+        # group c: single event
+        ("c", 8, BASE + 40_000),
+    ]
+    out = windowed_aggregate(
+        _envelope(spark, rows), session_gap="5 seconds",
+        group_cols=["key.repo"],
+    )
+    got = {
+        (r["repo"], r["window_start_ms"], r["window_end_ms"]): r["n_events"]
+        for r in out.collect()
+    }
+    assert got == {
+        ("a", BASE, BASE + 11_000): 3,
+        ("a", BASE + 20_000, BASE + 29_000): 2,
+        ("b", BASE + 1_000, BASE + 11_000): 2,
+        ("c", BASE + 40_000, BASE + 45_000): 1,
+    }
+
+
+def test_streamed_sessions_merge_before_landing(spark, tmp_path):
+    """Cross-trigger session merge under append emission: trigger 1
+    holds two open sessions for one group, trigger 2's bridging event
+    merges them IN STATE, and only the merged session lands — once the
+    watermark (advanced by the flush trigger, effective one trigger
+    later) passes its end. Nothing stale ever reaches the table; the
+    landed row equals the batch aggregate."""
+    src = str(tmp_path / "src")
+    far = BASE + 600_000
+    t1 = [("a", 1, BASE), ("a", 2, BASE + 2_000),
+          ("a", 3, BASE + 20_000), ("a", 4, BASE + 22_000)]
+    t2 = [("a", 5, BASE + 10_000)]  # bridges the two (gap 10s)
+    _envelope(spark, t1).coalesce(1).write.parquet(f"{src}/b0")
+    _envelope(spark, t2).coalesce(1).write.parquet(f"{src}/b1")
+    # flush: advances the watermark far past the merged session's end
+    _envelope(spark, [("z", 6, far)]).coalesce(1).write.parquet(f"{src}/b2")
+    # spacer: batch N's event-time stats reach the watermark filter at
+    # batch N+2 (same propagation as the tumbling late-data test above)
+    _envelope(spark, [("z", 7, far + 1_000)]).coalesce(1)\
+        .write.parquet(f"{src}/b3")
+    schema = spark.read.parquet(f"{src}/b0").schema
+    table = LakeTable(
+        str(tmp_path / "sess"),
+        key_cols=["window_start_ms", "repo"], n_buckets=2,
+    )
+    q = stream_windowed_into(
+        table,
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*"),
+        str(tmp_path / "ckpt"),
+        session_gap="10 seconds", watermark="30 seconds",
+        group_cols=["key.repo"], available_now=True,
+    )
+    q.awaitTermination(300)
+    q.stop()
+    got = {
+        (r["repo"], r["window_start_ms"], r["window_end_ms"]): r["n_events"]
+        for r in table.read(spark).collect()
+    }
+    # exactly the merged session [BASE, BASE+32s) with all 5 events —
+    # never the two pre-merge sessions; the flush group's session is
+    # still open (watermark hasn't passed it) so it has NOT landed
+    assert got == {("a", BASE, BASE + 32_000): 5}
+    oracle = {
+        (r["repo"], r["window_start_ms"], r["window_end_ms"]): r["n_events"]
+        for r in windowed_aggregate(
+            _envelope(spark, t1 + t2), session_gap="10 seconds",
+            group_cols=["key.repo"],
+        ).collect()
+    }
+    assert got == oracle
+
+
+def test_streamed_sessions_parity_after_flush(spark, tmp_path):
+    """Streamed session table == batch session aggregate over the same
+    events, once a flush trigger finalizes them (append emission lands
+    a session only after the watermark passes its end)."""
+    events = change_stream(spark, 800, n_repos=6, paths_per_repo=3)
+    max_ts = events.agg(F.max("timestamp")).first()[0]
+    far = max_ts + 3_600_000
+    src = str(tmp_path / "src")
+    events.coalesce(2).write.parquet(f"{src}/b0")
+    # flush + spacer rows share the events schema (same source), just
+    # pushed far into the future so their own sessions never finalize
+    events.limit(1).withColumn("timestamp", F.lit(far)).coalesce(1)\
+        .write.parquet(f"{src}/b1")
+    events.limit(1).withColumn("timestamp", F.lit(far + 1_000)).coalesce(1)\
+        .write.parquet(f"{src}/b2")
+    table = LakeTable(
+        str(tmp_path / "sess"),
+        key_cols=["window_start_ms", "op"], n_buckets=2,
+    )
+    q = stream_windowed_into(
+        table,
+        spark.readStream.schema(spark.read.parquet(f"{src}/b0").schema)
+        .option("maxFilesPerTrigger", 1).parquet(f"{src}/b*"),
+        str(tmp_path / "ckpt"),
+        session_gap="1 second", watermark="30 seconds",
+        group_cols=["value.op"], available_now=True,
+    )
+    q.awaitTermination(300)
+    q.stop()
+    got = {
+        (r["window_start_ms"], r["window_end_ms"], r["op"]): r["n_events"]
+        for r in table.read(spark).collect()
+        if r["window_start_ms"] < far  # exclude the flush group's rows
+    }
+    oracle = {
+        (r["window_start_ms"], r["window_end_ms"], r["op"]): r["n_events"]
+        for r in windowed_aggregate(
+            events, session_gap="1 second", group_cols=["value.op"]
+        ).collect()
+    }
+    assert got == oracle
+
+
 def test_windowed_validation_errors(spark, tmp_path):
     events = change_stream(spark, 100, n_repos=4, paths_per_repo=2)
     with pytest.raises(ValueError, match="collide"):

@@ -37,6 +37,7 @@ def windowed_aggregate(
     *,
     window_duration: str = "1 minute",
     slide: str | None = None,
+    session_gap: str | None = None,
     watermark: str | None = "10 minutes",
     group_cols: list[str] | None = None,
     aggs: list[Column] | None = None,
@@ -46,6 +47,11 @@ def windowed_aggregate(
 
     * ``window_duration``/``slide`` — tumbling (default) or sliding
       event-time windows (Spark interval strings).
+    * ``session_gap`` — gap-based SESSION windows instead
+      (``F.session_window``): a session runs from its first event to
+      its last event + gap, and two events belong to one session iff
+      they are within the gap of each other (transitively). Mutually
+      exclusive with ``slide``; ``window_duration`` is ignored.
     * ``watermark`` — allowed lateness on STREAMING input: events later
       than (max event time - watermark) are dropped, everything inside
       it still updates its window. Ignored for batch input (complete
@@ -59,6 +65,11 @@ def windowed_aggregate(
     millis — join/merge-friendly, no session-zone ambiguity), the
     group leaves, then the aggregates.
     """
+    if session_gap is not None and slide is not None:
+        raise ValueError(
+            "session_gap and slide are mutually exclusive: a session "
+            "window's extent comes from the data, not a fixed slide"
+        )
     leaf_names = [g.split(".")[-1] for g in group_cols or []]
     if len(set(leaf_names)) != len(leaf_names):
         raise ValueError(
@@ -83,11 +94,15 @@ def windowed_aggregate(
     for g in group_cols or []:
         leaf = g.split(".")[-1]
         groups.append(F.col(g).alias(leaf))
-    out = df.groupBy(
-        F.window(F.col(_EVENT_TIME), window_duration, slide or window_duration
-                 ).alias("__w"),
-        *groups,
-    ).agg(*(aggs or [F.count(F.lit(1)).alias("n_events")]))
+    if session_gap is not None:
+        win = F.session_window(F.col(_EVENT_TIME), session_gap)
+    else:
+        win = F.window(
+            F.col(_EVENT_TIME), window_duration, slide or window_duration
+        )
+    out = df.groupBy(win.alias("__w"), *groups).agg(
+        *(aggs or [F.count(F.lit(1)).alias("n_events")])
+    )
     leaf_names = [g.split(".")[-1] for g in group_cols or []]
     return out.select(
         F.unix_millis(F.col("__w.start")).alias("window_start_ms"),
@@ -104,6 +119,7 @@ def stream_windowed_into(
     *,
     window_duration: str = "1 minute",
     slide: str | None = None,
+    session_gap: str | None = None,
     watermark: str = "10 minutes",
     group_cols: list[str] | None = None,
     aggs: list[Column] | None = None,
@@ -121,6 +137,19 @@ def stream_windowed_into(
     micro-batch id make redelivery and merge-on-read resolution safe.
     ``prepare`` (optional) runs on the raw stream before aggregation —
     e.g. a converter boundary or an SMT chain.
+
+    ``session_gap`` switches to gap-based session windows, and with
+    them to APPEND-mode emission (Spark's only supported output mode
+    for streaming session aggregations — and the semantics you want:
+    sessions MERGE in the state store while open, so emitting them
+    early would leave absorbed rows stale downstream). A session lands
+    exactly once, when the watermark passes its end — i.e. after
+    gap + allowed lateness of event-time silence — so landed rows are
+    immutable and state stays bounded. Consequence for drained
+    ``available_now`` runs: sessions still open at the end of the
+    input (ends within the final watermark) stay in the checkpoint
+    state and land on a future run once later data advances the
+    watermark — on a live stream that happens continuously.
     """
     # merge() requires <=1 row per key: the table key must cover the
     # whole aggregation grain or ties silently drop groups
@@ -139,11 +168,11 @@ def stream_windowed_into(
         events,
         window_duration=window_duration,
         slide=slide,
+        session_gap=session_gap,
         watermark=watermark,
         group_cols=group_cols,
         aggs=aggs,
     )
-
     def sink(df: DataFrame, batch_id: int) -> None:
         updates = (
             df.withColumn("_lsn", F.lit(batch_id).cast("long"))
@@ -151,8 +180,9 @@ def stream_windowed_into(
         )
         table.merge(updates, epoch=epoch, batch_id=batch_id)
 
+    mode = "update" if session_gap is None else "append"
     writer = (
-        agg.writeStream.outputMode("update")
+        agg.writeStream.outputMode(mode)
         .foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
     )
