@@ -1359,6 +1359,220 @@ def q_avro_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- round-4 gate entries
+# (windowed aggregation, sampling/splitting, CDC relay, PNG decode —
+# the r03 verdict's gate blind spots, plus the folds that freed their
+# slots)
+
+def _val_str(col):
+    """Nullable double -> portable exact string: floor(v*10000) as a
+    BIGINT rendered to VARCHAR. Both engines run the same IEEE double
+    multiply+floor, and integer rendering is format-stable — avoiding
+    BOTH the double-formatting divergence and the oracle harness's
+    NULL-numeric->NaN pandas coercion (BENCH/BASELINE.md gotcha)."""
+    c = col if not isinstance(col, str) else F.col(col)
+    return F.floor(c * 10000).cast("long").cast("string")
+
+
+def q_stock_fields_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stock single-field SMTs folded into one gate entry
+    (ExtractField / MaskField / HeaderFrom legs, each running the real
+    operator) — frees driver-gate slots for the round-4 operators."""
+    ex = q_extract_field(spark, sf_dir).select(
+        F.lit("extract").alias("variant"), "event_id", "event_type",
+        F.lit(None).cast("string").alias("s1"),
+        F.lit(None).cast("string").alias("s2"),
+    )
+    mk = q_mask_field(spark, sf_dir).select(
+        F.lit("mask").alias("variant"), "event_id", "event_type",
+        F.col("user_id").cast("string").alias("s1"),
+        F.col("val").cast("string").alias("s2"),
+    )
+    hd = q_header_from(spark, sf_dir).select(
+        F.lit("header").alias("variant"), "event_id", "event_type",
+        F.col("uid").alias("s1"),
+        F.lit(None).cast("string").alias("s2"),
+    )
+    return ex.unionByName(mk).unionByName(hd)
+
+
+def q_boundary_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three converter boundaries folded (Kafka-shape, JSON, Avro
+    — each leg runs its real round-trip through the boundary code);
+    val travels as the portable floor-string so the kafka leg's NULL
+    doesn't hit the NaN coercion."""
+    kb = q_kafka_boundary(spark, sf_dir).select(
+        F.lit("kafka").alias("variant"), "event_id", "user_id",
+        "event_type",
+        F.lit(None).cast("string").alias("val_s"),
+        F.lit(None).cast("string").alias("props"),
+        F.col("kafka_offset").cast("string").alias("off"),
+    )
+    jb = q_json_boundary(spark, sf_dir).select(
+        F.lit("json").alias("variant"), "event_id", "user_id",
+        "event_type",
+        _val_str("val").alias("val_s"), "props",
+        F.lit(None).cast("string").alias("off"),
+    )
+    ab = q_avro_boundary(spark, sf_dir).select(
+        F.lit("avro").alias("variant"), "event_id", "user_id",
+        "event_type",
+        _val_str("val").alias("val_s"), "props",
+        F.col("schema_id").cast("string").alias("off"),
+    )
+    return kb.unionByName(jb).unionByName(ab)
+
+
+def q_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time windowed aggregation, both window shapes:
+
+    * ``tumble`` leg — STREAMED: events land through readStream ->
+      stream_windowed_into -> LakeTable (update-mode upsert, ledger),
+      1-day tumbling windows grouped by event_type.
+    * ``session`` leg — batch ``F.session_window`` per user with a
+      12-hour gap.
+
+    Oracle = the same window arithmetic in SQL (floor-div for tumble,
+    gaps-and-islands for sessions)."""
+    from transforms_for_apache_kafka_connect_spark.streaming import (
+        stream_windowed_into,
+        windowed_aggregate,
+    )
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.col("value").alias("val"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("timestamp"),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("val").cast("decimal(18,2)")).cast("double")
+        .alias("sum_val"),
+    ]
+
+    root = _scratch("tkc_win_")
+    src = os.path.join(root, "src")
+    ev.repartition(6).write.mode("overwrite").parquet(src)
+    table = LakeTable(
+        os.path.join(root, "t"),
+        key_cols=["window_start_ms", "event_type"], n_buckets=4,
+        discovery=False, merge_strategy="broadcast",
+    )
+    q = stream_windowed_into(
+        table,
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 2).parquet(src),
+        os.path.join(root, "ckpt"),
+        window_duration="1 day", watermark="3650 days",
+        group_cols=["event_type"], aggs=aggs, available_now=True,
+    )
+    q.awaitTermination(600)
+    q.stop()
+    tumble = table.read(spark).select(
+        F.lit("tumble").alias("variant"),
+        "window_start_ms", "window_end_ms",
+        F.col("event_type").alias("grp"), "n_events", "sum_val",
+    )
+    session = windowed_aggregate(
+        ev, session_gap="12 hours", group_cols=["user_id"], aggs=aggs
+    ).select(
+        F.lit("session").alias("variant"),
+        "window_start_ms", "window_end_ms",
+        F.col("user_id").cast("string").alias("grp"),
+        "n_events", "sum_val",
+    )
+    return tumble.unionByName(session)
+
+
+def q_sampling_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic splitting/sampling in the portable sha2 hash mode
+    — the oracle recomputes the exact same membership from sha256 in
+    SQL (functions/sampling.py:_unit_hash). Three legs: named splits,
+    plain fraction sample, per-stratum fractions. Thresholds are
+    picked binary-exact (0.75 / 0.125 / 0.25 / 0.5) so the cumulative
+    boundaries are bit-identical literals in both engines."""
+    from transforms_for_apache_kafka_connect_spark.functions.sampling import (
+        hash_sample,
+        hash_split,
+        stratified_sample,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    split = hash_split(
+        docs, {"train": 0.75, "val": 0.125, "test": 0.125},
+        id_cols=["doc_id"], hash_fn="sha2",
+    ).select(
+        F.lit("split").alias("variant"), "doc_id",
+        F.col("split").alias("tag"),
+    )
+    sample = hash_sample(
+        docs, 0.25, id_cols=["doc_id"], hash_fn="sha2"
+    ).select(
+        F.lit("sample").alias("variant"), "doc_id",
+        F.lit("keep").alias("tag"),
+    )
+    strat = stratified_sample(
+        docs, {"en": 0.5}, strata_col="lang", id_cols=["doc_id"],
+        default_fraction=0.25, hash_fn="sha2",
+    ).select(
+        F.lit("strat").alias("variant"), "doc_id",
+        F.col("lang").alias("tag"),
+    )
+    return split.unionByName(sample).unionByName(strat)
+
+
+def q_relay_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine as a CDC *source*: replay into a changelog=True
+    table (3 batches), then fold the committed changelog into the
+    canonical change-stream envelope (streaming/relay.py). The oracle
+    replays the same batch structure in SQL: per-batch LWW winners,
+    prior state via LAG over the batch sequence, Debezium-style
+    c/u/d classification with before/after images."""
+    from transforms_for_apache_kafka_connect_spark.streaming.relay import (
+        changelog_envelope,
+    )
+
+    stream = _events_as_change_stream(spark, sf_dir)
+    max_id = stream.agg(F.max("timestamp")).first()[0] or 0
+    root = _scratch("tkc_relay_")
+    table = LakeTable(
+        os.path.join(root, "t"), key_cols=["user_id"], n_buckets=16,
+        discovery=False, merge_strategy="broadcast", changelog=True,
+    )
+    rep = Replayer(table=table, chain=Chain([]), epoch="driver")
+    rep.replay(stream, batch_width=max(1, (max_id + 3) // 3),
+               max_pos=max_id + 1)
+    env = changelog_envelope(table, spark, epoch="driver")
+    return env.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.lsn").alias("lsn"),
+        F.col("value.op").alias("op"),
+        F.col("value.before.event_type").alias("before_event_type"),
+        _val_str(F.col("value.before.val")).alias("before_val"),
+        F.col("value.after.event_type").alias("after_event_type"),
+        _val_str(F.col("value.after.val")).alias("after_val"),
+    )
+
+
+def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through the gate: documents ids -> distributed
+    PNG encode (every scanline filter type, functions/png.py) ->
+    distributed decode + per-channel stats (functions/multimodal.py:
+    image_stats). The fixture's pixel law pixel(x,y,c) = base_c + x
+    makes the channel means a closed form the SQL oracle recomputes:
+    mean_c = base_c + 3.5."""
+    from transforms_for_apache_kafka_connect_spark.functions.multimodal import (
+        image_stats,
+        synthetic_png_media,
+    )
+
+    ids = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = synthetic_png_media(ids, width=8, height=8)
+    return image_stats(media)
+
+
 # -------------------------------------------------- composite gate entries
 #
 # The driver's correctness gate checks the FIRST 50 ``queries()`` rows
@@ -1497,6 +1711,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # All 50 SQL-oracled entries come first; the 4 declared
     # approximate/rows-only entries (simhash, multimodal_features,
     # lsh_ann, ivf_ann — see oracle_sql() docstring) are last.
+    # r04: extract_field/mask_field/header_from folded into
+    # stock_fields and the three converter boundaries into boundaries,
+    # freeing the slots now holding windowed_agg, sampling_split,
+    # relay_envelope and png_decode (the r03 gate blind spots).
     return {
         "hash": q_hash_all,
         "concat_fields": q_concat_fields,
@@ -1504,17 +1722,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_by_field_name": q_filter_by_field_name,
         "replace_field": q_replace_field,
         "stock_chain": q_stock_chain,
-        "extract_field": q_extract_field,
-        "mask_field": q_mask_field,
+        "stock_fields": q_stock_fields_all,
         "timestamp_router": q_timestamp_router,
-        "header_from": q_header_from,
         "guarded_mask": q_guarded_mask,
         "filter_predicate": q_filter_predicate,
         "debezium_unwrap": q_debezium_unwrap,
         "outbox_router": q_outbox_router,
-        "kafka_boundary": q_kafka_boundary,
-        "avro_boundary": q_avro_boundary,
-        "json_boundary": q_json_boundary,
+        "boundaries": q_boundary_all,
+        "windowed_agg": q_windowed_agg,
+        "sampling_split": q_sampling_split,
+        "relay_envelope": q_relay_envelope,
+        "png_decode": q_png_decode,
         "filter_by_field_value": q_filter_by_field_value_all,
         "extract_timestamp": q_extract_timestamp_all,
         "extract_topic": q_extract_topic,
@@ -1591,21 +1809,9 @@ def oracle_sql() -> dict[str, str]:
             "CAST(user_id AS VARCHAR) AS user_id, value AS val, "
             "'cdc' AS src, 'original_topic' AS t FROM events"
         ),
-        "extract_field": (
-            "SELECT event_id, event_type FROM events"
-        ),
-        "mask_field": (
-            "SELECT event_id, user_id, "
-            "CASE WHEN event_type IS NOT NULL THEN '' END AS event_type, "
-            "CASE WHEN value IS NOT NULL THEN 0.0 END AS val FROM events"
-        ),
         "timestamp_router": (
             "SELECT event_id, 'lake.original_topic.' || "
             "strftime(ts, '%Y%m%d') AS topic FROM events"
-        ),
-        "header_from": (
-            "SELECT event_id, CAST(user_id AS VARCHAR) AS uid, "
-            "event_type FROM events"
         ),
         "guarded_mask": (
             "SELECT event_id, "
@@ -1633,14 +1839,6 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'outbox.event.' || event_type AS topic, "
             "CAST(user_id AS VARCHAR) AS agg_id, props AS payload, "
             "event_id AS ts FROM events"
-        ),
-        "kafka_boundary": (
-            "SELECT event_id, user_id, event_type, "
-            "event_id AS kafka_offset FROM events"
-        ),
-        "avro_boundary": (
-            "SELECT event_id, user_id, event_type, value AS val, props, "
-            "CAST(7 AS BIGINT) AS schema_id FROM events"
         ),
         "filter_by_field_value": (
             "SELECT 'exact' AS variant, event_id AS rec_id, event_type, "
@@ -1924,9 +2122,113 @@ def oracle_sql() -> dict[str, str]:
             "AS token FROM documents) t WHERE token != '' "
             "GROUP BY token ORDER BY n DESC, token ASC LIMIT 50"
         ),
-        "json_boundary": (
-            "SELECT event_id, user_id, event_type, value AS val, props "
+        "stock_fields": (
+            "SELECT 'extract' AS variant, event_id, event_type, "
+            "CAST(NULL AS VARCHAR) AS s1, CAST(NULL AS VARCHAR) AS s2 "
+            "FROM events "
+            "UNION ALL "
+            "SELECT 'mask' AS variant, event_id, "
+            "CASE WHEN event_type IS NOT NULL THEN '' END AS event_type, "
+            "CAST(user_id AS VARCHAR) AS s1, "
+            "CASE WHEN value IS NOT NULL THEN '0.0' END AS s2 FROM events "
+            "UNION ALL "
+            "SELECT 'header' AS variant, event_id, event_type, "
+            "CAST(user_id AS VARCHAR) AS s1, CAST(NULL AS VARCHAR) AS s2 "
             "FROM events"
+        ),
+        "boundaries": (
+            "SELECT 'kafka' AS variant, event_id, user_id, event_type, "
+            "CAST(NULL AS VARCHAR) AS val_s, CAST(NULL AS VARCHAR) AS props, "
+            "CAST(event_id AS VARCHAR) AS off FROM events "
+            "UNION ALL "
+            "SELECT 'json' AS variant, event_id, user_id, event_type, "
+            "CAST(CAST(FLOOR(value*10000) AS BIGINT) AS VARCHAR) AS val_s, "
+            "props, CAST(NULL AS VARCHAR) AS off FROM events "
+            "UNION ALL "
+            "SELECT 'avro' AS variant, event_id, user_id, event_type, "
+            "CAST(CAST(FLOOR(value*10000) AS BIGINT) AS VARCHAR) AS val_s, "
+            "props, '7' AS off FROM events"
+        ),
+        "windowed_agg": (
+            # tumble leg: 1-day epoch-aligned windows by event_type;
+            # session leg: gaps-and-islands per user, 12h gap — both
+            # over epoch_ms(ts), sums as exact DECIMAL then double
+            "WITH e AS (SELECT user_id, event_type, "
+            "CAST(value AS DECIMAL(18,2)) AS v, epoch_ms(ts) AS t "
+            "FROM events), "
+            "tum AS (SELECT (t // 86400000) * 86400000 AS ws, "
+            "event_type, count(*) AS n, CAST(sum(v) AS DOUBLE) AS s "
+            "FROM e GROUP BY 1, 2), "
+            "m AS (SELECT *, CASE WHEN t - lag(t) OVER "
+            "(PARTITION BY user_id ORDER BY t) > 43200000 "
+            "THEN 1 ELSE 0 END AS brk FROM e), "
+            "sess AS (SELECT *, sum(brk) OVER (PARTITION BY user_id "
+            "ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid FROM m) "
+            "SELECT 'tumble' AS variant, ws AS window_start_ms, "
+            "ws + 86400000 AS window_end_ms, event_type AS grp, "
+            "n AS n_events, s AS sum_val FROM tum "
+            "UNION ALL "
+            "SELECT 'session' AS variant, min(t) AS window_start_ms, "
+            "max(t) + 43200000 AS window_end_ms, "
+            "CAST(user_id AS VARCHAR) AS grp, count(*) AS n_events, "
+            "CAST(sum(v) AS DOUBLE) AS sum_val "
+            "FROM sess GROUP BY user_id, sid"
+        ),
+        "sampling_split": (
+            # the EXACT membership recomputation: 52-bit sha256 fold,
+            # same string rendering + seed as _unit_hash(hash_fn=sha2)
+            "WITH h AS (SELECT doc_id, lang, "
+            "CAST(('0x' || substring(sha256(concat_ws('|', "
+            "CAST(doc_id AS VARCHAR), '42')), 1, 13)) AS BIGINT) "
+            "/ 4503599627370496.0 AS u FROM documents) "
+            "SELECT 'split' AS variant, doc_id, "
+            "CASE WHEN u < 0.75 THEN 'train' WHEN u < 0.875 THEN 'val' "
+            "ELSE 'test' END AS tag FROM h "
+            "UNION ALL "
+            "SELECT 'sample' AS variant, doc_id, 'keep' AS tag FROM h "
+            "WHERE u < 0.25 "
+            "UNION ALL "
+            "SELECT 'strat' AS variant, doc_id, lang AS tag FROM h "
+            "WHERE u < (CASE WHEN lang = 'en' THEN 0.5 ELSE 0.25 END)"
+        ),
+        "relay_envelope": (
+            # fold-forward oracle: per-batch LWW winners, prior state
+            # via LAG over the batch sequence (a batch winner fully
+            # overwrites), Debezium c/u/d classification; a delete of
+            # an absent key emits nothing (sink.py:_changes_for)
+            "WITH ev AS (SELECT user_id, event_id AS lsn, event_type, "
+            "value AS val, CASE WHEN event_type = 'error' THEN 'd' "
+            "ELSE 'u' END AS op FROM events), "
+            "params AS (SELECT (max(lsn) + 3) // 3 AS w FROM ev), "
+            "batched AS (SELECT ev.*, lsn // (SELECT w FROM params) AS b "
+            "FROM ev), "
+            "winners AS (SELECT b, user_id, max(lsn) AS lsn, "
+            "arg_max(op, lsn) AS op, arg_max(event_type, lsn) AS et, "
+            "arg_max(val, lsn) AS val FROM batched GROUP BY b, user_id), "
+            "seq AS (SELECT *, lag(op) OVER w AS prev_op, "
+            "lag(et) OVER w AS prev_et, lag(val) OVER w AS prev_val "
+            "FROM winners WINDOW w AS (PARTITION BY user_id ORDER BY b)) "
+            "SELECT user_id, lsn, "
+            "CASE WHEN op = 'd' THEN 'd' WHEN prev_op = 'u' THEN 'u' "
+            "ELSE 'c' END AS op, "
+            "CASE WHEN prev_op = 'u' THEN prev_et END AS before_event_type, "
+            "CASE WHEN prev_op = 'u' THEN CAST(CAST(FLOOR(prev_val*10000) "
+            "AS BIGINT) AS VARCHAR) END AS before_val, "
+            "CASE WHEN op = 'u' THEN et END AS after_event_type, "
+            "CASE WHEN op = 'u' THEN CAST(CAST(FLOOR(val*10000) AS BIGINT) "
+            "AS VARCHAR) END AS after_val "
+            "FROM seq "
+            "WHERE NOT (op = 'd' AND (prev_op IS NULL OR prev_op = 'd'))"
+        ),
+        "png_decode": (
+            # the fixture's closed form: pixel(x,y,c) = base_c + x over
+            # an 8-wide row => mean_c = base_c + 3.5 exactly
+            "SELECT doc_id AS media_id, CAST(8 AS INTEGER) AS width, "
+            "CAST(8 AS INTEGER) AS height, "
+            "doc_id % 248 + 3.5 AS mean_r, "
+            "(doc_id * 7 + 13) % 248 + 3.5 AS mean_g, "
+            "(doc_id * 31 + 101) % 248 + 3.5 AS mean_b "
+            "FROM documents"
         ),
         # simhash, multimodal_features, lsh_ann: intentionally no oracle —
         # the Arrow bit-fold / binary featurization are not

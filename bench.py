@@ -454,6 +454,11 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
         "hash": entrymod.q_hash,
         "filter_by_field_value_exact": entrymod.q_filter_exact,
         "lww_dedupe": entrymod.q_lww_dedupe,
+        # folded into composite gate entries in r04; the timed plan
+        # stays the original single-variant function so the number
+        # still measures the same work as r01-r03
+        "kafka_boundary": entrymod.q_kafka_boundary,
+        "json_boundary": entrymod.q_json_boundary,
     }
     names = [
         "chain_fused", "hash", "filter_by_field_value_exact",

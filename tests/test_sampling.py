@@ -156,3 +156,50 @@ def test_validation_errors(spark, docs):
                           id_cols=["doc_id"], default_fraction=5.0)
     with pytest.raises(ValueError, match=">= 0"):
         deterministic_top_sample(docs, -1, id_cols=["doc_id"])
+
+
+def test_sha2_mode_laws_and_cross_engine_parity(spark, docs):
+    """hash_fn='sha2': same laws (partition, nesting), plus the whole
+    point — an external engine (DuckDB here) recomputes the SAME
+    membership from sha256, bit for bit."""
+    import duckdb
+
+    from transforms_for_apache_kafka_connect_spark.functions.sampling import (
+        _unit_hash,
+    )
+
+    split = hash_split(
+        docs, {"train": 0.75, "val": 0.125, "test": 0.125},
+        id_cols=["doc_id"], hash_fn="sha2",
+    )
+    assert split.count() == docs.count()
+    small = set(
+        r["doc_id"] for r in
+        hash_sample(docs, 0.1, id_cols=["doc_id"], hash_fn="sha2")
+        .select("doc_id").collect()
+    )
+    big = set(
+        r["doc_id"] for r in
+        hash_sample(docs, 0.3, id_cols=["doc_id"], hash_fn="sha2")
+        .select("doc_id").collect()
+    )
+    assert small <= big and 0 < len(small) < len(big)
+
+    got = {
+        r["doc_id"]: r["u"]
+        for r in docs.withColumn(
+            "u", _unit_hash(["doc_id"], 42, "sha2")
+        ).select("doc_id", "u").collect()
+    }
+    con = duckdb.connect()
+    external = con.sql(
+        "SELECT doc_id, CAST(('0x' || substring(sha256(concat_ws('|', "
+        "CAST(doc_id AS VARCHAR), '42')), 1, 13)) AS BIGINT) "
+        "/ 4503599627370496.0 AS u "
+        f"FROM '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchall()
+    assert len(external) == len(got)
+    assert all(got[d] == u for d, u in external)
+
+    with pytest.raises(ValueError, match="unknown hash_fn"):
+        hash_sample(docs, 0.5, id_cols=["doc_id"], hash_fn="md5")

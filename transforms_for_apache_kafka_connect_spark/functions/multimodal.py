@@ -80,23 +80,36 @@ def synthetic_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """JPEG/PNG bytes -> HxWx3 uint8 array via Pillow when present;
-    raises NotImplementedError otherwise (sandbox containers ship no
-    imaging library — the deterministic fake path covers them).
+    """Image bytes -> HxWx3 uint8 array. Pillow when importable (any
+    format it knows); otherwise PNG payloads decode through the
+    dependency-free spec codec (:mod:`.png` — stdlib zlib + NumPy), so
+    the REAL decode path runs even in containers without imaging
+    libraries. Non-PNG bytes without Pillow raise NotImplementedError
+    (the deterministic fake path covers those pipelines).
 
     ``fake=None`` auto-selection happens on the DRIVER (assuming a
     uniform Python environment, the normal spark-submit contract); this
     runs in executor workers, so the message below names the actual
     fix when the environments diverge."""
-    if not HAS_PIL:
-        raise NotImplementedError(
-            "image decode requires Pillow, which is not importable in "
-            "this Python worker. If it IS installed on the driver, ship "
-            "it to the executors (spark-submit --archives / a uniform "
-            "image) or pass fake=True for the deterministic fake path"
-        )
-    with _PILImage.open(io.BytesIO(payload)) as im:
-        return np.asarray(im.convert("RGB"))
+    if HAS_PIL:
+        with _PILImage.open(io.BytesIO(payload)) as im:
+            return np.asarray(im.convert("RGB"))
+    from transforms_for_apache_kafka_connect_spark.functions.png import (
+        PNG_SIGNATURE,
+        png_decode,
+    )
+
+    if bytes(payload[:8]) == PNG_SIGNATURE:
+        arr = png_decode(payload)
+        if arr.ndim == 2:  # grayscale -> RGB (replicate channels)
+            return np.repeat(arr[:, :, None], 3, axis=2)
+        return arr[:, :, :3]  # RGBA -> RGB (drop alpha)
+    raise NotImplementedError(
+        "non-PNG image decode requires Pillow, which is not importable "
+        "in this Python worker. If it IS installed on the driver, ship "
+        "it to the executors (spark-submit --archives / a uniform "
+        "image) or pass fake=True for the deterministic fake path"
+    )
 
 
 def _real_features(payload: bytes) -> np.ndarray:
@@ -147,6 +160,111 @@ def extract_features(media: DataFrame, *, fake: bool | None = True) -> DataFrame
             )
 
     return media.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+#: pixel(x, y, c) of the synthetic fixture = channel base + x, where
+#: the bases derive from media_id; width <= 8 keeps base+x < 256 so the
+#: per-channel mean is EXACTLY base + (width-1)/2 — a closed form any
+#: SQL engine can recompute, which is what makes the real decode path
+#: oracle-checkable end-to-end
+PNG_BASE_MOD = 248
+
+
+def synthetic_png_media(
+    df: DataFrame, *, id_col: str = "media_id", width: int = 8, height: int = 8
+) -> DataFrame:
+    """ids -> real PNG payloads, encoded distributed (Arrow batches
+    through ``mapInPandas``, the dependency-free spec codec from
+    :mod:`.png`). Row y of each image uses scanline filter y % 5, so a
+    decoder must reconstruct every PNG filter type to read these back.
+    Pixel values are ``base_c + x`` with ``base_r = id % 248``,
+    ``base_g = (id*7+13) % 248``, ``base_b = (id*31+101) % 248``."""
+    if width > 8:
+        raise ValueError(
+            f"width must be <= 8 to keep base+x wrap-free: {width}"
+        )
+    from transforms_for_apache_kafka_connect_spark.functions.png import (
+        png_encode,
+    )
+
+    ids_only = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        x = np.arange(width, dtype=np.uint8)
+        for pdf in batches:
+            payloads = []
+            for i in pdf["media_id"]:
+                i = int(i)
+                bases = np.array(
+                    [i % PNG_BASE_MOD, (i * 7 + 13) % PNG_BASE_MOD,
+                     (i * 31 + 101) % PNG_BASE_MOD],
+                    dtype=np.uint8,
+                )
+                row = bases[None, :] + x[:, None]  # (w, 3)
+                arr = np.broadcast_to(row, (height, width, 3))
+                payloads.append(png_encode(arr, filters="cycle"))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "image",
+                    "mime": "image/png",
+                    "width": np.int32(width),
+                    "height": np.int32(height),
+                    "duration_ms": np.int64(0),
+                    "payload": payloads,
+                }
+            )
+
+    return ids_only.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("mean_r", T.DoubleType(), False),
+        T.StructField("mean_g", T.DoubleType(), False),
+        T.StructField("mean_b", T.DoubleType(), False),
+    ]
+)
+
+
+def image_stats(media: DataFrame, *, fake: bool = False) -> DataFrame:
+    """REAL image decode in the distributed loop: dimensions +
+    per-channel means from the decoded pixel array (``decode_image`` —
+    Pillow when present, the dependency-free PNG codec otherwise).
+    Unlike ``extract_features`` there is no resample step, so the
+    output is bit-identical across environments and — for
+    ``synthetic_png_media`` fixtures — equals a closed form an
+    external SQL oracle can recompute. The real path is the DEFAULT
+    here (unlike the featurizers): PNG decode needs no optional
+    dependency, so there is nothing to gate on."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if fake:
+                    d = _fake_features(payload)
+                    rows.append((int(mid), 0, 0, float(d[0]),
+                                 float(d[1]), float(d[2])))
+                    continue
+                arr = decode_image(bytes(payload))
+                means = arr.reshape(-1, 3).mean(axis=0)
+                rows.append(
+                    (int(mid), int(arr.shape[1]), int(arr.shape[0]),
+                     float(means[0]), float(means[1]), float(means[2]))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height",
+                         "mean_r", "mean_g", "mean_b"],
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        run, schema=IMAGE_STATS_SCHEMA
+    )
 
 
 RESIZED_SCHEMA = T.StructType(

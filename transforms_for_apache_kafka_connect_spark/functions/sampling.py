@@ -32,13 +32,40 @@ from pyspark.sql import functions as F
 #: STRICTLY (a raw int64->double cast can round up to 2^63 and produce
 #: exactly 1.0, making those rows unreachable by any fraction)
 _BUCKETS = 2**53
+#: sha2 mode folds the first 13 hex chars (52 bits) instead — also
+#: exactly representable, and recomputable by ANY engine with sha256
+_SHA_BUCKETS = 2**52
 
 
-def _unit_hash(cols: list[str] | list[Column], seed: int) -> Column:
-    """Stable per-row position in [0, 1): seeded xxhash64 of the id
-    columns, folded into 2^53 exactly-representable buckets."""
-    h = F.pmod(F.xxhash64(*cols, F.lit(seed)), F.lit(_BUCKETS))
-    return h.cast("double") / F.lit(float(_BUCKETS))
+def _unit_hash(
+    cols: list[str] | list[Column], seed: int, hash_fn: str = "xxhash64"
+) -> Column:
+    """Stable per-row position in [0, 1).
+
+    * ``"xxhash64"`` (default) — seeded xxhash64 folded into 2^53
+      exactly-representable buckets; the fast JVM-codegen path.
+    * ``"sha2"`` — first 52 bits of sha256 over a ``'|'``-joined
+      string rendering of the id columns + seed. Slower, but every
+      engine with sha256 reproduces the SAME membership (external
+      systems, SQL oracles: ``('0x' || substring(sha256(
+      concat_ws('|', id, seed)), 1, 13))::BIGINT / 2^52``), so a
+      split assigned here can be re-derived off-Spark bit-for-bit.
+      Id columns are rendered with CAST(... AS STRING); NULL ids are
+      skipped by concat_ws — keep id columns non-null (they identify
+      the row).
+    """
+    if hash_fn == "xxhash64":
+        h = F.pmod(F.xxhash64(*cols, F.lit(seed)), F.lit(_BUCKETS))
+        return h.cast("double") / F.lit(float(_BUCKETS))
+    if hash_fn == "sha2":
+        rendered = [
+            (F.col(c) if isinstance(c, str) else c).cast("string")
+            for c in cols
+        ]
+        digest = F.sha2(F.concat_ws("|", *rendered, F.lit(str(seed))), 256)
+        h = F.conv(F.substring(digest, 1, 13), 16, 10).cast("long")
+        return h.cast("double") / F.lit(float(_SHA_BUCKETS))
+    raise ValueError(f"unknown hash_fn: {hash_fn!r} (xxhash64|sha2)")
 
 
 def hash_split(
@@ -48,6 +75,7 @@ def hash_split(
     id_cols: list[str],
     seed: int = 42,
     split_col: str = "split",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Assign every row to exactly one named split (train/val/test…)
     by hash range — deterministic, leakage-free, zero-shuffle.
@@ -62,7 +90,7 @@ def hash_split(
     if any(w < 0 for w in weights.values()) or sum(weights.values()) <= 0:
         raise ValueError(f"weights must be non-negative and sum > 0: {weights}")
     total = float(sum(weights.values()))
-    u = _unit_hash(id_cols, seed)
+    u = _unit_hash(id_cols, seed, hash_fn)
     expr = None
     acc = 0.0
     names = list(weights)
@@ -83,6 +111,7 @@ def hash_sample(
     *,
     id_cols: list[str],
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Keep a deterministic ~``fraction`` of rows (hash threshold).
     Nested property: the ``fraction=0.1`` sample is a SUBSET of the
@@ -90,7 +119,7 @@ def hash_sample(
     mix without resampling the world."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1]: {fraction}")
-    return df.filter(_unit_hash(id_cols, seed) < F.lit(float(fraction)))
+    return df.filter(_unit_hash(id_cols, seed, hash_fn) < F.lit(float(fraction)))
 
 
 def stratified_sample(
@@ -101,6 +130,7 @@ def stratified_sample(
     id_cols: list[str],
     default_fraction: float = 0.0,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Per-stratum deterministic sampling (e.g. rebalance languages in
     a training mix): ``fractions`` maps stratum value -> keep fraction;
@@ -113,7 +143,7 @@ def stratified_sample(
         raise ValueError(
             f"default_fraction must be in [0, 1]: {default_fraction}"
         )
-    u = _unit_hash(id_cols, seed)
+    u = _unit_hash(id_cols, seed, hash_fn)
     thr = None
     for k, v in fractions.items():
         cond = F.col(strata_col) == F.lit(k)
@@ -134,6 +164,7 @@ def deterministic_top_sample(
     *,
     id_cols: list[str],
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Exactly ``min(n, count)`` rows, chosen deterministically: rank
     all rows by their seeded hash and keep the smallest ``n`` — a
@@ -155,7 +186,7 @@ def deterministic_top_sample(
         raise ValueError(f"n must be >= 0: {n}")
     if n == 0:
         return df.limit(0)
-    u = _unit_hash(id_cols, seed).alias("__u")
+    u = _unit_hash(id_cols, seed, hash_fn).alias("__u")
     w = Window.orderBy(F.col("__u"), *[F.col(c) for c in id_cols])
     return (
         df.withColumn("__u", u)
