@@ -27,6 +27,39 @@ def fmt(df) -> str:
     )
 
 
+def _fingerprint(plan: str) -> str:
+    """Plan string -> operator-sequence fingerprint (names only, expr
+    ids stripped): stable across runs/paths, sensitive to any change in
+    the operator dataflow."""
+    return "\n".join(
+        re.sub(r"#\d+L?", "", m.group(1)).strip()
+        for m in re.finditer(r"^[\s:+*-]*([A-Z][A-Za-z]+)", plan, re.M)
+    )
+
+
+def golden_check(check, name: str, filename: str, plan: str) -> None:
+    """Diff a plan's operator fingerprint against its pinned golden in
+    BENCH/ (pin on first run) — any future regression on the path shows
+    as an audit diff, not as an unexplained bench-number swing."""
+    path = os.path.join(os.path.dirname(__file__), filename)
+    fingerprint = _fingerprint(plan)
+    if not os.path.exists(path):
+        with open(path, "w") as fh:
+            fh.write(fingerprint + "\n")
+        check(f"{name} golden: pinned (first run)", True)
+        return
+    with open(path) as fh:
+        pinned = fh.read().strip()
+    same = pinned == fingerprint.strip()
+    if not same:
+        import difflib
+
+        print("\n".join(difflib.unified_diff(
+            pinned.splitlines(), fingerprint.splitlines(),
+            "golden", "current", lineterm="")))
+    check(f"{name} golden: operator sequence unchanged", same)
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from bench import build_session
@@ -140,26 +173,7 @@ def main() -> None:
     # round change to the headline replay dataflow shows up as a diff
     # here, separating engine plan regressions from VM-noise swings in
     # the bench numbers
-    golden_path = os.path.join(os.path.dirname(__file__),
-                               "merge_plan_golden.txt")
-    fingerprint = "\n".join(
-        re.sub(r"#\d+L?", "", m.group(1)).strip()
-        for m in re.finditer(r"^[\s:+*-]*([A-Z][A-Za-z]+)", p, re.M)
-    )
-    if not os.path.exists(golden_path):
-        with open(golden_path, "w") as fh:
-            fh.write(fingerprint + "\n")
-        check("merge plan golden: pinned (first run)", True)
-    else:
-        with open(golden_path) as fh:
-            pinned = fh.read().strip()
-        same = pinned == fingerprint.strip()
-        if not same:
-            import difflib
-            print("\n".join(difflib.unified_diff(
-                pinned.splitlines(), fingerprint.splitlines(),
-                "golden", "current", lineterm="")))
-        check("merge plan golden: operator sequence unchanged", same)
+    golden_check(check, "merge plan", "merge_plan_golden.txt", p)
 
     # 7. merge-on-read resolution: aggregate-based LWW with map-side combine
     import tempfile as _tf
@@ -177,6 +191,7 @@ def main() -> None:
     check("mor read: map-side partial_max_by below the exchange",
           "partial_max_by" in p
           and p.find("partial_max_by") > p.find("Exchange"))
+    golden_check(check, "mor read plan", "mor_read_plan_golden.txt", p)
 
     # 8. ngram jaccard default path: band-blocked, never an all-pairs product
     p = plan_of(qs["ngram_jaccard"](spark, sf_dir))
@@ -327,8 +342,61 @@ def main() -> None:
     check("changelog capture: no SortMergeJoin (target never shuffled)",
           "SortMergeJoin" not in p and "Exchange hashpartitioning" not in
           p.split("BroadcastHashJoin")[0])
+    golden_check(check, "changelog capture plan",
+                 "changelog_plan_golden.txt", plan_of(changes_df))
     if cpre is not None:
         cpre.unpersist()
+
+    # 17b. routed merge (per-topic fan-out): one chain pass, then each
+    # topic's update plan is the SAME shape as the single-table merge —
+    # pin the per-topic update fingerprint so a regression in the
+    # fan-out path (e.g. re-running the chain per topic) shows as a
+    # diff, not a bench swing
+    from transforms_for_apache_kafka_connect_spark.streaming import (
+        TopicTableRouter as _TTR,
+    )
+
+    rroot = _tf.mkdtemp(prefix="audit_routed_")
+    router = _TTR(
+        root=rroot,
+        chain=_Chain([
+            {"type": "tombstone_handler", "behavior": "drop_silent"},
+            {"type": "extract_topic", "field.name": "shard"},
+        ]),
+        epoch="audit",
+        table_opts={"key_cols": ["repo", "path"], "n_buckets": 4,
+                    "discovery": False, "merge_strategy": "broadcast"},
+    )
+    rev = _cs(spark, 4_000, n_repos=10, paths_per_repo=4)
+    shard = _F.concat(
+        _F.lit("s"),
+        (_F.xxhash64(_F.col("key.repo")) % 2).cast("string"),
+    )
+    rev = rev.withColumn("value", _F.col("value").withField("shard", shard))
+    rmin, rmax = rev.agg(_F.min("timestamp"), _F.max("timestamp")).first()
+    rres = router.replay(rev, batch_width=rmax - rmin + 1,
+                         start_pos=rmin, max_pos=rmax + 1)
+    rtopic = sorted({t for r in rres for t in r["topics"]})[0]
+    p = plan_of(router.table_for(rtopic).read(spark))
+    golden_check(check, "routed table read plan",
+                 "routed_read_plan_golden.txt", p)
+
+    # 17c. windowed aggregation (batch shape = the streaming per-batch
+    # plan): partial aggregation below the single exchange, no Python
+    from transforms_for_apache_kafka_connect_spark.streaming import (
+        windowed_aggregate as _wagg,
+    )
+
+    p = plan_of(_wagg(cev, window_duration="1 second",
+                      group_cols=["value.op"]))
+    check("windowed agg: map-side partial_count below the exchange",
+          "partial_count" in p
+          and p.find("partial_count") > p.find("Exchange"))
+    check("windowed agg: single exchange, no Python",
+          p.count("Exchange") <= 1 and "Python" not in p)
+    p = plan_of(_wagg(cev, session_gap="1 second",
+                      group_cols=["value.op"]))
+    check("session windows: no Python eval in plan", "Python" not in p)
 
     # 18. incremental view maintenance: one aggregate over the (batch-
     # sized) changelog + a join whose left side is the agg table

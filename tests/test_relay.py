@@ -177,3 +177,24 @@ def test_cli_relay_maintenance(spark, tmp_path):
     # payloads are Confluent-framed
     first = raw.select("value").first()[0]
     assert first[:1] == b"\x00"
+
+
+def test_relay_observe_counters(spark, tmp_path):
+    """CollectMetrics counters ride the envelope plan: per-op counts
+    match the emitted rows, at zero extra passes (one action computes
+    both), via the standard pyspark Observation handle."""
+    from pyspark.sql import Observation
+
+    _, src = _build_source(spark, tmp_path)
+    obs = Observation()
+    env = changelog_envelope(src, spark, observe=obs)
+    by_op = {
+        r["op"]: r["n"]
+        for r in env.groupBy(F.col("value.op").alias("op"))
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    m = obs.get
+    assert m["n_events"] == sum(by_op.values())
+    assert m["n_creates"] == by_op.get("c", 0)
+    assert m["n_updates"] == by_op.get("u", 0)
+    assert m["n_deletes"] == by_op.get("d", 0)

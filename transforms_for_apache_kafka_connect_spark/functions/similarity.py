@@ -83,17 +83,32 @@ def brute_force_topk(
         out_schema = scored.schema
 
         def _local_topk(batches):
+            # partial-selection cut, not a sort: np.argpartition finds
+            # the k-th largest cosine per (query, batch) in O(n), and
+            # every row >= that threshold survives — a superset of the
+            # batch's exact top-k under ANY tiebreak (ties at the
+            # threshold all pass; the downstream window resolves the
+            # (cosine desc, neighbor_id asc) order). Replaces the r03
+            # sort_values().groupby().head(k), which paid a full
+            # O(n log n) sort per batch for an ordering the window
+            # recomputes anyway (r03 verdict item 6).
+            import numpy as np
+
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                yield (
-                    pdf.sort_values(
-                        ["query_id", "cosine", "neighbor_id"],
-                        ascending=[True, False, True],
-                    )
-                    .groupby("query_id", sort=False)
-                    .head(k)
-                )
+                cos_all = pdf["cosine"].to_numpy()
+                keep = []
+                for idx in pdf.groupby(
+                    "query_id", sort=False
+                ).indices.values():
+                    if len(idx) <= k:
+                        keep.append(idx)
+                        continue
+                    cos = cos_all[idx]
+                    thr = cos[np.argpartition(-cos, k - 1)[k - 1]]
+                    keep.append(idx[cos >= thr])
+                yield pdf.iloc[np.concatenate(keep)]
 
         scored = scored.mapInPandas(_local_topk, out_schema)
     w = Window.partitionBy("query_id").orderBy(

@@ -361,6 +361,28 @@ def converters_from_properties(source) -> dict:
             out["writer_schemas"] = {
                 int(k): v for k, v in _json.load(f).items()
             }
+    registry_url = props.get("value.converter.schema.registry.url")
+    if registry_url is not None:
+        # the STANDARD AvroConverter key (public Confluent converter
+        # config) — maps to the live HTTP registry client; mutually
+        # exclusive with the offline snapshot file above
+        if raw_format != "avro":
+            raise ConfigException(
+                "value.converter.schema.registry.url only applies to "
+                "AvroConverter"
+            )
+        if "writer_schemas" in out:
+            raise ConfigException(
+                "set either value.converter.writer.schemas.file (an "
+                "offline id->schema snapshot) or "
+                "value.converter.schema.registry.url (a live "
+                "registry), not both"
+            )
+        from transforms_for_apache_kafka_connect_spark.sources.schema_registry import (
+            HttpSchemaRegistry,
+        )
+
+        out["schema_registry"] = HttpSchemaRegistry(registry_url)
     if out["value_schema"] is None:
         raise ConfigException(
             "converter declared but no pinned schema: set "

@@ -12,6 +12,11 @@ from transforms_for_apache_kafka_connect_spark.sources.changestream import (
     change_stream,
     repositories_snapshot,
 )
+from transforms_for_apache_kafka_connect_spark.sources.schema_registry import (
+    FileSchemaRegistry,
+    HttpSchemaRegistry,
+    SchemaRegistry,
+)
 from transforms_for_apache_kafka_connect_spark.sources.json_boundary import (
     envelope_from_json,
     envelope_from_kafka,
@@ -34,4 +39,7 @@ __all__ = [
     "decode_record",
     "resolve_record",
     "jvm_avro_available",
+    "SchemaRegistry",
+    "FileSchemaRegistry",
+    "HttpSchemaRegistry",
 ]

@@ -560,20 +560,29 @@ def _decode_column(
     confluent_framing: bool,
     use_jvm: bool,
     writer_schemas: dict | None = None,
+    schema_registry: Any | None = None,
     session_tz: str = "UTC",
 ) -> tuple[Column, Column]:
     """binary column -> (decoded struct column, bad flag column).
 
-    With ``writer_schemas`` ({schema_id: avro schema}), each payload is
-    decoded with the writer schema its Confluent frame names and
-    resolved onto ``schema`` (the reader schema) per Avro
+    With ``writer_schemas`` ({schema_id: avro schema}) or a
+    ``schema_registry`` (:class:`~.schema_registry.SchemaRegistry` —
+    id lookups run inside the decode workers, cached per id), each
+    payload is decoded with the writer schema its Confluent frame
+    names and resolved onto ``schema`` (the reader schema) per Avro
     schema-resolution rules — the evolving-topic contract."""
     schema = _norm(schema)
-    if writer_schemas:
+    if writer_schemas and schema_registry is not None:
+        raise ValueError(
+            "pass either writer_schemas (an id->schema snapshot) or "
+            "schema_registry (a live lookup), not both"
+        )
+    if writer_schemas or schema_registry is not None:
         if not confluent_framing:
             raise ValueError(
-                "writer_schemas requires confluent_framing=True (the "
-                "frame's schema id selects the writer schema)"
+                "writer-schema resolution requires "
+                "confluent_framing=True (the frame's schema id selects "
+                "the writer schema)"
             )
         if use_jvm:
             raise ValueError(
@@ -591,7 +600,7 @@ def _decode_column(
             (F.length(raw) < _FRAME_LEN)
             | (F.substring(raw, 1, 1) != F.lit(b"\x00"))
         )
-        if not writer_schemas:
+        if not writer_schemas and schema_registry is None:
             # binary substr is 1-based; Column.substr takes Column args
             # so the frame strip works for any source column
             body = F.when(
@@ -630,6 +639,24 @@ def _decode_column(
             if writers_json
             else None
         )
+        resolve_ids = writers is not None or schema_registry is not None
+        cache: dict[int, dict] = {}
+
+        def writer_for(sid: int) -> dict:
+            """id -> writer schema: the snapshot dict, or the registry
+            (one lookup per distinct id per worker — cached)."""
+            if sid not in cache:
+                if writers is not None:
+                    if sid not in writers:
+                        raise ValueError(f"unknown schema id {sid}")
+                    cache[sid] = writers[sid]
+                else:
+                    try:
+                        cache[sid] = _norm(schema_registry.get_by_id(sid))
+                    except KeyError as e:
+                        raise ValueError(f"unknown schema id {sid}") from e
+            return cache[sid]
+
         recs, bads = [], []
         for payload in s:
             if payload is None:
@@ -638,13 +665,11 @@ def _decode_column(
                 continue
             try:
                 b = bytes(payload)
-                if writers is not None:
+                if resolve_ids:
                     # frame validity is checked JVM-side; here we only
                     # need the id -> writer schema lookup
                     sid = int.from_bytes(b[1:_FRAME_LEN], "big")
-                    writer = writers.get(sid)
-                    if writer is None:
-                        raise ValueError(f"unknown schema id {sid}")
+                    writer = writer_for(sid)
                     rec = decode_record(writer, b[_FRAME_LEN:], tz=zone)
                     if writer != reader:
                         rec = resolve_record(writer, reader, rec)
@@ -671,6 +696,7 @@ def envelope_from_avro(
     confluent_framing: bool = False,
     use_jvm: bool | None = None,
     writer_schemas: dict | None = None,
+    schema_registry: Any | None = None,
     passthrough: list[str] | None = None,
 ) -> DataFrame:
     """Raw Avro-bytes stream -> typed envelope.
@@ -696,6 +722,13 @@ def envelope_from_avro(
     the Python codec path (a registryless snapshot of the registry's
     id->schema map; unknown ids follow the error contract).
 
+    ``schema_registry`` is the LIVE alternative to the snapshot: any
+    :class:`~.schema_registry.SchemaRegistry` (the Confluent-REST
+    ``HttpSchemaRegistry``, the file-backed ``FileSchemaRegistry``, or
+    your own). Lookups run inside the decode workers, cached per
+    distinct id — the Connect consumer's client-side-cache shape.
+    Mutually exclusive with ``writer_schemas``.
+
     Malformed payloads (bad frame, truncated varint, trailing bytes,
     unknown schema id) set the per-record error column with the
     converter ``SERIALIZATION_ERROR`` message — the engine batch-fail
@@ -703,7 +736,11 @@ def envelope_from_avro(
     value_schema = _norm(value_schema)
     spark_value = avro_schema_to_spark(value_schema)
     if use_jvm is None:
-        use_jvm = jvm_avro_available(raw.sparkSession) and not writer_schemas
+        use_jvm = (
+            jvm_avro_available(raw.sparkSession)
+            and not writer_schemas
+            and schema_registry is None
+        )
 
     session_tz = raw.sparkSession.conf.get(
         "spark.sql.session.timeZone", "UTC"
@@ -716,6 +753,7 @@ def envelope_from_avro(
         confluent_framing=confluent_framing,
         use_jvm=use_jvm,
         writer_schemas=writer_schemas,
+        schema_registry=schema_registry,
         session_tz=session_tz,
     )
     if key_col in cols and key_schema is not None:

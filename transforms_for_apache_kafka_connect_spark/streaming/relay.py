@@ -50,6 +50,7 @@ def changelog_envelope(
     *,
     epoch: str | None = None,
     topic: str | None = None,
+    observe: Any | None = None,
 ) -> DataFrame:
     """Committed changelog -> canonical change-stream envelope.
 
@@ -96,7 +97,7 @@ def changelog_envelope(
         F.col("before").alias("before"),
         F.col("after").alias("after"),
     )
-    return grouped.select(
+    out = grouped.select(
         F.lit(topic_name).alias("topic"),
         F.lit(0).cast("int").alias("partition"),
         F.struct(*[F.col(c) for c in key_cols]).alias("key"),
@@ -104,6 +105,21 @@ def changelog_envelope(
         F.col("_change_lsn").cast("long").alias("timestamp"),
         F.lit(None).cast("map<string,string>").alias("headers"),
     )
+    if observe is not None:
+        # per-op emission counters riding the plan (CollectMetrics —
+        # zero extra pass), parity with the sink's merge metrics for
+        # the publish direction. Pass a ``pyspark.sql.Observation``
+        # (its ``.get`` blocks until the first action) or a metric
+        # name string (streaming consumers then read each trigger's
+        # counts from StreamingQueryProgress.observedMetrics)
+        out = out.observe(
+            observe,
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_if(F.col("value.op") == "c").alias("n_creates"),
+            F.count_if(F.col("value.op") == "u").alias("n_updates"),
+            F.count_if(F.col("value.op") == "d").alias("n_deletes"),
+        )
+    return out
 
 
 def publish_changelog(
