@@ -1033,6 +1033,138 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_relational_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r04 composite (frees 2 gate slots): the agg/join/window trio as
+    variant legs over one aligned schema; each leg runs the original
+    query unchanged."""
+    agg = q_agg_lineitem(spark, sf_dir).select(
+        F.lit("agg").alias("variant"),
+        F.col("l_returnflag").alias("k1"),
+        F.col("l_linestatus").alias("k2"),
+        F.col("n_rows").cast("long").alias("n"),
+        F.col("sum_qty").alias("x"),
+        F.col("sum_price").alias("y"),
+    )
+    # padding cells use sentinels, not NULL: the oracle side round-trips
+    # through pandas where a NULL double becomes NaN and NaN != None
+    jn = q_join_agg(spark, sf_dir).select(
+        F.lit("join").alias("variant"),
+        F.col("o_orderpriority").alias("k1"),
+        F.lit("-").alias("k2"),
+        F.col("n_items").cast("long").alias("n"),
+        F.col("sum_qty").alias("x"),
+        F.lit(-1.0).alias("y"),
+    )
+    rk = q_window_rank(spark, sf_dir).select(
+        F.lit("rank").alias("variant"),
+        F.col("o_custkey").cast("string").alias("k1"),
+        F.col("o_orderkey").cast("string").alias("k2"),
+        F.col("rank").cast("long").alias("n"),
+        F.lit(-1.0).alias("x"),
+        F.lit(-1.0).alias("y"),
+    )
+    return agg.unionByName(jn).unionByName(rk)
+
+
+# ------------------------------------------------- temporal / CDC history
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (functions/temporal.py): each click event picks up
+    the same user's most recent purchase at-or-before it (LSN axis).
+    Union-trick plan: one exchange, no join node; oracle is DuckDB's
+    native ASOF LEFT JOIN."""
+    from transforms_for_apache_kafka_connect_spark.functions import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("t"), F.col("value").alias("qty")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("t"), F.col("value").alias("px")
+    )
+    out = asof_join(clicks, purchases, on=["user_id"], left_time="t",
+                    right_time="t")
+    # unmatched rows keep left-join NULLs in the operator; the gate
+    # projection folds them to sentinels (NaN-vs-None pandas artifact)
+    return out.select(
+        "user_id", "t", "qty",
+        F.coalesce(F.col("matched_t"), F.lit(-1)).alias("matched_t"),
+        F.coalesce(F.col("px"), F.lit(-1.0)).alias("px"),
+    )
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join (functions/temporal.py): events binned into
+    value ranges (25 width-20 bins + one overlapping wide band) via
+    bucket-equi-join — no nested loop; oracle is the plain inequality
+    join."""
+    from transforms_for_apache_kafka_connect_spark.functions import range_join
+
+    ev = _read(spark, sf_dir, "events").select("event_id", F.col("value").alias("x"))
+    bins = spark.range(0, 25).select(
+        F.col("id").alias("bin"),
+        (F.col("id") * 20.0).alias("lo"),
+        (F.col("id") * 20.0 + 20.0).alias("hi"),
+    )
+    wide = spark.range(1).select(
+        F.lit(1000).cast("long").alias("bin"),
+        F.lit(50.0).alias("lo"),
+        F.lit(130.0).alias("hi"),
+    )
+    rng = bins.unionByName(wide)
+    return range_join(ev, rng, "x", "lo", "hi", bucket_width=20.0).select(
+        "event_id", "bin"
+    )
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 build (streaming/scd2.py) over the events-as-changelog
+    fixture: key=user_id, order=event_id, 'error' events are deletes
+    that close the previous version; oracle is the same window SQL with
+    QUALIFY."""
+    from transforms_for_apache_kafka_connect_spark.streaming import scd2_history
+
+    ev = _read(spark, sf_dir, "events")
+    changes = ev.select(
+        "user_id",
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", F.lit("d"))
+        .otherwise(F.lit("u")).alias("op"),
+        "event_type",
+        F.col("value").alias("val"),
+    )
+    hist = scd2_history(changes, ["user_id"], "lsn", op_col="op")
+    return hist.withColumn(
+        "valid_to", F.coalesce(F.col("valid_to"), F.lit(-1))
+    )
+
+
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel (LakeTable.read(version=...)): replay the
+    changelog in two commits split at the midpoint LSN, then read BOTH
+    the historical version-1 snapshot and the current state as variant
+    legs; the oracle replays each prefix with LWW SQL."""
+    stream = _events_as_change_stream(spark, sf_dir)
+    max_id = stream.agg(F.max("timestamp")).first()[0] or 0
+    mid = max_id // 2
+    root = _scratch("tkc_tt_")
+    table = LakeTable(
+        os.path.join(root, "t"), key_cols=["user_id"], n_buckets=16,
+        discovery=False, merge_strategy="broadcast",
+    )
+    rep = Replayer(table=table, chain=Chain([]), epoch="driver")
+    rep.replay(stream, batch_width=mid + 1, max_pos=max_id + 1)
+    cols = [
+        "user_id",
+        F.col("_lsn").alias("last_event_id"),
+        "event_type",
+        "val",
+    ]
+    v1 = table.read(spark, version=1).select(F.lit("v1").alias("variant"), *cols)
+    cur = table.read(spark).select(F.lit("current").alias("variant"), *cols)
+    return v1.unionByName(cur)
+
+
 # --------------------------------------------- training-data pipeline ops
 
 def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1161,6 +1293,42 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents")
     return add_text_stats(docs).select("doc_id", "quality_score")
+
+
+def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r04 composite (frees 2 gate slots): text_stats + lang_id +
+    quality_score as variant legs over one aligned schema; each leg
+    runs the original query unchanged."""
+    # padding cells use sentinels, not NULL (NULL doubles become NaN in
+    # the oracle's pandas round-trip and NaN != None)
+    st = q_text_stats(spark, sf_dir).select(
+        F.lit("stats").alias("variant"),
+        "doc_id",
+        F.col("n_tokens").cast("double").alias("a"),
+        F.col("n_tokens_bpe").cast("double").alias("b"),
+        F.col("punct_ratio").alias("c"),
+        F.col("stopword_ratio").alias("d"),
+        F.lit("-").alias("s"),
+    )
+    lg = q_lang_id(spark, sf_dir).select(
+        F.lit("lang").alias("variant"),
+        "doc_id",
+        F.lit(-1.0).alias("a"),
+        F.lit(-1.0).alias("b"),
+        F.lit(-1.0).alias("c"),
+        F.lit(-1.0).alias("d"),
+        F.col("lang_detected").alias("s"),
+    )
+    qs = q_quality_score(spark, sf_dir).select(
+        F.lit("quality").alias("variant"),
+        "doc_id",
+        F.col("quality_score").alias("a"),
+        F.lit(-1.0).alias("b"),
+        F.lit(-1.0).alias("c"),
+        F.lit(-1.0).alias("d"),
+        F.lit("-").alias("s"),
+    )
+    return st.unionByName(lg).unionByName(qs)
 
 
 def q_fingerprint_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1715,6 +1883,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stock_fields and the three converter boundaries into boundaries,
     # freeing the slots now holding windowed_agg, sampling_split,
     # relay_envelope and png_decode (the r03 gate blind spots).
+    # r04b: agg_lineitem/join_agg/window_rank folded into
+    # relational_core and text_stats/lang_id/quality_score into
+    # text_analysis, freeing the slots now holding asof_join,
+    # range_join, scd2_history and time_travel.
     return {
         "hash": q_hash_all,
         "concat_fields": q_concat_fields,
@@ -1750,19 +1922,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "routed_merge": q_routed_merge,
         "data_skipping": q_data_skipping,
         "lookup_many": q_lookup_many,
-        "agg_lineitem": q_agg_lineitem,
-        "join_agg": q_join_agg,
-        "window_rank": q_window_rank,
+        "relational_core": q_relational_core,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "scd2_history": q_scd2_history,
+        "time_travel": q_time_travel,
         "extract_topic_from_schema_name": q_extract_topic_from_schema_name_all,
         "dedup_exact": q_dedup_exact,
-        "text_stats": q_text_stats,
-        "lang_id": q_lang_id,
+        "text_analysis": q_text_analysis,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "near_dup_clusters": q_near_dup_clusters,
         "ann_topk": q_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
-        "quality_score": q_quality_score,
         "fingerprint_dup": q_fingerprint_dup,
         "token_topk": q_token_topk,
         "docs_pipeline": q_docs_pipeline,
@@ -1962,23 +2134,73 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events) t "
             "WHERE rn = 1 AND event_type <> 'error'"
         ),
-        "agg_lineitem": (
-            "SELECT l_returnflag, l_linestatus, "
-            "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
-            "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, "
-            "count(*) AS n_rows FROM lineitem GROUP BY 1, 2"
-        ),
-        "join_agg": (
-            "SELECT o_orderpriority, count(*) AS n_items, "
-            "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty "
+        "relational_core": (
+            # r04 composite: agg + join + rank legs, schemas aligned
+            "SELECT 'agg' AS variant, l_returnflag AS k1, l_linestatus AS k2, "
+            "count(*) AS n, "
+            "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS x, "
+            "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS y "
+            "FROM lineitem GROUP BY 1, 2, 3 "
+            "UNION ALL "
+            "SELECT 'join' AS variant, o_orderpriority AS k1, "
+            "'-' AS k2, count(*) AS n, "
+            "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS x, "
+            "-1.0 AS y "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
-            "GROUP BY 1"
-        ),
-        "window_rank": (
-            "SELECT o_custkey, o_orderkey, rank FROM ("
+            "GROUP BY 1, 2, 3 "
+            "UNION ALL "
+            "SELECT 'rank' AS variant, CAST(o_custkey AS VARCHAR) AS k1, "
+            "CAST(o_orderkey AS VARCHAR) AS k2, rank AS n, "
+            "-1.0 AS x, -1.0 AS y FROM ("
             "SELECT o_custkey, o_orderkey, row_number() OVER ("
             "PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC"
             ") AS rank FROM orders) t WHERE rank <= 3"
+        ),
+        "asof_join": (
+            "WITH l AS (SELECT user_id, event_id AS t, value AS qty "
+            "FROM events WHERE event_type = 'click'), "
+            "r AS (SELECT user_id, event_id AS rt, value AS px "
+            "FROM events WHERE event_type = 'purchase') "
+            "SELECT l.user_id, l.t, l.qty, "
+            "coalesce(r.rt, -1) AS matched_t, coalesce(r.px, -1.0) AS px "
+            "FROM l ASOF LEFT JOIN r "
+            "ON l.user_id = r.user_id AND l.t >= r.rt"
+        ),
+        "range_join": (
+            "WITH r AS (SELECT CAST(range AS BIGINT) AS bin, "
+            "range * 20.0 AS lo, range * 20.0 + 20.0 AS hi FROM range(0, 25) "
+            "UNION ALL SELECT 1000, 50.0, 130.0) "
+            "SELECT e.event_id, r.bin FROM events e JOIN r "
+            "ON r.lo <= e.value AND e.value < r.hi"
+        ),
+        "scd2_history": (
+            "SELECT user_id, event_type, value AS val, "
+            "event_id AS valid_from, "
+            "coalesce(lead(event_id) OVER w, -1) AS valid_to, "
+            "row_number() OVER w AS version, "
+            "lead(event_id) OVER w IS NULL AS is_current "
+            "FROM events WINDOW w AS "
+            "(PARTITION BY user_id ORDER BY event_id) "
+            "QUALIFY event_type <> 'error'"
+        ),
+        "time_travel": (
+            # v1 leg = LWW over the first commit's prefix (ids <= mid),
+            # current leg = LWW over everything; same split the Spark
+            # query makes with batch_width = mid + 1
+            "WITH cut AS (SELECT CAST(FLOOR(MAX(event_id) / 2.0) AS BIGINT) "
+            "AS mid FROM events) "
+            "SELECT 'v1' AS variant, user_id, event_id AS last_event_id, "
+            "event_type, value AS val FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY user_id "
+            "ORDER BY event_id DESC) AS rn FROM events, cut "
+            "WHERE event_id <= cut.mid) t "
+            "WHERE rn = 1 AND event_type <> 'error' "
+            "UNION ALL "
+            "SELECT 'current' AS variant, user_id, event_id AS last_event_id, "
+            "event_type, value AS val FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY user_id "
+            "ORDER BY event_id DESC) AS rn FROM events) t "
+            "WHERE rn = 1 AND event_type <> 'error'"
         ),
         "extract_topic_from_schema_name": (
             "SELECT 'regex' AS variant, "
@@ -1999,7 +2221,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT b.doc_id, g.canonical_id, g.text_hash, g.group_size "
             "FROM b JOIN g ON sha256(b.text) = g.text_hash"
         ),
-        "text_stats": (
+        "text_analysis": (
+            # r04 composite: text_stats + lang_id + quality_score legs
+            # over one aligned schema; each leg is the original oracle
+            # SQL unchanged as a subquery.
+            "SELECT 'stats' AS variant, doc_id, "
+            "CAST(n_tokens AS DOUBLE) AS a, "
+            "CAST(n_tokens_bpe AS DOUBLE) AS b, punct_ratio AS c, "
+            "stopword_ratio AS d, '-' AS s FROM ("
             "SELECT doc_id, "
             r"len(string_split_regex(trim(text), '\s+')) AS n_tokens, "
             r"len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^\sA-Za-z0-9_]')) "
@@ -2010,9 +2239,11 @@ def oracle_sql() -> dict[str, str]:
             r"'(?i)\b(?:the|and|of|to|is|that|with|for|a|in|it|on|as|are|was)\b')) "
             r"AS DOUBLE) / len(string_split_regex(trim(text), '\s+')), 6) "
             "AS stopword_ratio "
-            "FROM documents"
-        ),
-        "lang_id": (
+            "FROM documents) tstats "
+            "UNION ALL "
+            "SELECT 'lang' AS variant, doc_id, -1.0 AS a, "
+            "-1.0 AS b, -1.0 AS c, "
+            "-1.0 AS d, lang_detected AS s FROM ("
             "WITH s AS (SELECT doc_id, "
             r"len(regexp_extract_all(text, '(?i)\b(?:the|and|of|to|is|that|with|for)\b')) AS s_en, "
             r"len(regexp_extract_all(text, '(?i)\b(?:der|die|und|das|ist|nicht|mit|ein)\b')) AS s_de, "
@@ -2026,6 +2257,24 @@ def oracle_sql() -> dict[str, str]:
             "WHEN s_es = m AND m > 0 THEN 'es' "
             "ELSE 'und' END AS lang_detected "
             "FROM (SELECT *, greatest(s_en, s_de, s_fr, s_es) AS m FROM s) t"
+            ") tlang "
+            "UNION ALL "
+            "SELECT 'quality' AS variant, doc_id, quality_score AS a, "
+            "-1.0 AS b, -1.0 AS c, "
+            "-1.0 AS d, '-' AS s FROM ("
+            "WITH s AS (SELECT doc_id, length(text) AS n_chars, "
+            r"len(string_split_regex(trim(text), '\s+')) AS n_tokens, "
+            r"len(regexp_extract_all(text, '[^\w\s]')) AS n_punct, "
+            r"len(regexp_extract_all(text, "
+            r"'(?i)\b(?:the|and|of|to|is|that|with|for|a|in|it|on|as|are|was)\b')) "
+            "AS stop_hits FROM documents) "
+            "SELECT doc_id, round("
+            "least(n_tokens / 100.0, 1.0) * 0.5 "
+            "+ (CASE WHEN n_tokens > 0 THEN CAST(stop_hits AS DOUBLE) / n_tokens "
+            "ELSE 0.0 END) * 2.0 "
+            "+ (CASE WHEN n_chars > 0 THEN "
+            "1.0 - least(CAST(n_punct AS DOUBLE) / n_chars * 4, 1.0) "
+            "ELSE 0.0 END) * 0.5, 6) AS quality_score FROM s) tqual"
         ),
         "ngram_jaccard": _jaccard_sql(0.6),
         "minhash_lsh": _jaccard_sql(0.8),
@@ -2058,21 +2307,6 @@ def oracle_sql() -> dict[str, str]:
             "ON a.vec_id < c.vec_id "
             "WHERE round(list_cosine_similarity(a.embedding, c.embedding), 6) "
             ">= 0.999"
-        ),
-        "quality_score": (
-            "WITH s AS (SELECT doc_id, length(text) AS n_chars, "
-            r"len(string_split_regex(trim(text), '\s+')) AS n_tokens, "
-            r"len(regexp_extract_all(text, '[^\w\s]')) AS n_punct, "
-            r"len(regexp_extract_all(text, "
-            r"'(?i)\b(?:the|and|of|to|is|that|with|for|a|in|it|on|as|are|was)\b')) "
-            "AS stop_hits FROM documents) "
-            "SELECT doc_id, round("
-            "least(n_tokens / 100.0, 1.0) * 0.5 "
-            "+ (CASE WHEN n_tokens > 0 THEN CAST(stop_hits AS DOUBLE) / n_tokens "
-            "ELSE 0.0 END) * 2.0 "
-            "+ (CASE WHEN n_chars > 0 THEN "
-            "1.0 - least(CAST(n_punct AS DOUBLE) / n_chars * 4, 1.0) "
-            "ELSE 0.0 END) * 0.5, 6) AS quality_score FROM s"
         ),
         "docs_pipeline": (
             f"WITH b AS ({_DUPS_SQL}), "

@@ -20,6 +20,10 @@ from transforms_for_apache_kafka_connect_spark.functions.sampling import (
     hash_split,
     stratified_sample,
 )
+from transforms_for_apache_kafka_connect_spark.functions.temporal import (
+    asof_join,
+    range_join,
+)
 from transforms_for_apache_kafka_connect_spark.functions.similarity import (
     brute_force_topk,
     cosine_expr,
@@ -48,4 +52,6 @@ __all__ = [
     "cosine_expr",
     "ivf_topk",
     "lsh_topk",
+    "asof_join",
+    "range_join",
 ]

@@ -1,0 +1,213 @@
+"""Temporal joins: as-of (point-in-time) join and banded range join.
+
+Neither exists as a Spark built-in; both are everyday queries on CDC
+output ("what was the exchange rate / dimension row when this event
+happened", "which price band does this reading fall into"). The naive
+formulations are non-equi joins that Catalyst executes as
+BroadcastNestedLoopJoin or CartesianProduct — quadratic and fatal at
+100 TB. Both functions here re-express the semantics as ONE hash
+shuffle plus codegen'd window/filter work, so they scale like an
+ordinary equi-join.
+
+``asof_join`` — the union trick (the classic log-merge formulation,
+same idea as pandas ``merge_asof`` but distributed): stack both sides
+into one DataFrame tagged by origin, shuffle ONCE on the join key,
+sort each key's partition by time, and carry the most recent right-side
+payload forward with ``last(..., ignorenulls=True)`` over an unbounded
+preceding window. Every left row then holds the right row that was
+current at its timestamp. No join node at all in the plan — the
+quadratic candidate-pair explosion of `l.time >= r.time` never exists.
+
+``range_join`` — banded bucketing (the standard trick Databricks ships
+as a range-join hint, built here from first principles): quantize the
+point to a bucket of width ``w``, explode each range into the buckets
+it covers, equi-join on the bucket id, re-check the exact inequality.
+A (point, range) pair can only meet in the point's single bucket, so no
+dedup pass is needed. Cost: |ranges| × ceil(span/w) exploded rows
+(choose ``w`` near the typical range span) instead of |points|×|ranges|
+comparisons.
+
+Reference parity note: the reference SMT catalog has no join operators
+(it is a per-record transform library — SURVEY.md §2.1); these extend
+the engine the way its users combine Kafka Connect with a downstream
+lakehouse query layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["asof_join", "range_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_time: str,
+    right_time: str,
+    *,
+    direction: str = "backward",
+    tolerance: Column | int | float | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Left as-of join: each ``left`` row gains the payload of the
+    single ``right`` row with the nearest ``right_time`` at-or-before
+    (``backward``) / at-or-after (``forward``) its ``left_time``,
+    within the same ``on`` key. Rows with no match keep NULL payload
+    (left-outer semantics, like DuckDB's ``ASOF LEFT JOIN``).
+
+    Equal timestamps match (inclusive); among right rows sharing the
+    winning (key, time) the one with the greatest payload ordering is
+    deterministic only if ``right`` is unique per (key, time) —
+    pre-aggregate if it isn't.
+
+    ``tolerance``: maximum allowed |left_time - matched right_time|
+    (same units as the time columns); matches farther away are nulled
+    out, the left row is kept.
+
+    Scale shape: one exchange on ``on`` (both sides into the same
+    hash partitioning), one sort per partition, window carry-forward —
+    the same cost envelope as a co-partitioned equi-join. Skew lives
+    where the key is hot, exactly as it would in the equi-join.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    payload_cols = [
+        c for c in right.columns if c not in set(on) and c != right_time
+    ]
+    out_names = {c: (c + suffix if c in left.columns else c) for c in payload_cols}
+
+    _T, _SIDE, _RT = "__asof_t", "__asof_side", "__asof_rt"
+    l_tagged = left.select(
+        *[F.col(c) for c in left.columns],
+        F.col(left_time).alias(_T),
+        F.lit(1).alias(_SIDE),
+        F.lit(None).cast(right.schema[right_time].dataType).alias(_RT),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(out_names[c])
+            for c in payload_cols
+        ],
+    )
+    r_tagged = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in set(on)],
+        *[F.col(k) for k in on],
+        F.col(right_time).alias(_T),
+        F.lit(0).alias(_SIDE),
+        F.col(right_time).alias(_RT),
+        *[F.col(c).alias(out_names[c]) for c in payload_cols],
+    ).select(l_tagged.columns)  # align column order for the union
+
+    unioned = l_tagged.unionByName(r_tagged)
+
+    # backward: ascending time, right rows (side=0) before left rows at
+    # the same instant so an equal timestamp is visible to the left row.
+    # forward: descending time, same tie-break — carry-forward then
+    # yields the EARLIEST right row at-or-after.
+    order = [F.col(_T).asc(), F.col(_SIDE).asc()] if direction == "backward" \
+        else [F.col(_T).desc(), F.col(_SIDE).asc()]
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *[c for c in unioned.columns if c not in out_names.values() and c != _RT],
+        F.last(F.col(_RT), ignorenulls=True).over(w).alias(_RT),
+        *[
+            F.last(F.col(out_names[c]), ignorenulls=True).over(w)
+            .alias(out_names[c])
+            for c in payload_cols
+        ],
+    ).filter(F.col(_SIDE) == 1)
+
+    if tolerance is not None:
+        tol = tolerance if isinstance(tolerance, Column) else F.lit(tolerance)
+        # the direction fixes the sign (backward: left >= matched), so
+        # no abs() — abs is undefined on interval types
+        dist = (
+            F.col(_T) - F.col(_RT)
+            if direction == "backward"
+            else F.col(_RT) - F.col(_T)
+        )
+        ok = F.col(_RT).isNotNull() & (dist <= tol)
+        carried = carried.select(
+            *[c for c in carried.columns if c not in out_names.values() and c != _RT],
+            F.when(ok, F.col(_RT)).alias(_RT),
+            *[
+                F.when(ok, F.col(out_names[c])).alias(out_names[c])
+                for c in payload_cols
+            ],
+        )
+
+    return carried.select(
+        *[c for c in left.columns],
+        F.col(_RT).alias("matched_" + right_time),
+        *[F.col(out_names[c]) for c in payload_cols],
+    )
+
+
+def range_join(
+    points: DataFrame,
+    ranges: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    *,
+    bucket_width: float,
+    on: list[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each ``points`` row to every ``ranges`` row with
+    ``lo <= point < hi`` (optionally also matching equi-keys ``on``),
+    WITHOUT a nested-loop join.
+
+    Both sides gain a bucket id ``floor(x / bucket_width)``; a range is
+    exploded into every bucket its [lo, hi) span touches, the join is a
+    plain equi-join on (``on`` ∪ bucket), and the exact inequality is
+    re-checked afterwards. A qualifying pair meets in exactly one
+    bucket (the point's own), so the output needs no dedup.
+
+    ``bucket_width`` tuning: explosion factor is
+    ``avg(hi-lo)/bucket_width + 1`` rows per range — pick the typical
+    range span. ``how='left'`` keeps unmatched points with NULL range
+    columns (one row each).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be > 0")
+    on = on or []
+    _B = "__rj_bucket"
+    w = F.lit(float(bucket_width))
+    p = points.withColumn(_B, F.floor(F.col(point_col) / w))
+    # hi is exclusive: a range [10, 20) with width 10 covers buckets
+    # 1..1, not 1..2 — subtract an epsilon via floor((hi - tiny)/w)
+    # would be float-fragile; instead explode to floor(hi/w) and rely
+    # on the exact re-check (one extra bucket row at worst).
+    r = ranges.withColumn(
+        _B,
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / w).cast("long"),
+                F.floor(F.col(hi_col) / w).cast("long"),
+            )
+        ),
+    )
+    keys = on + [_B]
+    cond = (F.col(lo_col) <= F.col(point_col)) & (F.col(point_col) < F.col(hi_col))
+    joined = p.join(r, keys, "inner").filter(cond).drop(_B)
+    if how == "inner":
+        return joined
+    # left: anti-join the matched points back in with NULL range columns
+    matched_keys = joined.select(*points.columns)
+    unmatched = p.drop(_B).exceptAll(matched_keys)
+    range_cols = [c for c in ranges.columns if c not in set(on)]
+    filled = unmatched.select(
+        *points.columns,
+        *[F.lit(None).cast(ranges.schema[c].dataType).alias(c) for c in range_cols],
+    )
+    return joined.select(*filled.columns).unionByName(filled)

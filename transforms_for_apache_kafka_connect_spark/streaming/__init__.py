@@ -18,6 +18,10 @@ from transforms_for_apache_kafka_connect_spark.streaming.relay import (
     publish_changelog,
     relay_schemas,
 )
+from transforms_for_apache_kafka_connect_spark.streaming.scd2 import (
+    as_of,
+    scd2_history,
+)
 from transforms_for_apache_kafka_connect_spark.streaming.windowed import (
     stream_windowed_into,
     windowed_aggregate,
@@ -38,4 +42,6 @@ __all__ = [
     "MaintainedAggregate",
     "batch_changes",
     "incremental_agg_update",
+    "scd2_history",
+    "as_of",
 ]
