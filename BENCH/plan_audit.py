@@ -94,10 +94,33 @@ def main() -> None:
     check("filter_exact: pushed filter on event_type",
           re.search(r"PushedFilters: \[[^\]]*event_type", p), "")
 
-    # 3. join_agg: broadcast join of the small orders side
-    p = fmt(qs["join_agg"](spark, sf_dir))
+    # 3. join_agg: broadcast join of the small orders side (folded into
+    # the relational_core gate composite in r04; audited standalone)
+    p = fmt(entrymod.q_join_agg(spark, sf_dir))
     check("join_agg: BroadcastHashJoin", "BroadcastHashJoin" in p)
     check("join_agg: no SortMergeJoin", "SortMergeJoin" not in p)
+
+    # 3b. asof_join: the union-trick plan has NO join node at all and
+    # exactly one hash exchange on the key — the property that makes a
+    # point-in-time join survive 100 TB
+    p = plan_of(qs["asof_join"](spark, sf_dir))
+    check("asof_join: no join node (union + window carry-forward)",
+          all(b not in p for b in
+              ("SortMergeJoin", "CartesianProduct", "BroadcastNestedLoop")))
+    check("asof_join: single hash exchange on the key",
+          p.count("Exchange hashpartitioning") == 1)
+
+    # 3c. range_join: banded bucketing turns the inequality join into an
+    # equi-join — no nested loop anywhere
+    p = plan_of(qs["range_join"](spark, sf_dir))
+    check("range_join: equi-join plan (no nested loop / cartesian)",
+          "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p)
+
+    # 3d. scd2_history: lead/row_number/filter all ride ONE exchange +
+    # one sort (Catalyst reuses the window frame)
+    p = plan_of(qs["scd2_history"](spark, sf_dir))
+    check("scd2_history: single exchange for all window exprs",
+          p.count("Exchange hashpartitioning") == 1)
 
     # 4. ann brute force: corpus never shuffled before scoring
     p = fmt(qs["ann_topk"](spark, sf_dir))

@@ -459,6 +459,7 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
         # still measures the same work as r01-r03
         "kafka_boundary": entrymod.q_kafka_boundary,
         "json_boundary": entrymod.q_json_boundary,
+        "lang_id": entrymod.q_lang_id,
     }
     names = [
         "chain_fused", "hash", "filter_by_field_value_exact",
