@@ -1139,6 +1139,73 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_change_stream_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Like _events_as_change_stream but the payload carries the event
+    time (epoch ms) so time-bucketed rollups have a column to bucket."""
+    ev = _read(spark, sf_dir, "events")
+    op = F.when(F.col("event_type") == "error", F.lit("d")).otherwise(F.lit("u"))
+    ts_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    after = F.struct(
+        F.col("event_type").alias("event_type"),
+        F.col("value").alias("val"),
+        ts_ms.alias("ts_ms"),
+    )
+    value = F.struct(
+        op.alias("op"),
+        F.col("event_id").alias("lsn"),
+        ts_ms.alias("ts_ms"),
+        F.lit(None).cast(
+            "struct<event_type:string,val:double,ts_ms:bigint>"
+        ).alias("before"),
+        F.when(op != "d", after).alias("after"),
+    )
+    return ev.select(
+        F.lit("events").alias("topic"),
+        F.lit(0).cast("int").alias("partition"),
+        F.struct(F.col("user_id").alias("user_id")).alias("key"),
+        value.alias("value"),
+        F.col("event_id").alias("timestamp"),
+        F.lit(None).cast("map<string,string>").alias("headers"),
+    )
+
+
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous rollup (streaming/rollup.py): replay
+    the changelog with hour+day COUNT/SUM rollups attached to the
+    Replayer's maintenance loop; each granularity must equal a
+    from-scratch bucket GROUP BY over the final LWW state (the oracle)
+    — updates that move a row's timestamp retract it from the old
+    bucket via the changelog pre-image."""
+    from transforms_for_apache_kafka_connect_spark.streaming import TimeRollup
+
+    stream = _events_change_stream_ts(spark, sf_dir)
+    max_id = stream.agg(F.max("timestamp")).first()[0] or 0
+    root = _scratch("tkc_roll_")
+    table = LakeTable(
+        os.path.join(root, "t"), key_cols=["user_id"], n_buckets=16,
+        discovery=False, merge_strategy="broadcast", changelog=True,
+    )
+    roll = TimeRollup(
+        root=os.path.join(root, "roll"), time_col="ts_ms",
+        granularities=["1 hour", "1 day"], sum_cols=["val"],
+    )
+    rep = Replayer(table=table, chain=Chain([]), epoch="driver",
+                   maintain=roll.specs)
+    rep.replay(stream, batch_width=max(1, (max_id + 3) // 3),
+               max_pos=max_id + 1)
+    legs = []
+    for name, gran in (("hour", "1 hour"), ("day", "1 day")):
+        legs.append(
+            roll.read(spark, gran).select(
+                F.lit(name).alias("variant"),
+                "bucket_ms",
+                "n_rows",
+                F.round(F.col("sum_val"), 4).alias("sum_val"),
+            )
+        )
+    return legs[0].unionByName(legs[1])
+
+
 def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot time travel (LakeTable.read(version=...)): replay the
     changelog in two commits split at the midpoint LSN, then read BOTH
@@ -1347,6 +1414,28 @@ def q_fingerprint_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
     )
+
+
+def q_dedupe_exact_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r04 composite (frees 1 gate slot): exact-dup groups +
+    fingerprint-dup pairs as variant legs over one aligned schema;
+    each leg runs the original query unchanged (padding cells are
+    sentinels — see the other r04 composites)."""
+    ex = q_dedup_exact(spark, sf_dir).select(
+        F.lit("exact").alias("variant"),
+        F.col("doc_id").alias("a"),
+        F.col("canonical_id").alias("b"),
+        F.col("text_hash").alias("h"),
+        F.col("group_size").cast("long").alias("n"),
+    )
+    fp = q_fingerprint_dup(spark, sf_dir).select(
+        F.lit("fp").alias("variant"),
+        F.col("id_a").alias("a"),
+        F.col("id_b").alias("b"),
+        F.lit("-").alias("h"),
+        F.lit(-1).cast("long").alias("n"),
+    )
+    return ex.unionByName(fp)
 
 
 def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1928,14 +2017,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": q_scd2_history,
         "time_travel": q_time_travel,
         "extract_topic_from_schema_name": q_extract_topic_from_schema_name_all,
-        "dedup_exact": q_dedup_exact,
+        "dedupe_exact_fp": q_dedupe_exact_fp,
+        "time_rollup": q_time_rollup,
         "text_analysis": q_text_analysis,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "near_dup_clusters": q_near_dup_clusters,
         "ann_topk": q_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
-        "fingerprint_dup": q_fingerprint_dup,
         "token_topk": q_token_topk,
         "docs_pipeline": q_docs_pipeline,
         # ---- rows-only (no exact SQL oracle; declared approximate) ----
@@ -2214,12 +2303,34 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 'com.acme.' || source END AS topic, count(*) AS n "
             "FROM documents GROUP BY 1, 2"
         ),
-        "dedup_exact": (
+        "dedupe_exact_fp": (
             f"WITH b AS ({_DUPS_SQL}), "
             "g AS (SELECT sha256(text) AS text_hash, min(doc_id) AS canonical_id, "
-            "count(*) AS group_size FROM b GROUP BY 1 HAVING count(*) >= 2) "
-            "SELECT b.doc_id, g.canonical_id, g.text_hash, g.group_size "
-            "FROM b JOIN g ON sha256(b.text) = g.text_hash"
+            "count(*) AS group_size FROM b GROUP BY 1 HAVING count(*) >= 2), "
+            r"nrm AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') "
+            "AS norm FROM b) "
+            "SELECT 'exact' AS variant, b.doc_id AS a, g.canonical_id AS b, "
+            "g.text_hash AS h, g.group_size AS n "
+            "FROM b JOIN g ON sha256(b.text) = g.text_hash "
+            "UNION ALL "
+            "SELECT 'fp' AS variant, x.doc_id AS a, c.doc_id AS b, "
+            "'-' AS h, CAST(-1 AS BIGINT) AS n "
+            "FROM nrm x JOIN nrm c ON x.norm = c.norm AND x.doc_id < c.doc_id"
+        ),
+        "time_rollup": (
+            # recompute over the final LWW state, bucketed by integer
+            # epoch-ms arithmetic (ts - ts % width), hour + day legs
+            "WITH lww AS (SELECT * FROM ("
+            "SELECT *, epoch_ms(ts) AS ts_ms, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY event_id DESC) AS rn "
+            "FROM events) t WHERE rn = 1 AND event_type <> 'error') "
+            "SELECT 'hour' AS variant, ts_ms - (ts_ms % 3600000) AS bucket_ms, "
+            "count(*) AS n_rows, round(sum(value), 4) AS sum_val "
+            "FROM lww GROUP BY 1, 2 "
+            "UNION ALL "
+            "SELECT 'day' AS variant, ts_ms - (ts_ms % 86400000) AS bucket_ms, "
+            "count(*) AS n_rows, round(sum(value), 4) AS sum_val "
+            "FROM lww GROUP BY 1, 2"
         ),
         "text_analysis": (
             # r04 composite: text_stats + lang_id + quality_score legs
@@ -2341,14 +2452,6 @@ def oracle_sql() -> dict[str, str]:
             "WHEN s_fr = m AND m > 0 THEN 'fr' "
             "WHEN s_es = m AND m > 0 THEN 'es' ELSE 'und' END) = 'en' "
             "AND q >= 0.9"
-        ),
-        "fingerprint_dup": (
-            f"WITH b AS ({_DUPS_SQL}), "
-            "n AS (SELECT doc_id, "
-            r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm "
-            "FROM b) "
-            "SELECT a.doc_id AS id_a, c.doc_id AS id_b "
-            "FROM n a JOIN n c ON a.norm = c.norm AND a.doc_id < c.doc_id"
         ),
         "token_topk": (
             "SELECT token, count(*) AS n FROM ("

@@ -1,0 +1,172 @@
+"""TimeRollup: multi-granularity continuous aggregates maintained from
+the changelog. The invariant under test everywhere: after any replay,
+each granularity's rollup equals a from-scratch GROUP BY time_bucket
+over the FINAL table state — including when updates MOVE a row's
+timestamp across buckets (the retraction must leave the old bucket)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from transforms_for_apache_kafka_connect_spark.plans.chain import Chain
+from transforms_for_apache_kafka_connect_spark.streaming import (
+    LakeTable,
+    Replayer,
+    TimeRollup,
+    granularity_ms,
+    time_bucket,
+)
+
+HOUR = 3_600_000
+DAY = 86_400_000
+BASE = 1_600_000_000_000 - (1_600_000_000_000 % DAY)  # day-aligned
+
+
+def test_granularity_ms_parses():
+    assert granularity_ms("1 hour") == HOUR
+    assert granularity_ms("15 minutes") == 15 * 60_000
+    assert granularity_ms("2 days") == 2 * DAY
+    for bad in ("1 month", "hourly", "0 hours", "-1 day"):
+        with pytest.raises(ValueError):
+            granularity_ms(bad)
+
+
+def test_time_bucket_integer_math(spark):
+    df = spark.createDataFrame(
+        [(BASE + HOUR + 1,), (BASE + HOUR,), (BASE + 2 * HOUR - 1,),
+         (-1,)],  # pre-1970: bucket start must be at-or-before
+        "ts long",
+    )
+    got = [r[0] for r in df.select(time_bucket("ts", "1 hour")).collect()]
+    assert got == [BASE + HOUR, BASE + HOUR, BASE + HOUR, -HOUR]
+
+
+_VAL_T = T.StructType([
+    T.StructField("val", T.DoubleType()),
+    T.StructField("ts_ms", T.LongType()),
+])
+_ENV_T = T.StructType([
+    T.StructField("topic", T.StringType(), False),
+    T.StructField("partition", T.IntegerType(), False),
+    T.StructField("key", T.StructType([T.StructField("k", T.StringType())])),
+    T.StructField("value", T.StructType([
+        T.StructField("op", T.StringType()),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("before", _VAL_T),
+        T.StructField("after", _VAL_T),
+    ])),
+    T.StructField("timestamp", T.LongType()),
+    T.StructField("headers", T.MapType(T.StringType(), T.StringType())),
+])
+
+
+def _env(spark, events):
+    """events: (lsn, key, op, val, ts_ms) -> CDC envelope frame."""
+    rows = []
+    for lsn, k, op, val, ts in events:
+        after = None if op == "d" else (val, ts)
+        rows.append(
+            ("t", 0, (k,), (op, lsn, ts or 0, None, after), lsn, None)
+        )
+    return spark.createDataFrame(rows, _ENV_T)
+
+
+@pytest.fixture()
+def replayed(spark, tmp_path):
+    """3 keys, 3 batches; key 'a' moves across hour AND day buckets,
+    'b' is deleted, 'c' moves within one bucket."""
+    events = [
+        # batch 0: lsn 0..9
+        (1, "a", "u", 1.0, BASE + 10),
+        (2, "b", "u", 2.0, BASE + HOUR + 10),
+        (3, "c", "u", 3.0, BASE + 20),
+        # batch 1: lsn 10..19 — a moves to the next DAY
+        (11, "a", "u", 4.0, BASE + DAY + 50),
+        (12, "c", "u", 5.0, BASE + 30),  # same bucket, new val
+        # batch 2: lsn 20..29 — b deleted, a moves hour within day 2
+        (21, "b", "d", None, None),
+        (22, "a", "u", 6.0, BASE + DAY + 2 * HOUR),
+    ]
+    table = LakeTable(str(tmp_path / "t"), key_cols=["k"], n_buckets=4,
+                      merge_strategy="broadcast", changelog=True,
+                      discovery=False)
+    roll = TimeRollup(
+        root=str(tmp_path / "roll"), time_col="ts_ms",
+        granularities=["1 hour", "1 day"], sum_cols=["val"],
+    )
+    rep = Replayer(table=table, chain=Chain([]), epoch="e",
+                   maintain=roll.specs)
+    rep.replay(_env(spark, events), batch_width=10, start_pos=0, max_pos=30)
+    return table, roll, rep, events
+
+
+def _recompute(spark, table, gran):
+    return {
+        (r[0],): (r[1], r[2])
+        for r in table.read(spark)
+        .groupBy(time_bucket("ts_ms", gran))
+        .agg(F.count("*").alias("n"), F.sum("val").alias("s"))
+        .collect()
+    }
+
+
+def _rollup_state(spark, roll, gran):
+    return {
+        (r["bucket_ms"],): (r["n_rows"], r["sum_val"])
+        for r in roll.read(spark, gran).collect()
+    }
+
+
+def test_rollup_equals_recompute_all_granularities(spark, replayed):
+    table, roll, _, _ = replayed
+    for gran in ("1 hour", "1 day"):
+        got = _rollup_state(spark, roll, gran)
+        want = _recompute(spark, table, gran)
+        assert got == want and len(got) > 0, gran
+
+
+def test_rollup_moved_timestamp_left_old_bucket(spark, replayed):
+    table, roll, _, _ = replayed
+    hour = _rollup_state(spark, roll, "1 hour")
+    # final state: a@(BASE+DAY+2h, 6.0), c@(BASE, 5.0); b deleted
+    assert hour == {
+        (BASE,): (1, 5.0),
+        (BASE + DAY + 2 * HOUR,): (1, 6.0),
+    }
+    day = _rollup_state(spark, roll, "1 day")
+    assert day == {(BASE,): (1, 5.0), (BASE + DAY,): (1, 6.0)}
+
+
+def test_rollup_replay_is_exactly_once(spark, replayed):
+    table, roll, rep, events = replayed
+    before = {g: _rollup_state(spark, roll, g) for g in ("1 hour", "1 day")}
+    rep.replay(_env(spark, events), batch_width=10, start_pos=0, max_pos=30)
+    after = {g: _rollup_state(spark, roll, g) for g in ("1 hour", "1 day")}
+    assert before == after
+
+
+def test_rollup_granularities_are_consistent(spark, replayed):
+    """Summing hour buckets within each day == the day rollup."""
+    _, roll, _, _ = replayed
+    hour = roll.read(spark, "1 hour")
+    folded = {
+        (r[0],): (r[1], r[2])
+        for r in hour.groupBy(time_bucket("bucket_ms", "1 day"))
+        .agg(F.sum("n_rows").alias("n"), F.sum("sum_val").alias("s"))
+        .collect()
+    }
+    assert folded == _rollup_state(spark, roll, "1 day")
+
+
+def test_rollup_rejects_bad_config(tmp_path):
+    with pytest.raises(ValueError):
+        TimeRollup(root=str(tmp_path), time_col="ts", granularities=[])
+    with pytest.raises(ValueError):
+        TimeRollup(root=str(tmp_path), time_col="ts",
+                   granularities=["1 hour", "60 minutes"])  # same width
+    with pytest.raises(KeyError):
+        TimeRollup(root=str(tmp_path), time_col="ts",
+                   granularities=["1 hour"]).table("1 day")

@@ -18,6 +18,11 @@ from transforms_for_apache_kafka_connect_spark.streaming.relay import (
     publish_changelog,
     relay_schemas,
 )
+from transforms_for_apache_kafka_connect_spark.streaming.rollup import (
+    TimeRollup,
+    granularity_ms,
+    time_bucket,
+)
 from transforms_for_apache_kafka_connect_spark.streaming.scd2 import (
     as_of,
     scd2_history,
@@ -44,4 +49,7 @@ __all__ = [
     "incremental_agg_update",
     "scd2_history",
     "as_of",
+    "TimeRollup",
+    "granularity_ms",
+    "time_bucket",
 ]

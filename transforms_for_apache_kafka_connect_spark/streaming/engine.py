@@ -204,6 +204,7 @@ class Replayer:
                 group_cols=spec.group_cols,
                 sum_cols=spec.sum_cols,
                 count_col=spec.count_col,
+                derived=getattr(spec, "derived", None),
                 epoch=self.epoch,
                 batch_id=batch_id,
             )

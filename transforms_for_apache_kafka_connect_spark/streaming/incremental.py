@@ -44,6 +44,12 @@ class MaintainedAggregate:
     group_cols: list[str]
     sum_cols: list[str] = field(default_factory=list)
     count_col: str = "n_rows"
+    #: group columns computed from the changelog row rather than stored
+    #: in it (e.g. a time bucket: streaming/rollup.py) — name -> Column
+    #: expression over the changelog's columns; applied to pre- AND
+    #: post-images, so retractions leave the same derived group they
+    #: entered
+    derived: dict = field(default_factory=dict)
 
 
 def batch_changes(
@@ -88,6 +94,7 @@ def incremental_agg_update(
     group_cols: list[str],
     sum_cols: list[str] | None = None,
     count_col: str = "n_rows",
+    derived: dict | None = None,
     epoch: str,
     batch_id: int,
 ) -> dict:
@@ -112,6 +119,11 @@ def incremental_agg_update(
     """
     sum_cols = list(sum_cols or [])
     spark = changes.sparkSession
+    for name, expr in (derived or {}).items():
+        # derived groups (e.g. time buckets) are computed identically
+        # on pre- and post-images: a retraction always lands in the
+        # bucket its insertion created, even if the source column moved
+        changes = changes.withColumn(name, expr)
     # the lake table's key contract forbids NULL keys (hash-bucket
     # joins are not null-safe), so NULL group values cannot be
     # maintained — they are excluded here, on BOTH insertions and

@@ -1,0 +1,151 @@
+"""Hypertable-style continuous time rollups over the CDC changelog.
+
+A time rollup is the timeseries shape of incremental view maintenance:
+COUNT/SUM aggregates per (time bucket, dims) kept consistent with the
+base table at several granularities at once (minute/hour/day), updated
+from each commit's row-level changelog — never by rescanning the base
+table. The retraction algebra (incremental.py) handles the subtle
+case automatically: an update that MOVES a row's timestamp retracts
+the pre-image from its old bucket and adds the post-image to the new
+one, so buckets stay exact under out-of-order and corrected data.
+
+Built as a thin factory over ``MaintainedAggregate`` with a derived
+bucket column: each granularity is its own ``LakeTable`` keyed by
+``(bucket_ms, *group_cols)``, attached to the ``Replayer``'s existing
+maintenance loop (``Replayer(maintain=rollup.specs)``), inheriting the
+engine's exactly-once ledger per granularity.
+
+Scale shape: per commit, one batch-sized groupBy per granularity plus
+a merge into an aggregate table whose cardinality is #buckets×#dims —
+O(|batch|·G) total, independent of base-table size. At 10^10 events
+and three granularities that is the difference between a maintenance
+job and a recompute.
+
+Bucket arithmetic is pure integer math (``ts - ts % width``) on epoch
+milliseconds — no float division (a double rounds 10^12-scale epochs
+near bucket boundaries), no session-timezone dependence.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transforms_for_apache_kafka_connect_spark.streaming.incremental import (
+    MaintainedAggregate,
+)
+from transforms_for_apache_kafka_connect_spark.streaming.sink import LakeTable
+
+__all__ = ["TimeRollup", "granularity_ms", "time_bucket"]
+
+_UNIT_MS = {
+    "millisecond": 1,
+    "second": 1_000,
+    "minute": 60_000,
+    "hour": 3_600_000,
+    "day": 86_400_000,
+    "week": 7 * 86_400_000,
+}
+
+
+def granularity_ms(granularity: str) -> int:
+    """``"15 minutes"`` / ``"1 hour"`` / ``"2 days"`` -> width in ms.
+    Calendar units (month/year) are deliberately unsupported: they are
+    not fixed-width, so ``bucket = ts - ts % width`` has no meaning."""
+    m = re.fullmatch(
+        r"\s*(\d+)\s+(millisecond|second|minute|hour|day|week)s?\s*",
+        granularity.lower(),
+    )
+    if not m:
+        raise ValueError(
+            f"unsupported granularity {granularity!r} "
+            f"(use '<n> {'/'.join(_UNIT_MS)}')"
+        )
+    n, unit = int(m.group(1)), m.group(2)
+    if n <= 0:
+        raise ValueError("granularity must be positive")
+    return n * _UNIT_MS[unit]
+
+
+def time_bucket(col: Column | str, granularity: str) -> Column:
+    """Bucket start (epoch ms, long) for an epoch-ms column: integer
+    ``ts - pmod(ts, width)`` — floors correctly for negative epochs
+    too (pre-1970 buckets still start at-or-before the value)."""
+    c = F.col(col) if isinstance(col, str) else col
+    w = F.lit(granularity_ms(granularity))
+    return (c.cast("long") - F.pmod(c.cast("long"), w)).alias("bucket_ms")
+
+
+@dataclass
+class TimeRollup:
+    """One maintained COUNT/SUM rollup per granularity.
+
+    ``root``/<slug> holds each granularity's aggregate ``LakeTable``
+    keyed by ``(bucket_ms, *group_cols)``. Pass ``specs`` to
+    ``Replayer(maintain=...)`` — or call the maintenance loop manually
+    with ``incremental_agg_update`` per batch, same as any other
+    maintained aggregate.
+    """
+
+    root: str
+    time_col: str  #: epoch-millis column in the base table's payload
+    granularities: list[str]
+    group_cols: list[str] = field(default_factory=list)
+    sum_cols: list[str] = field(default_factory=list)
+    n_buckets: int = 4
+    count_col: str = "n_rows"
+    specs: list[MaintainedAggregate] = field(init=False)
+
+    def __post_init__(self):
+        if not self.granularities:
+            raise ValueError("need at least one granularity")
+        seen = set()
+        self.specs = []
+        for g in self.granularities:
+            ms = granularity_ms(g)
+            if ms in seen:
+                raise ValueError(f"duplicate granularity width: {g!r}")
+            seen.add(ms)
+            table = LakeTable(
+                self._dir(g),
+                key_cols=["bucket_ms", *self.group_cols],
+                n_buckets=self.n_buckets,
+                discovery=False,
+                merge_strategy="broadcast",
+            )
+            self.specs.append(
+                MaintainedAggregate(
+                    table=table,
+                    group_cols=["bucket_ms", *self.group_cols],
+                    sum_cols=list(self.sum_cols),
+                    count_col=self.count_col,
+                    derived={"bucket_ms": time_bucket(self.time_col, g)},
+                )
+            )
+
+    def _slug(self, granularity: str) -> str:
+        return f"g={granularity_ms(granularity)}ms"
+
+    def _dir(self, granularity: str) -> str:
+        return os.path.join(self.root, self._slug(granularity))
+
+    def table(self, granularity: str) -> LakeTable:
+        ms = granularity_ms(granularity)
+        for g, spec in zip(self.granularities, self.specs):
+            if granularity_ms(g) == ms:
+                return spec.table
+        raise KeyError(granularity)
+
+    def read(self, spark: SparkSession, granularity: str) -> DataFrame:
+        """Current rollup at one granularity:
+        (bucket_ms, *group_cols, count, sum_*)."""
+        return self.table(granularity).read(spark).select(
+            "bucket_ms",
+            *self.group_cols,
+            self.count_col,
+            *[f"sum_{c}" for c in self.sum_cols],
+        )
