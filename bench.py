@@ -460,6 +460,7 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
         "kafka_boundary": entrymod.q_kafka_boundary,
         "json_boundary": entrymod.q_json_boundary,
         "lang_id": entrymod.q_lang_id,
+        "dedup_exact": entrymod.q_dedup_exact,
     }
     names = [
         "chain_fused", "hash", "filter_by_field_value_exact",
@@ -481,10 +482,14 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
         "incremental_agg",
         # bronze -> silver replication purely from the changelog
         "cdc_second_hop",
+        # r04 query layer: point-in-time join, SCD2 build, continuous
+        # time rollup (replay + 2-granularity maintenance, build-incl.)
+        "asof_join", "scd2_history", "time_rollup",
     ]
     build_inclusive = {
         "cdc_merge", "cdc_merge_mor", "data_skipping", "routed_merge",
         "lookup_many", "cdc_bootstrap", "incremental_agg", "cdc_second_hop",
+        "time_rollup",
     }
     scratch = entrymod.scratch_base() or tempfile.gettempdir()
     qs = entrymod.queries()

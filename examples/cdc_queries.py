@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""The CDC query layer in one runnable script: replay a change stream
+into a lake table with changelog capture + continuous rollups, then
+answer the four questions every CDC consumer eventually asks —
+
+1. current state        (LakeTable.read  — LWW, type 1)
+2. full history         (scd2_history    — type 2 intervals)
+3. state at position P  (as_of / read(version=...) — query vs commit grain)
+4. per-bucket timeline  (TimeRollup      — continuous aggregate)
+
+plus a point-in-time enrichment (asof_join) of an event feed against
+the dimension's history.
+
+Run: python examples/cdc_queries.py  (local[4], ~1 min)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, functions as F
+
+from transforms_for_apache_kafka_connect_spark.functions import asof_join
+from transforms_for_apache_kafka_connect_spark.plans.chain import Chain
+from transforms_for_apache_kafka_connect_spark.sources import change_stream
+from transforms_for_apache_kafka_connect_spark.streaming import (
+    LakeTable,
+    Replayer,
+    TimeRollup,
+    as_of,
+    scd2_history,
+)
+
+
+def main() -> None:
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName("cdc-queries-example")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="tkc_cdc_queries_")
+    n = 20_000
+    base = 1_600_000_000_000
+
+    # -- ingest: replay the binlog-style stream in 4 commits ----------
+    events = change_stream(spark, n, n_repos=50, paths_per_repo=6)
+    table = LakeTable(
+        os.path.join(root, "repositories"), n_buckets=8,
+        discovery=False, merge_strategy="broadcast", changelog=True,
+    )
+    # _lsn here runs 0..n (event ordinals); treat it as ms so the demo
+    # rollup has real bucket structure: 2.5k-"ms" and 10k-"ms" buckets
+    roll = TimeRollup(
+        root=os.path.join(root, "rollup"), time_col="_lsn",
+        granularities=["2500 milliseconds", "10 seconds"],
+    )
+    rep = Replayer(table=table, chain=Chain([]), epoch="demo",
+                   maintain=roll.specs)
+    rep.replay(events, batch_width=-(-n // 8), start_pos=base,
+               max_pos=base + n)
+
+    # 1. current state (type 1)
+    cur = table.read(spark)
+    print(f"current state: {cur.count()} live (repo, path) keys")
+
+    # 2. full history (type 2) from the changelog
+    changes = table.read_changelog(spark).filter(
+        F.col("_change_type") != "update_preimage"
+    ).withColumn(
+        "op",
+        F.when(F.col("_change_type") == "delete", F.lit("d")).otherwise(F.lit("u")),
+    )
+    hist = scd2_history(
+        changes.select("repo", "path", "op", "lang",
+                       F.col("_change_lsn").alias("lsn")),
+        ["repo", "path"], "lsn", op_col="op",
+    )
+    print(f"SCD2 history: {hist.count()} versions, "
+          f"{hist.filter('is_current').count()} current")
+
+    # 3a. state at an arbitrary position (query-layer time travel):
+    # positions are LSNs (0..n), independent of the slice axis
+    mid = n // 2
+    print(f"as_of(mid-replay): {as_of(hist, mid).count()} versions live")
+    # 3b. state at a commit boundary (file-level time travel)
+    print(f"read(version=2): {table.read(spark, version=2).count()} keys "
+          "after the second commit")
+
+    # 4. continuous rollup (maintained, never recomputed)
+    fine = roll.read(spark, "2500 milliseconds").orderBy("bucket_ms")
+    print(f"fine rollup: {fine.count()} buckets; first 3:")
+    for r in fine.take(3):
+        print(f"  bucket {r.bucket_ms}: {r.n_rows} rows")
+
+    # 5. point-in-time enrichment: an event feed asks "what did this
+    # (repo, path) look like WHEN the event happened" — asof_join
+    # against the history's valid_from axis, no join node in the plan
+    # sample the feed ACROSS the whole replay (the history is
+    # commit-grain: a position before its key's first committed version
+    # correctly matches nothing)
+    feed = events.filter(F.col("value").isNotNull()).select(
+        F.col("key.repo").alias("repo"), F.col("key.path").alias("path"),
+        F.col("value.lsn").alias("at_lsn"),
+    ).filter(F.pmod(F.col("at_lsn"), F.lit(40)) == 0)
+    enriched = asof_join(
+        feed,
+        hist.select("repo", "path", F.col("valid_from").alias("lsn"), "lang"),
+        on=["repo", "path"], left_time="at_lsn", right_time="lsn",
+    )
+    hit = enriched.filter(F.col("lang").isNotNull()).count()
+    total = enriched.count()
+    print(f"asof enrichment: {hit}/{total} feed rows matched a committed "
+          "version at their position (early positions predate their "
+          "key's first commit)")
+    assert hit > 0
+
+    spark.stop()
+    print("OK")
+
+
+if __name__ == "__main__":
+    main()

@@ -64,6 +64,12 @@ def asof_join(
     deterministic only if ``right`` is unique per (key, time) —
     pre-aggregate if it isn't.
 
+    NULL keys: the window formulation groups NULL keys TOGETHER (they
+    match each other), unlike an SQL equality join where NULL matches
+    nothing. CDC keys are non-null by the engine's key contract
+    (sink.py); filter NULL keys first if the inputs can carry them and
+    SQL-join semantics are required.
+
     ``tolerance``: maximum allowed |left_time - matched right_time|
     (same units as the time columns); matches farther away are nulled
     out, the left row is kept.
