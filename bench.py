@@ -32,14 +32,13 @@ def _fast_local_dir() -> str | None:
     """RAM-backed scratch if available: a single shared NVMe serializes
     shuffle/table IO in a way a real cluster (per-executor disks,
     scalable DFS) does not — tmpfs is the closer analog for measuring
-    CPU scaling of the plan."""
-    if os.environ.get("SPARK_GRAFT_NO_SHM"):
-        return None
-    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
-        d = "/dev/shm/tkc_spark_scratch"
-        os.makedirs(d, exist_ok=True)
-        return d
-    return None
+    CPU scaling of the plan. ONE policy for the whole run: delegates to
+    __spark_entry__.scratch_base() (same /dev/shm root, same
+    SPARK_GRAFT_NO_SHM knob) so shuffle dirs and gate-query lake tables
+    can never drift onto different devices."""
+    import __spark_entry__ as entrymod
+
+    return entrymod.scratch_base()
 
 
 def build_session(cpus: int, shuffle_partitions: int | None = None):
@@ -443,7 +442,7 @@ def write_probe(spark, target_dir: str, n_rows: int = 2_000_000) -> dict:
     }
 
 
-def time_queries(spark, sf_dir: str) -> dict[str, float]:
+def time_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
     import __spark_entry__ as entrymod
 
     # keys are kept identical to BENCH_r01/r02 for round-over-round

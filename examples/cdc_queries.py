@@ -50,7 +50,7 @@ def main() -> None:
     n = 20_000
     base = 1_600_000_000_000
 
-    # -- ingest: replay the binlog-style stream in 4 commits ----------
+    # -- ingest: replay the binlog-style stream in 8 commits ----------
     events = change_stream(spark, n, n_repos=50, paths_per_repo=6)
     table = LakeTable(
         os.path.join(root, "repositories"), n_buckets=8,

@@ -190,6 +190,8 @@ def png_decode(data: bytes) -> np.ndarray:
         body = data[pos + 8 : pos + 8 + length]
         if len(body) != length:
             raise ValueError(f"truncated PNG: {typ!r} body short")
+        if pos + 12 + length > len(data):
+            raise ValueError(f"truncated PNG: {typ!r} CRC past end")
         (crc,) = struct.unpack(
             ">I", data[pos + 8 + length : pos + 12 + length]
         )
@@ -226,7 +228,10 @@ def png_decode(data: bytes) -> np.ndarray:
         raise ValueError("interlaced PNG not supported")
     channels = _COLOR_CHANNELS[color_type]
     stride = w * channels
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG: IDAT inflate failed ({e})") from e
     if len(raw) != h * (stride + 1):
         raise ValueError(
             f"PNG data length {len(raw)} != expected {h * (stride + 1)}"

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 __all__ = ["asof_join", "range_join"]
@@ -86,16 +87,25 @@ def asof_join(
     ]
     out_names = {c: (c + suffix if c in left.columns else c) for c in payload_cols}
 
-    _T, _SIDE, _RT = "__asof_t", "__asof_side", "__asof_rt"
+    _T, _SIDE, _RT, _P = "__asof_t", "__asof_side", "__asof_rt", "__asof_p"
+    # the matched time + payload travel as ONE struct and are carried
+    # forward atomically: per-column last(ignorenulls) would stitch
+    # fields from DIFFERENT right rows whenever the winning row holds a
+    # NULL payload value (the null would "resurrect" an older row's
+    # value). A struct is non-null as a whole even when every field is
+    # null, so the carry always reflects exactly one right row.
+    ptype = T.StructType(
+        [T.StructField(_RT, right.schema[right_time].dataType)]
+        + [
+            T.StructField(out_names[c], right.schema[c].dataType)
+            for c in payload_cols
+        ]
+    )
     l_tagged = left.select(
         *[F.col(c) for c in left.columns],
         F.col(left_time).alias(_T),
         F.lit(1).alias(_SIDE),
-        F.lit(None).cast(right.schema[right_time].dataType).alias(_RT),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(out_names[c])
-            for c in payload_cols
-        ],
+        F.lit(None).cast(ptype).alias(_P),
     )
     r_tagged = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
@@ -103,8 +113,10 @@ def asof_join(
         *[F.col(k) for k in on],
         F.col(right_time).alias(_T),
         F.lit(0).alias(_SIDE),
-        F.col(right_time).alias(_RT),
-        *[F.col(c).alias(out_names[c]) for c in payload_cols],
+        F.struct(
+            F.col(right_time).alias(_RT),
+            *[F.col(c).alias(out_names[c]) for c in payload_cols],
+        ).cast(ptype).alias(_P),
     ).select(l_tagged.columns)  # align column order for the union
 
     unioned = l_tagged.unionByName(r_tagged)
@@ -121,38 +133,30 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
-        *[c for c in unioned.columns if c not in out_names.values() and c != _RT],
-        F.last(F.col(_RT), ignorenulls=True).over(w).alias(_RT),
-        *[
-            F.last(F.col(out_names[c]), ignorenulls=True).over(w)
-            .alias(out_names[c])
-            for c in payload_cols
-        ],
+        *[c for c in unioned.columns if c != _P],
+        F.last(F.col(_P), ignorenulls=True).over(w).alias(_P),
     ).filter(F.col(_SIDE) == 1)
 
+    matched_rt = F.col(f"{_P}.{_RT}")
     if tolerance is not None:
         tol = tolerance if isinstance(tolerance, Column) else F.lit(tolerance)
         # the direction fixes the sign (backward: left >= matched), so
         # no abs() — abs is undefined on interval types
         dist = (
-            F.col(_T) - F.col(_RT)
+            F.col(_T) - matched_rt
             if direction == "backward"
-            else F.col(_RT) - F.col(_T)
+            else matched_rt - F.col(_T)
         )
-        ok = F.col(_RT).isNotNull() & (dist <= tol)
+        ok = matched_rt.isNotNull() & (dist <= tol)
         carried = carried.select(
-            *[c for c in carried.columns if c not in out_names.values() and c != _RT],
-            F.when(ok, F.col(_RT)).alias(_RT),
-            *[
-                F.when(ok, F.col(out_names[c])).alias(out_names[c])
-                for c in payload_cols
-            ],
+            *[c for c in carried.columns if c != _P],
+            F.when(ok, F.col(_P)).alias(_P),
         )
 
     return carried.select(
         *[c for c in left.columns],
-        F.col(_RT).alias("matched_" + right_time),
-        *[F.col(out_names[c]) for c in payload_cols],
+        matched_rt.alias("matched_" + right_time),
+        *[F.col(f"{_P}.{out_names[c]}").alias(out_names[c]) for c in payload_cols],
     )
 
 
