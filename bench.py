@@ -285,6 +285,29 @@ def scan_probe(spark, events_path: str) -> dict:
     return {"scan_probe_rows_per_sec": round(n / t), "scan_probe_sec": round(t, 3)}
 
 
+def cpu_probe(spark) -> dict:
+    """Pure-CPU probe (no IO at all): sha256+hash over spark.range.
+    Isolates host CPU-steal from disk/page-cache effects — this VM has
+    shown 11x swings on THIS exact stage within one minute (0.85 s vs
+    9.55 s, 2026-08-18), so every bench JSON carries the reading taken
+    seconds before the timed replay. Best-of-2 (first run may pay JIT)."""
+    from pyspark.sql import functions as F
+
+    n = 20_000_000
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        spark.range(n).select(
+            F.sum(
+                F.xxhash64(F.sha2(F.col("id").cast("string"), 256))
+                .cast("decimal(38,0)")
+            )
+        ).collect()
+        best = min(best, time.perf_counter() - t0)
+    return {"cpu_probe_rows_per_sec": round(n / best),
+            "cpu_probe_sec": round(best, 3)}
+
+
 def streaming_benchmark(spark, work_dir: str, cpus: int) -> dict:
     """Throughput of the Structured Streaming entry (readStream →
     foreachBatch chain/dedupe/merge with checkpoint + ledger): drains
@@ -529,6 +552,7 @@ def main() -> None:
 
     work_dir = tempfile.mkdtemp(prefix="tkc_bench_", dir=_fast_local_dir())
     try:
+        cprobe = cpu_probe(spark)  # host-state reading seconds before the timed replay
         replay = replay_benchmark(spark, n_events, work_dir, cpus)
         events_path = os.environ.get("SPARK_GRAFT_EVENTS_DIR") or os.path.join(
             work_dir, "events"
@@ -564,6 +588,7 @@ def main() -> None:
                 "final_rows": replay["final_rows"],
                 "cpus": cpus,
                 **probe,
+                **cprobe,
                 # replay throughput normalized by the same-run bare-Spark
                 # scan+sha256 ceiling: compare THIS across rounds to
                 # separate engine changes from VM-contention windows
