@@ -18,6 +18,10 @@ from transforms_for_apache_kafka_connect_spark.streaming.relay import (
     publish_changelog,
     relay_schemas,
 )
+from transforms_for_apache_kafka_connect_spark.streaming.dlq import (
+    read_dlq,
+    retry_dlq,
+)
 from transforms_for_apache_kafka_connect_spark.streaming.rollup import (
     TimeRollup,
     granularity_ms,
@@ -52,4 +56,6 @@ __all__ = [
     "TimeRollup",
     "granularity_ms",
     "time_bucket",
+    "read_dlq",
+    "retry_dlq",
 ]
