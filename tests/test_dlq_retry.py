@@ -151,3 +151,66 @@ def test_retry_with_still_broken_chain_aborts_unmarked(
                   key_type=kt, value_type=vt)
     # nothing marked: the quarantine is still fully visible
     assert read_dlq(spark, dlq_dir, key_type=kt, value_type=vt).count() > 0
+
+
+def test_cli_retry_dlq_end_to_end(spark, tmp_path):
+    """Ops surface: CLI replay in dlq mode (broken chain) -> CLI
+    --maintenance retry-dlq (fixed chain) -> final state equals the
+    full LWW oracle."""
+    import json as _json
+    import os as _os
+    import subprocess
+    import sys as _sys
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    n = 2_000
+    ev = change_stream(spark, n, n_repos=20, paths_per_repo=4)
+    ev.write.mode("overwrite").parquet(str(tmp_path / "events"))
+    (tmp_path / "v1.json").write_text(_json.dumps(CHAIN_V1))
+    (tmp_path / "v2.json").write_text(_json.dumps(CHAIN_V2))
+    env = dict(_os.environ, PYTHONPATH=repo)
+    common = [
+        _sys.executable, "-m", "transforms_for_apache_kafka_connect_spark",
+        "--table", str(tmp_path / "t"), "--buckets", "4",
+        "--master", "local[4]", "--merge-strategy", "broadcast",
+        "--no-discovery",
+    ]
+    out = subprocess.run(
+        common + [
+            "--events", str(tmp_path / "events"),
+            "--chain", str(tmp_path / "v1.json"),
+            "--batches", "2",
+            "--error-mode", "dlq", "--dlq-dir", str(tmp_path / "dlq"),
+        ],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert _os.path.isdir(str(tmp_path / "dlq"))
+
+    vt = ("op string, lsn bigint, ts_ms bigint, "
+          "before struct<repo:string,path:string,commit:string,"
+          "lang:string,content:string>, "
+          "after struct<repo:string,path:string,commit:string,"
+          "lang:string,content:string>")
+    out2 = subprocess.run(
+        common + [
+            "--maintenance", "retry-dlq",
+            "--chain", str(tmp_path / "v2.json"),
+            "--dlq-dir", str(tmp_path / "dlq"),
+            "--dlq-key-type", "repo string, path string",
+            "--dlq-value-type", vt,
+        ],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    summary = _json.loads(out2.stdout.strip().splitlines()[-1])
+    assert summary.get("n_retried", 0) > 0
+
+    w = Window.partitionBy("key.repo", "key.path").orderBy(F.desc("value.lsn"))
+    winners = (
+        ev.filter(F.col("value").isNotNull())
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1 AND value.op != 'd'")
+    )
+    table = LakeTable(str(tmp_path / "t"), n_buckets=4)
+    assert table.read(spark).count() == winners.count()

@@ -64,6 +64,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "dlq = quarantine errored records to --dlq-dir and "
                          "merge the rest. Unset, a .properties --chain may "
                          "supply it via errors.tolerance/deadletterqueue")
+    ap.add_argument("--dlq-key-type", default=None,
+                    help="with --maintenance retry-dlq: DDL field list for "
+                         "the envelope key (e.g. 'repo string, path string')")
+    ap.add_argument("--dlq-value-type", default=None,
+                    help="with --maintenance retry-dlq: DDL field list for "
+                         "the envelope value (op/lsn/ts_ms/before/after)")
     ap.add_argument("--dlq-dir", default=None,
                     help="dead-letter directory (required with "
                          "--error-mode dlq)")
@@ -96,7 +102,7 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--maintenance",
                     choices=["compact", "vacuum", "rescale", "lookup",
                              "publish", "stats", "delete-where",
-                             "tag", "drop-tag", "relay"],
+                             "tag", "drop-tag", "relay", "retry-dlq"],
                     default=None,
                     help="run a table op instead of a replay "
                          "(--events is ignored)")
@@ -299,6 +305,33 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"lookup: {exc}", file=sys.stderr)
                 return 2
             r = {"rows": [row.asDict(recursive=True) for row in rows]}
+        elif args.maintenance == "retry-dlq":
+            # after deploying a chain fix (--chain = the FIXED spec):
+            # re-drive the quarantine exactly-once with the stale-LSN
+            # guard (streaming/dlq.py)
+            if not (args.dlq_dir and args.dlq_key_type
+                    and args.dlq_value_type):
+                print("--maintenance retry-dlq requires --dlq-dir, "
+                      "--dlq-key-type and --dlq-value-type",
+                      file=sys.stderr)
+                return 2
+            from pyspark.sql import types as T
+
+            from transforms_for_apache_kafka_connect_spark.streaming.dlq import (
+                retry_dlq,
+            )
+            from transforms_for_apache_kafka_connect_spark.streaming.engine import (
+                Replayer,
+            )
+
+            rep = Replayer(table=table, chain=chain,
+                           epoch=args.epoch or "dlq-retry")
+            r = retry_dlq(
+                spark, args.dlq_dir, replayer=rep,
+                key_type=T.StructType.fromDDL(args.dlq_key_type),
+                value_type=T.StructType.fromDDL(args.dlq_value_type),
+                epoch=args.epoch or "dlq-retry",
+            )
         elif args.maintenance == "relay":
             # CDC-source direction: committed changelog -> converter
             # bytes (Debezium-envelope shaped) written to --relay-out,
