@@ -1830,6 +1830,42 @@ def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_stats(media)
 
 
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r04 composite: REAL image (PNG) and REAL audio (WAV) decode
+    through the gate as variant legs over one aligned schema. The wav
+    leg encodes square waves distributed (functions/wav.py) and decodes
+    them in audio_stats; peak == round(a*32767)/32768 exactly (power-
+    of-two divisor => bit-exact in both engines), zero crossings and
+    duration are integer closed forms."""
+    from transforms_for_apache_kafka_connect_spark.functions.multimodal import (
+        audio_stats,
+        synthetic_wav_media,
+    )
+
+    png = q_png_decode(spark, sf_dir).select(
+        F.lit("png").alias("variant"),
+        "media_id",
+        F.col("width").cast("long").alias("w"),
+        F.col("height").cast("long").alias("h"),
+        F.col("mean_r").alias("m1"),
+        F.col("mean_g").alias("m2"),
+        F.col("mean_b").alias("m3"),
+    )
+    ids = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    wav = audio_stats(synthetic_wav_media(ids)).select(
+        F.lit("wav").alias("variant"),
+        "media_id",
+        F.col("sample_rate").cast("long").alias("w"),
+        F.col("n_samples").alias("h"),
+        F.col("peak").alias("m1"),
+        F.col("zero_crossings").cast("double").alias("m2"),
+        F.col("duration_ms").cast("double").alias("m3"),
+    )
+    return png.unionByName(wav)
+
+
 # -------------------------------------------------- composite gate entries
 #
 # The driver's correctness gate checks the FIRST 50 ``queries()`` rows
@@ -1993,7 +2029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_agg": q_windowed_agg,
         "sampling_split": q_sampling_split,
         "relay_envelope": q_relay_envelope,
-        "png_decode": q_png_decode,
+        "media_decode": q_media_decode,
         "filter_by_field_value": q_filter_by_field_value_all,
         "extract_timestamp": q_extract_timestamp_all,
         "extract_topic": q_extract_topic,
@@ -2557,15 +2593,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM seq "
             "WHERE NOT (op = 'd' AND (prev_op IS NULL OR prev_op = 'd'))"
         ),
-        "png_decode": (
-            # the fixture's closed form: pixel(x,y,c) = base_c + x over
-            # an 8-wide row => mean_c = base_c + 3.5 exactly
-            "SELECT doc_id AS media_id, CAST(8 AS INTEGER) AS width, "
-            "CAST(8 AS INTEGER) AS height, "
-            "doc_id % 248 + 3.5 AS mean_r, "
-            "(doc_id * 7 + 13) % 248 + 3.5 AS mean_g, "
-            "(doc_id * 31 + 101) % 248 + 3.5 AS mean_b "
-            "FROM documents"
+        "media_decode": (
+            "SELECT 'png' AS variant, doc_id AS media_id, "
+            "CAST(8 AS BIGINT) AS w, CAST(8 AS BIGINT) AS h, "
+            "doc_id % 248 + 3.5 AS m1, "
+            "(doc_id * 7 + 13) % 248 + 3.5 AS m2, "
+            "(doc_id * 31 + 101) % 248 + 3.5 AS m3 FROM documents "
+            "UNION ALL "
+            # wav leg: square wave amplitude a=((id*7+13)%100+1)/128,
+            # 16-bit quantized peak = round(a*32767)/32768 (exact: the
+            # divisor is a power of two); zc and duration closed forms
+            "SELECT 'wav' AS variant, doc_id AS media_id, "
+            "CAST(8000 AS BIGINT) AS w, CAST(4000 AS BIGINT) AS h, "
+            "round(((doc_id * 7 + 13) % 100 + 1) / 128.0 * 32767) "
+            "/ 32768.0 AS m1, "
+            "CAST(2 * 4000 / 40 - 1 AS DOUBLE) AS m2, "
+            "CAST(500 AS DOUBLE) AS m3 FROM documents"
         ),
         # simhash, multimodal_features, lsh_ann: intentionally no oracle —
         # the Arrow bit-fold / binary featurization are not
