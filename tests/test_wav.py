@@ -105,3 +105,45 @@ def test_audio_stats_filters_kind(spark):
         "kind", F.when(F.col("media_id") == 0, "video").otherwise("audio")
     )
     assert audio_stats(media).count() == 2
+
+
+# ------------------------------------------------ property-based laws
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(1, 300),
+    ch=st.integers(1, 3),
+    rate=st.sampled_from([8_000, 16_000, 44_100]),
+    seed=st.integers(0, 2**31),
+)
+def test_roundtrip_law(n, ch, rate, seed):
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(-1.0, 1.0, size=(n, ch))
+    out, r = decode_wav(encode_wav(x, rate))
+    assert r == rate and out.shape == (n, ch)
+    assert np.abs(out - x).max() < 1.5 / 32768
+
+
+@settings(max_examples=30, deadline=None)
+@given(data=st.binary(min_size=0, max_size=200))
+def test_garbage_never_crashes_raw(data):
+    """Arbitrary bytes -> the documented error contract, never a raw
+    struct/zlib/index error (the per-record DLQ contract)."""
+    try:
+        decode_wav(data)
+    except (ValueError, NotImplementedError):
+        pass
+
+
+@settings(max_examples=30, deadline=None)
+@given(cut=st.integers(0, 80), seed=st.integers(0, 999))
+def test_truncation_never_crashes_raw(cut, seed):
+    rng = np.random.default_rng(seed)
+    full = encode_wav(rng.uniform(-1, 1, size=(16, 1)), 8_000)
+    try:
+        decode_wav(full[: max(0, len(full) - cut)])
+    except (ValueError, NotImplementedError):
+        pass
