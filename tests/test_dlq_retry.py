@@ -214,3 +214,76 @@ def test_cli_retry_dlq_end_to_end(spark, tmp_path):
     )
     table = LakeTable(str(tmp_path / "t"), n_buckets=4)
     assert table.read(spark).count() == winners.count()
+
+
+def test_retry_cannot_resurrect_deleted_key(spark, tmp_path):
+    """A key deleted by the live pipeline AFTER its upsert was
+    quarantined must stay deleted: on changelog tables the guard folds
+    in delete positions (a plain current-state lookup can't see them)."""
+    import pyspark.sql.types as T
+
+    kt = T.StructType([T.StructField("k", T.StringType())])
+    vt = T.StructType([
+        T.StructField("op", T.StringType()),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("before", T.StructType([T.StructField("v", T.StringType())])),
+        T.StructField("after", T.StructType([T.StructField("v", T.StringType())])),
+    ])
+    env_t = T.StructType([
+        T.StructField("topic", T.StringType(), False),
+        T.StructField("partition", T.IntegerType(), False),
+        T.StructField("key", kt),
+        T.StructField("value", vt),
+        T.StructField("timestamp", T.LongType()),
+        T.StructField("headers", T.MapType(T.StringType(), T.StringType())),
+    ])
+
+    def env(rows):
+        return spark.createDataFrame(
+            [("t", 0, (k,), (op, lsn, 0, None,
+                             None if op == "d" else (v,)), lsn, None)
+             for k, lsn, op, v in rows], env_t)
+
+    table = LakeTable(str(tmp_path / "t"), key_cols=["k"], n_buckets=4,
+                      merge_strategy="broadcast", discovery=False,
+                      changelog=True)
+    dlq_dir = str(tmp_path / "dlq")
+    # wave 1: hash(after.v) errors per record when the value is null —
+    # the victim upsert carries v=None, so it quarantines
+    broken = Chain([{"type": "hash", "field.name": "after.v",
+                     "function": "sha256"}])
+    rep1 = Replayer(table=table, chain=broken, epoch="e",
+                    error_mode="dlq", dlq_dir=dlq_dir)
+    rep1.replay(env([("k1", 5, "u", None)]), batch_width=10,
+                start_pos=0, max_pos=10)
+    # later batches: a clean upsert MATERIALIZES k1, then a separate
+    # batch deletes it (separate batches, so the delete has a pre-image
+    # and lands in the changelog — the guard's information source)
+    # distinct epoch: batch ids are per-epoch and wave 1 already
+    # committed ("e", 0)
+    rep2 = Replayer(table=table, chain=Chain([]), epoch="e2")
+    rep2.replay(env([("k1", 12, "u", "x2"), ("k1", 19, "d", None)]),
+                batch_width=5, start_pos=10, max_pos=30)
+    assert table.read(spark).filter("k = 'k1'").count() == 0
+
+    out = retry_dlq(
+        spark, dlq_dir,
+        replayer=Replayer(table=table, chain=Chain([]), epoch="e"),
+        key_type=kt, value_type=vt,
+    )
+    assert out["n_stale_dropped"] == 1
+    # the deleted key stays deleted — no resurrection
+    assert table.read(spark).filter("k = 'k1'").count() == 0
+
+
+def test_retry_chain_override(spark, events, quarantined):
+    """retry_chain replaces the replayer's chain for the retry run
+    (the mid-chain double-apply escape hatch)."""
+    table, dlq_dir = quarantined
+    kt, vt = _types(events)
+    rep_broken = Replayer(table=table, chain=Chain(CHAIN_V1), epoch="e")
+    out = retry_dlq(spark, dlq_dir, replayer=rep_broken,
+                    key_type=kt, value_type=vt,
+                    retry_chain=Chain(CHAIN_V2))
+    assert out["n_retried"] > 0  # the override unblocked the retry

@@ -493,6 +493,10 @@ def synthetic_wav_media(
     square waves have closed-form stats (rms == peak == a_i up to
     16-bit quantization; zero crossings = 2*n/period - 1) that tests
     and oracles recompute without any DSP dependency."""
+    if period < 2 or period % 2:
+        # an odd period would quietly generate a 2*(period//2)-sample
+        # wave and break the documented closed forms
+        raise ValueError(f"period must be even and >= 2: {period}")
     from transforms_for_apache_kafka_connect_spark.functions.wav import (
         encode_wav,
     )
@@ -550,13 +554,17 @@ def audio_stats(media: DataFrame, *, fake: bool = False) -> DataFrame:
                 mono = samples.mean(axis=1)
                 sign = np.sign(mono)
                 zc = int(np.count_nonzero(np.diff(sign[sign != 0])))
+                n_frames = int(samples.shape[0])
                 rows.append(
                     (
                         int(mid), int(rate), int(samples.shape[1]),
-                        int(samples.shape[0]),
-                        int(samples.shape[0] * 1000 // rate),
-                        float(np.sqrt((samples ** 2).mean())),
-                        float(np.abs(samples).max()),
+                        n_frames,
+                        n_frames * 1000 // rate,
+                        # an empty data chunk is a VALID WAV: stats are
+                        # 0, not a zero-size-reduction crash
+                        float(np.sqrt((samples ** 2).mean()))
+                        if n_frames else 0.0,
+                        float(np.abs(samples).max()) if n_frames else 0.0,
                         zc,
                     )
                 )

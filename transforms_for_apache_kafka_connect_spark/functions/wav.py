@@ -72,6 +72,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     audio_format, channels, rate, _byte_rate, block_align, bits = fmt
     if channels < 1:
         raise ValueError("malformed WAV: zero channels")
+    if rate < 1:
+        raise ValueError("malformed WAV: zero sample rate")
     if audio_format == 1:  # integer PCM
         if bits not in (8, 16, 24, 32):
             raise ValueError(f"unsupported PCM bit depth: {bits}")

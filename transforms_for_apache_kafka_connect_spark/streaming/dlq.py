@@ -35,6 +35,7 @@ same records twice.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import uuid
@@ -137,8 +138,9 @@ def retry_dlq(
     key_type: T.DataType,
     value_type: T.DataType,
     epoch: str = "dlq-retry",
-    batch_id: int = 0,
+    batch_id: int | None = None,
     max_lookup_keys: int = 100_000,
+    retry_chain=None,
 ) -> dict[str, Any]:
     """Re-run ``replayer``'s (fixed) chain over the un-retried
     quarantine and merge survivors, guarded against LSN regression.
@@ -146,10 +148,39 @@ def retry_dlq(
     The replayer should be constructed with ``error_mode='fail'``
     (default): a record that STILL errors aborts the retry pre-commit —
     nothing is marked retried, fix again and re-run. Exactly-once: the
-    merge ledger under (``epoch``, ``batch_id``); re-running a
-    committed retry is a no-op that still records the marker.
+    merge ledger under (``epoch``, ``batch_id``). When ``batch_id`` is
+    None (the default, and the CLI path) it is derived from the set of
+    quarantine (epoch, batch_id) partitions being retried, so crash-
+    rerunning the SAME wave is a ledger no-op that still records the
+    marker, while a LATER quarantine wave gets its own ledger entry
+    instead of being silently swallowed by the first retry's commit.
 
-    Returns the merge commit dict + ``n_retried`` / ``n_stale_dropped``.
+    What the quarantine holds: the record AS SERIALIZED AT ERROR
+    DETECTION. Errors raised by row-FILTER stages (tombstone handler,
+    value filters — the common quarantine causes) carry the ORIGINAL
+    record, because filters never mutate. Errors raised by a MUTATOR
+    stage carry the prefix-applied record, so re-running the full fixed
+    chain would double-apply any non-idempotent mutator before the
+    failing one — pass ``retry_chain`` (e.g. only the remaining or
+    corrective stages) in that case; default ``None`` = the replayer's
+    own chain.
+
+    Deleted-key protection: the current-state lookup cannot see keys
+    the live pipeline DELETED after quarantine (they have no row), so
+    on ``changelog=True`` tables the guard also folds in each touched
+    key's newest delete position from the row-level changelog — a
+    retried upsert older than its key's delete can then never
+    resurrect it. Tables without a changelog keep the documented
+    weaker guard (current winners only); run retries against
+    changelog-enabled tables when deletes matter. One boundary remains
+    even then: a delete of a key that never materialized (its only
+    upserts sat in quarantine) is a net no-op the changelog does not
+    record, so nothing in the system can prove the retried upsert is
+    stale — if absolute LWW over quarantine windows is required,
+    replay the affected positions from the source instead of retrying.
+
+    Returns the merge commit dict + ``n_retried`` (quarantined records
+    offered to the retry) / ``n_stale_dropped``.
     """
     env = read_dlq(
         spark, dlq_dir, key_type=key_type, value_type=value_type,
@@ -161,21 +192,35 @@ def retry_dlq(
     if not covered:
         return {"skipped": True, "reason": "empty quarantine",
                 "n_retried": 0, "n_stale_dropped": 0}
+    if batch_id is None:
+        # stable id of THIS quarantine wave: identical covered set ->
+        # identical ledger entry (crash-rerun stays a no-op); a new
+        # wave -> a new entry (never swallowed by a prior retry commit,
+        # and never colliding with the live replay's small batch ids)
+        digest = hashlib.sha256(
+            json.dumps(sorted(covered)).encode()
+        ).digest()
+        batch_id = int.from_bytes(digest[:8], "big") >> 1
+    n_retried = env.count()
     table = replayer.table
     # the fixed chain re-runs; run() enforces the fail-on-first-record
     # contract, so a still-erroring record aborts BEFORE any merge and
     # nothing is marked retried
-    chained = replayer.chain.run(
+    chain = retry_chain if retry_chain is not None else replayer.chain
+    chained = chain.run(
         env.drop("error", "dlq_epoch", "dlq_batch_id")
     )
-    upd = replayer.updates_for(chained)
+    # the retry frame is re-derived for the guard counts AND the merge —
+    # cache it once (the quarantine is small by contract)
+    base = replayer.updates_for(chained).cache()
+    upd = base
 
     # stale-LSN guard: quarantined records aged while the live pipeline
     # advanced their keys — bucket-pruned point lookup of ONLY the
     # touched keys, then drop rows at-or-below the current winner
     n_stale = 0
-    m = table.manifest()
-    if m["schema"] is not None and m["buckets"]:
+    try:
+        m = table.manifest()
         keys = [
             {c: r[c] for c in table.key_cols}
             for r in upd.select(*table.key_cols).distinct()
@@ -183,28 +228,64 @@ def retry_dlq(
         ]
         if len(keys) > max_lookup_keys:
             raise ValueError(
-                f"retry touches more than {max_lookup_keys} keys — that "
-                "is a replay, not a DLQ retry (raise max_lookup_keys to "
-                "force it)"
+                f"retry touches more than {max_lookup_keys} keys — "
+                "that is a replay, not a DLQ retry (raise "
+                "max_lookup_keys to force it)"
             )
+        floor = None
         if keys:
-            cur = table.lookup_many(spark, keys).select(
-                *table.key_cols, F.col("_lsn").alias("__cur_lsn")
-            )
+            if m["schema"] is not None and m["buckets"]:
+                floor = table.lookup_many(spark, keys).select(
+                    *table.key_cols, F.col("_lsn").alias("__floor_lsn")
+                )
+            if getattr(table, "changelog", False):
+                # deleted keys have no current row (and a fully-emptied
+                # table has no files to look up at all): fold in each
+                # touched key's newest DELETE position so a stale
+                # retried upsert cannot resurrect it
+                kdf = upd.select(*table.key_cols).distinct()
+                dels = (
+                    table.read_changelog(spark)
+                    .filter(F.col("_change_type") == "delete")
+                    .join(F.broadcast(kdf), list(table.key_cols),
+                          "leftsemi")
+                    .groupBy(*table.key_cols)
+                    .agg(F.max("_change_lsn").alias("__del_lsn"))
+                )
+                if floor is None:
+                    floor = dels.select(
+                        *table.key_cols,
+                        F.col("__del_lsn").alias("__floor_lsn"),
+                    )
+                else:
+                    floor = (
+                        floor.join(dels, list(table.key_cols), "full_outer")
+                        .select(
+                            *table.key_cols,
+                            F.greatest(
+                                F.coalesce("__floor_lsn", F.lit(-(2**62))),
+                                F.coalesce("__del_lsn", F.lit(-(2**62))),
+                            ).alias("__floor_lsn"),
+                        )
+                    )
+        if floor is not None:
             before = upd.count()
             upd = (
-                upd.join(F.broadcast(cur), list(table.key_cols), "left")
+                upd.join(F.broadcast(floor), list(table.key_cols), "left")
                 .filter(
-                    F.col("__cur_lsn").isNull()
-                    | (F.col("_lsn") > F.col("__cur_lsn"))
+                    F.col("__floor_lsn").isNull()
+                    | (F.col("_lsn") > F.col("__floor_lsn"))
                 )
-                .drop("__cur_lsn")
+                .drop("__floor_lsn")
             )
             n_stale = before - upd.count()
 
-    commit = table.merge(upd, epoch=epoch, batch_id=batch_id)
+        commit = table.merge(upd, epoch=epoch, batch_id=batch_id)
+    finally:
+        base.unpersist()
     _mark_retried(dlq_dir, covered, commit)
     commit = dict(commit)
-    commit["n_retried"] = len(covered)
+    commit["n_retried"] = n_retried
+    commit["n_batches_retried"] = len(covered)
     commit["n_stale_dropped"] = n_stale
     return commit
