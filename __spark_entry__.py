@@ -1616,6 +1616,63 @@ def q_avro_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_protobuf_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ProtobufConverter boundary (the third Connect converter regime,
+    completing the JSON/Avro/protobuf triad): serialize events rows to
+    Confluent-framed protobuf wire bytes key/value, parse back through
+    envelope_from_protobuf into the typed envelope. Oracle = round-trip
+    identity over the same columns. All fields are proto3 `optional`
+    (explicit presence) so 0.0/'' survive exactly; the Arrow-batched
+    pure-Python codec is the only path (spark-protobuf needs compiled
+    descriptor files — see sources/protobuf_boundary.py docstring)."""
+    from transforms_for_apache_kafka_connect_spark.sources import (
+        envelope_from_protobuf,
+        envelope_to_protobuf,
+    )
+
+    key_schema = {
+        "name": "k",
+        "fields": [
+            {"name": "event_id", "number": 1, "type": "int64",
+             "optional": True},
+        ],
+    }
+    value_schema = {
+        "name": "v",
+        "fields": [
+            {"name": "user_id", "number": 1, "type": "int64",
+             "optional": True},
+            {"name": "event_type", "number": 2, "type": "string",
+             "optional": True},
+            {"name": "value", "number": 3, "type": "double",
+             "optional": True},
+            {"name": "props", "number": 4, "type": "string",
+             "optional": True},
+        ],
+    }
+    ev = _read(spark, sf_dir, "events")
+    env = envelope(
+        ev, key_cols=["event_id"],
+        value_cols=["user_id", "event_type", "value", "props"],
+    )
+    raw = envelope_to_protobuf(
+        env, key_schema=key_schema, value_schema=value_schema,
+        confluent_framing=True, schema_id=11,
+    )
+    back = envelope_from_protobuf(
+        raw, key_schema=key_schema, value_schema=value_schema,
+        confluent_framing=True,
+    )
+    return enforce(back).select(
+        F.col("key.event_id").alias("event_id"),
+        F.col("value.user_id").alias("user_id"),
+        F.col("value.event_type").alias("event_type"),
+        F.col("value.value").alias("val"),
+        F.col("value.props").alias("props"),
+        F.col("proto_schema_id").alias("schema_id"),
+    )
+
+
 # ------------------------------------------------- round-4 gate entries
 # (windowed aggregation, sampling/splitting, CDC relay, PNG decode —
 # the r03 verdict's gate blind spots, plus the folds that freed their
@@ -1654,10 +1711,10 @@ def q_stock_fields_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_boundary_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The three converter boundaries folded (Kafka-shape, JSON, Avro
-    — each leg runs its real round-trip through the boundary code);
-    val travels as the portable floor-string so the kafka leg's NULL
-    doesn't hit the NaN coercion."""
+    """The four converter boundaries folded (Kafka-shape, JSON, Avro,
+    protobuf — each leg runs its real round-trip through the boundary
+    code); val travels as the portable floor-string so the kafka leg's
+    NULL doesn't hit the NaN coercion."""
     kb = q_kafka_boundary(spark, sf_dir).select(
         F.lit("kafka").alias("variant"), "event_id", "user_id",
         "event_type",
@@ -1677,7 +1734,13 @@ def q_boundary_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         _val_str("val").alias("val_s"), "props",
         F.col("schema_id").cast("string").alias("off"),
     )
-    return kb.unionByName(jb).unionByName(ab)
+    pb = q_protobuf_boundary(spark, sf_dir).select(
+        F.lit("proto").alias("variant"), "event_id", "user_id",
+        "event_type",
+        _val_str("val").alias("val_s"), "props",
+        F.col("schema_id").cast("string").alias("off"),
+    )
+    return kb.unionByName(jb).unionByName(ab).unionByName(pb)
 
 
 def q_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2520,7 +2583,11 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT 'avro' AS variant, event_id, user_id, event_type, "
             "CAST(CAST(FLOOR(value*10000) AS BIGINT) AS VARCHAR) AS val_s, "
-            "props, '7' AS off FROM events"
+            "props, '7' AS off FROM events "
+            "UNION ALL "
+            "SELECT 'proto' AS variant, event_id, user_id, event_type, "
+            "CAST(CAST(FLOOR(value*10000) AS BIGINT) AS VARCHAR) AS val_s, "
+            "props, '11' AS off FROM events"
         ),
         "windowed_agg": (
             # tumble leg: 1-day epoch-aligned windows by event_type;

@@ -268,6 +268,7 @@ def chain_from_properties(source):
 CONVERTER_CLASS_TO_FORMAT: dict[str, str | None] = {
     "org.apache.kafka.connect.json.JsonConverter": "json",
     "io.confluent.connect.avro.AvroConverter": "avro",
+    "io.confluent.connect.protobuf.ProtobufConverter": "protobuf",
     "org.apache.kafka.connect.storage.StringConverter": None,
     "org.apache.kafka.connect.converters.ByteArrayConverter": None,
 }
@@ -293,8 +294,9 @@ def converters_from_properties(source) -> dict:
       (each payload decoded with the writer schema its frame names,
       resolved onto the reader ``value.converter.schema``)
 
-    For AvroConverter the Confluent 5-byte wire framing is implied
-    (that IS the converter's wire format). Returns a dict with
+    For AvroConverter and ProtobufConverter the Confluent wire framing
+    is implied (that IS those converters' wire format; protobuf frames
+    additionally carry message indexes). Returns a dict with
     ``raw_format``, ``key_schema``, ``value_schema``,
     ``confluent_framing`` (+ ``writer_schemas`` when declared) — empty
     dict when no converter is declared.
@@ -346,7 +348,9 @@ def converters_from_properties(source) -> dict:
         return out
     out["key_schema"] = schema("key")
     out["value_schema"] = schema("value")
-    out["confluent_framing"] = raw_format == "avro"
+    # Avro and protobuf registry converters both imply the Confluent
+    # wire frame (that IS those converters' byte format)
+    out["confluent_framing"] = raw_format in ("avro", "protobuf")
     writers_path = props.get("value.converter.writer.schemas.file")
     if writers_path is not None:
         if raw_format != "avro":

@@ -17,6 +17,16 @@ from transforms_for_apache_kafka_connect_spark.sources.schema_registry import (
     HttpSchemaRegistry,
     SchemaRegistry,
 )
+from transforms_for_apache_kafka_connect_spark.sources.protobuf_boundary import (
+    decode_frame,
+    decode_message,
+    encode_frame,
+    encode_message,
+    envelope_from_protobuf,
+    envelope_to_protobuf,
+    proto_schema_to_spark,
+    spark_to_proto_schema,
+)
 from transforms_for_apache_kafka_connect_spark.sources.json_boundary import (
     envelope_from_json,
     envelope_from_kafka,
@@ -42,4 +52,12 @@ __all__ = [
     "SchemaRegistry",
     "FileSchemaRegistry",
     "HttpSchemaRegistry",
+    "envelope_from_protobuf",
+    "envelope_to_protobuf",
+    "proto_schema_to_spark",
+    "spark_to_proto_schema",
+    "encode_message",
+    "decode_message",
+    "encode_frame",
+    "decode_frame",
 ]

@@ -52,16 +52,18 @@ def prepare_stream_events(
     stateful stale-LSN suppressor. Both are table-agnostic.
 
     ``raw_format``: None (already an envelope), ``"json"``
-    (JsonConverter boundary; schemas are Spark DDL/StructType), or
+    (JsonConverter boundary; schemas are Spark DDL/StructType),
     ``"avro"`` (AvroConverter boundary; schemas are Avro JSON,
     ``confluent_framing`` strips the registry wire frame, and
     ``writer_schemas`` ({schema_id: avro schema}) resolves an evolving
-    topic onto the reader ``value_schema``).
+    topic onto the reader ``value_schema``), or ``"protobuf"``
+    (ProtobufConverter boundary; schemas are message dicts/JSON —
+    evolution is by field number so no writer-schema snapshot applies).
     ``raw_json=True`` is the back-compat spelling of
     ``raw_format="json"``."""
     if raw_json and raw_format is None:
         raw_format = "json"
-    if raw_format not in (None, "json", "avro"):
+    if raw_format not in (None, "json", "avro", "protobuf"):
         raise ValueError(f"unknown raw_format: {raw_format!r}")
     if raw_format is not None and value_schema is None:
         raise ValueError(
@@ -87,6 +89,23 @@ def prepare_stream_events(
             value_schema=value_schema,
             confluent_framing=confluent_framing,
             writer_schemas=writer_schemas,
+        )
+    elif raw_format == "protobuf":
+        if writer_schemas:
+            raise ValueError(
+                "writer_schemas does not apply to the protobuf "
+                "boundary: proto evolution resolves by field number in "
+                "the codec itself"
+            )
+        from transforms_for_apache_kafka_connect_spark.sources.protobuf_boundary import (
+            envelope_from_protobuf,
+        )
+
+        events = envelope_from_protobuf(
+            events,
+            key_schema=key_schema,
+            value_schema=value_schema,
+            confluent_framing=confluent_framing,
         )
     if suppress_stale_ms is not None:
         # live-tailing input bound: drop redelivered/stale LSNs via
