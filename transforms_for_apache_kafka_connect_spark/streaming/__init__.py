@@ -31,6 +31,9 @@ from transforms_for_apache_kafka_connect_spark.streaming.scd2 import (
     as_of,
     scd2_history,
 )
+from transforms_for_apache_kafka_connect_spark.streaming.txn import (
+    TransactionalRouter,
+)
 from transforms_for_apache_kafka_connect_spark.streaming.windowed import (
     stream_windowed_into,
     windowed_aggregate,
@@ -47,6 +50,7 @@ __all__ = [
     "Replayer",
     "route_write",
     "TopicTableRouter",
+    "TransactionalRouter",
     "Expectation",
     "MaintainedAggregate",
     "batch_changes",

@@ -183,6 +183,11 @@ class Replayer:
     #: Compiled into the merge plan; counts ride the same Observation
     #: machinery as the error contract — no extra job
     expectations: list = field(default_factory=list)
+    #: publish=False stages the merge (write-audit-publish) instead of
+    #: making it live: apply_batch returns the staged token and the
+    #: batch is NOT yet in the ledger — a transaction coordinator
+    #: (txn.py) publishes it later, atomically with its sibling tables
+    publish: bool = True
 
     def __post_init__(self):
         if self.error_mode not in ("fail", "dlq"):
@@ -193,6 +198,14 @@ class Replayer:
             raise ValueError(
                 "maintained aggregates need row-level change capture: "
                 "create the table with changelog=True"
+            )
+        if not self.publish and self.maintain:
+            # a maintained aggregate folds read_changelog(batch), which
+            # only exists once the batch is LIVE; the coordinator that
+            # owns publish must also own the post-publish maintenance
+            raise ValueError(
+                "publish=False (staged merges) cannot run maintained "
+                "aggregates — fold them after the coordinator publishes"
             )
 
     def _run_maintenance(self, spark: SparkSession, batch_id: int) -> None:
@@ -636,6 +649,8 @@ class Replayer:
         merge_kwargs = {}
         if manifest_extra:
             merge_kwargs["manifest_extra"] = manifest_extra
+        if not self.publish:
+            merge_kwargs["publish"] = False
         result = self.table.merge(
             updates,
             epoch=self.epoch,
