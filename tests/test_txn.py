@@ -259,6 +259,109 @@ def test_txn_dlq_mode_requires_dir(tmp_path):
         )
 
 
+def test_vacuum_pins_staged_commit_files_by_default(spark, tmp_path):
+    """A staged (WAP) commit's data files must survive vacuum — a
+    transaction participant awaiting roll-forward is in-flight, not
+    garbage. drop_staged=True explicitly abandons it."""
+    from transforms_for_apache_kafka_connect_spark.streaming import (
+        LakeTable,
+        Replayer,
+    )
+
+    table = LakeTable(str(tmp_path / "t"), n_buckets=2)
+    rows = [("src", 0, ("r0", "p0"), ("c", 1, 1, ("x",), "acme"), 1, None)]
+    rep = Replayer(table=table, chain=Chain([]), epoch="e", publish=False)
+    token = rep.apply_batch(_cdc_env(spark, rows), 0)["staged"]
+
+    out = table.vacuum(keep_versions=1)
+    assert out["staged_manifests"] == 1
+    # only write markers may go; every staged parquet survives
+    import glob as _glob
+
+    assert _glob.glob(os.path.join(table.root, "data", "**", "*.parquet"),
+                      recursive=True)
+    # the staged commit is still publishable and reads intact
+    table.publish(token)
+    assert table.read(spark).count() == 1
+
+    # a second staged commit, abandoned via drop_staged
+    token2 = rep.apply_batch(_cdc_env(spark, [
+        ("src", 0, ("r0", "p9"), ("c", 2, 2, ("y",), "acme"), 2, None)
+    ]), 1)["staged"]
+    out2 = table.vacuum(keep_versions=1, drop_staged=True)
+    assert out2["staged_dropped"] is True and out2["deleted_files"] >= 1
+    assert not os.path.exists(
+        os.path.join(table.root, "_manifest", f"{token2}.json")
+    )
+    # the live table is untouched
+    assert table.read(spark).count() == 1
+
+
+def test_txn_vacuum_recovers_then_reclaims(spark, tmp_path, monkeypatch):
+    """Coordinator vacuum: a decided-but-unpublished transaction is
+    rolled forward (its data survives), an undecided staged leftover
+    is reclaimed."""
+    router = _router(tmp_path)
+
+    # txn 0: crash after the decision record, before any publish
+    monkeypatch.setattr(
+        TransactionalRouter, "_roll_forward",
+        lambda self, d: (_ for _ in ()).throw(RuntimeError("crash")),
+    )
+    with pytest.raises(RuntimeError):
+        router.apply_batch(_cdc_env(spark, _tenant_rows()), 0)
+    monkeypatch.undo()
+
+    # an undecided (presumed-abort) staged leftover on acme
+    from transforms_for_apache_kafka_connect_spark.streaming import Replayer
+
+    orphan = Replayer(
+        table=router.table_for("acme"), chain=Chain([]), epoch="dead",
+        publish=False,
+    )
+    rows = [("acme", 0, ("r0", "zz"), ("c", 9, 9, ("orphan",), "acme"), 9, None)]
+    orphan.apply_batch(_cdc_env(spark, rows), 0)
+
+    out = router.vacuum(keep_versions=2)
+    # the decided transaction was rolled forward, not lost
+    assert set(out["rolled_forward"]) == {0}
+    assert _read_set(router, spark, "acme") == {("p0", "a-new")}
+    assert _read_set(router, spark, "globex") == {("p1", "g-live")}
+    # no staged manifest remains anywhere
+    for t in ("acme", "globex"):
+        staged = [
+            f for f in os.listdir(
+                os.path.join(router.table_for(t).root, "_manifest")
+            )
+            if f.startswith("staged-")
+        ]
+        assert staged == []
+
+
+def test_txn_streaming_batches_are_transactions(spark, tmp_path):
+    """File-source stream through the coordinator: per-micro-batch
+    atomic cross-table commits; checkpoint restart is a no-op."""
+    rows = _tenant_rows()
+    src = str(tmp_path / "incoming")
+    env = _cdc_env(spark, rows)
+    env.filter(F.col("timestamp") <= 3).write.parquet(src + "/f1.parquet")
+    env.filter(F.col("timestamp") > 3).write.parquet(src + "/f2.parquet")
+
+    router = _router(tmp_path, epoch="s1")
+    stream_df = spark.readStream.schema(env.schema).parquet(src + "/*")
+    q = router.stream(stream_df, str(tmp_path / "ckpt"), available_now=True)
+    q.awaitTermination(120)
+
+    assert _read_set(router, spark, "acme") == {("p0", "a-new")}
+    assert _read_set(router, spark, "globex") == {("p1", "g-live")}
+    snap = router.snapshot()
+
+    # restart from the same checkpoint: no new data, snapshot unchanged
+    q2 = router.stream(stream_df, str(tmp_path / "ckpt"), available_now=True)
+    q2.awaitTermination(120)
+    assert router.snapshot() == snap
+
+
 def test_txn_staged_replayer_rejects_maintained_aggregates(tmp_path):
     """publish=False merges can't fold maintained aggregates — the
     changelog only exists once the batch is live (engine.py guard)."""

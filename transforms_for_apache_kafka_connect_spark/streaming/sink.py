@@ -1352,6 +1352,10 @@ class LakeTable:
         delta = upd.withColumn("_deleted", F.col(delete_col)).drop(delete_col)
         version = m["version"] + 1
         rel_dir = os.path.join("data", f"v{version:08d}-b{batch_id}-delta")
+        if not publish:
+            # same staged-dir uniqueness rule as the COW path: an
+            # unpublished delta must never share a dir with another stage
+            rel_dir += f"-stage{uuid.uuid4().hex[:8]}"
         out_dir = os.path.join(self.root, rel_dir)
         n_parts = len(touched) if touched is not None else self.n_buckets
         (
@@ -1641,6 +1645,7 @@ class LakeTable:
     def vacuum(
         self, *, keep_versions: int = 2,
         changelog_keep_batches: int | None = None,
+        drop_staged: bool = False,
         dry_run: bool = False
     ) -> dict[str, Any]:
         """Garbage-collect data files no recent manifest references and
@@ -1654,6 +1659,14 @@ class LakeTable:
         survive (bounded time travel), everything else under ``data/``
         is deleted. Single-writer contract: run only while no merge is
         in flight — an uncommitted writer's files look like orphans.
+
+        Staged (write-audit-publish) commits are IN-FLIGHT, not garbage:
+        their files are pinned by default — a staged token a transaction
+        coordinator already decided to commit (txn.py) must stay
+        publishable across a vacuum. ``drop_staged=True`` abandons them
+        (manifest + files): only safe once every decided transaction has
+        been rolled forward — use ``TransactionalRouter.vacuum`` which
+        runs ``recover()`` first.
         """
         import glob
 
@@ -1675,6 +1688,17 @@ class LakeTable:
                 mv = json.load(f)
             for fs in mv["buckets"].values():
                 live.update(os.path.realpath(self._abs(p)) for p in fs)
+        staged_manifests = glob.glob(
+            os.path.join(self.root, "_manifest", "staged-*.json")
+        )
+        if not drop_staged:
+            # pin every staged commit's files: staged = in-flight WAP /
+            # a transaction participant awaiting roll-forward
+            for p in staged_manifests:
+                with open(p) as f:
+                    sm = json.load(f)
+                for fs in sm["buckets"].values():
+                    live.update(os.path.realpath(self._abs(q)) for q in fs)
         # a Bloom sidecar lives exactly as long as its data file
         live |= {p + ".bloom" for p in live}
         orphans = [
@@ -1741,12 +1765,17 @@ class LakeTable:
                     os.rmdir(d)
             for v in expired:
                 os.remove(self._manifest_path(v))
+            if drop_staged:
+                for p in staged_manifests:
+                    os.remove(p)
         return {
             "deleted_files": len(orphans),
             "expired_manifests": len(expired),
             "stale_tmp_files": len(stale_tmp),
             "orphan_changelog_dirs": len(orphan_chg),
             "kept_versions": keep,
+            "staged_manifests": len(staged_manifests),
+            "staged_dropped": drop_staged and not dry_run,
             "dry_run": dry_run,
         }
 
@@ -1982,6 +2011,12 @@ class LakeTable:
 
         version = m["version"] + 1
         rel_dir = os.path.join("data", f"v{version:08d}-b{batch_id}")
+        if not publish:
+            # staged (WAP) commits don't own a version yet: two stages
+            # can predict the same next version + batch_id, and the
+            # mode=overwrite write would clobber the earlier stage's
+            # files. Unique dir per stage; publish() adopts it as-is.
+            rel_dir += f"-stage{uuid.uuid4().hex[:8]}"
         out_dir = os.path.join(self.root, rel_dir)
 
         # target file sizing: estimate merged rows from prior stats

@@ -316,6 +316,60 @@ class TransactionalRouter:
         snap = self.snapshot()
         return self._table(topic).read(spark, version=snap[topic])
 
+    def stream(
+        self,
+        events: DataFrame,
+        checkpoint_dir: str,
+        trigger_seconds: int = 10,
+        available_now: bool = False,
+        **prepare_kwargs,
+    ):
+        """Structured Streaming entry: each micro-batch is one
+        cross-table transaction via foreachBatch (same converter
+        boundaries as TopicTableRouter.stream — raw_json/raw_format/
+        key_schema/value_schema/... ride ``prepare_kwargs``).
+        Exactly-once = Spark's checkpoint (source offsets) + the
+        transaction log: a batch replayed after a crash either
+        re-stages from scratch (no decision yet) or rolls the decided
+        publish forward — never half-applies."""
+        from transforms_for_apache_kafka_connect_spark.streaming.engine import (
+            prepare_stream_events,
+        )
+
+        events = prepare_stream_events(events, **prepare_kwargs)
+        writer = events.writeStream.foreachBatch(
+            lambda df, bid: self.apply_batch(df, bid)
+        ).option("checkpointLocation", checkpoint_dir)
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+        return writer.start()
+
+    def vacuum(self, **vacuum_kwargs) -> dict:
+        """Transaction-safe garbage collection: roll every DECIDED
+        transaction forward first (recover()), so the only staged
+        manifests left in participant tables are presumed-abort
+        leftovers — then vacuum each table with ``drop_staged=True``
+        to reclaim them. Never run concurrently with apply_batch
+        (single-coordinator contract, same as LakeTable's
+        single-writer rule)."""
+        recovered = self.recover()
+        per_table: dict[str, dict] = {}
+        for d in sorted(os.listdir(self.root)):
+            if d == "_txn":
+                continue
+            table_root = os.path.join(self.root, d)
+            if not os.path.isdir(os.path.join(table_root, "_manifest")):
+                continue
+            from transforms_for_apache_kafka_connect_spark.streaming.sink import (
+                LakeTable,
+            )
+
+            table = LakeTable(table_root, **self.table_opts)
+            per_table[d] = table.vacuum(drop_staged=True, **vacuum_kwargs)
+        return {**recovered, "tables": per_table}
+
     def replay(
         self,
         events: DataFrame,
