@@ -2057,6 +2057,129 @@ def q_lww_dedupe_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plain.unionByName(salted)
 
 
+def q_extract_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExtractTimestamp + ExtractTopic + ExtractTopicFromSchemaName in
+    one composite (5 legs, same operators as the former standalone
+    entries): ts legs are per-event (k=event_id, n=epoch millis), topic
+    legs are per-topic counts (k=topic, n=count)."""
+    ts = q_extract_timestamp_all(spark, sf_dir).select(
+        F.concat(F.lit("ts_"), F.col("variant")).alias("variant"),
+        F.col("event_id").cast("string").alias("k"),
+        F.col("ts_ms").cast("long").alias("n"),
+    )
+    topic = q_extract_topic(spark, sf_dir).select(
+        F.lit("topic").alias("variant"),
+        F.col("topic").alias("k"),
+        F.col("n").cast("long").alias("n"),
+    )
+    schema = q_extract_topic_from_schema_name_all(spark, sf_dir).select(
+        F.concat(F.lit("schema_"), F.col("variant")).alias("variant"),
+        F.col("topic").alias("k"),
+        F.col("n").cast("long").alias("n"),
+    )
+    return ts.unionByName(topic).unionByName(schema)
+
+
+def q_txn_delivery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table transactional delivery (streaming/txn.py
+    TransactionalRouter): same per-topic routing as routed_merge but
+    every batch commits ATOMICALLY across all three shard tables
+    (stage-all with publish=False -> one decision record -> publish
+    all), and the result is read through the cross-table SNAPSHOT
+    surface (`snapshot()` + `read(version=)`) so the gate checks the
+    torn-transaction-free read path, not just per-table state. Two
+    batches split at the midpoint LSN exercise the snapshot pointer
+    advancing across transactions. Oracle = per-key LWW winner + shard
+    assignment, identical to routed_merge's — proving the atomic path
+    converges to the same state as independent per-topic commits."""
+    from transforms_for_apache_kafka_connect_spark.streaming.txn import (
+        TransactionalRouter,
+    )
+
+    stream = _events_as_change_stream(spark, sf_dir)
+    shard = F.concat(
+        F.lit("s"), F.pmod(F.col("key.user_id"), F.lit(3)).cast("string")
+    )
+    stream = stream.withColumn("value", F.col("value").withField("shard", shard))
+    max_id = stream.agg(F.max("timestamp")).first()[0] or 0
+    router = TransactionalRouter(
+        root=_scratch("tkc_txn_"),
+        chain=Chain([{"type": "extract_topic", "field.name": "shard"}]),
+        epoch="driver",
+        table_opts={
+            "key_cols": ["user_id"], "n_buckets": 8,
+            "discovery": False, "merge_strategy": "broadcast",
+        },
+    )
+    mid = max_id // 2
+    router.apply_batch(stream.filter(F.col("timestamp") <= mid), 0)
+    router.apply_batch(stream.filter(F.col("timestamp") > mid), 1)
+    snap = router.snapshot()
+    parts = [
+        router.table_for(t)
+        .read(spark, version=v)
+        .select(
+            F.lit(t).alias("topic"),
+            "user_id",
+            F.col("_lsn").alias("last_event_id"),
+            "event_type",
+            "val",
+        )
+        for t, v in sorted(snap.items())
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def q_dlq_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DLQ quarantine -> chain fix -> retry_dlq (streaming/dlq.py):
+    chain v1's Hash stage errors on every DELETE envelope (after is
+    NULL), so error_mode='dlq' quarantines all deletes while the live
+    replay lands only the hashed upserts; the fixed chain (skip
+    missing-or-null) is then re-driven over the quarantine with the
+    stale-LSN guard. Final state must equal the full LWW oracle over
+    ALL events — as if the chain had been correct from the start —
+    with event_type carrying the v1 chain's sha256."""
+    from transforms_for_apache_kafka_connect_spark.streaming import retry_dlq
+
+    stream = _events_as_change_stream(spark, sf_dir)
+    max_id = stream.agg(F.max("timestamp")).first()[0] or 0
+    root = _scratch("tkc_dlq_")
+    table = LakeTable(
+        os.path.join(root, "t"), key_cols=["user_id"], n_buckets=16,
+        discovery=False, merge_strategy="broadcast",
+    )
+    dlq_dir = os.path.join(root, "dlq")
+    rep = Replayer(
+        table=table,
+        chain=Chain([{"type": "hash", "field.name": "after.event_type",
+                      "function": "sha256"}]),
+        epoch="driver", error_mode="dlq", dlq_dir=dlq_dir,
+    )
+    rep.replay(stream, batch_width=max(1, (max_id + 3) // 3),
+               max_pos=max_id + 1)
+    rep_fixed = Replayer(
+        table=table,
+        chain=Chain([{"type": "hash", "field.name": "after.event_type",
+                      "function": "sha256",
+                      "skip.missing.or.null": True}]),
+        epoch="driver",
+    )
+    retry_dlq(
+        spark, dlq_dir, replayer=rep_fixed,
+        key_type=stream.schema["key"].dataType,
+        value_type=stream.schema["value"].dataType,
+    )
+    return table.read(spark).select(
+        "user_id",
+        F.col("_lsn").alias("last_event_id"),
+        F.col("event_type").alias("event_type_sha"),
+        "val",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_cdc_merge(spark, "/root/testdata/sf0.001")
@@ -2075,6 +2198,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # relational_core and text_stats/lang_id/quality_score into
     # text_analysis, freeing the slots now holding asof_join,
     # range_join, scd2_history and time_travel.
+    # r04c: extract_timestamp/extract_topic/
+    # extract_topic_from_schema_name folded into extract_ops (all five
+    # legs preserved), freeing the slots now holding txn_delivery and
+    # dlq_retry.
     return {
         "hash": q_hash_all,
         "concat_fields": q_concat_fields,
@@ -2094,8 +2221,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "relay_envelope": q_relay_envelope,
         "media_decode": q_media_decode,
         "filter_by_field_value": q_filter_by_field_value_all,
-        "extract_timestamp": q_extract_timestamp_all,
-        "extract_topic": q_extract_topic,
+        "extract_ops": q_extract_ops,
+        "txn_delivery": q_txn_delivery,
+        "dlq_retry": q_dlq_retry,
         "tombstone_chain": q_tombstone_all,
         "key_to_value": q_key_to_value,
         "money_converter": q_money,
@@ -2115,7 +2243,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "scd2_history": q_scd2_history,
         "time_travel": q_time_travel,
-        "extract_topic_from_schema_name": q_extract_topic_from_schema_name_all,
         "dedupe_exact_fp": q_dedupe_exact_fp,
         "time_rollup": q_time_rollup,
         "text_analysis": q_text_analysis,
@@ -2209,16 +2336,42 @@ def oracle_sql() -> dict[str, str]:
             "CAST(NULL AS VARCHAR) AS event_type, CAST(NULL AS VARCHAR) AS user_id "
             "FROM documents WHERE regexp_matches(text, 'data')"
         ),
-        "extract_timestamp": (
-            "SELECT 'ms' AS variant, event_id, epoch_ms(ts) AS ts_ms FROM events "
+        "extract_ops": (
+            "SELECT 'ts_ms' AS variant, CAST(event_id AS VARCHAR) AS k, "
+            "epoch_ms(ts) AS n FROM events "
             "UNION ALL "
-            "SELECT 'seconds' AS variant, event_id, "
-            "epoch_ms(ts) // 1000 * 1000 AS ts_ms FROM events"
+            "SELECT 'ts_seconds' AS variant, CAST(event_id AS VARCHAR) AS k, "
+            "epoch_ms(ts) // 1000 * 1000 AS n FROM events "
+            "UNION ALL "
+            "SELECT 'topic' AS variant, "
+            "CASE WHEN event_type IS NULL OR event_type = '' "
+            "THEN 'original_topic' ELSE event_type END AS k, "
+            "count(*) AS n FROM events GROUP BY 1, 2 "
+            "UNION ALL "
+            "SELECT 'schema_regex' AS variant, "
+            "regexp_extract('com.acme.schema.' || source, "
+            "'(?:[.]|^)([^.]*)$', 1) AS k, count(*) AS n "
+            "FROM documents GROUP BY 1, 2 "
+            "UNION ALL "
+            "SELECT 'schema_map' AS variant, "
+            "CASE WHEN source = 'src0' THEN 'zero_topic' "
+            "WHEN source = 'src1' THEN 'one_topic' "
+            "ELSE 'com.acme.' || source END AS k, count(*) AS n "
+            "FROM documents GROUP BY 1, 2"
         ),
-        "extract_topic": (
-            "SELECT CASE WHEN event_type IS NULL OR event_type = '' "
-            "THEN 'original_topic' ELSE event_type END AS topic, "
-            "count(*) AS n FROM events GROUP BY 1"
+        "txn_delivery": (
+            "SELECT 's' || (user_id % 3) AS topic, user_id, "
+            "event_id AS last_event_id, event_type, value AS val "
+            "FROM (SELECT *, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events) t "
+            "WHERE rn = 1 AND event_type <> 'error'"
+        ),
+        "dlq_retry": (
+            "SELECT user_id, event_id AS last_event_id, "
+            "sha256(event_type) AS event_type_sha, value AS val "
+            "FROM (SELECT *, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events) t "
+            "WHERE rn = 1 AND event_type <> 'error'"
         ),
         "tombstone_chain": (
             "SELECT 'handler' AS variant, event_type, count(*) AS n FROM events "
@@ -2389,18 +2542,6 @@ def oracle_sql() -> dict[str, str]:
             "SELECT *, row_number() OVER (PARTITION BY user_id "
             "ORDER BY event_id DESC) AS rn FROM events) t "
             "WHERE rn = 1 AND event_type <> 'error'"
-        ),
-        "extract_topic_from_schema_name": (
-            "SELECT 'regex' AS variant, "
-            "regexp_extract('com.acme.schema.' || source, "
-            "'(?:[.]|^)([^.]*)$', 1) AS topic, count(*) AS n "
-            "FROM documents GROUP BY 1, 2 "
-            "UNION ALL "
-            "SELECT 'map' AS variant, "
-            "CASE WHEN source = 'src0' THEN 'zero_topic' "
-            "WHEN source = 'src1' THEN 'one_topic' "
-            "ELSE 'com.acme.' || source END AS topic, count(*) AS n "
-            "FROM documents GROUP BY 1, 2"
         ),
         "dedupe_exact_fp": (
             f"WITH b AS ({_DUPS_SQL}), "

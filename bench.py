@@ -483,6 +483,8 @@ def time_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
         "json_boundary": entrymod.q_json_boundary,
         "lang_id": entrymod.q_lang_id,
         "dedup_exact": entrymod.q_dedup_exact,
+        # r04c: folded into extract_ops; same single-variant timed plan
+        "extract_topic": entrymod.q_extract_topic,
     }
     names = [
         "chain_fused", "hash", "filter_by_field_value_exact",
@@ -507,11 +509,14 @@ def time_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
         # r04 query layer: point-in-time join, SCD2 build, continuous
         # time rollup (replay + 2-granularity maintenance, build-incl.)
         "asof_join", "scd2_history", "time_rollup",
+        # r04c: cross-table atomic delivery + DLQ quarantine->retry
+        # (both replay + table-build harnesses, build-inclusive)
+        "txn_delivery", "dlq_retry",
     ]
     build_inclusive = {
         "cdc_merge", "cdc_merge_mor", "data_skipping", "routed_merge",
         "lookup_many", "cdc_bootstrap", "incremental_agg", "cdc_second_hop",
-        "time_rollup",
+        "time_rollup", "txn_delivery", "dlq_retry",
     }
     scratch = entrymod.scratch_base() or tempfile.gettempdir()
     qs = entrymod.queries()
@@ -601,7 +606,8 @@ def main() -> None:
                 "build_inclusive_queries": [
                     "cdc_merge", "cdc_merge_mor", "data_skipping",
                     "routed_merge", "lookup_many", "cdc_bootstrap",
-                    "incremental_agg", "cdc_second_hop",
+                    "incremental_agg", "cdc_second_hop", "time_rollup",
+                    "txn_delivery", "dlq_retry",
                 ],
                 # per-leg scratch-root + bare-write ceiling taken right
                 # before each build-inclusive leg (verdict r03 item 1:
