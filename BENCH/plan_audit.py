@@ -313,6 +313,22 @@ def main() -> None:
           and "Sort" in p and ", false, " in p.split("Sort")[1][:120],
           f"exchanges={p0.count('Exchange')}->{p.count('Exchange')}")
 
+    # 13b. z-order layout: the Morton key is a pure Column expression —
+    # sorting by it must add zero exchanges and zero Python evals on
+    # top of the same bucket repartition
+    from transforms_for_apache_kafka_connect_spark.streaming.sink import (
+        _zorder_key,
+    )
+
+    zw = unsorted.sortWithinPartitions(
+        _F.col(BUCKET_COL), _zorder_key(cdf, ["_lsn", "val"], bits=6)
+    )
+    pz = plan_of(zw)
+    check("zorder compaction: morton key adds zero exchanges, no Python",
+          pz.count("Exchange") == p0.count("Exchange")
+          and "EvalPython" not in pz,
+          f"exchanges={p0.count('Exchange')}->{pz.count('Exchange')}")
+
     # 14. Bloom sidecars: a point lookup on hash-ordered MoR delta
     # files (identical zone-map ranges) reads fewer files than the
     # bucket holds — the prune zone maps cannot provide

@@ -812,13 +812,28 @@ def q_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rep = Replayer(table=table, chain=Chain([]), epoch="driver")
     rep.replay(stream, batch_width=max(1, (max_id + 3) // 3), max_pos=max_id + 1)
-    final = table.read(spark, where=[("_lsn", ">=", max_id // 2)])
-    return final.select(
+    plain = table.read(spark, where=[("_lsn", ">=", max_id // 2)]).select(
+        F.lit("zonemap").alias("variant"),
         "user_id",
         F.col("_lsn").alias("last_event_id"),
         "event_type",
         "val",
     )
+    # z-order leg: the SAME pruned read after a Morton-clustered full
+    # rewrite (compact layout='zorder' over (_lsn, val)) — proves the
+    # multi-dimensional layout is pure layout (contents identical) and
+    # the pruned read still matches the full-scan oracle
+    table.compact(
+        spark, all_buckets=True, sort_cols=["_lsn", "val"], layout="zorder",
+    )
+    zordered = table.read(spark, where=[("_lsn", ">=", max_id // 2)]).select(
+        F.lit("zorder").alias("variant"),
+        "user_id",
+        F.col("_lsn").alias("last_event_id"),
+        "event_type",
+        "val",
+    )
+    return plain.unionByName(zordered)
 
 
 def q_cdc_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2456,11 +2471,14 @@ def oracle_sql() -> dict[str, str]:
             "AND user_id BETWEEN 1 AND 20"
         ),
         "data_skipping": (
-            "SELECT user_id, event_id AS last_event_id, event_type, value AS val "
+            "WITH lww AS (SELECT user_id, event_id AS last_event_id, "
+            "event_type, value AS val "
             "FROM (SELECT *, row_number() OVER "
             "(PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events) t "
             "WHERE rn = 1 AND event_type <> 'error' "
-            "AND event_id >= (SELECT MAX(event_id) // 2 FROM events)"
+            "AND event_id >= (SELECT MAX(event_id) // 2 FROM events)) "
+            "SELECT 'zonemap' AS variant, * FROM lww "
+            "UNION ALL SELECT 'zorder' AS variant, * FROM lww"
         ),
         "cdc_merge_mor": (
             "SELECT user_id, event_id AS last_event_id, event_type, value AS val "

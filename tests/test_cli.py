@@ -330,6 +330,21 @@ def test_cli_blooms_and_sorted_compact(spark, tmp_path, capsys):
                         "--compact-all-buckets", "--compact-no-sort"]) == 0
     capsys.readouterr()
 
+    # z-order layout over two payload columns; contents must survive
+    before = sorted(
+        (r["repo"], r["path"], r["_lsn"])
+        for r in table.read(spark).collect()
+    )
+    assert main(base + ["--maintenance", "compact", "--compact-all-buckets",
+                        "--compact-layout", "zorder",
+                        "--compact-sort-cols", "_lsn,repo"]) == 0
+    after = sorted(
+        (r["repo"], r["path"], r["_lsn"])
+        for r in LakeTable(root, n_buckets=4).read(spark).collect()
+    )
+    assert after == before
+    capsys.readouterr()
+
 
 def test_cli_routed_mode(spark, tmp_path, capsys):
     import json as _json

@@ -460,3 +460,95 @@ def test_table_stats_tracks_mor_and_blooms(spark, tmp_path):
     assert s["bloom_files"] == s["total_files"] > 0
     assert s["committed_batches"] == 2
     assert s["live_versions"] >= 2
+
+
+# ----------------------------------------------------------- z-order
+
+
+def _env_ab(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "topic string, partition int, key struct<pid:bigint>, "
+        "value struct<op:string,lsn:bigint,ts_ms:bigint,"
+        "after:struct<a:bigint,b:bigint>>, "
+        "timestamp long, headers map<string,string>",
+    )
+
+
+def _grid_table(spark, root, *, layout, n_side=64, files_per_bucket=16):
+    """4096 keys on an independent (a, b) grid, 2 buckets, then a full
+    clustering rewrite under the given layout. Returns the table."""
+    n = n_side * n_side
+    table = LakeTable(
+        str(root), key_cols=["pid"], n_buckets=2,
+        discovery=False, merge_strategy="broadcast",
+        target_rows_per_file=n // 2 // files_per_bucket,
+    )
+    rows = [
+        ("t", 0, (i,), ("c", i + 1, i + 1, (i % n_side, i // n_side)),
+         i + 1, None)
+        for i in range(n)
+    ]
+    rep = Replayer(table=table, chain=Chain([]), epoch="e1")
+    rep.apply_batch(_env_ab(spark, rows), 0)
+    table.compact(
+        spark, all_buckets=True, sort_cols=["a", "b"], layout=layout,
+    )
+    return table
+
+
+def _files_read(table, spark, col, lo):
+    table.read(spark, where=[(col, ">=", lo)]).count()
+    p = table.last_prune
+    return p["files_read"], p["files_total"]
+
+
+def test_zorder_prunes_on_every_clustered_dimension(spark, tmp_path):
+    """The point of z-order: a linear (a, b) sort tightens zone maps
+    only on `a` — a `b` predicate scans every file; the Morton layout
+    prunes substantially on BOTH, and contents are untouched."""
+    zt = _grid_table(spark, tmp_path / "z", layout="zorder")
+    lt = _grid_table(spark, tmp_path / "l", layout="linear")
+
+    # content identity: clustering is layout, not data
+    zrows = sorted(
+        (r["pid"], r["a"], r["b"]) for r in zt.read(spark).collect()
+    )
+    lrows = sorted(
+        (r["pid"], r["a"], r["b"]) for r in lt.read(spark).collect()
+    )
+    assert zrows == lrows and len(zrows) == 64 * 64
+
+    # leading column: both layouts prune hard
+    z_a, z_tot = _files_read(zt, spark, "a", 48)
+    l_a, l_tot = _files_read(lt, spark, "a", 48)
+    assert z_a < z_tot and l_a < l_tot
+
+    # second column: linear reads ~everything, z-order keeps pruning
+    z_b, _ = _files_read(zt, spark, "b", 48)
+    l_b, _ = _files_read(lt, spark, "b", 48)
+    assert l_b == l_tot  # lexicographic: b-range per file is full-width
+    assert z_b <= z_tot // 2  # morton: b-range per file is a tile
+    # and both-dimension predicates compose
+    zt.read(
+        spark, where=[("a", ">=", 48), ("b", ">=", 48)]
+    ).count()
+    assert zt.last_prune["files_read"] <= z_tot // 4
+
+
+def test_zorder_validations(spark, tmp_path):
+    table = _seed(spark, tmp_path / "t", n=8)
+    with pytest.raises(ValueError, match="zorder"):
+        table.compact(spark, all_buckets=True, layout="zorder")
+    with pytest.raises(ValueError, match="zorder"):
+        table.compact(
+            spark, all_buckets=True, sort_cols=["path"], layout="zorder"
+        )
+    with pytest.raises(ValueError, match="linear"):
+        table.compact(spark, all_buckets=True, layout="diagonal")
+    from transforms_for_apache_kafka_connect_spark.streaming.sink import (
+        _zorder_key,
+    )
+
+    with pytest.raises(ValueError, match="bits"):
+        _zorder_key(table.read(spark), ["repo", "path"], bits=0)

@@ -136,6 +136,13 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--compact-no-sort", action="store_true",
                     help="with --maintenance compact: skip the key "
                          "clustering sort while rewriting buckets")
+    ap.add_argument("--compact-layout", default="linear",
+                    choices=["linear", "zorder"],
+                    help="with --maintenance compact: in-bucket file "
+                         "layout — 'zorder' Morton-interleaves >= 2 "
+                         "--compact-sort-cols so zone maps prune on "
+                         "every clustered dimension (Delta OPTIMIZE "
+                         "ZORDER analog)")
     ap.add_argument("--compact-all-buckets", action="store_true",
                     help="with --maintenance compact: rewrite every bucket "
                          "(graduates a merge-on-read table to plain reads)")
@@ -251,6 +258,7 @@ def main(argv: list[str] | None = None) -> int:
                      if c.strip()]
                     if args.compact_sort_cols else None
                 ),
+                layout=args.compact_layout,
             )
         elif args.maintenance == "vacuum":
             r = table.vacuum(

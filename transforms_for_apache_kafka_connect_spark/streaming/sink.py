@@ -296,6 +296,65 @@ def _file_matches(stats: dict, where) -> bool:
     return True
 
 
+def _zorder_key(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    bits: int = 6,
+    sample_rows: int = 20_000,
+    total_rows: int | None = None,
+):
+    """Interleaved-bit (Morton / z-order) sort expression over
+    range-bucketed columns — the Delta ``OPTIMIZE ZORDER BY`` layout
+    analog for multi-dimensional zone-map pruning.
+
+    A lexicographic sort only tightens zone maps on the LEADING sort
+    column; predicates on the second column still touch every file.
+    Z-ordering buckets each column into ``2**bits`` cells by sampled
+    range boundaries (the same bounded-sample technique Spark's own
+    RangePartitioner uses, so it works for ANY orderable type — ints,
+    doubles, strings, dates) and interleaves the cell ids' bits: rows
+    close in the z-key are close in EVERY clustered dimension and each
+    written file covers a narrow min/max range on all of them.
+
+    Everything row-side is pure codegen'd Column expressions: the cell
+    id is a fold over the literal cut array (count of cuts <= value,
+    in the column's OWN comparison order; NULLs land in cell 0 =
+    nulls-first), the interleave is shift/and/or terms. No shuffle, no
+    Python, no extra exchange. Driver-side cost is one bounded sample
+    job (<= ``sample_rows`` rows across all columns). The layout
+    choice is maintenance metadata, not data: sampled cuts may vary
+    with the seed's view of the data, content never does."""
+    if not 1 <= bits <= 12:
+        raise ValueError("zorder bits must be in [1, 12]")
+    n_cells = 1 << bits
+    if total_rows is None:
+        total_rows = df.count()
+    frac = min(1.0, sample_rows / max(total_rows, 1))
+    sampled = df.select(*cols).sample(False, frac, seed=42).collect()
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        vals = sorted(v for v in (r[c] for r in sampled) if v is not None)
+        # de-duplicated evenly-spaced boundaries; an all-null or
+        # constant column yields no cuts and contributes nothing
+        cuts = sorted({
+            vals[(len(vals) * k) // n_cells] for k in range(1, n_cells)
+        }) if vals else []
+        if not cuts:
+            continue
+        v = F.col(c)
+        cell = F.aggregate(
+            F.lit(cuts),
+            F.lit(0),
+            lambda acc, x: acc
+            + F.when(v >= x, F.lit(1)).otherwise(F.lit(0)),
+        )
+        for j in range(bits):
+            bit = F.shiftright(cell, j).bitwiseAND(F.lit(1)).cast("long")
+            z = z.bitwiseOR(F.shiftleft(bit, j * len(cols) + i))
+    return z
+
+
 @dataclass
 class LakeTable:
     root: str
@@ -1469,6 +1528,8 @@ class LakeTable:
         all_buckets: bool = False,
         sort: bool = True,
         sort_cols: list[str] | None = None,
+        layout: str = "linear",
+        zorder_bits: int = 6,
     ) -> dict[str, Any]:
         """Rewrite buckets whose live file count exceeds the threshold
         into ``target_rows_per_file``-sized files.
@@ -1492,6 +1553,14 @@ class LakeTable:
         Merge batches deliberately skip this sort (the broadcast path
         is exchange-free by design) — layout is maintenance's job.
 
+        ``layout="zorder"`` replaces the lexicographic in-bucket sort
+        with a Morton-interleaved key over ``sort_cols`` (see
+        ``_zorder_key``): use it when reads filter on SEVERAL
+        independent columns — a linear sort tightens zone maps only on
+        the leading column, z-order tightens all of them at the cost of
+        each being coarser. Two or more ``sort_cols`` required (with
+        one, linear is strictly better).
+
         ``all_buckets=True`` rewrites every live bucket regardless of
         file count. On a merge-on-read table this fully folds all delta
         files, so the commit also CLEARS the ``mor`` flag — subsequent
@@ -1501,6 +1570,13 @@ class LakeTable:
         un-compacted delta file can still hold several versions of a
         key.
         """
+        if layout not in ("linear", "zorder"):
+            raise ValueError("layout must be 'linear' or 'zorder'")
+        if layout == "zorder" and (not sort or len(sort_cols or []) < 2):
+            raise ValueError(
+                "layout='zorder' requires sort=True and >= 2 sort_cols "
+                "(with one column a linear sort prunes strictly better)"
+            )
         m = self.manifest()
         if all_buckets:
             over = sorted(int(b) for b, fs in m["buckets"].items() if fs)
@@ -1529,9 +1605,18 @@ class LakeTable:
             # Still sortWithinPartitions: no exchange beyond the bucket
             # repartition either way.
             cluster = sort_cols if sort_cols else list(self.key_cols)
-            writer_df = writer_df.sortWithinPartitions(
-                F.col(BUCKET_COL), *[F.col(c) for c in cluster]
-            )
+            if layout == "zorder":
+                writer_df = writer_df.sortWithinPartitions(
+                    F.col(BUCKET_COL),
+                    _zorder_key(
+                        df, cluster, bits=zorder_bits,
+                        total_rows=(m.get("stats") or {}).get("total_rows"),
+                    ),
+                )
+            else:
+                writer_df = writer_df.sortWithinPartitions(
+                    F.col(BUCKET_COL), *[F.col(c) for c in cluster]
+                )
         (
             writer_df
             .write.mode("overwrite")
