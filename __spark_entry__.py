@@ -1216,9 +1216,65 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "bucket_ms",
                 "n_rows",
                 F.round(F.col("sum_val"), 4).alias("sum_val"),
+                # sentinel, not NULL: NULL bigint round-trips as NaN
+                # through the harness's pandas conversion
+                F.lit(-1).cast("long").alias("distinct_users"),
             )
         )
-    return legs[0].unionByName(legs[1])
+    # distinct legs: an append-only rollup (events keyed by their own
+    # id — pure inserts, so the HLL exactness guard holds) maintaining
+    # APPROX_COUNT_DISTINCT(user_id) per bucket. At gate scale the
+    # sketch is still in its exact (list/set) regime, so the oracle is
+    # plain COUNT(DISTINCT user_id) over ALL events.
+    ev = _read(spark, sf_dir, "events")
+    ts_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    after2 = F.struct(
+        F.col("user_id").alias("user_id"),
+        F.col("value").alias("val"),
+        ts_ms.alias("ts_ms"),
+    )
+    stream2 = ev.select(
+        F.lit("events").alias("topic"),
+        F.lit(0).cast("int").alias("partition"),
+        F.struct(F.col("event_id").alias("event_id")).alias("key"),
+        F.struct(
+            F.lit("c").alias("op"),
+            F.col("event_id").alias("lsn"),
+            ts_ms.alias("ts_ms"),
+            F.lit(None).cast(
+                "struct<user_id:bigint,val:double,ts_ms:bigint>"
+            ).alias("before"),
+            after2.alias("after"),
+        ).alias("value"),
+        F.col("event_id").alias("timestamp"),
+        F.lit(None).cast("map<string,string>").alias("headers"),
+    )
+    table2 = LakeTable(
+        os.path.join(root, "t2"), key_cols=["event_id"], n_buckets=16,
+        discovery=False, merge_strategy="broadcast", changelog=True,
+    )
+    roll2 = TimeRollup(
+        root=os.path.join(root, "roll2"), time_col="ts_ms",
+        granularities=["1 hour", "1 day"], distinct_cols=["user_id"],
+    )
+    rep2 = Replayer(table=table2, chain=Chain([]), epoch="driver",
+                    maintain=roll2.specs)
+    rep2.replay(stream2, batch_width=max(1, (max_id + 3) // 3),
+                max_pos=max_id + 1)
+    for name, gran in (("distinct_hour", "1 hour"), ("distinct_day", "1 day")):
+        legs.append(
+            roll2.read(spark, gran).select(
+                F.lit(name).alias("variant"),
+                "bucket_ms",
+                "n_rows",
+                F.lit(-1.0).alias("sum_val"),
+                F.col("approx_distinct_user_id").alias("distinct_users"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
 
 
 def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2583,12 +2639,28 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY user_id ORDER BY event_id DESC) AS rn "
             "FROM events) t WHERE rn = 1 AND event_type <> 'error') "
             "SELECT 'hour' AS variant, ts_ms - (ts_ms % 3600000) AS bucket_ms, "
-            "count(*) AS n_rows, round(sum(value), 4) AS sum_val "
+            "count(*) AS n_rows, round(sum(value), 4) AS sum_val, "
+            "CAST(-1 AS BIGINT) AS distinct_users "
             "FROM lww GROUP BY 1, 2 "
             "UNION ALL "
             "SELECT 'day' AS variant, ts_ms - (ts_ms % 86400000) AS bucket_ms, "
-            "count(*) AS n_rows, round(sum(value), 4) AS sum_val "
-            "FROM lww GROUP BY 1, 2"
+            "count(*) AS n_rows, round(sum(value), 4) AS sum_val, "
+            "CAST(-1 AS BIGINT) AS distinct_users "
+            "FROM lww GROUP BY 1, 2 "
+            # distinct legs: append-only rollup over ALL events; the
+            # maintained HLL sketch is exact at this cardinality
+            "UNION ALL "
+            "SELECT 'distinct_hour' AS variant, "
+            "epoch_ms(ts) - (epoch_ms(ts) % 3600000) AS bucket_ms, "
+            "count(*) AS n_rows, -1.0 AS sum_val, "
+            "count(DISTINCT user_id) AS distinct_users "
+            "FROM events GROUP BY 1, 2 "
+            "UNION ALL "
+            "SELECT 'distinct_day' AS variant, "
+            "epoch_ms(ts) - (epoch_ms(ts) % 86400000) AS bucket_ms, "
+            "count(*) AS n_rows, -1.0 AS sum_val, "
+            "count(DISTINCT user_id) AS distinct_users "
+            "FROM events GROUP BY 1, 2"
         ),
         "text_analysis": (
             # r04 composite: text_stats + lang_id + quality_score legs

@@ -170,3 +170,160 @@ def test_rollup_rejects_bad_config(tmp_path):
     with pytest.raises(KeyError):
         TimeRollup(root=str(tmp_path), time_col="ts",
                    granularities=["1 hour"]).table("1 day")
+
+
+# ----------------------------------------------------- HLL distinct
+
+
+def _roll_distinct(tmp_path, name, **kw):
+    return TimeRollup(
+        root=str(tmp_path / name), time_col="ts_ms",
+        granularities=["1 hour", "1 day"], distinct_cols=["k"], **kw,
+    )
+
+
+def _distinct_state(spark, roll, gran):
+    return {
+        r["bucket_ms"]: (r["n_rows"], r["approx_distinct_k"])
+        for r in roll.read(spark, gran).collect()
+    }
+
+
+def test_rollup_distinct_tracks_exact_on_append(spark, tmp_path):
+    """Append-only stream: the maintained HLL estimate equals the exact
+    per-bucket COUNT(DISTINCT k) (small cardinalities are exact)."""
+    # unique keys -> pure inserts; the distinct column is `val`, which
+    # repeats within and across buckets (distinct < count per bucket)
+    events = [
+        (i + 1, f"k{i}", "u", float(i % 7), BASE + (i % 5) * HOUR + i)
+        for i in range(40)
+    ]
+    table = LakeTable(str(tmp_path / "t"), key_cols=["k"], n_buckets=4,
+                      merge_strategy="broadcast", changelog=True,
+                      discovery=False)
+    roll = TimeRollup(
+        root=str(tmp_path / "roll"), time_col="ts_ms",
+        granularities=["1 hour", "1 day"], distinct_cols=["val"],
+    )
+    rep = Replayer(table=table, chain=Chain([]), epoch="e",
+                   maintain=roll.specs)
+    rep.replay(_env(spark, events), batch_width=20, start_pos=0,
+               max_pos=41)
+    for gran in ("1 hour", "1 day"):
+        exact = {
+            r[0]: r[1]
+            for r in table.read(spark)
+            .groupBy(time_bucket("ts_ms", gran))
+            .agg(F.countDistinct("val").alias("d"))
+            .collect()
+        }
+        got = {
+            r["bucket_ms"]: r["approx_distinct_val"]
+            for r in roll.read(spark, gran).collect()
+        }
+        assert got == exact and exact
+
+
+def test_rollup_distinct_same_bucket_update_is_exact(spark, tmp_path):
+    """An update that keeps (bucket, k) nets to zero — allowed under
+    on_retraction='error' and the estimate stays exact."""
+    table = LakeTable(str(tmp_path / "t"), key_cols=["k"], n_buckets=2,
+                      merge_strategy="broadcast", changelog=True,
+                      discovery=False)
+    roll = _roll_distinct(tmp_path, "roll")
+    rep = Replayer(table=table, chain=Chain([]), epoch="e",
+                   maintain=roll.specs)
+    # batch 0 inserts; batch 1 updates the same keys in the same hour
+    # bucket with new values
+    rep.replay(_env(spark, [
+        (1, "a", "u", 1.0, BASE + 10),
+        (2, "b", "u", 2.0, BASE + 20),
+        (11, "a", "u", 9.0, BASE + 30),
+        (12, "b", "u", 8.0, BASE + 40),
+    ]), batch_width=10, start_pos=0, max_pos=20)
+    assert _distinct_state(spark, roll, "1 hour") == {BASE: (2, 2)}
+
+
+def test_rollup_distinct_error_on_member_leaving(spark, tmp_path):
+    """A timestamp move across buckets retracts the member from its old
+    bucket: on_retraction='error' (default) must refuse the batch."""
+    table = LakeTable(str(tmp_path / "t"), key_cols=["k"], n_buckets=2,
+                      merge_strategy="broadcast", changelog=True,
+                      discovery=False)
+    roll = _roll_distinct(tmp_path, "roll")
+    rep = Replayer(table=table, chain=Chain([]), epoch="e",
+                   maintain=roll.specs)
+    # batch 0 inserts, batch 1 moves the timestamp across buckets
+    with pytest.raises(ValueError, match="cannot forget"):
+        rep.replay(_env(spark, [
+            (1, "a", "u", 1.0, BASE + 10),
+            (11, "a", "u", 2.0, BASE + DAY),
+        ]), batch_width=10, start_pos=0, max_pos=20)
+    # a delete is a retraction too
+    roll2 = _roll_distinct(tmp_path, "roll2")
+    table2 = LakeTable(str(tmp_path / "t2"), key_cols=["k"], n_buckets=2,
+                       merge_strategy="broadcast", changelog=True,
+                       discovery=False)
+    rep2 = Replayer(table=table2, chain=Chain([]), epoch="e",
+                    maintain=roll2.specs)
+    with pytest.raises(ValueError, match="cannot forget"):
+        rep2.replay(_env(spark, [
+            (1, "a", "u", 1.0, BASE + 10),
+            (11, "a", "d", None, 0),
+        ]), batch_width=10, start_pos=0, max_pos=20)
+
+
+def test_rollup_distinct_stale_mode_is_upper_bound(spark, tmp_path):
+    """on_retraction='stale': the fold proceeds; the moved member stays
+    counted in its old bucket (distinct-ever-seen) and appears in the
+    new one."""
+    table = LakeTable(str(tmp_path / "t"), key_cols=["k"], n_buckets=2,
+                      merge_strategy="broadcast", changelog=True,
+                      discovery=False)
+    roll = _roll_distinct(tmp_path, "roll", on_retraction="stale")
+    rep = Replayer(table=table, chain=Chain([]), epoch="e",
+                   maintain=roll.specs)
+    rep.replay(_env(spark, [
+        (1, "a", "u", 1.0, BASE + 10),
+        (2, "b", "u", 1.0, BASE + 20),
+        (11, "a", "u", 2.0, BASE + DAY),
+    ]), batch_width=10, start_pos=0, max_pos=20)
+    got = _distinct_state(spark, roll, "1 day")
+    # old day bucket: n_rows says 1 (b), distinct-ever says 2 (a stayed)
+    assert got[BASE] == (1, 2)
+    assert got[BASE + DAY] == (1, 1)
+
+
+def test_rollup_distinct_sketches_merge_up(spark, tmp_path):
+    """Mergeability: unioning the HOUR sketches inside each day equals
+    the maintained DAY estimates — the property that lets ad-hoc
+    coarser windows derive from finer rollups without a base rescan."""
+    events = [
+        (i + 1, f"u{i}", "u", float(i % 11), BASE + (i % 30) * HOUR + i)
+        for i in range(60)
+    ]
+    table = LakeTable(str(tmp_path / "t"), key_cols=["k"], n_buckets=4,
+                      merge_strategy="broadcast", changelog=True,
+                      discovery=False)
+    roll = TimeRollup(
+        root=str(tmp_path / "roll"), time_col="ts_ms",
+        granularities=["1 hour", "1 day"], distinct_cols=["val"],
+    )
+    rep = Replayer(table=table, chain=Chain([]), epoch="e",
+                   maintain=roll.specs)
+    rep.replay(_env(spark, events), batch_width=30, start_pos=0,
+               max_pos=61)
+    hour = roll.read_sketches(spark, "1 hour")
+    folded = {
+        r[0]: r[1]
+        for r in hour.groupBy(time_bucket("bucket_ms", "1 day"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("hll_val")).alias("d")
+        )
+        .collect()
+    }
+    day = {
+        r["bucket_ms"]: r["approx_distinct_val"]
+        for r in roll.read(spark, "1 day").collect()
+    }
+    assert folded == day and len(day) >= 2

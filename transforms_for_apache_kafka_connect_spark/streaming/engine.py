@@ -237,6 +237,8 @@ class Replayer:
                 sum_cols=spec.sum_cols,
                 count_col=spec.count_col,
                 derived=getattr(spec, "derived", None),
+                distinct_cols=getattr(spec, "distinct_cols", None),
+                on_retraction=getattr(spec, "on_retraction", "error"),
                 epoch=self.epoch,
                 batch_id=batch_id,
             )

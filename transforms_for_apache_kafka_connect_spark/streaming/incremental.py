@@ -21,6 +21,22 @@ deliberately not offered: a retracted current-min requires a rescan of
 the group (classic view-maintenance result), which is exactly the cost
 this module exists to avoid; run those as periodic full aggregates
 instead.
+
+``distinct_cols`` adds APPROX_COUNT_DISTINCT per group as a maintained
+HyperLogLog sketch (Spark's Datasketches ``hll_sketch_agg`` /
+``hll_union`` — mergeable, so coarser rollups can be derived from
+finer ones by unioning sketches, never by rescanning). HLL is
+insert-only (a sketch cannot forget a member), so each batch is
+guarded by an exactness criterion: if every ``(group, value)`` nets
+``>= 0`` in the batch's changelog, no member can have left any group
+and the union-only fold stays EXACT relative to a full recompute.
+A batch that violates it follows ``on_retraction``:
+
+* ``"error"`` (default) — raise; the aggregate is untouched and the
+  caller decides (recompute that rollup, or switch modes).
+* ``"stale"`` — fold anyway; estimates become *distinct-ever-seen*
+  per group, an upper bound of current distinct. For append-mostly
+  CDC topics (events, logs, facts) this is the standard trade.
 """
 
 from __future__ import annotations
@@ -50,6 +66,11 @@ class MaintainedAggregate:
     #: post-images, so retractions leave the same derived group they
     #: entered
     derived: dict = field(default_factory=dict)
+    #: per-group APPROX_COUNT_DISTINCT(col) maintained as a mergeable
+    #: HLL sketch column ``hll_<col>`` (module docstring: exactness
+    #: guard + on_retraction policy)
+    distinct_cols: list[str] = field(default_factory=list)
+    on_retraction: str = "error"
 
 
 def batch_changes(
@@ -95,6 +116,8 @@ def incremental_agg_update(
     sum_cols: list[str] | None = None,
     count_col: str = "n_rows",
     derived: dict | None = None,
+    distinct_cols: list[str] | None = None,
+    on_retraction: str = "error",
     epoch: str,
     batch_id: int,
 ) -> dict:
@@ -118,6 +141,9 @@ def incremental_agg_update(
     replay itself); re-applying a batch is a ledger no-op.
     """
     sum_cols = list(sum_cols or [])
+    distinct_cols = list(distinct_cols or [])
+    if on_retraction not in ("error", "stale"):
+        raise ValueError("on_retraction must be 'error' or 'stale'")
     spark = changes.sparkSession
     for name, expr in (derived or {}).items():
         # derived groups (e.g. time buckets) are computed identically
@@ -135,18 +161,71 @@ def incremental_agg_update(
     sign = F.when(
         F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
     ).otherwise(F.lit(-1))
+    if distinct_cols and on_retraction == "error":
+        # exactness guard: a (group, value) netting < 0 means a member
+        # may have LEFT a group — HLL cannot forget, so the union-only
+        # fold would drift. One bounded job over the batch-sized
+        # changelog, first violation short-circuits.
+        viol = (
+            nn.select(
+                *group_cols,
+                sign.alias("__s"),
+                F.explode(
+                    F.array(*[
+                        F.struct(
+                            F.lit(c).alias("c"),
+                            F.col(c).cast("string").alias("v"),
+                        )
+                        for c in distinct_cols
+                    ])
+                ).alias("cv"),
+            )
+            .filter(F.col("cv.v").isNotNull())
+            .groupBy(*group_cols, "cv.c", "cv.v")
+            .agg(F.sum("__s").alias("__net"))
+            .filter(F.col("__net") < 0)
+            .limit(1)
+            .count()
+        )
+        if viol:
+            raise ValueError(
+                f"batch ({epoch!r}, {batch_id}) retracts a distinct "
+                f"member from {distinct_cols}: HLL sketches cannot "
+                "forget. Recompute the affected rollup, or accept "
+                "distinct-ever-seen semantics with "
+                "on_retraction='stale'."
+            )
+    # sketch input: insert-side images only (the F.when nulls out
+    # retraction rows; hll_sketch_agg ignores nulls)
     delta = nn.groupBy(*group_cols).agg(
         F.sum(sign).alias("__d_n"),
         *[
             F.sum(F.col(c).cast("double") * sign).alias(f"__d_{c}")
             for c in sum_cols
         ],
+        *[
+            F.hll_sketch_agg(
+                F.when(sign == 1, F.col(c).cast("string"))
+            ).alias(f"__d_hll_{c}")
+            for c in distinct_cols
+        ],
     )
     sum_out = [f"sum_{c}" for c in sum_cols]
+    hll_out = [f"hll_{c}" for c in distinct_cols]
+    def _hll_fold(cur_col, delta_col):
+        # union is only defined over two non-null sketches; either side
+        # alone passes through (a group may see a batch with no new
+        # non-null members, or be brand new)
+        return (
+            F.when(cur_col.isNull(), delta_col)
+            .when(delta_col.isNull(), cur_col)
+            .otherwise(F.hll_union(cur_col, delta_col))
+        )
+
     m = agg_table.manifest()
     if m["schema"] is not None and m["buckets"]:
         cur = agg_table.read(spark).select(
-            *group_cols, count_col, *sum_out
+            *group_cols, count_col, *sum_out, *hll_out
         )
         # delta drives a LEFT join: only TOUCHED groups are re-emitted
         # and merged — a batch touching 3 groups of a 10^6-group
@@ -165,6 +244,10 @@ def incremental_agg_update(
                 ).alias(o)
                 for c, o in zip(sum_cols, sum_out)
             ],
+            *[
+                _hll_fold(F.col(o), F.col(f"__d_hll_{c}")).alias(o)
+                for c, o in zip(distinct_cols, hll_out)
+            ],
         )
     else:
         upd = delta.select(
@@ -173,6 +256,10 @@ def incremental_agg_update(
             *[
                 F.coalesce(F.col(f"__d_{c}"), F.lit(0.0)).alias(o)
                 for c, o in zip(sum_cols, sum_out)
+            ],
+            *[
+                F.col(f"__d_hll_{c}").alias(o)
+                for c, o in zip(distinct_cols, hll_out)
             ],
         )
     upd = upd.withColumn("__is_delete", F.col(count_col) <= 0)

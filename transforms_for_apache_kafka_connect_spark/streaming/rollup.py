@@ -96,6 +96,13 @@ class TimeRollup:
     granularities: list[str]
     group_cols: list[str] = field(default_factory=list)
     sum_cols: list[str] = field(default_factory=list)
+    #: APPROX_COUNT_DISTINCT(col) per bucket as a maintained HLL sketch
+    #: (``hll_<col>`` binary column; see incremental.py for the
+    #: exactness guard and on_retraction policy). Mergeable: a day
+    #: bucket's sketch equals the union of its hour sketches, so
+    #: ad-hoc coarser windows can be derived with ``hll_union_agg``.
+    distinct_cols: list[str] = field(default_factory=list)
+    on_retraction: str = "error"
     n_buckets: int = 4
     count_col: str = "n_rows"
     specs: list[MaintainedAggregate] = field(init=False)
@@ -124,6 +131,8 @@ class TimeRollup:
                     sum_cols=list(self.sum_cols),
                     count_col=self.count_col,
                     derived={"bucket_ms": time_bucket(self.time_col, g)},
+                    distinct_cols=list(self.distinct_cols),
+                    on_retraction=self.on_retraction,
                 )
             )
 
@@ -141,11 +150,25 @@ class TimeRollup:
         raise KeyError(granularity)
 
     def read(self, spark: SparkSession, granularity: str) -> DataFrame:
-        """Current rollup at one granularity:
-        (bucket_ms, *group_cols, count, sum_*)."""
+        """Current rollup at one granularity: (bucket_ms, *group_cols,
+        count, sum_*, approx_distinct_* estimates)."""
         return self.table(granularity).read(spark).select(
             "bucket_ms",
             *self.group_cols,
             self.count_col,
             *[f"sum_{c}" for c in self.sum_cols],
+            *[
+                # a group created solely by null members has no sketch:
+                # its distinct count is 0, not NULL
+                F.coalesce(
+                    F.hll_sketch_estimate(F.col(f"hll_{c}")), F.lit(0)
+                ).alias(f"approx_distinct_{c}")
+                for c in self.distinct_cols
+            ],
         )
+
+    def read_sketches(self, spark: SparkSession, granularity: str) -> DataFrame:
+        """Raw rollup rows INCLUDING the mergeable ``hll_<col>`` sketch
+        binaries — the input for deriving coarser ad-hoc windows:
+        ``.groupBy(coarser_bucket).agg(hll_union_agg("hll_c"))``."""
+        return self.table(granularity).read(spark)
