@@ -2128,6 +2128,65 @@ def q_lww_dedupe_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plain.unionByName(salted)
 
 
+def q_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram jaccard (MinHash-band-blocked pair generation, t=0.6) and
+    MinHash-LSH (t=0.8) near-dup pairs folded as variant legs — both
+    run the real operators; the oracle is brute-force shingle jaccard
+    at each threshold (LSH miss probability ~1e-7 at these params)."""
+    ng = q_ngram_jaccard(spark, sf_dir).select(
+        F.lit("ngram").alias("variant"), "id_a", "id_b", "jaccard"
+    )
+    mh = q_minhash_lsh(spark, sf_dir).select(
+        F.lit("minhash").alias("variant"), "id_a", "id_b", "jaccard"
+    )
+    return ng.unionByName(mh)
+
+
+def q_neardup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog-maintained LSH index (streaming/neardup_index.py):
+    replay the documents subset into a changelog table with the index
+    attached (two commits), then query the duplicate texts (ids
+    +100000) against the INDEX with exact-jaccard verification — the
+    oracle recomputes query-vs-corpus shingle jaccard brute-force."""
+    from transforms_for_apache_kafka_connect_spark.streaming import (
+        NearDupIndex,
+    )
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    root = _scratch("tkc_ndi_")
+    table = LakeTable(
+        os.path.join(root, "t"), key_cols=["doc_id"], n_buckets=8,
+        discovery=False, merge_strategy="broadcast", changelog=True,
+    )
+    index = NearDupIndex(root=os.path.join(root, "idx"),
+                         num_hashes=32, bands=16)
+    env = docs.select(
+        F.lit("docs").alias("topic"),
+        F.lit(0).cast("int").alias("partition"),
+        F.struct(F.col("doc_id").alias("doc_id")).alias("key"),
+        F.struct(
+            F.lit("c").alias("op"),
+            F.col("doc_id").alias("lsn"),
+            F.col("doc_id").alias("ts_ms"),
+            F.lit(None).cast("struct<text:string>").alias("before"),
+            F.struct(F.col("text").alias("text")).alias("after"),
+        ).alias("value"),
+        F.col("doc_id").alias("timestamp"),
+        F.lit(None).cast("map<string,string>").alias("headers"),
+    )
+    rep = Replayer(table=table, chain=Chain([]), epoch="driver",
+                   maintain=[index])
+    rep.replay(env, batch_width=150, start_pos=0, max_pos=300)
+    queries_df = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"), "text"
+    )
+    return index.near_dups_of(
+        spark, queries_df, threshold=0.8, corpus=table.read(spark)
+    ).select(
+        "query_id", "corpus_id", "jaccard"
+    )
+
+
 def q_extract_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExtractTimestamp + ExtractTopic + ExtractTopicFromSchemaName in
     one composite (5 legs, same operators as the former standalone
@@ -2317,8 +2376,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedupe_exact_fp": q_dedupe_exact_fp,
         "time_rollup": q_time_rollup,
         "text_analysis": q_text_analysis,
-        "ngram_jaccard": q_ngram_jaccard,
-        "minhash_lsh": q_minhash_lsh,
+        "jaccard_dups": q_jaccard_dups,
+        "neardup_index": q_neardup_index,
         "near_dup_clusters": q_near_dup_clusters,
         "ann_topk": q_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -2717,8 +2776,33 @@ def oracle_sql() -> dict[str, str]:
             "1.0 - least(CAST(n_punct AS DOUBLE) / n_chars * 4, 1.0) "
             "ELSE 0.0 END) * 0.5, 6) AS quality_score FROM s) tqual"
         ),
-        "ngram_jaccard": _jaccard_sql(0.6),
-        "minhash_lsh": _jaccard_sql(0.8),
+        "jaccard_dups": (
+            "SELECT 'ngram' AS variant, * FROM (" + _jaccard_sql(0.6) + ") "
+            "UNION ALL "
+            "SELECT 'minhash' AS variant, * FROM (" + _jaccard_sql(0.8) + ")"
+        ),
+        "neardup_index": (
+            # query (dup texts, ids +100000) vs corpus (doc_id < 300)
+            # brute-force word-3-gram jaccard, t=0.8
+            "WITH c AS (SELECT doc_id, text FROM documents WHERE doc_id < 300), "
+            "q AS (SELECT doc_id + 100000 AS doc_id, text FROM documents "
+            "WHERE doc_id < 50), "
+            r"tc AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') "
+            "AS w FROM c), "
+            r"tq AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') "
+            "AS w FROM q), "
+            "sc AS (SELECT doc_id, list_distinct(list_transform("
+            "range(1, greatest(len(w) - 2, 0) + 1), "
+            "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM tc), "
+            "sq AS (SELECT doc_id, list_distinct(list_transform("
+            "range(1, greatest(len(w) - 2, 0) + 1), "
+            "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM tq) "
+            "SELECT query_id, corpus_id, jaccard FROM ("
+            "SELECT sq.doc_id AS query_id, sc.doc_id AS corpus_id, "
+            "round(CAST(len(list_intersect(sq.sh, sc.sh)) AS DOUBLE) "
+            "/ len(list_distinct(list_concat(sq.sh, sc.sh))), 6) AS jaccard "
+            "FROM sq, sc) p WHERE jaccard >= 0.8"
+        ),
         "near_dup_clusters": (
             "WITH RECURSIVE pr AS (SELECT id_a, id_b FROM ("
             + _jaccard_sql(0.8)

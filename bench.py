@@ -485,6 +485,8 @@ def time_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
         "dedup_exact": entrymod.q_dedup_exact,
         # r04c: folded into extract_ops; same single-variant timed plan
         "extract_topic": entrymod.q_extract_topic,
+        # r04c: folded into jaccard_dups; same single-variant timed plan
+        "minhash_lsh": entrymod.q_minhash_lsh,
     }
     names = [
         "chain_fused", "hash", "filter_by_field_value_exact",
@@ -512,11 +514,13 @@ def time_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
         # r04c: cross-table atomic delivery + DLQ quarantine->retry
         # (both replay + table-build harnesses, build-inclusive)
         "txn_delivery", "dlq_retry",
+        # r04c: changelog-maintained LSH index (replay+index build+query)
+        "neardup_index",
     ]
     build_inclusive = {
         "cdc_merge", "cdc_merge_mor", "data_skipping", "routed_merge",
         "lookup_many", "cdc_bootstrap", "incremental_agg", "cdc_second_hop",
-        "time_rollup", "txn_delivery", "dlq_retry",
+        "time_rollup", "txn_delivery", "dlq_retry", "neardup_index",
     }
     scratch = entrymod.scratch_base() or tempfile.gettempdir()
     qs = entrymod.queries()
@@ -607,7 +611,7 @@ def main() -> None:
                     "cdc_merge", "cdc_merge_mor", "data_skipping",
                     "routed_merge", "lookup_many", "cdc_bootstrap",
                     "incremental_agg", "cdc_second_hop", "time_rollup",
-                    "txn_delivery", "dlq_retry",
+                    "txn_delivery", "dlq_retry", "neardup_index",
                 ],
                 # per-leg scratch-root + bare-write ceiling taken right
                 # before each build-inclusive leg (verdict r03 item 1:

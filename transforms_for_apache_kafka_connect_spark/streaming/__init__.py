@@ -22,6 +22,9 @@ from transforms_for_apache_kafka_connect_spark.streaming.dlq import (
     read_dlq,
     retry_dlq,
 )
+from transforms_for_apache_kafka_connect_spark.streaming.neardup_index import (
+    NearDupIndex,
+)
 from transforms_for_apache_kafka_connect_spark.streaming.rollup import (
     TimeRollup,
     granularity_ms,
@@ -53,6 +56,7 @@ __all__ = [
     "TransactionalRouter",
     "Expectation",
     "MaintainedAggregate",
+    "NearDupIndex",
     "batch_changes",
     "incremental_agg_update",
     "scd2_history",

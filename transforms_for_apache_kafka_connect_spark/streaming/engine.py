@@ -230,6 +230,14 @@ class Replayer:
             self.table, spark, epoch=self.epoch, batch_id=batch_id
         )
         for spec in self.maintain:
+            if hasattr(spec, "apply_changes"):
+                # general maintenance protocol: any derived-table
+                # maintainer (e.g. NearDupIndex) folds the batch itself,
+                # exactly-once through its own tables' ledgers
+                spec.apply_changes(
+                    changes, epoch=self.epoch, batch_id=batch_id
+                )
+                continue
             incremental_agg_update(
                 spec.table,
                 changes,
