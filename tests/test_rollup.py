@@ -327,3 +327,64 @@ def test_rollup_distinct_sketches_merge_up(spark, tmp_path):
         for r in roll.read(spark, "1 day").collect()
     }
     assert folded == day and len(day) >= 2
+
+
+def test_rollup_distinct_recompute_mode_is_exact_under_moves(spark, tmp_path):
+    """on_retraction='recompute': the full adversarial scenario —
+    timestamp moves across hour AND day buckets plus a delete — and
+    every granularity's distinct estimate still equals an exact
+    COUNT(DISTINCT k) recompute over the final state."""
+    events = [
+        (1, "a", "u", 1.0, BASE + 10),
+        (2, "b", "u", 2.0, BASE + HOUR + 10),
+        (3, "c", "u", 3.0, BASE + 20),
+        (11, "a", "u", 4.0, BASE + DAY + 50),   # a moves to next day
+        (12, "c", "u", 5.0, BASE + 30),          # same bucket, new val
+        (21, "b", "d", None, 0),                 # b deleted
+        (22, "a", "u", 6.0, BASE + DAY + 2 * HOUR),  # a moves hour
+    ]
+    table = LakeTable(str(tmp_path / "t"), key_cols=["k"], n_buckets=4,
+                      merge_strategy="broadcast", changelog=True,
+                      discovery=False)
+    roll = _roll_distinct(tmp_path, "roll", on_retraction="recompute")
+    rep = Replayer(table=table, chain=Chain([]), epoch="e",
+                   maintain=roll.specs)
+    rep.replay(_env(spark, events), batch_width=10, start_pos=0,
+               max_pos=30)
+    for gran in ("1 hour", "1 day"):
+        exact = {
+            r[0]: r[1]
+            for r in table.read(spark)
+            .groupBy(time_bucket("ts_ms", gran))
+            .agg(F.countDistinct("k").alias("d"))
+            .collect()
+        }
+        got = {b: d for b, (_, d) in _distinct_state(spark, roll, gran).items()}
+        assert got == exact and exact, gran
+    # and replaying the same events is still a no-op
+    before = _distinct_state(spark, roll, "1 day")
+    rep.replay(_env(spark, events), batch_width=10, start_pos=0,
+               max_pos=30)
+    assert _distinct_state(spark, roll, "1 day") == before
+
+
+def test_rollup_distinct_recompute_requires_base(spark, tmp_path):
+    from transforms_for_apache_kafka_connect_spark.streaming.incremental import (
+        incremental_agg_update,
+    )
+
+    agg = LakeTable(str(tmp_path / "agg"), key_cols=["g"], n_buckets=2,
+                    discovery=False, merge_strategy="broadcast")
+    chg = spark.createDataFrame(
+        [("g1", "x", "insert")], "g string, k string, _change_type string"
+    )
+    with pytest.raises(ValueError, match="base_table"):
+        incremental_agg_update(
+            agg, chg, group_cols=["g"], distinct_cols=["k"],
+            on_retraction="recompute", epoch="e", batch_id=0,
+        )
+    with pytest.raises(ValueError, match="on_retraction"):
+        incremental_agg_update(
+            agg, chg, group_cols=["g"], distinct_cols=["k"],
+            on_retraction="never", epoch="e", batch_id=0,
+        )

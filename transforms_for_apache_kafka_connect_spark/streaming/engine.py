@@ -247,6 +247,7 @@ class Replayer:
                 derived=getattr(spec, "derived", None),
                 distinct_cols=getattr(spec, "distinct_cols", None),
                 on_retraction=getattr(spec, "on_retraction", "error"),
+                base_table=self.table,
                 epoch=self.epoch,
                 batch_id=batch_id,
             )

@@ -34,6 +34,10 @@ A batch that violates it follows ``on_retraction``:
 
 * ``"error"`` (default) — raise; the aggregate is untouched and the
   caller decides (recompute that rollup, or switch modes).
+* ``"recompute"`` — rebuild ONLY the violated groups' sketches from
+  the base table's current state (broadcast-semi-join-bounded scan);
+  counts/sums stay on the exact incremental path. Exact under
+  arbitrary updates/deletes, cost proportional to affected groups.
 * ``"stale"`` — fold anyway; estimates become *distinct-ever-seen*
   per group, an upper bound of current distinct. For append-mostly
   CDC topics (events, logs, facts) this is the standard trade.
@@ -118,6 +122,7 @@ def incremental_agg_update(
     derived: dict | None = None,
     distinct_cols: list[str] | None = None,
     on_retraction: str = "error",
+    base_table: LakeTable | None = None,
     epoch: str,
     batch_id: int,
 ) -> dict:
@@ -142,8 +147,15 @@ def incremental_agg_update(
     """
     sum_cols = list(sum_cols or [])
     distinct_cols = list(distinct_cols or [])
-    if on_retraction not in ("error", "stale"):
-        raise ValueError("on_retraction must be 'error' or 'stale'")
+    if on_retraction not in ("error", "stale", "recompute"):
+        raise ValueError(
+            "on_retraction must be 'error', 'stale' or 'recompute'"
+        )
+    if on_retraction == "recompute" and distinct_cols and base_table is None:
+        raise ValueError(
+            "on_retraction='recompute' needs base_table (the maintenance "
+            "loop passes the Replayer's table automatically)"
+        )
     spark = changes.sparkSession
     for name, expr in (derived or {}).items():
         # derived groups (e.g. time buckets) are computed identically
@@ -161,12 +173,15 @@ def incremental_agg_update(
     sign = F.when(
         F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
     ).otherwise(F.lit(-1))
-    if distinct_cols and on_retraction == "error":
+    affected: list | None = None
+    if distinct_cols and on_retraction in ("error", "recompute"):
         # exactness guard: a (group, value) netting < 0 means a member
         # may have LEFT a group — HLL cannot forget, so the union-only
         # fold would drift. One bounded job over the batch-sized
-        # changelog, first violation short-circuits.
-        viol = (
+        # changelog: 'error' short-circuits on the first violation,
+        # 'recompute' collects the violating GROUPS (bounded by the
+        # batch's touched groups) for a targeted sketch rebuild.
+        viol_groups = (
             nn.select(
                 *group_cols,
                 sign.alias("__s"),
@@ -184,17 +199,21 @@ def incremental_agg_update(
             .groupBy(*group_cols, "cv.c", "cv.v")
             .agg(F.sum("__s").alias("__net"))
             .filter(F.col("__net") < 0)
-            .limit(1)
-            .count()
+            .select(*group_cols)
+            .distinct()
         )
-        if viol:
-            raise ValueError(
-                f"batch ({epoch!r}, {batch_id}) retracts a distinct "
-                f"member from {distinct_cols}: HLL sketches cannot "
-                "forget. Recompute the affected rollup, or accept "
-                "distinct-ever-seen semantics with "
-                "on_retraction='stale'."
-            )
+        if on_retraction == "error":
+            if viol_groups.limit(1).count():
+                raise ValueError(
+                    f"batch ({epoch!r}, {batch_id}) retracts a distinct "
+                    f"member from {distinct_cols}: HLL sketches cannot "
+                    "forget. Use on_retraction='recompute' (targeted "
+                    "sketch rebuild from the base table) or accept "
+                    "distinct-ever-seen semantics with "
+                    "on_retraction='stale'."
+                )
+        else:
+            affected = viol_groups.collect()
     # sketch input: insert-side images only (the F.when nulls out
     # retraction rows; hll_sketch_agg ignores nulls)
     delta = nn.groupBy(*group_cols).agg(
@@ -262,6 +281,47 @@ def incremental_agg_update(
                 for c, o in zip(distinct_cols, hll_out)
             ],
         )
+    if affected:
+        # targeted rebuild: ONLY the violated groups' sketches are
+        # recomputed, from the base table's CURRENT state (maintenance
+        # runs after the batch's merge, so "current" is exactly the
+        # post-batch truth). Derived group columns are recomputed the
+        # same way they are for changelog rows — base rows carry the
+        # same payload columns. Cost: one base scan reduced by a
+        # broadcast semi-join on the (batch-bounded) affected set;
+        # count/sum stay on the exact incremental path throughout.
+        aff_df = F.broadcast(
+            spark.createDataFrame(affected).select(*group_cols)
+        )
+        basedf = base_table.read(spark)
+        for name, expr in (derived or {}).items():
+            basedf = basedf.withColumn(name, expr)
+        rebuilt = (
+            basedf.join(aff_df, on=list(group_cols), how="leftsemi")
+            .groupBy(*group_cols)
+            .agg(
+                F.lit(True).alias("__rebuilt"),
+                *[
+                    F.hll_sketch_agg(F.col(c).cast("string")).alias(
+                        f"__r_hll_{c}"
+                    )
+                    for c in distinct_cols
+                ],
+            )
+        )
+        upd = upd.join(F.broadcast(rebuilt), on=list(group_cols), how="left")
+        for c, o in zip(distinct_cols, hll_out):
+            # rebuilt rows take the recomputed sketch VERBATIM (even
+            # NULL = zero remaining members); untouched groups keep the
+            # incremental fold. A violated group absent from `rebuilt`
+            # vanished from the base — its count hits <= 0 below and
+            # the row is deleted.
+            upd = upd.withColumn(
+                o,
+                F.when(F.col("__rebuilt"), F.col(f"__r_hll_{c}"))
+                .otherwise(F.col(o)),
+            )
+        upd = upd.drop("__rebuilt", *[f"__r_hll_{c}" for c in distinct_cols])
     upd = upd.withColumn("__is_delete", F.col(count_col) <= 0)
     return agg_table.merge(upd, epoch=epoch, batch_id=batch_id)
 
