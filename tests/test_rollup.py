@@ -388,3 +388,144 @@ def test_rollup_distinct_recompute_requires_base(spark, tmp_path):
             agg, chg, group_cols=["g"], distinct_cols=["k"],
             on_retraction="never", epoch="e", batch_id=0,
         )
+
+
+# ----------------------------------------------------- KLL quantiles
+
+
+def _roll_quant(tmp_path, name, **kw):
+    return TimeRollup(
+        root=str(tmp_path / name), time_col="ts_ms",
+        granularities=["1 hour", "1 day"], quantile_cols=["val"], **kw,
+    )
+
+
+def _quant_state(spark, roll, gran):
+    return {
+        r["bucket_ms"]: (r["p50_val"], r["p95_val"])
+        for r in roll.read(
+            spark, gran, quantiles={"val": [0.5, 0.95]}
+        ).collect()
+    }
+
+
+def _quant_recompute(spark, table, gran):
+    """From-scratch KLL over final state — same sketch function, so
+    equality is convention-free."""
+    return {
+        r[0]: (r[1], r[2])
+        for r in table.read(spark)
+        .groupBy(time_bucket("ts_ms", gran))
+        .agg(F.kll_sketch_agg_double(F.col("val").cast("double")).alias("s"))
+        .select(
+            "bucket_ms",
+            F.kll_sketch_get_quantile_double("s", F.lit(0.5)),
+            F.kll_sketch_get_quantile_double("s", F.lit(0.95)),
+        )
+        .collect()
+    }
+
+
+def test_rollup_quantiles_track_recompute_on_append(spark, tmp_path):
+    events = [
+        (i + 1, f"k{i}", "u", float((i * 7) % 23), BASE + (i % 5) * HOUR + i)
+        for i in range(60)
+    ]
+    table = LakeTable(str(tmp_path / "t"), key_cols=["k"], n_buckets=4,
+                      merge_strategy="broadcast", changelog=True,
+                      discovery=False)
+    roll = _roll_quant(tmp_path, "roll")
+    rep = Replayer(table=table, chain=Chain([]), epoch="e",
+                   maintain=roll.specs)
+    rep.replay(_env(spark, events), batch_width=20, start_pos=0,
+               max_pos=61)
+    for gran, n_buckets in (("1 hour", 5), ("1 day", 1)):
+        got = _quant_state(spark, roll, gran)
+        want = _quant_recompute(spark, table, gran)
+        assert got == want and len(got) == n_buckets, gran
+    # probes are real member values and bounded by min/max
+    probed = roll.read(spark, "1 day",
+                       quantiles={"val": [0.0, 0.5, 1.0]}).collect()
+    vals = {float((i * 7) % 23) for i in range(60)}
+    for r in probed:
+        assert r["p0_val"] <= r["p50_val"] <= r["p100_val"]
+        assert r["p50_val"] in vals
+
+
+def test_rollup_quantiles_strict_guard_and_recompute(spark, tmp_path):
+    """A same-value update is FINE for HLL but violates KLL (weights);
+    'error' refuses, 'recompute' stays equal to a from-scratch KLL."""
+    events = [
+        (1, "a", "u", 5.0, BASE + 10),
+        (2, "b", "u", 7.0, BASE + 20),
+        (11, "a", "u", 5.0, BASE + 30),  # same value, same bucket
+    ]
+    table = LakeTable(str(tmp_path / "t"), key_cols=["k"], n_buckets=2,
+                      merge_strategy="broadcast", changelog=True,
+                      discovery=False)
+    roll = _roll_quant(tmp_path, "roll")
+    rep = Replayer(table=table, chain=Chain([]), epoch="e",
+                   maintain=roll.specs)
+    with pytest.raises(ValueError, match="cannot forget"):
+        rep.replay(_env(spark, events), batch_width=10, start_pos=0,
+                   max_pos=20)
+
+    table2 = LakeTable(str(tmp_path / "t2"), key_cols=["k"], n_buckets=2,
+                       merge_strategy="broadcast", changelog=True,
+                       discovery=False)
+    roll2 = _roll_quant(tmp_path, "roll2", on_retraction="recompute")
+    rep2 = Replayer(table=table2, chain=Chain([]), epoch="e",
+                    maintain=roll2.specs)
+    # add a cross-bucket move and a delete for good measure
+    events2 = events + [(21, "b", "d", None, 0),
+                        (22, "a", "u", 9.0, BASE + DAY)]
+    rep2.replay(_env(spark, events2), batch_width=10, start_pos=0,
+                max_pos=30)
+    for gran in ("1 hour", "1 day"):
+        assert _quant_state(spark, roll2, gran) == _quant_recompute(
+            spark, table2, gran
+        ), gran
+
+
+def test_rollup_quantiles_merge_up(spark, tmp_path):
+    events = [
+        (i + 1, f"k{i}", "u", float(i % 13), BASE + (i % 30) * HOUR)
+        for i in range(90)
+    ]
+    table = LakeTable(str(tmp_path / "t"), key_cols=["k"], n_buckets=4,
+                      merge_strategy="broadcast", changelog=True,
+                      discovery=False)
+    roll = _roll_quant(tmp_path, "roll")
+    rep = Replayer(table=table, chain=Chain([]), epoch="e",
+                   maintain=roll.specs)
+    rep.replay(_env(spark, events), batch_width=45, start_pos=0,
+               max_pos=91)
+    hour = roll.read_sketches(spark, "1 hour")
+    merged = {
+        r[0]: r[1]
+        for r in hour.groupBy(time_bucket("bucket_ms", "1 day"))
+        .agg(
+            F.reduce(
+                F.collect_list("kll_val"),
+                F.lit(None).cast("binary"),
+                lambda acc, s: F.when(acc.isNull(), s).otherwise(
+                    F.kll_sketch_merge_double(acc, s)
+                ),
+            ).alias("s")
+        )
+        .select("bucket_ms",
+                F.kll_sketch_get_quantile_double("s", F.lit(0.5)))
+        .collect()
+    }
+    day = {
+        r["bucket_ms"]: r["p50_val"]
+        for r in roll.read(spark, "1 day",
+                           quantiles={"val": [0.5]}).collect()
+    }
+    assert merged == day and len(day) >= 2
+
+
+def test_rollup_quantiles_validations(spark, tmp_path):
+    roll = _roll_quant(tmp_path, "roll")
+    with pytest.raises(KeyError, match="quantile_cols"):
+        roll.read(spark, "1 hour", quantiles={"nope": [0.5]})

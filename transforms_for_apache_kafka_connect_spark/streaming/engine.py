@@ -246,6 +246,7 @@ class Replayer:
                 count_col=spec.count_col,
                 derived=getattr(spec, "derived", None),
                 distinct_cols=getattr(spec, "distinct_cols", None),
+                quantile_cols=getattr(spec, "quantile_cols", None),
                 on_retraction=getattr(spec, "on_retraction", "error"),
                 base_table=self.table,
                 epoch=self.epoch,

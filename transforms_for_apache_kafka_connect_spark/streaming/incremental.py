@@ -41,6 +41,14 @@ A batch that violates it follows ``on_retraction``:
 * ``"stale"`` — fold anyway; estimates become *distinct-ever-seen*
   per group, an upper bound of current distinct. For append-mostly
   CDC topics (events, logs, facts) this is the standard trade.
+
+``quantile_cols`` does the same for value DISTRIBUTIONS via KLL
+sketches (``kll_sketch_agg_double`` / ``kll_sketch_merge_double``):
+per-group approx quantiles (p50/p95/...) maintained incrementally and
+mergeable upward. Its guard is stricter — occurrence WEIGHTS matter,
+so any retraction carrying a non-null value violates (even same-value
+churn would double-weight it); the same three policies apply, with
+'stale' meaning an insert-weighted distribution.
 """
 
 from __future__ import annotations
@@ -74,6 +82,12 @@ class MaintainedAggregate:
     #: HLL sketch column ``hll_<col>`` (module docstring: exactness
     #: guard + on_retraction policy)
     distinct_cols: list[str] = field(default_factory=list)
+    #: per-group quantile distribution of a numeric col maintained as a
+    #: mergeable KLL sketch column ``kll_<col>``. Stricter guard than
+    #: HLL (occurrence weights matter, not just membership): ANY
+    #: retraction whose value is non-null violates the group — same
+    #: on_retraction policies apply
+    quantile_cols: list[str] = field(default_factory=list)
     on_retraction: str = "error"
 
 
@@ -121,6 +135,7 @@ def incremental_agg_update(
     count_col: str = "n_rows",
     derived: dict | None = None,
     distinct_cols: list[str] | None = None,
+    quantile_cols: list[str] | None = None,
     on_retraction: str = "error",
     base_table: LakeTable | None = None,
     epoch: str,
@@ -147,11 +162,13 @@ def incremental_agg_update(
     """
     sum_cols = list(sum_cols or [])
     distinct_cols = list(distinct_cols or [])
+    quantile_cols = list(quantile_cols or [])
+    sketch_cols = distinct_cols + quantile_cols
     if on_retraction not in ("error", "stale", "recompute"):
         raise ValueError(
             "on_retraction must be 'error', 'stale' or 'recompute'"
         )
-    if on_retraction == "recompute" and distinct_cols and base_table is None:
+    if on_retraction == "recompute" and sketch_cols and base_table is None:
         raise ValueError(
             "on_retraction='recompute' needs base_table (the maintenance "
             "loop passes the Replayer's table automatically)"
@@ -174,43 +191,65 @@ def incremental_agg_update(
         F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
     ).otherwise(F.lit(-1))
     affected: list | None = None
-    if distinct_cols and on_retraction in ("error", "recompute"):
-        # exactness guard: a (group, value) netting < 0 means a member
-        # may have LEFT a group — HLL cannot forget, so the union-only
-        # fold would drift. One bounded job over the batch-sized
-        # changelog: 'error' short-circuits on the first violation,
-        # 'recompute' collects the violating GROUPS (bounded by the
-        # batch's touched groups) for a targeted sketch rebuild.
-        viol_groups = (
-            nn.select(
-                *group_cols,
-                sign.alias("__s"),
-                F.explode(
-                    F.array(*[
-                        F.struct(
-                            F.lit(c).alias("c"),
-                            F.col(c).cast("string").alias("v"),
-                        )
-                        for c in distinct_cols
-                    ])
-                ).alias("cv"),
+    if sketch_cols and on_retraction in ("error", "recompute"):
+        # exactness guards — sketches cannot forget, so any batch that
+        # would require forgetting is caught here. One bounded job over
+        # the batch-sized changelog: 'error' short-circuits on the
+        # first violation, 'recompute' collects the violating GROUPS
+        # (bounded by the batch's touched groups) for a targeted
+        # sketch rebuild.
+        viol_groups = None
+        if distinct_cols:
+            # HLL (set semantics): a (group, value) netting < 0 means a
+            # MEMBER may have left the group; same-value churn is fine
+            viol_groups = (
+                nn.select(
+                    *group_cols,
+                    sign.alias("__s"),
+                    F.explode(
+                        F.array(*[
+                            F.struct(
+                                F.lit(c).alias("c"),
+                                F.col(c).cast("string").alias("v"),
+                            )
+                            for c in distinct_cols
+                        ])
+                    ).alias("cv"),
+                )
+                .filter(F.col("cv.v").isNotNull())
+                .groupBy(*group_cols, "cv.c", "cv.v")
+                .agg(F.sum("__s").alias("__net"))
+                .filter(F.col("__net") < 0)
+                .select(*group_cols)
+                .distinct()
             )
-            .filter(F.col("cv.v").isNotNull())
-            .groupBy(*group_cols, "cv.c", "cv.v")
-            .agg(F.sum("__s").alias("__net"))
-            .filter(F.col("__net") < 0)
-            .select(*group_cols)
-            .distinct()
-        )
+        if quantile_cols:
+            # KLL (multiset semantics): occurrence weights matter, so
+            # ANY retraction carrying a non-null value violates —
+            # even a same-value update would double-weight the value
+            some_q = None
+            for c in quantile_cols:
+                cond = F.col(c).isNotNull()
+                some_q = cond if some_q is None else (some_q | cond)
+            viol_kll = (
+                nn.filter(sign == -1)
+                .filter(some_q)
+                .select(*group_cols)
+                .distinct()
+            )
+            viol_groups = (
+                viol_kll if viol_groups is None
+                else viol_groups.unionByName(viol_kll).distinct()
+            )
         if on_retraction == "error":
             if viol_groups.limit(1).count():
                 raise ValueError(
-                    f"batch ({epoch!r}, {batch_id}) retracts a distinct "
-                    f"member from {distinct_cols}: HLL sketches cannot "
-                    "forget. Use on_retraction='recompute' (targeted "
-                    "sketch rebuild from the base table) or accept "
-                    "distinct-ever-seen semantics with "
-                    "on_retraction='stale'."
+                    f"batch ({epoch!r}, {batch_id}) retracts from a "
+                    f"sketched column ({distinct_cols + quantile_cols}):"
+                    " sketches cannot forget. Use "
+                    "on_retraction='recompute' (targeted rebuild from "
+                    "the base table) or accept insert-only semantics "
+                    "with on_retraction='stale'."
                 )
         else:
             affected = viol_groups.collect()
@@ -228,23 +267,30 @@ def incremental_agg_update(
             ).alias(f"__d_hll_{c}")
             for c in distinct_cols
         ],
+        *[
+            F.kll_sketch_agg_double(
+                F.when(sign == 1, F.col(c).cast("double"))
+            ).alias(f"__d_kll_{c}")
+            for c in quantile_cols
+        ],
     )
     sum_out = [f"sum_{c}" for c in sum_cols]
     hll_out = [f"hll_{c}" for c in distinct_cols]
-    def _hll_fold(cur_col, delta_col):
+    kll_out = [f"kll_{c}" for c in quantile_cols]
+    def _sketch_fold(cur_col, delta_col, union_fn):
         # union is only defined over two non-null sketches; either side
         # alone passes through (a group may see a batch with no new
         # non-null members, or be brand new)
         return (
             F.when(cur_col.isNull(), delta_col)
             .when(delta_col.isNull(), cur_col)
-            .otherwise(F.hll_union(cur_col, delta_col))
+            .otherwise(union_fn(cur_col, delta_col))
         )
 
     m = agg_table.manifest()
     if m["schema"] is not None and m["buckets"]:
         cur = agg_table.read(spark).select(
-            *group_cols, count_col, *sum_out, *hll_out
+            *group_cols, count_col, *sum_out, *hll_out, *kll_out
         )
         # delta drives a LEFT join: only TOUCHED groups are re-emitted
         # and merged — a batch touching 3 groups of a 10^6-group
@@ -264,8 +310,17 @@ def incremental_agg_update(
                 for c, o in zip(sum_cols, sum_out)
             ],
             *[
-                _hll_fold(F.col(o), F.col(f"__d_hll_{c}")).alias(o)
+                _sketch_fold(
+                    F.col(o), F.col(f"__d_hll_{c}"), F.hll_union
+                ).alias(o)
                 for c, o in zip(distinct_cols, hll_out)
+            ],
+            *[
+                _sketch_fold(
+                    F.col(o), F.col(f"__d_kll_{c}"),
+                    F.kll_sketch_merge_double,
+                ).alias(o)
+                for c, o in zip(quantile_cols, kll_out)
             ],
         )
     else:
@@ -279,6 +334,10 @@ def incremental_agg_update(
             *[
                 F.col(f"__d_hll_{c}").alias(o)
                 for c, o in zip(distinct_cols, hll_out)
+            ],
+            *[
+                F.col(f"__d_kll_{c}").alias(o)
+                for c, o in zip(quantile_cols, kll_out)
             ],
         )
     if affected:
@@ -307,10 +366,21 @@ def incremental_agg_update(
                     )
                     for c in distinct_cols
                 ],
+                *[
+                    F.kll_sketch_agg_double(
+                        F.col(c).cast("double")
+                    ).alias(f"__r_kll_{c}")
+                    for c in quantile_cols
+                ],
             )
         )
         upd = upd.join(F.broadcast(rebuilt), on=list(group_cols), how="left")
-        for c, o in zip(distinct_cols, hll_out):
+        rebuilt_pairs = [
+            (f"__r_hll_{c}", o) for c, o in zip(distinct_cols, hll_out)
+        ] + [
+            (f"__r_kll_{c}", o) for c, o in zip(quantile_cols, kll_out)
+        ]
+        for r, o in rebuilt_pairs:
             # rebuilt rows take the recomputed sketch VERBATIM (even
             # NULL = zero remaining members); untouched groups keep the
             # incremental fold. A violated group absent from `rebuilt`
@@ -318,10 +388,9 @@ def incremental_agg_update(
             # the row is deleted.
             upd = upd.withColumn(
                 o,
-                F.when(F.col("__rebuilt"), F.col(f"__r_hll_{c}"))
-                .otherwise(F.col(o)),
+                F.when(F.col("__rebuilt"), F.col(r)).otherwise(F.col(o)),
             )
-        upd = upd.drop("__rebuilt", *[f"__r_hll_{c}" for c in distinct_cols])
+        upd = upd.drop("__rebuilt", *[r for r, _ in rebuilt_pairs])
     upd = upd.withColumn("__is_delete", F.col(count_col) <= 0)
     return agg_table.merge(upd, epoch=epoch, batch_id=batch_id)
 

@@ -102,6 +102,10 @@ class TimeRollup:
     #: bucket's sketch equals the union of its hour sketches, so
     #: ad-hoc coarser windows can be derived with ``hll_union_agg``.
     distinct_cols: list[str] = field(default_factory=list)
+    #: approx quantile distribution per bucket as a maintained KLL
+    #: sketch (``kll_<col>``; stricter retraction guard — see
+    #: incremental.py). Probe with ``read(..., quantiles=...)``.
+    quantile_cols: list[str] = field(default_factory=list)
     on_retraction: str = "error"
     n_buckets: int = 4
     count_col: str = "n_rows"
@@ -132,6 +136,7 @@ class TimeRollup:
                     count_col=self.count_col,
                     derived={"bucket_ms": time_bucket(self.time_col, g)},
                     distinct_cols=list(self.distinct_cols),
+                    quantile_cols=list(self.quantile_cols),
                     on_retraction=self.on_retraction,
                 )
             )
@@ -149,9 +154,28 @@ class TimeRollup:
                 return spec.table
         raise KeyError(granularity)
 
-    def read(self, spark: SparkSession, granularity: str) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        granularity: str,
+        quantiles: dict[str, list[float]] | None = None,
+    ) -> DataFrame:
         """Current rollup at one granularity: (bucket_ms, *group_cols,
-        count, sum_*, approx_distinct_* estimates)."""
+        count, sum_*, approx_distinct_* estimates). ``quantiles`` maps
+        a quantile_cols entry to probe points, adding
+        ``p<pct>_<col>`` columns (e.g. ``{"latency": [0.5, 0.95]}`` ->
+        p50_latency, p95_latency)."""
+        q_exprs = []
+        for c, qs in (quantiles or {}).items():
+            if c not in self.quantile_cols:
+                raise KeyError(f"{c!r} is not a quantile_cols entry")
+            for q in qs:
+                pct = f"{q * 100:g}".replace(".", "_")
+                q_exprs.append(
+                    F.kll_sketch_get_quantile_double(
+                        F.col(f"kll_{c}"), F.lit(float(q))
+                    ).alias(f"p{pct}_{c}")
+                )
         return self.table(granularity).read(spark).select(
             "bucket_ms",
             *self.group_cols,
@@ -165,6 +189,7 @@ class TimeRollup:
                 ).alias(f"approx_distinct_{c}")
                 for c in self.distinct_cols
             ],
+            *q_exprs,
         )
 
     def read_sketches(self, spark: SparkSession, granularity: str) -> DataFrame:
