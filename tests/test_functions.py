@@ -473,3 +473,52 @@ def test_prepare_training_docs_pipeline(spark):
     df2 = spark.createDataFrame([(9, en), (5, en)], "doc_id long, text string")
     out2 = prepare_training_docs(df2, lang="en", min_quality=0.5).collect()
     assert [r["doc_id"] for r in out2] == [5]
+
+
+def test_minhash_family_members_are_independent(spark):
+    """Regression for the F.transform lambda-arity bug: a two-arg
+    lambda is (element, array_index) to Spark, which degenerated every
+    family member to the same expression — signatures then matched
+    ONLY on exact duplicates. Pin the real family properties: members
+    differ from each other, and two near-identical docs (jaccard
+    ~0.83) agree in ~jaccard of the positions."""
+    from transforms_for_apache_kafka_connect_spark.functions.dedupe import (
+        minhash_signature,
+    )
+
+    base = "shared boilerplate header words seven " + (
+        "lorem ipsum dolor sit amet " * 3
+    )
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " trailing tweak")], "id long, t string"
+    )
+    sigs = {
+        r["id"]: r["sig"]
+        for r in df.select(
+            "id", minhash_signature(F.col("t"), 32).alias("sig")
+        ).collect()
+    }
+    # members are a real family (not one expression repeated)
+    assert len(set(sigs[1])) > 16
+    # near-identical docs agree in roughly jaccard of positions
+    agree = sum(a == b for a, b in zip(sigs[1], sigs[2]))
+    assert 20 <= agree < 32, agree
+
+
+def test_hyperplane_family_planes_are_distinct(spark):
+    """Same arity-bug class in _hyperplane_bits: the plane index was
+    rebound to the coordinate index, collapsing every plane into one
+    (2 buckets total). Pin that n_planes yields a spread of buckets."""
+    from transforms_for_apache_kafka_connect_spark.functions.dedupe import (
+        _hyperplane_bits,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    buckets = {
+        r[0]
+        for r in emb.select(
+            _hyperplane_bits(F.col("embedding"), 64, 4, seed=7)
+        ).distinct().collect()
+    }
+    # 4 real planes -> well more than the degenerate {0, 15} pair
+    assert len(buckets) > 8, sorted(buckets)

@@ -135,14 +135,23 @@ def ngram_jaccard_pairs(
 # -------------------------------------------------------------- minhash
 
 def minhash_signature(col: Column, num_hashes: int = 32, n: int = 3) -> Column:
-    """Array of ``num_hashes`` min-hashes over word n-gram shingles."""
+    """Array of ``num_hashes`` min-hashes over word n-gram shingles.
+
+    Each family member must hash the SHINGLE seeded by the family
+    index i — and only that. The lambda passed to ``F.transform`` must
+    stay single-argument: a two-arg lambda (e.g. the ``lambda s, i=i``
+    default-capture idiom) is interpreted by Spark as
+    ``(element, array_index)``, silently rebinding i to the shingle's
+    POSITION — every family member degenerates to the same expression
+    and the signature only matches on exact duplicates (caught by the
+    near-dup screening example; regression-pinned in
+    tests/test_functions.py)."""
     sh = word_shingles(col, n)
-    return F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
-            for i in range(num_hashes)
-        ]
-    )
+
+    def member(i: int) -> Column:
+        return F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+
+    return F.array(*[member(i) for i in range(num_hashes)])
 
 
 def _band_candidates(sig_df: DataFrame, num_hashes: int, bands: int) -> DataFrame:
@@ -294,19 +303,26 @@ def _hyperplane_bits(vec: Column, dim: int, n_planes: int, seed: int) -> Column:
     Hyperplane coefficients are pseudo-random in {-1,+1} derived from
     xxhash-like mixing of (plane, coord) — computed as a Column
     expression so the signature is JVM-side."""
-    bits = []
-    for p in range(n_planes):
-        # deterministic ±1 coefficient stream per plane
-        coeff = F.transform(
+    def coeff_stream(p: int) -> Column:
+        # deterministic ±1 coefficient stream per plane. The transform
+        # lambda must stay SINGLE-argument: a two-arg lambda is
+        # (element, array_index) to Spark, which would rebind p to the
+        # coordinate index and collapse every plane into the same one
+        # (2 buckets total — the all-pairs blowup LSH exists to avoid).
+        # Same arity bug class as minhash_signature; regression-pinned.
+        return F.transform(
             F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda i, p=p: (
+            lambda i: (
                 F.when(
                     F.pmod(F.xxhash64(i, F.lit(p), F.lit(seed)), F.lit(2)) == 0, 1.0
                 ).otherwise(-1.0)
             ),
         )
+
+    bits = []
+    for p in range(n_planes):
         dot = F.aggregate(
-            F.zip_with(vec, coeff, lambda v, c: v * c),
+            F.zip_with(vec, coeff_stream(p), lambda v, c: v * c),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
