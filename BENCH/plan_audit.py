@@ -217,7 +217,7 @@ def main() -> None:
     golden_check(check, "mor read plan", "mor_read_plan_golden.txt", p)
 
     # 8. ngram jaccard default path: band-blocked, never an all-pairs product
-    p = plan_of(qs["ngram_jaccard"](spark, sf_dir))
+    p = plan_of(entrymod.q_ngram_jaccard(spark, sf_dir))  # folded into jaccard_dups in r04c
     check("ngram_jaccard default: no CartesianProduct / BNLJ",
           "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p)
 
