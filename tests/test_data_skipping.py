@@ -552,3 +552,26 @@ def test_zorder_validations(spark, tmp_path):
 
     with pytest.raises(ValueError, match="bits"):
         _zorder_key(table.read(spark), ["repo", "path"], bits=0)
+
+
+def test_zorder_bits_clamped_to_long_width(spark, tmp_path):
+    """Review regression: Spark's shiftleft masks the shift mod 64, so
+    bits * n_cols > 63 would silently wrap high-column cells onto low
+    bit positions. The key builder clamps bits instead."""
+    from transforms_for_apache_kafka_connect_spark.streaming.sink import (
+        _zorder_key,
+    )
+
+    cols = [f"c{i}" for i in range(11)]
+    df = spark.range(64).select(
+        "id", *[(F.col("id") * (i + 1) % 64).alias(c)
+                for i, c in enumerate(cols)]
+    )
+    # 11 cols at requested bits=6 would need 66 bit positions; clamped
+    # to 5 -> 55. The key must stay non-negative (no sign-bit wrap) and
+    # have more distinct values than a degenerate layout would.
+    keys = [r[0] for r in df.select(
+        _zorder_key(df, cols, bits=6, total_rows=64)
+    ).collect()]
+    assert all(k >= 0 for k in keys)
+    assert len(set(keys)) > 8

@@ -522,3 +522,22 @@ def test_hyperplane_family_planes_are_distinct(spark):
     }
     # 4 real planes -> well more than the degenerate {0, 15} pair
     assert len(buckets) > 8, sorted(buckets)
+
+
+def test_word_shingles_short_docs_are_empty_not_crash(spark):
+    """sequence(1, 0) is DESCENDING in Spark — unguarded, a doc with
+    fewer than n words crashed slice() with start=0."""
+    from transforms_for_apache_kafka_connect_spark.functions.dedupe import (
+        word_shingles,
+    )
+
+    df = spark.createDataFrame(
+        [("one",), ("one two",), ("one two three",), ("   ",), (None,)],
+        "t string",
+    )
+    got = [r[0] for r in df.select(word_shingles(F.col("t"))).collect()]
+    assert got[0] == [] and got[1] == [] and got[3] == []
+    assert got[2] == ["one two three"]
+    # NULL text yields the empty set too (when() short-circuits the
+    # null propagation) — same "nothing to shingle" semantics
+    assert got[4] == []

@@ -184,3 +184,32 @@ def test_candidate_plan_never_cartesian(spark, indexed):
 def test_index_validations(tmp_path):
     with pytest.raises(ValueError, match="divisible"):
         NearDupIndex(root=str(tmp_path / "x"), num_hashes=32, bands=5)
+
+
+def test_short_docs_never_enter_the_index(spark, tmp_path):
+    """Review regression: docs with fewer than n words have EMPTY
+    shingle sets -> all-NULL signatures -> every band hashes to the
+    same bh (concat_ws skips NULLs), colliding all short docs with
+    each other in all bands. They must be excluded on both the index
+    and query sides."""
+    table = LakeTable(str(tmp_path / "t"), key_cols=["doc_id"], n_buckets=2,
+                      merge_strategy="broadcast", changelog=True,
+                      discovery=False)
+    index = NearDupIndex(root=str(tmp_path / "idx"), num_hashes=32,
+                         bands=16, n_buckets=2)
+    rep = Replayer(table=table, chain=Chain([]), epoch="e",
+                   maintain=[index])
+    events = [(i + 1, i, "u", f"word{i} two") for i in range(20)]  # 2 words
+    events.append((21, 100, "u", "a real document with enough words to shingle"))
+    rep.replay(_env(spark, events), batch_width=30, start_pos=0,
+               max_pos=30)
+    # only the real doc is indexed
+    assert index.sigs_table.read(spark).count() == 1
+    assert index.bands_table.read(spark).count() == 16
+    # a short query doc produces no candidates (and no error)
+    q = spark.createDataFrame(
+        [(9000, "tiny doc"), (9001, "a real document with enough words to shingle")],
+        "doc_id long, text string",
+    )
+    got = index.near_dups_of(spark, q, threshold=0.9).collect()
+    assert {(r["query_id"], r["corpus_id"]) for r in got} == {(9001, 100)}

@@ -529,3 +529,28 @@ def test_rollup_quantiles_validations(spark, tmp_path):
     roll = _roll_quant(tmp_path, "roll")
     with pytest.raises(KeyError, match="quantile_cols"):
         roll.read(spark, "1 hour", quantiles={"nope": [0.5]})
+
+
+def test_rollup_quantiles_all_null_group_reads_as_null(spark, tmp_path):
+    """Review regression: an all-NULL quantile column yields a non-NULL
+    EMPTY KLL buffer from kll_sketch_agg_double, which the probe
+    rejects (KLL_INVALID_INPUT_SKETCH_BUFFER) — the sketch must be
+    nullified at the source and the probe return NULL."""
+    table = LakeTable(str(tmp_path / "t"), key_cols=["k"], n_buckets=2,
+                      merge_strategy="broadcast", changelog=True,
+                      discovery=False)
+    roll = _roll_quant(tmp_path, "roll")
+    rep = Replayer(table=table, chain=Chain([]), epoch="e",
+                   maintain=roll.specs)
+    # bucket BASE: only NULL vals; bucket BASE+HOUR: real vals
+    rep.replay(_env(spark, [
+        (1, "a", "u", None, BASE + 10),
+        (2, "b", "u", None, BASE + 20),
+        (3, "c", "u", 4.0, BASE + HOUR + 10),
+    ]), batch_width=10, start_pos=0, max_pos=10)
+    got = {
+        r["bucket_ms"]: r["p50_val"]
+        for r in roll.read(spark, "1 hour",
+                           quantiles={"val": [0.5]}).collect()
+    }
+    assert got == {BASE: None, BASE + HOUR: 4.0}

@@ -376,3 +376,43 @@ def test_txn_staged_replayer_rejects_maintained_aggregates(tmp_path):
             table=table, chain=Chain([]), epoch="e", publish=False,
             maintain=[object()],
         )
+
+
+def test_vacuum_pins_staged_changelog_batches(spark, tmp_path):
+    """Review regression: a staged batch's (epoch, batch_id) lives only
+    in the STAGED manifest's ledger until publish — vacuum must not
+    reclaim its _changes dir, or the batch silently reads as
+    change-free after publish."""
+    from transforms_for_apache_kafka_connect_spark.streaming import (
+        LakeTable,
+        Replayer,
+    )
+    from transforms_for_apache_kafka_connect_spark.streaming.incremental import (
+        batch_changes,
+    )
+
+    table = LakeTable(str(tmp_path / "t"), n_buckets=2, changelog=True)
+    rows = [("src", 0, ("r0", "p0"), ("c", 1, 1, ("x",), "acme"), 1, None)]
+    rep = Replayer(table=table, chain=Chain([]), epoch="e", publish=False)
+    token = rep.apply_batch(_cdc_env(spark, rows), 0)["staged"]
+    table.vacuum(keep_versions=1)
+    table.publish(token)
+    assert table.has_changes("e", 0)
+    assert batch_changes(table, spark, epoch="e", batch_id=0).count() == 1
+
+
+def test_txn_vacuum_pins_snapshot_versions(spark, tmp_path):
+    """Review regression: _txn/LAST versions are a live read surface —
+    maintenance commits + vacuum must not expire the manifest
+    read_consistent time-travels to."""
+    router = _router(tmp_path)
+    router.apply_batch(_cdc_env(spark, _tenant_rows()), 0)
+    snap_before = router.snapshot()
+    # out-of-band maintenance on acme advances its version twice
+    t = router.table_for("acme")
+    t.compact(spark, all_buckets=True)
+    t.rescale(spark, 4)
+    out = router.vacuum(keep_versions=1)
+    assert router.snapshot() == snap_before
+    assert router.read_consistent(spark, "acme").count() == 1
+    assert router.read_consistent(spark, "globex").count() == 1

@@ -49,13 +49,22 @@ def exact_duplicates(
 # -------------------------------------------------------------- shingles
 
 def word_shingles(col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (lowercased), JVM-side."""
+    """Distinct word n-gram shingles (lowercased), JVM-side.
+
+    Docs with fewer than n words yield an EMPTY array — the k < 1 case
+    must short-circuit, because ``sequence(1, 0)`` is a DESCENDING
+    [1, 0] sequence in Spark and the 0 would crash ``slice`` (start
+    must be nonzero). Latent until short docs reached this expression
+    unguarded; regression-pinned in tests/test_functions.py."""
     words = F.split(F.lower(F.trim(col)), r"\s+")
     k = F.size(words) - (n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-    )
+    grams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)
 
 
@@ -154,16 +163,19 @@ def minhash_signature(col: Column, num_hashes: int = 32, n: int = 3) -> Column:
     return F.array(*[member(i) for i in range(num_hashes)])
 
 
-def _band_candidates(sig_df: DataFrame, num_hashes: int, bands: int) -> DataFrame:
-    """(id, sig) -> distinct candidate pairs (id_a < id_b) whose
-    signatures collide in >=1 band of r = num_hashes/bands rows.
-    Candidate generation = explode bands -> shuffle on (band,
-    band_hash) -> equi-join: every shuffle is on a bucket key, never an
-    all-pairs product."""
+def band_rows(
+    sig_df: DataFrame, id_name: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, sig) -> one row per (id, band) with the band hash ``bh``.
+
+    THE banding expression — shared by the batch LSH operator here and
+    the changelog-maintained index (streaming/neardup_index.py), which
+    must produce bit-identical band hashes or index queries and batch
+    results silently desynchronize."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    banded = sig_df.select(
-        "id",
+    return sig_df.select(
+        F.col(id_name),
         F.explode(
             F.array(
                 *[
@@ -183,7 +195,16 @@ def _band_candidates(sig_df: DataFrame, num_hashes: int, bands: int) -> DataFram
                 ]
             )
         ).alias("b"),
-    ).select("id", "b.band", "b.bh")
+    ).select(id_name, "b.band", "b.bh")
+
+
+def _band_candidates(sig_df: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, sig) -> distinct candidate pairs (id_a < id_b) whose
+    signatures collide in >=1 band of r = num_hashes/bands rows.
+    Candidate generation = explode bands -> shuffle on (band,
+    band_hash) -> equi-join: every shuffle is on a bucket key, never an
+    all-pairs product."""
+    banded = band_rows(sig_df, "id", num_hashes, bands)
 
     x, y = banded.alias("x"), banded.alias("y")
     return (

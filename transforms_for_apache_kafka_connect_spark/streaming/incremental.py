@@ -268,8 +268,15 @@ def incremental_agg_update(
             for c in distinct_cols
         ],
         *[
-            F.kll_sketch_agg_double(
-                F.when(sign == 1, F.col(c).cast("double"))
+            # an all-NULL input yields a non-NULL EMPTY buffer that
+            # kll_sketch_get_quantile_double later rejects with
+            # KLL_INVALID_INPUT_SKETCH_BUFFER (verified on this Spark);
+            # nullify it at the source so fold/read treat it as absent
+            F.when(
+                F.count(F.when(sign == 1, F.col(c))) > 0,
+                F.kll_sketch_agg_double(
+                    F.when(sign == 1, F.col(c).cast("double"))
+                ),
             ).alias(f"__d_kll_{c}")
             for c in quantile_cols
         ],
@@ -367,8 +374,10 @@ def incremental_agg_update(
                     for c in distinct_cols
                 ],
                 *[
-                    F.kll_sketch_agg_double(
-                        F.col(c).cast("double")
+                    # same empty-buffer nullification as the delta agg
+                    F.when(
+                        F.count(F.col(c)) > 0,
+                        F.kll_sketch_agg_double(F.col(c).cast("double")),
                     ).alias(f"__r_kll_{c}")
                     for c in quantile_cols
                 ],

@@ -49,6 +49,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from transforms_for_apache_kafka_connect_spark.functions.dedupe import (
+    band_rows as _band_rows,
+)
+from transforms_for_apache_kafka_connect_spark.functions.dedupe import (
     jaccard_expr,
     minhash_signature,
     word_shingles,
@@ -56,39 +59,6 @@ from transforms_for_apache_kafka_connect_spark.functions.dedupe import (
 from transforms_for_apache_kafka_connect_spark.streaming.sink import LakeTable
 
 __all__ = ["NearDupIndex"]
-
-
-def _band_rows(
-    df: DataFrame, id_name: str, num_hashes: int, bands: int
-) -> DataFrame:
-    """(id, sig) -> one row per (id, band) with the band hash ``bh`` —
-    the same banding expression as dedupe._band_candidates, shared
-    between index maintenance and query so collisions line up."""
-    r = num_hashes // bands
-    return df.select(
-        F.col(id_name),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at(
-                                        F.col("sig"), bi * r + j + 1
-                                    ).cast("string")
-                                    for j in range(r)
-                                ],
-                            )
-                        ).alias("bh"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("b"),
-    ).select(id_name, "b.band", "b.bh")
 
 
 @dataclass
@@ -142,9 +112,15 @@ class NearDupIndex:
         posts = changes.filter(
             F.col("_change_type").isin("insert", "update_postimage")
         )
+        # indexable = yields at least one shingle. A doc with fewer than
+        # n words has an EMPTY shingle set -> an all-NULL signature ->
+        # concat_ws skips NULLs and every band hashes to xxhash64('') —
+        # all such docs would collide with each other in EVERY band,
+        # exactly the all-pairs hotspot banding exists to avoid. They
+        # leave (or never enter) the index instead, like text-less docs.
         has_text = (
             F.col(self.text_col).isNotNull()
-            & (F.length(F.trim(F.col(self.text_col))) > 0)
+            & (F.size(word_shingles(F.col(self.text_col), self.n)) > 0)
         )
         up = posts.filter(has_text).select(
             F.col(self.id_col).alias("id"), self._sig_expr().alias("sig")
@@ -193,7 +169,10 @@ class NearDupIndex:
         """Distinct (query_id, corpus_id) pairs whose signatures collide
         in >= 1 band — new docs vs the INDEX, one equi-join on
         (band, bh), corpus never rescanned."""
-        q = docs.select(
+        q = docs.filter(
+            F.col(self.text_col).isNotNull()
+            & (F.size(word_shingles(F.col(self.text_col), self.n)) > 0)
+        ).select(
             F.col(self.id_col).alias("query_id"),
             self._sig_expr().alias("sig"),
         )

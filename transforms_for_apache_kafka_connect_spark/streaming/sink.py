@@ -327,6 +327,12 @@ def _zorder_key(
     with the seed's view of the data, content never does."""
     if not 1 <= bits <= 12:
         raise ValueError("zorder bits must be in [1, 12]")
+    # the interleave must fit a signed long: Spark's shiftleft masks
+    # the shift amount mod 64 (Java semantics), so an overflowing
+    # position would silently WRAP high-column cells onto low bit
+    # positions and scramble the layout. Clamp bits instead — coarser
+    # cells, never a corrupt key.
+    bits = max(1, min(bits, 63 // max(len(cols), 1)))
     n_cells = 1 << bits
     if total_rows is None:
         total_rows = df.count()
@@ -1731,6 +1737,7 @@ class LakeTable:
         self, *, keep_versions: int = 2,
         changelog_keep_batches: int | None = None,
         drop_staged: bool = False,
+        pin_versions: list[int] | None = None,
         dry_run: bool = False
     ) -> dict[str, Any]:
         """Garbage-collect data files no recent manifest references and
@@ -1761,8 +1768,13 @@ class LakeTable:
             for p in glob.glob(os.path.join(self.root, "_manifest", "manifest-*.json"))
         )
         # tagged versions are pinned: their manifests and data files
-        # survive any retention window until the tag is dropped
-        tagged = set((current.get("tags") or {}).values())
+        # survive any retention window until the tag is dropped.
+        # pin_versions pins externally-referenced snapshots the same way
+        # (e.g. a TransactionalRouter's _txn/LAST version map, which
+        # read_consistent time-travels to)
+        tagged = set((current.get("tags") or {}).values()) | set(
+            pin_versions or []
+        )
         keep = [
             v for v in versions
             if v > current["version"] - keep_versions or v in tagged
@@ -1776,14 +1788,23 @@ class LakeTable:
         staged_manifests = glob.glob(
             os.path.join(self.root, "_manifest", "staged-*.json")
         )
+        staged_committed: set[tuple] = set()
         if not drop_staged:
-            # pin every staged commit's files: staged = in-flight WAP /
-            # a transaction participant awaiting roll-forward
+            # pin every staged commit's files AND its changelog batches:
+            # staged = in-flight WAP / a transaction participant awaiting
+            # roll-forward. Its (epoch, batch_id) lives only in the
+            # STAGED manifest's ledger until publish, so without this
+            # pin the batch's _changes dir would be classified orphan —
+            # and after publish the batch would silently read as
+            # change-free, diverging every maintained aggregate.
             for p in staged_manifests:
                 with open(p) as f:
                     sm = json.load(f)
                 for fs in sm["buckets"].values():
                     live.update(os.path.realpath(self._abs(q)) for q in fs)
+                staged_committed.update(
+                    (e, b) for e, b in sm.get("committed", [])
+                )
         # a Bloom sidecar lives exactly as long as its data file
         live |= {p + ".bloom" for p in live}
         orphans = [
@@ -1800,7 +1821,7 @@ class LakeTable:
         # or aborted merges): invisible to read_changelog, reclaimed
         # here. Committed changelog entries are retained indefinitely —
         # they are the downstream consumers' replay source.
-        committed = {(e, b) for e, b in current["committed"]}
+        committed = {(e, b) for e, b in current["committed"]} | staged_committed
         # retention for COMMITTED changelog entries: keep the most
         # recent ``changelog_keep_batches`` batch ids per epoch (None =
         # keep all). Downstream consumers that may still need to fold a

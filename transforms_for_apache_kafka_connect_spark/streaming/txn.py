@@ -355,6 +355,11 @@ class TransactionalRouter:
         (single-coordinator contract, same as LakeTable's
         single-writer rule)."""
         recovered = self.recover()
+        # the LAST snapshot's per-table versions are a live read surface
+        # (read_consistent time-travels to them) — pin each against the
+        # retention window, or out-of-band maintenance commits (compact,
+        # rescale) could expire the manifest a snapshot reader needs
+        snap = self.snapshot()
         per_table: dict[str, dict] = {}
         for d in sorted(os.listdir(self.root)):
             if d == "_txn":
@@ -362,12 +367,20 @@ class TransactionalRouter:
             table_root = os.path.join(self.root, d)
             if not os.path.isdir(os.path.join(table_root, "_manifest")):
                 continue
+            from transforms_for_apache_kafka_connect_spark.streaming.router import (
+                _topic_dir,
+            )
             from transforms_for_apache_kafka_connect_spark.streaming.sink import (
                 LakeTable,
             )
 
+            pinned = [
+                v for t, v in snap.items() if _topic_dir(t) == d
+            ]
             table = LakeTable(table_root, **self.table_opts)
-            per_table[d] = table.vacuum(drop_staged=True, **vacuum_kwargs)
+            per_table[d] = table.vacuum(
+                drop_staged=True, pin_versions=pinned, **vacuum_kwargs
+            )
         return {**recovered, "tables": per_table}
 
     def replay(
