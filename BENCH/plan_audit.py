@@ -150,6 +150,25 @@ def main() -> None:
     check("ivf_topk: no exchange keyed on the corpus id",
           not re.search(r"Exchange hashpartitioning\(neighbor_id", p))
 
+    # 4c. bm25 ranked retrieval: everything JVM-side, joins all
+    # broadcast (df table ≤|Q| rows, N/avgdl one row), final cut a
+    # TakeOrdered — never a full sort of the scored corpus
+    p = plan_of(entrymod.q_bm25_rank(spark, sf_dir))
+    check("bm25: no Python eval, no SortMergeJoin",
+          "Python" not in p and "SortMergeJoin" not in p)
+    check("bm25: top-k is TakeOrderedAndProject (no full sort)",
+          "TakeOrderedAndProject" in p)
+
+    # 4d. paragraph dedup: first-occurrence pick is the skew-immune
+    # map-side-combining min(struct) aggregate — no window over the
+    # paragraph hash (a 10^9-copy boilerplate paragraph would
+    # serialize into one task), no Python, no cartesian
+    p = plan_of(entrymod.q_para_dedup(spark, sf_dir))
+    check("para dedup: aggregate-based first-occurrence (no Window)",
+          "Window" not in p and "partial_min" in p)
+    check("para dedup: no Python / no cartesian",
+          "Python" not in p and "CartesianProduct" not in p)
+
     # 5. lww_dedupe: partial aggregation before the exchange (map-side
     # combine) — the plain leg of the composite gate entry
     df = entrymod.q_lww_dedupe(spark, sf_dir)

@@ -1476,7 +1476,33 @@ def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1.0).alias("d"),
         F.lit("-").alias("s"),
     )
-    return st.unionByName(lg).unionByName(qs)
+    bm = q_bm25_rank(spark, sf_dir).select(
+        F.lit("bm25").alias("variant"),
+        "doc_id",
+        F.col("bm25").alias("a"),
+        F.lit(-1.0).alias("b"),
+        F.lit(-1.0).alias("c"),
+        F.lit(-1.0).alias("d"),
+        F.lit("-").alias("s"),
+    )
+    return st.unionByName(lg).unionByName(qs).unionByName(bm)
+
+
+BM25_TERMS = ["spark", "merge", "window"]
+
+
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval top-20 over the corpus (functions/text.py
+    bm25_rank): tokens filtered to the query terms BEFORE any shuffle,
+    doc length riding the projection (no corpus self-join), term df a
+    broadcast ≤|Q|-row aggregate, N/avgdl a 1-row broadcast, final cut
+    a TakeOrdered. Scores rounded to 4 decimals pre-ordering; doc_id
+    tie-break."""
+    from transforms_for_apache_kafka_connect_spark.functions import bm25_rank
+
+    return bm25_rank(
+        _read(spark, sf_dir, "documents"), BM25_TERMS, top_k=20
+    )
 
 
 def q_fingerprint_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1516,7 +1542,49 @@ def q_dedupe_exact_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("-").alias("h"),
         F.lit(-1).cast("long").alias("n"),
     )
-    return ex.unionByName(fp)
+    pa = q_para_dedup(spark, sf_dir).select(
+        F.lit("para").alias("variant"),
+        F.col("comp_id").alias("a"),
+        F.col("n_paras_total").cast("long").alias("b"),
+        F.sha2(F.col("text_deduped"), 256).alias("h"),
+        F.col("n_paras_kept").alias("n"),
+    )
+    return ex.unionByName(fp).unionByName(pa)
+
+
+def q_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level corpus dedup (functions/dedupe.py
+    dedup_paragraphs — Lee et al. substring dedup at paragraph
+    granularity): the fixture builds 49 composite documents from
+    overlapping windows of 4 base docs (stride 2, pure projection +
+    explode — no join), so consecutive composites share two
+    paragraphs; the op must keep each repeated paragraph's first
+    (doc, position) occurrence only and reassemble, dropping
+    fully-redundant documents. First-occurrence pick is a map-side-
+    combining min(struct) aggregate — skew-immune at 100 TB (a window
+    over the paragraph hash would serialize a 10^9-copy boilerplate
+    paragraph into one task)."""
+    from transforms_for_apache_kafka_connect_spark.functions import (
+        dedup_paragraphs,
+    )
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    half = F.floor(F.col("doc_id") / 2)
+    mem = docs.select(
+        F.explode(F.array(half, half - 1)).alias("comp_id"),
+        "doc_id",
+        "text",
+    ).filter((F.col("comp_id") >= 0) & (F.col("comp_id") <= 48))
+    comp_docs = mem.groupBy("comp_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                lambda s: s["text"],
+            ),
+            "\n\n",
+        ).alias("text")
+    )
+    return dedup_paragraphs(comp_docs, id_col="comp_id")
 
 
 def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2706,7 +2774,29 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT 'fp' AS variant, x.doc_id AS a, c.doc_id AS b, "
             "'-' AS h, CAST(-1 AS BIGINT) AS n "
-            "FROM nrm x JOIN nrm c ON x.norm = c.norm AND x.doc_id < c.doc_id"
+            "FROM nrm x JOIN nrm c ON x.norm = c.norm AND x.doc_id < c.doc_id "
+            "UNION ALL "
+            # para leg: composite docs = overlapping windows of 4 base
+            # docs (stride 2); dedup keeps each paragraph's first
+            # (comp, pos) occurrence, reassembles, drops empty docs
+            "SELECT 'para' AS variant, comp_id AS a, "
+            "CAST(n_total AS BIGINT) AS b, "
+            "sha256(string_agg(para, chr(10) || chr(10) ORDER BY pos)) AS h, "
+            "count(*) AS n FROM ("
+            "WITH mem AS (SELECT unnest([doc_id // 2, doc_id // 2 - 1]) "
+            "AS comp_id, doc_id, text FROM documents WHERE doc_id < 100), "
+            "comp AS (SELECT comp_id, "
+            "string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS text "
+            "FROM mem WHERE comp_id BETWEEN 0 AND 48 GROUP BY 1), "
+            "p AS (SELECT comp_id, "
+            "unnest(string_split(text, chr(10) || chr(10))) AS para, "
+            "unnest(range(1, len(string_split(text, chr(10) || chr(10))) + 1)) "
+            "AS pos, "
+            "len(string_split(text, chr(10) || chr(10))) AS n_total FROM comp) "
+            "SELECT comp_id, para, pos, n_total, "
+            "row_number() OVER (PARTITION BY sha256(para) "
+            "ORDER BY comp_id, pos) AS rn FROM p) t "
+            "WHERE rn = 1 GROUP BY comp_id, n_total"
         ),
         "time_rollup": (
             # recompute over the final LWW state, bucketed by integer
@@ -2792,7 +2882,30 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 0.0 END) * 2.0 "
             "+ (CASE WHEN n_chars > 0 THEN "
             "1.0 - least(CAST(n_punct AS DOUBLE) / n_chars * 4, 1.0) "
-            "ELSE 0.0 END) * 0.5, 6) AS quality_score FROM s) tqual"
+            "ELSE 0.0 END) * 0.5, 6) AS quality_score FROM s) tqual "
+            "UNION ALL "
+            # bm25 leg: Okapi BM25 (k1=1.2, b=0.75, Robertson idf
+            # ln(1+(N-df+.5)/(df+.5))) top-20, rounded to 4 before
+            # ordering, doc_id tie-break — same formula as
+            # functions/text.py bm25_rank
+            "SELECT 'bm25' AS variant, doc_id, bm25 AS a, -1.0 AS b, "
+            "-1.0 AS c, -1.0 AS d, '-' AS s FROM ("
+            "WITH dl AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 "
+            r"ELSE len(string_split_regex(trim(text), '\s+')) END AS dl, "
+            "text FROM documents), "
+            "st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl), "
+            "tok AS (SELECT doc_id, dl, "
+            r"unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok "
+            "FROM dl), "
+            "tf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM tok "
+            "WHERE tok IN ('merge', 'spark', 'window') GROUP BY 1, 2, 3), "
+            "dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1) "
+            "SELECT doc_id, round(sum("
+            "ln(1 + (n - df + 0.5) / (df + 0.5)) "
+            "* tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))"
+            "), 4) AS bm25 "
+            "FROM tf JOIN dfq USING (tok) CROSS JOIN st "
+            "GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20) tbm"
         ),
         "jaccard_dups": (
             "SELECT 'ngram' AS variant, * FROM (" + _jaccard_sql(0.6) + ") "

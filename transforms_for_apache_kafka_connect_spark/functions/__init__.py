@@ -1,11 +1,13 @@
 from transforms_for_apache_kafka_connect_spark.functions.text import (
     add_text_stats,
+    bm25_rank,
     detect_lang,
     fingerprint,
     prepare_training_docs,
     token_count,
 )
 from transforms_for_apache_kafka_connect_spark.functions.dedupe import (
+    dedup_paragraphs,
     exact_duplicates,
     connected_components,
     minhash_lsh_duplicates,
@@ -37,6 +39,8 @@ __all__ = [
     "stratified_sample",
     "deterministic_top_sample",
     "add_text_stats",
+    "bm25_rank",
+    "dedup_paragraphs",
     "detect_lang",
     "fingerprint",
     "prepare_training_docs",

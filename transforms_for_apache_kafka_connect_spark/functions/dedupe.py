@@ -46,6 +46,76 @@ def exact_duplicates(
     )
 
 
+def dedup_paragraphs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Corpus-wide paragraph-level deduplication (the within/between-
+    document exact-substring dedup of Lee et al., *Deduplicating
+    Training Data Makes Language Models Better*, at paragraph
+    granularity): every repeated paragraph keeps only its FIRST
+    occurrence ordered by ``(id, position)``; documents are reassembled
+    from their surviving paragraphs in original order. Documents whose
+    every paragraph occurred earlier are dropped entirely (fully
+    redundant documents).
+
+    Returns ``(id_col, text_deduped, n_paras_kept, n_paras_total)``.
+
+    Scale shape: the first-occurrence pick is a **map-side-combining
+    aggregate** — ``groupBy(sha256(para)).agg(min(struct(id, pos,
+    n_total, para)))`` — so a boilerplate paragraph repeated 10^9
+    times collapses to one row per map task before the shuffle (a
+    window over the paragraph hash would put the whole hot group in
+    one task; the aggregate is skew-immune). ``min`` over the struct
+    orders by the leading ``(id, pos)``, which is unique, so the
+    winning row itself carries its paragraph text and document totals
+    — no join back to the corpus. Reassembly is one more combining
+    shuffle on the document id. Two shuffles total, both partial-agg.
+    """
+    import re as _re
+
+    c = F.col(text_col)
+    paras = df.select(
+        F.col(id_col),
+        F.size(F.split(c, _re.escape(sep), -1)).alias("__n_total"),
+        F.posexplode(F.split(c, _re.escape(sep), -1)).alias("__pos", "__para"),
+    )
+    winners = (
+        paras.groupBy(F.sha2(F.col("__para"), 256).alias("__h"))
+        .agg(
+            F.min(
+                F.struct(
+                    F.col(id_col), "__pos", "__n_total", "__para"
+                )
+            ).alias("__w")
+        )
+        .select("__w.*")
+    )
+    kept = F.struct("__pos", "__para")
+    return (
+        winners.groupBy(id_col, "__n_total")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept)),
+                    lambda s: s["__para"],
+                ),
+                sep,
+            ).alias("text_deduped"),
+            F.count(F.lit(1)).alias("n_paras_kept"),
+        )
+        .select(
+            id_col,
+            "text_deduped",
+            "n_paras_kept",
+            F.col("__n_total").alias("n_paras_total"),
+        )
+    )
+
+
 # -------------------------------------------------------------- shingles
 
 def word_shingles(col: Column, n: int = 3) -> Column:

@@ -100,6 +100,77 @@ def add_text_stats(
     )
 
 
+def bm25_rank(
+    docs: DataFrame,
+    query_terms: list[str],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+    round_to: int = 4,
+) -> DataFrame:
+    """BM25 ranked retrieval: score every document against a bag of
+    query terms and return the ``top_k`` by Okapi BM25
+    (Robertson/Walker idf variant ``ln(1 + (N - df + 0.5)/(df + 0.5))``,
+    always positive).
+
+    Scale shape (the part that matters at 100 TB):
+
+    * the tokenizer is a codegen'd ``explode(split(...))`` over the
+      scan, and the ``isin(query_terms)`` filter sits directly on the
+      exploded tokens — only matching (doc, term) rows ever reach a
+      shuffle, so the shuffled volume is bounded by |Q| × matching
+      docs, not by corpus token count;
+    * per-document length rides the projection alongside the explode
+      (``dl`` is computed from the same row), so no join back to the
+      corpus is ever needed;
+    * document frequencies are a ≤|Q|-row aggregate, broadcast back;
+    * corpus-level N / avgdl is a 1-row aggregate cross-joined in
+      (Catalyst broadcasts single-row sides);
+    * the final cut is ``orderBy(...).limit(k)`` — planned as a
+      TakeOrdered, never a full sort.
+
+    Scores are rounded to ``round_to`` decimals *before* ordering so
+    ranking is reproducible across partitionings (float sum order);
+    ties break on ascending ``id_col``.
+    """
+    if not query_terms:
+        raise ValueError("bm25_rank: query_terms must be non-empty")
+    terms = sorted({t.lower() for t in query_terms})
+    c = F.col(text_col)
+    toks = docs.select(
+        F.col(id_col),
+        token_count(c).alias("__dl"),
+        F.explode(F.split(F.lower(F.trim(c)), r"\s+")).alias("__tok"),
+    ).filter(F.col("__tok").isin(terms))
+    tf = toks.groupBy(id_col, "__dl", "__tok").agg(
+        F.count(F.lit(1)).alias("__tf")
+    )
+    dfreq = tf.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg(token_count(c)).alias("__avgdl"),
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    tf_part = (F.col("__tf") * (k1 + 1)) / (
+        F.col("__tf")
+        + k1 * (1 - b + b * F.col("__dl") / F.col("__avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "__tok")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(idf * tf_part), round_to).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(top_k)
+    )
+
+
 def prepare_training_docs(
     df: DataFrame,
     *,
