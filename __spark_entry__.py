@@ -1200,9 +1200,13 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(root, "t"), key_cols=["user_id"], n_buckets=16,
         discovery=False, merge_strategy="broadcast", changelog=True,
     )
+    # minmax under 'recompute': the cross-batch timestamp moves and
+    # LWW updates in this stream retract real bounds, so the targeted
+    # rebuild path is exercised IN the gate, not just in pytest
     roll = TimeRollup(
         root=os.path.join(root, "roll"), time_col="ts_ms",
         granularities=["1 hour", "1 day"], sum_cols=["val"],
+        minmax_cols=["val"], on_retraction="recompute",
     )
     rep = Replayer(table=table, chain=Chain([]), epoch="driver",
                    maintain=roll.specs)
@@ -1219,6 +1223,8 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "bucket_ms",
                 "n_rows",
                 F.round(F.col("sum_val"), 4).alias("sum_val"),
+                "min_val",
+                "max_val",
                 # sentinel, not NULL: NULL bigint round-trips as NaN
                 # through the harness's pandas conversion
                 F.lit(-1).cast("long").alias("distinct_users"),
@@ -1278,6 +1284,8 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "bucket_ms",
                 "n_rows",
                 F.lit(-1.0).alias("sum_val"),
+                F.lit(-1.0).alias("min_val"),
+                F.lit(-1.0).alias("max_val"),
                 F.col("approx_distinct_user_id").alias("distinct_users"),
             )
         )
@@ -2807,11 +2815,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM events) t WHERE rn = 1 AND event_type <> 'error') "
             "SELECT 'hour' AS variant, ts_ms - (ts_ms % 3600000) AS bucket_ms, "
             "count(*) AS n_rows, round(sum(value), 4) AS sum_val, "
+            "min(value) AS min_val, max(value) AS max_val, "
             "CAST(-1 AS BIGINT) AS distinct_users "
             "FROM lww GROUP BY 1, 2 "
             "UNION ALL "
             "SELECT 'day' AS variant, ts_ms - (ts_ms % 86400000) AS bucket_ms, "
             "count(*) AS n_rows, round(sum(value), 4) AS sum_val, "
+            "min(value) AS min_val, max(value) AS max_val, "
             "CAST(-1 AS BIGINT) AS distinct_users "
             "FROM lww GROUP BY 1, 2 "
             # distinct legs: append-only rollup over ALL events; the
@@ -2820,12 +2830,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'distinct_hour' AS variant, "
             "epoch_ms(ts) - (epoch_ms(ts) % 3600000) AS bucket_ms, "
             "count(*) AS n_rows, -1.0 AS sum_val, "
+            "-1.0 AS min_val, -1.0 AS max_val, "
             "count(DISTINCT user_id) AS distinct_users "
             "FROM events WHERE event_id % 5 = 0 GROUP BY 1, 2 "
             "UNION ALL "
             "SELECT 'distinct_day' AS variant, "
             "epoch_ms(ts) - (epoch_ms(ts) % 86400000) AS bucket_ms, "
             "count(*) AS n_rows, -1.0 AS sum_val, "
+            "-1.0 AS min_val, -1.0 AS max_val, "
             "count(DISTINCT user_id) AS distinct_users "
             "FROM events WHERE event_id % 5 = 0 GROUP BY 1, 2"
         ),

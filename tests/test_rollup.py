@@ -554,3 +554,160 @@ def test_rollup_quantiles_all_null_group_reads_as_null(spark, tmp_path):
                            quantiles={"val": [0.5]}).collect()
     }
     assert got == {BASE: None, BASE + HOUR: 4.0}
+
+
+# ----------------------------------------------------- MIN/MAX bounds
+
+
+def _roll_mm(tmp_path, name, **kw):
+    return TimeRollup(
+        root=str(tmp_path / name), time_col="ts_ms",
+        granularities=["1 hour", "1 day"], minmax_cols=["val"], **kw,
+    )
+
+
+def _mm_state(spark, roll, gran):
+    return {
+        r["bucket_ms"]: (r["n_rows"], r["min_val"], r["max_val"])
+        for r in roll.read(spark, gran).collect()
+    }
+
+
+def _mm_exact(spark, table, gran):
+    return {
+        r[0]: (r[1], r[2], r[3])
+        for r in table.read(spark)
+        .groupBy(time_bucket("ts_ms", gran))
+        .agg(F.count(F.lit(1)), F.min("val"), F.max("val"))
+        .collect()
+    }
+
+
+def test_rollup_minmax_tracks_exact_on_append(spark, tmp_path):
+    """Pure inserts: min/max fold via least/greatest, exact under the
+    default 'error' policy (no retraction ever fires the guard)."""
+    table = LakeTable(str(tmp_path / "t"), key_cols=["k"], n_buckets=4,
+                      merge_strategy="broadcast", changelog=True,
+                      discovery=False)
+    roll = _roll_mm(tmp_path, "roll")
+    rep = Replayer(table=table, chain=Chain([]), epoch="e",
+                   maintain=roll.specs)
+    rep.replay(_env(spark, [
+        (1, "a", "c", 5.0, BASE + 10),
+        (2, "b", "c", 1.0, BASE + 20),
+        (3, "c", "c", 9.0, BASE + HOUR + 10),
+        (11, "d", "c", -2.0, BASE + 30),   # second batch lowers the min
+        (12, "e", "c", 11.0, BASE + HOUR + 20),
+    ]), batch_width=10, start_pos=0, max_pos=20)
+    for gran in ("1 hour", "1 day"):
+        assert _mm_state(spark, roll, gran) == _mm_exact(
+            spark, table, gran
+        ), gran
+
+
+def test_rollup_minmax_interior_retraction_folds_free(spark, tmp_path):
+    """A retraction strictly inside (min, max) cannot move a bound —
+    it must fold WITHOUT violating, even under on_retraction='error'
+    (the guard is value-aware, not any-retraction like KLL)."""
+    table = LakeTable(str(tmp_path / "t"), key_cols=["k"], n_buckets=4,
+                      merge_strategy="broadcast", changelog=True,
+                      discovery=False)
+    roll = _roll_mm(tmp_path, "roll")  # default on_retraction='error'
+    rep = Replayer(table=table, chain=Chain([]), epoch="e",
+                   maintain=roll.specs)
+    rep.replay(_env(spark, [
+        (1, "a", "c", 1.0, BASE + 10),
+        (2, "b", "c", 5.0, BASE + 20),   # interior value
+        (3, "c", "c", 9.0, BASE + 30),
+        (11, "b", "u", 6.0, BASE + 40),  # retracts interior 5.0 -> ok
+    ]), batch_width=10, start_pos=0, max_pos=20)
+    assert _mm_state(spark, roll, "1 hour") == {BASE: (3, 1.0, 9.0)}
+
+
+def test_rollup_minmax_error_when_bound_retracted(spark, tmp_path):
+    table = LakeTable(str(tmp_path / "t"), key_cols=["k"], n_buckets=4,
+                      merge_strategy="broadcast", changelog=True,
+                      discovery=False)
+    roll = _roll_mm(tmp_path, "roll")
+    rep = Replayer(table=table, chain=Chain([]), epoch="e",
+                   maintain=roll.specs)
+    # batch 0 inserts; batch 1 deletes the current max -> must refuse
+    with pytest.raises(ValueError, match="min/max"):
+        rep.replay(_env(spark, [
+            (1, "a", "c", 1.0, BASE + 10),
+            (2, "b", "c", 9.0, BASE + 20),
+            (11, "b", "d", None, 0),
+        ]), batch_width=10, start_pos=0, max_pos=20)
+
+
+def test_rollup_minmax_recompute_is_exact_under_moves(spark, tmp_path):
+    """on_retraction='recompute': timestamp moves across buckets, a
+    same-bucket value change AND a bound delete — every granularity's
+    min/max still equals an exact recompute; re-replay is a no-op."""
+    events = [
+        (1, "a", "u", 1.0, BASE + 10),
+        (2, "b", "u", 9.0, BASE + HOUR + 10),
+        (3, "c", "u", 3.0, BASE + 20),
+        (11, "a", "u", 4.0, BASE + DAY + 50),       # min leaves its day
+        (12, "c", "u", -5.0, BASE + 30),             # new min, same bucket
+        (21, "b", "d", None, 0),                     # delete a max
+        (22, "a", "u", 6.0, BASE + DAY + 2 * HOUR),  # move hour again
+    ]
+    table = LakeTable(str(tmp_path / "t"), key_cols=["k"], n_buckets=4,
+                      merge_strategy="broadcast", changelog=True,
+                      discovery=False)
+    roll = _roll_mm(tmp_path, "roll", on_retraction="recompute")
+    rep = Replayer(table=table, chain=Chain([]), epoch="e",
+                   maintain=roll.specs)
+    rep.replay(_env(spark, events), batch_width=10, start_pos=0,
+               max_pos=30)
+    for gran in ("1 hour", "1 day"):
+        assert _mm_state(spark, roll, gran) == _mm_exact(
+            spark, table, gran
+        ), gran
+    before = _mm_state(spark, roll, "1 day")
+    rep.replay(_env(spark, events), batch_width=10, start_pos=0,
+               max_pos=30)
+    assert _mm_state(spark, roll, "1 day") == before
+
+
+def test_rollup_minmax_stale_is_envelope(spark, tmp_path):
+    """'stale': bounds become the monotone ever-seen envelope — always
+    at-or-outside the exact bounds, never inside."""
+    events = [
+        (1, "a", "u", 1.0, BASE + 10),
+        (2, "b", "u", 9.0, BASE + 20),
+        (11, "a", "d", None, 0),   # exact min rises to 9.0
+        (12, "b", "u", 5.0, BASE + 30),  # exact max drops to 5.0
+    ]
+    table = LakeTable(str(tmp_path / "t"), key_cols=["k"], n_buckets=4,
+                      merge_strategy="broadcast", changelog=True,
+                      discovery=False)
+    roll = _roll_mm(tmp_path, "roll", on_retraction="stale")
+    rep = Replayer(table=table, chain=Chain([]), epoch="e",
+                   maintain=roll.specs)
+    rep.replay(_env(spark, events), batch_width=10, start_pos=0,
+               max_pos=20)
+    got = _mm_state(spark, roll, "1 hour")
+    exact = _mm_exact(spark, table, "1 hour")
+    assert got[BASE][0] == exact[BASE][0] == 1
+    assert got[BASE][1] <= exact[BASE][1]  # envelope min <= exact min
+    assert got[BASE][2] >= exact[BASE][2]  # envelope max >= exact max
+    assert got[BASE] == (1, 1.0, 9.0)
+
+
+def test_rollup_minmax_recompute_requires_base(spark, tmp_path):
+    from transforms_for_apache_kafka_connect_spark.streaming.incremental import (
+        incremental_agg_update,
+    )
+
+    agg = LakeTable(str(tmp_path / "agg"), key_cols=["g"], n_buckets=2,
+                    discovery=False, merge_strategy="broadcast")
+    chg = spark.createDataFrame(
+        [("g1", 1.0, "insert")], "g string, v double, _change_type string"
+    )
+    with pytest.raises(ValueError, match="base_table"):
+        incremental_agg_update(
+            agg, chg, group_cols=["g"], minmax_cols=["v"],
+            on_retraction="recompute", epoch="e", batch_id=0,
+        )

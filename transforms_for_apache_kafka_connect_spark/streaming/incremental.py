@@ -16,11 +16,18 @@ machinery for free: each update commits under the SOURCE batch's
 batches through the agg table's own ledger.
 
 Supported aggregates: COUNT(*) and SUM(col) — the self-maintainable
-ones (they fold under retraction without auxiliary state). MIN/MAX are
-deliberately not offered: a retracted current-min requires a rescan of
-the group (classic view-maintenance result), which is exactly the cost
-this module exists to avoid; run those as periodic full aggregates
-instead.
+ones (they fold under retraction without auxiliary state) — plus
+MIN/MAX via ``minmax_cols``. MIN/MAX are NOT self-maintainable (the
+classic view-maintenance result: retracting the current min requires a
+rescan of the group), so they ride the same policy machinery as the
+sketches: inserts fold exactly (``least``/``greatest``), and a
+retraction that could have held a bound — value at-or-below the stored
+min or at-or-above the stored max — marks the group violated. Under
+``on_retraction='recompute'`` only the violated groups' bounds are
+rebuilt from the base table (broadcast-semi-join-bounded scan), keeping
+MIN/MAX exact under arbitrary updates/deletes at O(affected groups)
+cost; a retraction strictly inside the open interval (min, max) folds
+for free. ``'stale'`` degrades to the monotone ever-seen envelope.
 
 ``distinct_cols`` adds APPROX_COUNT_DISTINCT per group as a maintained
 HyperLogLog sketch (Spark's Datasketches ``hll_sketch_agg`` /
@@ -88,6 +95,11 @@ class MaintainedAggregate:
     #: retraction whose value is non-null violates the group — same
     #: on_retraction policies apply
     quantile_cols: list[str] = field(default_factory=list)
+    #: per-group MIN(col)/MAX(col) maintained as ``min_<col>`` /
+    #: ``max_<col>``: inserts fold exactly; a retraction at-or-below
+    #: the stored min (or at-or-above the stored max) violates the
+    #: group — same on_retraction policies (module docstring)
+    minmax_cols: list[str] = field(default_factory=list)
     on_retraction: str = "error"
 
 
@@ -136,6 +148,7 @@ def incremental_agg_update(
     derived: dict | None = None,
     distinct_cols: list[str] | None = None,
     quantile_cols: list[str] | None = None,
+    minmax_cols: list[str] | None = None,
     on_retraction: str = "error",
     base_table: LakeTable | None = None,
     epoch: str,
@@ -163,12 +176,14 @@ def incremental_agg_update(
     sum_cols = list(sum_cols or [])
     distinct_cols = list(distinct_cols or [])
     quantile_cols = list(quantile_cols or [])
+    minmax_cols = list(minmax_cols or [])
     sketch_cols = distinct_cols + quantile_cols
+    guarded_cols = sketch_cols + minmax_cols
     if on_retraction not in ("error", "stale", "recompute"):
         raise ValueError(
             "on_retraction must be 'error', 'stale' or 'recompute'"
         )
-    if on_retraction == "recompute" and sketch_cols and base_table is None:
+    if on_retraction == "recompute" and guarded_cols and base_table is None:
         raise ValueError(
             "on_retraction='recompute' needs base_table (the maintenance "
             "loop passes the Replayer's table automatically)"
@@ -190,8 +205,10 @@ def incremental_agg_update(
     sign = F.when(
         F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
     ).otherwise(F.lit(-1))
+    m = agg_table.manifest()
+    agg_exists = m["schema"] is not None and m["buckets"]
     affected: list | None = None
-    if sketch_cols and on_retraction in ("error", "recompute"):
+    if guarded_cols and on_retraction in ("error", "recompute"):
         # exactness guards — sketches cannot forget, so any batch that
         # would require forgetting is caught here. One bounded job over
         # the batch-sized changelog: 'error' short-circuits on the
@@ -241,12 +258,56 @@ def incremental_agg_update(
                 viol_kll if viol_groups is None
                 else viol_groups.unionByName(viol_kll).distinct()
             )
+        if minmax_cols:
+            # MIN/MAX: a retraction can only move a bound if its value
+            # sits AT the bound (<= stored min or >= stored max; strict
+            # inequality is impossible in a consistent state but guarded
+            # anyway). Retractions strictly inside the open interval
+            # fold for free — no violation, no rebuild.
+            rets = nn.filter(sign == -1)
+            if agg_exists:
+                cur_mm = agg_table.read(spark).select(
+                    *group_cols,
+                    *[F.col(f"min_{c}").alias(f"__cmin_{c}")
+                      for c in minmax_cols],
+                    *[F.col(f"max_{c}").alias(f"__cmax_{c}")
+                      for c in minmax_cols],
+                )
+                joined = rets.join(cur_mm, on=list(group_cols), how="left")
+                cond = None
+                for c in minmax_cols:
+                    v = F.col(c).cast("double")
+                    hit = v.isNotNull() & (
+                        F.col(f"__cmin_{c}").isNull()
+                        | (v <= F.col(f"__cmin_{c}"))
+                        | (v >= F.col(f"__cmax_{c}"))
+                    )
+                    cond = hit if cond is None else (cond | hit)
+                viol_mm = (
+                    joined.filter(cond).select(*group_cols).distinct()
+                )
+            else:
+                # no aggregate state yet: any retraction with a value
+                # is conservatively a violation
+                some_v = None
+                for c in minmax_cols:
+                    h = F.col(c).isNotNull()
+                    some_v = h if some_v is None else (some_v | h)
+                viol_mm = (
+                    rets.filter(some_v).select(*group_cols).distinct()
+                )
+            viol_groups = (
+                viol_mm if viol_groups is None
+                else viol_groups.unionByName(viol_mm).distinct()
+            )
         if on_retraction == "error":
             if viol_groups.limit(1).count():
                 raise ValueError(
                     f"batch ({epoch!r}, {batch_id}) retracts from a "
-                    f"sketched column ({distinct_cols + quantile_cols}):"
-                    " sketches cannot forget. Use "
+                    f"guarded column (sketched "
+                    f"{distinct_cols + quantile_cols}, min/max "
+                    f"{minmax_cols}): sketches cannot forget and a "
+                    "retracted bound needs a group rescan. Use "
                     "on_retraction='recompute' (targeted rebuild from "
                     "the base table) or accept insert-only semantics "
                     "with on_retraction='stale'."
@@ -280,10 +341,26 @@ def incremental_agg_update(
             ).alias(f"__d_kll_{c}")
             for c in quantile_cols
         ],
+        *[
+            # insert-side images only: retractions that survive the
+            # guard are strictly inside (min, max) and fold for free
+            F.min(F.when(sign == 1, F.col(c).cast("double"))).alias(
+                f"__d_min_{c}"
+            )
+            for c in minmax_cols
+        ],
+        *[
+            F.max(F.when(sign == 1, F.col(c).cast("double"))).alias(
+                f"__d_max_{c}"
+            )
+            for c in minmax_cols
+        ],
     )
     sum_out = [f"sum_{c}" for c in sum_cols]
     hll_out = [f"hll_{c}" for c in distinct_cols]
     kll_out = [f"kll_{c}" for c in quantile_cols]
+    min_out = [f"min_{c}" for c in minmax_cols]
+    max_out = [f"max_{c}" for c in minmax_cols]
     def _sketch_fold(cur_col, delta_col, union_fn):
         # union is only defined over two non-null sketches; either side
         # alone passes through (a group may see a batch with no new
@@ -294,10 +371,10 @@ def incremental_agg_update(
             .otherwise(union_fn(cur_col, delta_col))
         )
 
-    m = agg_table.manifest()
-    if m["schema"] is not None and m["buckets"]:
+    if agg_exists:
         cur = agg_table.read(spark).select(
-            *group_cols, count_col, *sum_out, *hll_out, *kll_out
+            *group_cols, count_col, *sum_out, *hll_out, *kll_out,
+            *min_out, *max_out,
         )
         # delta drives a LEFT join: only TOUCHED groups are re-emitted
         # and merged — a batch touching 3 groups of a 10^6-group
@@ -329,6 +406,15 @@ def incremental_agg_update(
                 ).alias(o)
                 for c, o in zip(quantile_cols, kll_out)
             ],
+            # least/greatest skip nulls: either side alone passes through
+            *[
+                F.least(F.col(o), F.col(f"__d_min_{c}")).alias(o)
+                for c, o in zip(minmax_cols, min_out)
+            ],
+            *[
+                F.greatest(F.col(o), F.col(f"__d_max_{c}")).alias(o)
+                for c, o in zip(minmax_cols, max_out)
+            ],
         )
     else:
         upd = delta.select(
@@ -345,6 +431,14 @@ def incremental_agg_update(
             *[
                 F.col(f"__d_kll_{c}").alias(o)
                 for c, o in zip(quantile_cols, kll_out)
+            ],
+            *[
+                F.col(f"__d_min_{c}").alias(o)
+                for c, o in zip(minmax_cols, min_out)
+            ],
+            *[
+                F.col(f"__d_max_{c}").alias(o)
+                for c, o in zip(minmax_cols, max_out)
             ],
         )
     if affected:
@@ -381,6 +475,14 @@ def incremental_agg_update(
                     ).alias(f"__r_kll_{c}")
                     for c in quantile_cols
                 ],
+                *[
+                    F.min(F.col(c).cast("double")).alias(f"__r_min_{c}")
+                    for c in minmax_cols
+                ],
+                *[
+                    F.max(F.col(c).cast("double")).alias(f"__r_max_{c}")
+                    for c in minmax_cols
+                ],
             )
         )
         upd = upd.join(F.broadcast(rebuilt), on=list(group_cols), how="left")
@@ -388,6 +490,10 @@ def incremental_agg_update(
             (f"__r_hll_{c}", o) for c, o in zip(distinct_cols, hll_out)
         ] + [
             (f"__r_kll_{c}", o) for c, o in zip(quantile_cols, kll_out)
+        ] + [
+            (f"__r_min_{c}", o) for c, o in zip(minmax_cols, min_out)
+        ] + [
+            (f"__r_max_{c}", o) for c, o in zip(minmax_cols, max_out)
         ]
         for r, o in rebuilt_pairs:
             # rebuilt rows take the recomputed sketch VERBATIM (even

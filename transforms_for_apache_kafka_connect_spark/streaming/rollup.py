@@ -106,6 +106,11 @@ class TimeRollup:
     #: sketch (``kll_<col>``; stricter retraction guard — see
     #: incremental.py). Probe with ``read(..., quantiles=...)``.
     quantile_cols: list[str] = field(default_factory=list)
+    #: MIN/MAX per bucket (``min_<col>``/``max_<col>``): inserts fold
+    #: exactly; a retraction holding a bound follows on_retraction —
+    #: 'recompute' rebuilds only the violated buckets from the base
+    #: table (see incremental.py)
+    minmax_cols: list[str] = field(default_factory=list)
     on_retraction: str = "error"
     n_buckets: int = 4
     count_col: str = "n_rows"
@@ -137,6 +142,7 @@ class TimeRollup:
                     derived={"bucket_ms": time_bucket(self.time_col, g)},
                     distinct_cols=list(self.distinct_cols),
                     quantile_cols=list(self.quantile_cols),
+                    minmax_cols=list(self.minmax_cols),
                     on_retraction=self.on_retraction,
                 )
             )
@@ -181,6 +187,8 @@ class TimeRollup:
             *self.group_cols,
             self.count_col,
             *[f"sum_{c}" for c in self.sum_cols],
+            *[c for mm in self.minmax_cols
+              for c in (f"min_{mm}", f"max_{mm}")],
             *[
                 # a group created solely by null members has no sketch:
                 # its distinct count is 0, not NULL
