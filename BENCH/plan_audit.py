@@ -169,6 +169,13 @@ def main() -> None:
     check("para dedup: no Python / no cartesian",
           "Python" not in p and "CartesianProduct" not in p)
 
+    # 4e. repetition metrics: pure per-row expressions — the token
+    # mode is a linear fold over the sorted array, never an exploded
+    # (doc, token) shuffle
+    p = plan_of(entrymod.q_repetition_stats(spark, sf_dir))
+    check("repetition stats: zero exchanges, no Python",
+          "Exchange" not in p and "Python" not in p)
+
     # 5. lww_dedupe: partial aggregation before the exchange (map-side
     # combine) — the plain leg of the composite gate entry
     df = entrymod.q_lww_dedupe(spark, sf_dir)

@@ -1493,7 +1493,34 @@ def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1.0).alias("d"),
         F.lit("-").alias("s"),
     )
-    return st.unionByName(lg).unionByName(qs).unionByName(bm)
+    rp = q_repetition_stats(spark, sf_dir).select(
+        F.lit("rep").alias("variant"),
+        "doc_id",
+        F.col("dup_ngram_frac").alias("a"),
+        F.col("top_token_frac").alias("b"),
+        F.lit(-1.0).alias("c"),
+        F.lit(-1.0).alias("d"),
+        F.lit("-").alias("s"),
+    )
+    return (
+        st.unionByName(lg).unionByName(qs).unionByName(bm).unionByName(rp)
+    )
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality metrics (functions/text.py
+    add_repetition_stats): duplicate word-3-gram fraction + top-token
+    share, both pure per-row Column expressions (the token mode is a
+    linear fold over the sorted token array — zero shuffles, never an
+    exploded (doc, token) aggregate)."""
+    from transforms_for_apache_kafka_connect_spark.functions import (
+        add_repetition_stats,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return add_repetition_stats(docs).select(
+        "doc_id", "dup_ngram_frac", "top_token_frac"
+    )
 
 
 BM25_TERMS = ["spark", "merge", "window"]
@@ -2917,7 +2944,33 @@ def oracle_sql() -> dict[str, str]:
             "* tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))"
             "), 4) AS bm25 "
             "FROM tf JOIN dfq USING (tok) CROSS JOIN st "
-            "GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20) tbm"
+            "GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20) tbm "
+            "UNION ALL "
+            # rep leg: Gopher repetition metrics — dup word-3-gram
+            # fraction (1 - distinct/total) + top-token share
+            "SELECT 'rep' AS variant, doc_id, dup_ngram_frac AS a, "
+            "top_token_frac AS b, -1.0 AS c, -1.0 AS d, '-' AS s FROM ("
+            "WITH w AS (SELECT doc_id, trim(text) AS t, "
+            r"string_split_regex(lower(trim(text)), '\s+') AS w "
+            "FROM documents), "
+            "g AS (SELECT doc_id, t, w, "
+            "greatest(len(w) - 2, 0) AS total, "
+            "len(list_distinct(list_transform("
+            "range(1, greatest(len(w) - 2, 0) + 1), "
+            "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS dist "
+            "FROM w), "
+            "tok AS (SELECT doc_id, unnest(w) AS tok FROM w WHERE t <> ''), "
+            "cnt AS (SELECT doc_id, tok AS tk, count(*) AS c FROM tok "
+            "GROUP BY 1, 2), "
+            "tt AS (SELECT doc_id, "
+            "round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_token_frac "
+            "FROM cnt GROUP BY 1) "
+            "SELECT g.doc_id, "
+            "CASE WHEN g.t <> '' AND g.total > 0 "
+            "THEN round(1.0 - CAST(g.dist AS DOUBLE) / g.total, 6) "
+            "ELSE 0.0 END AS dup_ngram_frac, "
+            "coalesce(tt.top_token_frac, 0.0) AS top_token_frac "
+            "FROM g LEFT JOIN tt ON g.doc_id = tt.doc_id) trep"
         ),
         "jaccard_dups": (
             "SELECT 'ngram' AS variant, * FROM (" + _jaccard_sql(0.6) + ") "

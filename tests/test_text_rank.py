@@ -173,3 +173,54 @@ def test_bm25_plan_is_jvm_side_take_ordered(spark):
     assert "Python" not in plan
     assert "TakeOrderedAndProject" in plan  # top-k, never a full sort
     assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------------------ repetition stats
+
+from transforms_for_apache_kafka_connect_spark.functions import (  # noqa: E402
+    add_repetition_stats,
+)
+
+
+def test_repetition_stats_hand_case(spark):
+    docs = [
+        # 5 tokens -> 3 3-grams, all distinct; top token 'a' x2 of 5
+        (0, "a b c a b"),
+        # pure spam: 4 tokens, 2 3-grams both 'x x x' -> dup 1/2;
+        # top token 4/4
+        (1, "x x x x"),
+        # too short for a 3-gram, top token 1/2
+        (2, "y z"),
+        (3, ""),  # empty -> both 0.0
+        (4, "   "),  # whitespace-only -> both 0.0
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["dup_ngram_frac"], r["top_token_frac"])
+        for r in add_repetition_stats(df).collect()
+    }
+    assert got == {
+        0: (0.0, 0.4),
+        1: (0.5, 1.0),
+        2: (0.0, 0.5),
+        3: (0.0, 0.0),
+        4: (0.0, 0.0),
+    }
+
+
+def test_repetition_stats_case_insensitive_mode(spark):
+    df = spark.createDataFrame([(0, "The THE the ok")], ["doc_id", "text"])
+    r = add_repetition_stats(df).collect()[0]
+    assert r["top_token_frac"] == 0.75
+
+
+def test_repetition_stats_plan_has_no_shuffle_or_python(spark):
+    df = spark.createDataFrame([(0, "a b c")], ["doc_id", "text"])
+    plan = (
+        add_repetition_stats(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # pure per-row expressions
+    assert "Python" not in plan

@@ -1,4 +1,5 @@
 from transforms_for_apache_kafka_connect_spark.functions.text import (
+    add_repetition_stats,
     add_text_stats,
     bm25_rank,
     detect_lang,
@@ -38,6 +39,7 @@ __all__ = [
     "hash_sample",
     "stratified_sample",
     "deterministic_top_sample",
+    "add_repetition_stats",
     "add_text_stats",
     "bm25_rank",
     "dedup_paragraphs",

@@ -100,6 +100,64 @@ def add_text_stats(
     )
 
 
+def add_repetition_stats(
+    df: DataFrame, text_col: str = "text", prefix: str = "", n: int = 3
+) -> DataFrame:
+    """Gopher-style within-document repetition metrics (quality
+    filters for training corpora):
+
+    * ``dup_ngram_frac`` — fraction of word ``n``-grams that are
+      repeats (``1 - distinct/total``); boilerplate and looped text
+      score high. 0.0 for docs with no ``n``-gram.
+    * ``top_token_frac`` — the most frequent token's share of all
+      tokens; degenerate "word word word ..." spam scores near 1.0.
+      0.0 for empty docs.
+
+    Scale shape: both are pure per-row Column expressions — zero
+    shuffles, zero Python. The token mode is computed by a linear
+    ``aggregate`` fold over the sorted token array (longest equal run),
+    not by exploding the corpus into a (doc, token) shuffle.
+    """
+    from transforms_for_apache_kafka_connect_spark.functions.dedupe import (
+        word_shingles,
+    )
+
+    c = F.col(text_col)
+    is_empty = F.trim(c) == ""
+    words = F.split(F.lower(F.trim(c)), r"\s+")
+    grams_total = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    grams_distinct = F.size(word_shingles(c, n))
+    dup_frac = F.when(
+        ~is_empty & (grams_total > 0),
+        F.round(1.0 - grams_distinct / grams_total, 6),
+    ).otherwise(F.lit(0.0))
+    # mode count = longest equal run in the sorted array: a linear fold
+    # (tokens after split of trimmed text are never "", so "" is a safe
+    # initial sentinel for prev)
+    run0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def _step(a, x):
+        run = F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(a["best"], run).alias("best"),
+        )
+
+    mode_n = F.aggregate(
+        F.array_sort(words), run0, _step, lambda a: a["best"]
+    )
+    top_frac = F.when(
+        ~is_empty, F.round(mode_n / F.size(words), 6)
+    ).otherwise(F.lit(0.0))
+    p = prefix
+    return df.withColumn(p + "dup_ngram_frac", dup_frac).withColumn(
+        p + "top_token_frac", top_frac
+    )
+
+
 def bm25_rank(
     docs: DataFrame,
     query_terms: list[str],
