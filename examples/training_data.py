@@ -10,12 +10,17 @@ Stages (each prints a one-line summary):
 2.  **Near-dup pruning** — MinHash+LSH candidate pairs -> connected
     components -> keep each cluster's canonical document.
 3.  **Quality + language filter** — lang-id, token/punct/stopword
-    stats, quality floor.
-4.  **Embedding near-dups** — hyperplane-LSH buckets over the
+    stats, Gopher repetition metrics (dup-3-gram fraction, top-token
+    share), quality floor.
+4.  **Paragraph dedup** — corpus-wide first-occurrence paragraph
+    dedup over composite documents (boilerplate removal).
+5.  **Embedding near-dups** — hyperplane-LSH buckets over the
     embeddings table, cosine >= 0.999 pairs.
-5.  **Split + sample** — leakage-free train/val/test hash split, a
+6.  **Split + sample** — leakage-free train/val/test hash split, a
     deterministic 10% subsample of train, and an exact-200-doc
     eval probe set.
+7.  **BM25 retrieval probe** — rank the kept corpus against a query
+    bag, top-10.
 
 Everything is deterministic (seeded hashes, no RNG state): re-running
 prints identical numbers.
@@ -32,7 +37,10 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from transforms_for_apache_kafka_connect_spark.functions import (
+    add_repetition_stats,
     add_text_stats,
+    bm25_rank,
+    dedup_paragraphs,
     detect_lang,
     deterministic_top_sample,
     exact_duplicates,
@@ -83,21 +91,56 @@ def main() -> None:
     print(f"2. near-dup pruning: {n1} -> {n2} docs "
           f"({n1 - n2} near-duplicates dropped)")
 
-    # 3. language + quality floor
-    scored = add_text_stats(
-        docs2.withColumn("lang_detected", detect_lang(F.col("text")))
+    # 3. language + quality floor, incl. Gopher repetition filters
+    scored = add_repetition_stats(
+        add_text_stats(
+            docs2.withColumn("lang_detected", detect_lang(F.col("text")))
+        )
     )
     kept = scored.filter(
         (F.col("lang_detected") != "und")
         & (F.col("n_tokens") >= 10)
         & (F.col("punct_ratio") < 0.3)
+        & (F.col("top_token_frac") < 0.5)   # "word word word..." spam
+        & (F.col("dup_ngram_frac") < 0.9)   # looped boilerplate
     )
     n3 = kept.count()
     by_lang = {r["lang_detected"]: r["count"]
                for r in kept.groupBy("lang_detected").count().collect()}
     print(f"3. quality/lang filter: {n2} -> {n3} docs, by lang {by_lang}")
 
-    # 4. embedding-space near-dups (cosine >= 0.999 via hyperplane
+    # 4. paragraph-level dedup: stitch overlapping composite docs (to
+    # plant cross-document boilerplate), then strip every repeated
+    # paragraph's later occurrences
+    half = F.floor(F.col("doc_id") / 2)
+    comp = (
+        docs.filter("doc_id < 100")
+        .select(
+            F.explode(F.array(half, half - 1)).alias("comp_id"),
+            "doc_id",
+            "text",
+        )
+        .filter((F.col("comp_id") >= 0) & (F.col("comp_id") <= 48))
+        .groupBy("comp_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                    lambda s: s["text"],
+                ),
+                "\n\n",
+            ).alias("text")
+        )
+    )
+    deduped = dedup_paragraphs(comp, id_col="comp_id")
+    kept_paras, total_paras = deduped.agg(
+        F.sum("n_paras_kept"), F.sum("n_paras_total")
+    ).first()
+    print(f"4. paragraph dedup: {total_paras} paragraphs across "
+          f"{comp.count()} composite docs -> {kept_paras} kept "
+          f"({total_paras - kept_paras} cross-doc repeats stripped)")
+
+    # 5. embedding-space near-dups (cosine >= 0.999 via hyperplane
     # LSH). Random synthetic embeddings have no natural near-dups, so
     # inject 20 exact copies — the pipeline must find exactly those.
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -109,12 +152,12 @@ def main() -> None:
     )
     pairs = embedding_near_duplicates(planted, dim=dim, threshold=0.999)
     n_pairs = pairs.count()
-    print(f"4. embedding near-dups: planted 20 copies among "
+    print(f"5. embedding near-dups: planted 20 copies among "
           f"{emb.count()} vectors (dim {dim}); found {n_pairs} pairs "
           f"at cosine>=0.999")
     assert n_pairs >= 20
 
-    # 5. leakage-free split + nested deterministic samples
+    # 6. leakage-free split + nested deterministic samples
     split = hash_split(
         kept, {"train": 0.9, "val": 0.05, "test": 0.05}, id_cols=["doc_id"]
     )
@@ -123,9 +166,14 @@ def main() -> None:
     train = split.filter("split = 'train'")
     sample10 = hash_sample(train, 0.1, id_cols=["doc_id"])
     probe = deterministic_top_sample(kept, 200, id_cols=["doc_id"])
-    print(f"5. split {counts}; train 10% sample = {sample10.count()} docs; "
+    print(f"6. split {counts}; train 10% sample = {sample10.count()} docs; "
           f"eval probe = {probe.count()} docs (all membership stable "
           f"across runs/partitionings)")
+
+    # 7. BM25 retrieval probe over the kept corpus
+    top = bm25_rank(kept, ["merge", "window", "scan"], top_k=10).collect()
+    print(f"7. bm25 top-10 for ['merge','window','scan']: "
+          f"{[(r['doc_id'], r['bm25']) for r in top[:3]]} ...")
 
     spark.stop()
     print("done")
