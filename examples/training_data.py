@@ -132,12 +132,17 @@ def main() -> None:
             ).alias("text")
         )
     )
+    comp = comp.cache()
     deduped = dedup_paragraphs(comp, id_col="comp_id")
-    kept_paras, total_paras = deduped.agg(
-        F.sum("n_paras_kept"), F.sum("n_paras_total")
+    # totals from the INPUT (fully-redundant composites drop out of
+    # the dedup output entirely and must still count)
+    n_comp, total_paras = comp.agg(
+        F.count(F.lit(1)),
+        F.sum(F.size(F.split("text", "\n\n", -1))),
     ).first()
+    kept_paras = deduped.agg(F.sum("n_paras_kept")).first()[0]
     print(f"4. paragraph dedup: {total_paras} paragraphs across "
-          f"{comp.count()} composite docs -> {kept_paras} kept "
+          f"{n_comp} composite docs -> {kept_paras} kept "
           f"({total_paras - kept_paras} cross-doc repeats stripped)")
 
     # 5. embedding-space near-dups (cosine >= 0.999 via hyperplane

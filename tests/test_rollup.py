@@ -711,3 +711,26 @@ def test_rollup_minmax_recompute_requires_base(spark, tmp_path):
             agg, chg, group_cols=["g"], minmax_cols=["v"],
             on_retraction="recompute", epoch="e", batch_id=0,
         )
+
+
+def test_rollup_minmax_same_value_churn_at_bound_folds_free(spark, tmp_path):
+    """Review regression: the standard LWW update pair for a row whose
+    OTHER columns changed retracts and reinserts the SAME value — the
+    value nets zero in the batch, so even when it holds a bound the
+    guard must not fire (default 'error' policy keeps replaying) and
+    the fold stays exact."""
+    table = LakeTable(str(tmp_path / "t"), key_cols=["k"], n_buckets=4,
+                      merge_strategy="broadcast", changelog=True,
+                      discovery=False)
+    roll = _roll_mm(tmp_path, "roll")  # default on_retraction='error'
+    rep = Replayer(table=table, chain=Chain([]), epoch="e",
+                   maintain=roll.specs)
+    rep.replay(_env(spark, [
+        (1, "a", "c", 1.0, BASE + 10),   # the bucket min
+        (2, "b", "c", 9.0, BASE + 20),
+        # batch 1: 'a' updated with the SAME val/ts (a non-measure
+        # change in real life): pre-image retracts 1.0, post-image
+        # reinserts it -> net 0 at the min
+        (11, "a", "u", 1.0, BASE + 10),
+    ]), batch_width=10, start_pos=0, max_pos=20)
+    assert _mm_state(spark, roll, "1 hour") == {BASE: (2, 1.0, 9.0)}

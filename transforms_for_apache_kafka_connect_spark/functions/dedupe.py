@@ -77,11 +77,17 @@ def dedup_paragraphs(
     """
     import re as _re
 
-    c = F.col(text_col)
-    paras = df.select(
+    # split once per row: the regex scan over the full document is the
+    # dominant per-row cost, so project the array and reuse it for
+    # both the count and the explode
+    arr = df.select(
         F.col(id_col),
-        F.size(F.split(c, _re.escape(sep), -1)).alias("__n_total"),
-        F.posexplode(F.split(c, _re.escape(sep), -1)).alias("__pos", "__para"),
+        F.split(F.col(text_col), _re.escape(sep), -1).alias("__arr"),
+    )
+    paras = arr.select(
+        F.col(id_col),
+        F.size("__arr").alias("__n_total"),
+        F.posexplode("__arr").alias("__pos", "__para"),
     )
     winners = (
         paras.groupBy(F.sha2(F.col("__para"), 256).alias("__h"))

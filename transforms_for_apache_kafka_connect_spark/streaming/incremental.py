@@ -21,8 +21,10 @@ MIN/MAX via ``minmax_cols``. MIN/MAX are NOT self-maintainable (the
 classic view-maintenance result: retracting the current min requires a
 rescan of the group), so they ride the same policy machinery as the
 sketches: inserts fold exactly (``least``/``greatest``), and a
-retraction that could have held a bound — value at-or-below the stored
-min or at-or-above the stored max — marks the group violated. Under
+retraction that could have held a bound — value netting negative in
+the batch (same-value churn nets zero and folds exactly) AND sitting
+at-or-below the stored min or at-or-above the stored max — marks the
+group violated. Under
 ``on_retraction='recompute'`` only the violated groups' bounds are
 rebuilt from the base table (broadcast-semi-join-bounded scan), keeping
 MIN/MAX exact under arbitrary updates/deletes at O(affected groups)
@@ -96,9 +98,10 @@ class MaintainedAggregate:
     #: on_retraction policies apply
     quantile_cols: list[str] = field(default_factory=list)
     #: per-group MIN(col)/MAX(col) maintained as ``min_<col>`` /
-    #: ``max_<col>``: inserts fold exactly; a retraction at-or-below
-    #: the stored min (or at-or-above the stored max) violates the
-    #: group — same on_retraction policies (module docstring)
+    #: ``max_<col>``: inserts fold exactly; a NET-negative retraction
+    #: at-or-below the stored min (or at-or-above the stored max)
+    #: violates the group — same on_retraction policies (module
+    #: docstring)
     minmax_cols: list[str] = field(default_factory=list)
     on_retraction: str = "error"
 
@@ -259,13 +262,41 @@ def incremental_agg_update(
                 else viol_groups.unionByName(viol_kll).distinct()
             )
         if minmax_cols:
-            # MIN/MAX: a retraction can only move a bound if its value
-            # sits AT the bound (<= stored min or >= stored max; strict
-            # inequality is impossible in a consistent state but guarded
-            # anyway). Retractions strictly inside the open interval
-            # fold for free — no violation, no rebuild.
-            rets = nn.filter(sign == -1)
-            if agg_exists:
+            # MIN/MAX: per-(group, value) netting first (same idea as
+            # the HLL guard) — a retraction whose value nets >= 0 in
+            # the batch (the standard same-value update_preimage/
+            # postimage churn) leaves the value present and folds
+            # exactly; only a NET-negative value that also sits
+            # at-or-outside a stored bound (<= min or >= max) can move
+            # it. Strictly-interior net losses fold for free too.
+            neg = (
+                nn.select(
+                    *group_cols,
+                    sign.alias("__s"),
+                    F.explode(
+                        F.array(*[
+                            F.struct(
+                                F.lit(c).alias("c"),
+                                F.col(c).cast("double").alias("v"),
+                            )
+                            for c in minmax_cols
+                        ])
+                    ).alias("mv"),
+                )
+                .filter(F.col("mv.v").isNotNull())
+                .groupBy(
+                    *group_cols,
+                    F.col("mv.c").alias("__mc"),
+                    F.col("mv.v").alias("__mv"),
+                )
+                .agg(F.sum("__s").alias("__net"))
+                .filter(F.col("__net") < 0)
+            )
+            # short-circuit on the (batch-sized) net set so pure-insert
+            # and churn-only batches never read the aggregate table
+            if neg.limit(1).count() == 0:
+                viol_mm = None
+            elif agg_exists:
                 cur_mm = agg_table.read(spark).select(
                     *group_cols,
                     *[F.col(f"min_{c}").alias(f"__cmin_{c}")
@@ -273,11 +304,11 @@ def incremental_agg_update(
                     *[F.col(f"max_{c}").alias(f"__cmax_{c}")
                       for c in minmax_cols],
                 )
-                joined = rets.join(cur_mm, on=list(group_cols), how="left")
+                joined = neg.join(cur_mm, on=list(group_cols), how="left")
                 cond = None
                 for c in minmax_cols:
-                    v = F.col(c).cast("double")
-                    hit = v.isNotNull() & (
+                    v = F.col("__mv")
+                    hit = (F.col("__mc") == c) & (
                         F.col(f"__cmin_{c}").isNull()
                         | (v <= F.col(f"__cmin_{c}"))
                         | (v >= F.col(f"__cmax_{c}"))
@@ -287,20 +318,17 @@ def incremental_agg_update(
                     joined.filter(cond).select(*group_cols).distinct()
                 )
             else:
-                # no aggregate state yet: any retraction with a value
-                # is conservatively a violation
-                some_v = None
-                for c in minmax_cols:
-                    h = F.col(c).isNotNull()
-                    some_v = h if some_v is None else (some_v | h)
-                viol_mm = (
-                    rets.filter(some_v).select(*group_cols).distinct()
+                # no aggregate state yet: any net-negative value is
+                # conservatively a violation
+                viol_mm = neg.select(*group_cols).distinct()
+            if viol_mm is not None:
+                viol_groups = (
+                    viol_mm if viol_groups is None
+                    else viol_groups.unionByName(viol_mm).distinct()
                 )
-            viol_groups = (
-                viol_mm if viol_groups is None
-                else viol_groups.unionByName(viol_mm).distinct()
-            )
-        if on_retraction == "error":
+        if viol_groups is None:
+            pass  # minmax-only guard short-circuited: nothing violated
+        elif on_retraction == "error":
             if viol_groups.limit(1).count():
                 raise ValueError(
                     f"batch ({epoch!r}, {batch_id}) retracts from a "
