@@ -1206,7 +1206,8 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     roll = TimeRollup(
         root=os.path.join(root, "roll"), time_col="ts_ms",
         granularities=["1 hour", "1 day"], sum_cols=["val"],
-        minmax_cols=["val"], on_retraction="recompute",
+        minmax_cols=["val"], moment_cols=["val"],
+        on_retraction="recompute",
     )
     rep = Replayer(table=table, chain=Chain([]), epoch="driver",
                    maintain=roll.specs)
@@ -1225,6 +1226,12 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("sum_val"), 4).alias("sum_val"),
                 "min_val",
                 "max_val",
+                # maintained moments (exact signed fold): single-member
+                # buckets have NULL std — sentinel for the same pandas
+                # NaN round-trip reason as distinct_users
+                F.round(F.col("avg_val"), 4).alias("avg_val"),
+                F.coalesce(F.round(F.col("std_val"), 4), F.lit(-1.0))
+                .alias("std_val"),
                 # sentinel, not NULL: NULL bigint round-trips as NaN
                 # through the harness's pandas conversion
                 F.lit(-1).cast("long").alias("distinct_users"),
@@ -1286,6 +1293,8 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(-1.0).alias("sum_val"),
                 F.lit(-1.0).alias("min_val"),
                 F.lit(-1.0).alias("max_val"),
+                F.lit(-1.0).alias("avg_val"),
+                F.lit(-1.0).alias("std_val"),
                 F.col("approx_distinct_user_id").alias("distinct_users"),
             )
         )
@@ -2843,12 +2852,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'hour' AS variant, ts_ms - (ts_ms % 3600000) AS bucket_ms, "
             "count(*) AS n_rows, round(sum(value), 4) AS sum_val, "
             "min(value) AS min_val, max(value) AS max_val, "
+            "round(avg(value), 4) AS avg_val, "
+            "coalesce(round(stddev_samp(value), 4), -1.0) AS std_val, "
             "CAST(-1 AS BIGINT) AS distinct_users "
             "FROM lww GROUP BY 1, 2 "
             "UNION ALL "
             "SELECT 'day' AS variant, ts_ms - (ts_ms % 86400000) AS bucket_ms, "
             "count(*) AS n_rows, round(sum(value), 4) AS sum_val, "
             "min(value) AS min_val, max(value) AS max_val, "
+            "round(avg(value), 4) AS avg_val, "
+            "coalesce(round(stddev_samp(value), 4), -1.0) AS std_val, "
             "CAST(-1 AS BIGINT) AS distinct_users "
             "FROM lww GROUP BY 1, 2 "
             # distinct legs: append-only rollup over ALL events; the
@@ -2858,6 +2871,7 @@ def oracle_sql() -> dict[str, str]:
             "epoch_ms(ts) - (epoch_ms(ts) % 3600000) AS bucket_ms, "
             "count(*) AS n_rows, -1.0 AS sum_val, "
             "-1.0 AS min_val, -1.0 AS max_val, "
+            "-1.0 AS avg_val, -1.0 AS std_val, "
             "count(DISTINCT user_id) AS distinct_users "
             "FROM events WHERE event_id % 5 = 0 GROUP BY 1, 2 "
             "UNION ALL "
@@ -2865,6 +2879,7 @@ def oracle_sql() -> dict[str, str]:
             "epoch_ms(ts) - (epoch_ms(ts) % 86400000) AS bucket_ms, "
             "count(*) AS n_rows, -1.0 AS sum_val, "
             "-1.0 AS min_val, -1.0 AS max_val, "
+            "-1.0 AS avg_val, -1.0 AS std_val, "
             "count(DISTINCT user_id) AS distinct_users "
             "FROM events WHERE event_id % 5 = 0 GROUP BY 1, 2"
         ),

@@ -734,3 +734,156 @@ def test_rollup_minmax_same_value_churn_at_bound_folds_free(spark, tmp_path):
         (11, "a", "u", 1.0, BASE + 10),
     ]), batch_width=10, start_pos=0, max_pos=20)
     assert _mm_state(spark, roll, "1 hour") == {BASE: (2, 1.0, 9.0)}
+
+
+# ------------------------------------------------- moments (avg/var/std)
+
+
+def _roll_mom(tmp_path, name, **kw):
+    return TimeRollup(
+        root=str(tmp_path / name), time_col="ts_ms",
+        granularities=["1 hour", "1 day"], moment_cols=["val"], **kw,
+    )
+
+
+def _mom_state(spark, roll, gran):
+    return {
+        r["bucket_ms"]: (r["n_rows"], r["avg_val"], r["var_val"], r["std_val"])
+        for r in roll.read(spark, gran).collect()
+    }
+
+
+def _mom_recompute(spark, table, gran):
+    return {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in table.read(spark)
+        .groupBy(time_bucket("ts_ms", gran))
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("val").alias("a"),
+            F.var_samp("val").alias("v"),
+            F.stddev_samp("val").alias("s"),
+        )
+        .collect()
+    }
+
+
+def _approx_eq(a, b, tol=1e-9):
+    if a is None or b is None:
+        return a is None and b is None
+    return abs(a - b) <= tol * max(1.0, abs(a), abs(b))
+
+
+def test_rollup_moments_equal_recompute_under_moves_and_deletes(
+    spark, tmp_path
+):
+    """Moments are exactly self-maintainable: after updates that move
+    values AND timestamps, plus deletes, the maintained avg/var/std
+    equals a from-scratch AVG/VAR_SAMP/STDDEV_SAMP over the final state
+    — with the default on_retraction='error' (no guard ever fires)."""
+    events = [
+        (1, "a", "u", 1.0, BASE + 10),
+        (2, "b", "u", 2.0, BASE + 20),
+        (3, "c", "u", 30.0, BASE + 30),
+        (4, "d", "u", 4.0, BASE + HOUR + 40),
+        # batch 1: a's VALUE moves (retraction at the old value), c
+        # moves to another DAY (cross-bucket retraction)
+        (11, "a", "u", 7.5, BASE + 10),
+        (12, "c", "u", 30.0, BASE + DAY + 50),
+        # batch 2: b deleted, d same-value churn (net-zero retraction)
+        (21, "b", "d", None, None),
+        (22, "d", "u", 4.0, BASE + HOUR + 40),
+    ]
+    table = LakeTable(str(tmp_path / "t"), key_cols=["k"], n_buckets=4,
+                      merge_strategy="broadcast", changelog=True,
+                      discovery=False)
+    roll = _roll_mom(tmp_path, "roll")  # default on_retraction='error'
+    rep = Replayer(table=table, chain=Chain([]), epoch="e",
+                   maintain=roll.specs)
+    rep.replay(_env(spark, events), batch_width=10, start_pos=0, max_pos=30)
+    for gran in ("1 hour", "1 day"):
+        got = _mom_state(spark, roll, gran)
+        want = _mom_recompute(spark, table, gran)
+        assert set(got) == set(want) and len(got) > 0, gran
+        for b in got:
+            gn, ga, gv, gs = got[b]
+            wn, wa, wv, ws = want[b]
+            assert gn == wn, (gran, b)
+            assert _approx_eq(ga, wa), (gran, b, ga, wa)
+            assert _approx_eq(gv, wv), (gran, b, gv, wv)
+            assert _approx_eq(gs, ws), (gran, b, gs, ws)
+
+
+def test_rollup_moments_additive_upward(spark, tmp_path):
+    """Raw power sums are additive: summing hour buckets' m0/m1/m2
+    within each day reproduces the day rollup's moments exactly."""
+    events = [
+        (i + 1, f"k{i}", "u", float((i * 7) % 13), BASE + (i % 30) * HOUR)
+        for i in range(60)
+    ]
+    table = LakeTable(str(tmp_path / "t"), key_cols=["k"], n_buckets=4,
+                      merge_strategy="broadcast", changelog=True,
+                      discovery=False)
+    roll = _roll_mom(tmp_path, "roll")
+    rep = Replayer(table=table, chain=Chain([]), epoch="e",
+                   maintain=roll.specs)
+    rep.replay(_env(spark, events), batch_width=100, start_pos=0,
+               max_pos=100)
+    hour = roll.read_sketches(spark, "1 hour")
+    folded = {
+        r[0]: (r[1], r[2], r[3])
+        for r in hour.groupBy(time_bucket("bucket_ms", "1 day"))
+        .agg(F.sum("m0_val").alias("m0"), F.sum("m1_val").alias("m1"),
+             F.sum("m2_val").alias("m2"))
+        .collect()
+    }
+    day = {
+        r["bucket_ms"]: (r["m0_val"], r["m1_val"], r["m2_val"])
+        for r in roll.read_sketches(spark, "1 day").collect()
+    }
+    assert folded == day and len(day) > 0
+
+
+def test_rollup_moments_null_semantics(spark, tmp_path):
+    """NULL values move no moment: a bucket whose members are all NULL
+    reads avg/var/std = NULL with m0 = 0 (but n_rows counts the rows);
+    a single non-null member has a defined avg but NULL var/std."""
+    events = [
+        (1, "a", "u", None, BASE + 10),
+        (2, "b", "u", None, BASE + 20),
+        (3, "c", "u", 5.0, BASE + HOUR + 30),
+    ]
+    table = LakeTable(str(tmp_path / "t"), key_cols=["k"], n_buckets=4,
+                      merge_strategy="broadcast", changelog=True,
+                      discovery=False)
+    roll = _roll_mom(tmp_path, "roll")
+    rep = Replayer(table=table, chain=Chain([]), epoch="e",
+                   maintain=roll.specs)
+    rep.replay(_env(spark, events), batch_width=10, start_pos=0, max_pos=10)
+    got = _mom_state(spark, roll, "1 hour")
+    assert got[BASE] == (2, None, None, None)
+    n, a, v, s = got[BASE + HOUR]
+    assert (n, a) == (1, 5.0) and v is None and s is None
+    raw = {
+        r["bucket_ms"]: r["m0_val"]
+        for r in roll.read_sketches(spark, "1 hour").collect()
+    }
+    assert raw == {BASE: 0, BASE + HOUR: 1}
+
+
+def test_rollup_moments_exactly_once(spark, tmp_path):
+    events = [
+        (1, "a", "u", 2.0, BASE + 10),
+        (2, "b", "u", 4.0, BASE + 20),
+    ]
+    table = LakeTable(str(tmp_path / "t"), key_cols=["k"], n_buckets=4,
+                      merge_strategy="broadcast", changelog=True,
+                      discovery=False)
+    roll = _roll_mom(tmp_path, "roll")
+    rep = Replayer(table=table, chain=Chain([]), epoch="e",
+                   maintain=roll.specs)
+    rep.replay(_env(spark, events), batch_width=10, start_pos=0, max_pos=10)
+    before = _mom_state(spark, roll, "1 hour")
+    rep.replay(_env(spark, events), batch_width=10, start_pos=0, max_pos=10)
+    assert _mom_state(spark, roll, "1 hour") == before
+    assert before[BASE][1:] == (3.0, 2.0, 2.0 ** 0.5)

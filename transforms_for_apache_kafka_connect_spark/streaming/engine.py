@@ -248,6 +248,7 @@ class Replayer:
                 distinct_cols=getattr(spec, "distinct_cols", None),
                 quantile_cols=getattr(spec, "quantile_cols", None),
                 minmax_cols=getattr(spec, "minmax_cols", None),
+                moment_cols=getattr(spec, "moment_cols", None),
                 on_retraction=getattr(spec, "on_retraction", "error"),
                 base_table=self.table,
                 epoch=self.epoch,

@@ -58,6 +58,23 @@ mergeable upward. Its guard is stricter — occurrence WEIGHTS matter,
 so any retraction carrying a non-null value violates (even same-value
 churn would double-weight it); the same three policies apply, with
 'stale' meaning an insert-weighted distribution.
+
+``moment_cols`` maintains AVG / VARIANCE / STDDEV per group through
+the first three signed power sums — ``m0_<col>`` (non-null count),
+``m1_<col>`` (sum) and ``m2_<col>`` (sum of squares). Unlike MIN/MAX
+and the sketches these are *exactly self-maintainable*: every moment
+folds under retraction with a sign flip, so arbitrary updates, deletes
+and value moves stay exact with NO guard, NO policy and NO base-table
+rescan — the same contract as count/sum. They are also additive, so
+coarser rollups derive from finer ones by plain summation (a day
+bucket's moments are the sum of its hour buckets'). Derive the
+statistics at read time with :func:`moment_stats`:
+``avg = m1/m0``, ``var_samp = (m2 - m1²/m0)/(m0-1)`` (clamped at 0
+against floating-point cancellation), ``std = sqrt(var)``. The
+power-sum method trades one subtraction of near-equal doubles for
+mergeability — at ~15 significant digits that costs a few ulps
+relative to a streaming Welford pass, which is why the derived
+statistics should be rounded before equality comparison.
 """
 
 from __future__ import annotations
@@ -103,7 +120,30 @@ class MaintainedAggregate:
     #: violates the group — same on_retraction policies (module
     #: docstring)
     minmax_cols: list[str] = field(default_factory=list)
+    #: per-group AVG/VAR/STDDEV maintained as signed power sums
+    #: ``m0_<col>``/``m1_<col>``/``m2_<col>`` — exactly
+    #: self-maintainable (no guard, no policy); read the statistics
+    #: with :func:`moment_stats`
+    moment_cols: list[str] = field(default_factory=list)
     on_retraction: str = "error"
+
+
+def moment_stats(col: str) -> list:
+    """Column expressions deriving ``avg_<col>``, ``var_<col>``
+    (sample variance) and ``std_<col>`` from the maintained power sums
+    ``m0_<col>/m1_<col>/m2_<col>``. AVG is NULL for a group whose
+    members are all NULL (m0 = 0); variance/stddev are NULL below two
+    non-null members and clamped at 0 against cancellation ulps."""
+    m0, m1, m2 = (F.col(f"m{i}_{col}") for i in range(3))
+    avg = F.when(m0 > 0, m1 / m0)
+    var = F.when(
+        m0 > 1, F.greatest(F.lit(0.0), (m2 - m1 * m1 / m0) / (m0 - 1))
+    )
+    return [
+        avg.alias(f"avg_{col}"),
+        var.alias(f"var_{col}"),
+        F.sqrt(var).alias(f"std_{col}"),
+    ]
 
 
 def batch_changes(
@@ -152,6 +192,7 @@ def incremental_agg_update(
     distinct_cols: list[str] | None = None,
     quantile_cols: list[str] | None = None,
     minmax_cols: list[str] | None = None,
+    moment_cols: list[str] | None = None,
     on_retraction: str = "error",
     base_table: LakeTable | None = None,
     epoch: str,
@@ -180,6 +221,7 @@ def incremental_agg_update(
     distinct_cols = list(distinct_cols or [])
     quantile_cols = list(quantile_cols or [])
     minmax_cols = list(minmax_cols or [])
+    moment_cols = list(moment_cols or [])
     sketch_cols = distinct_cols + quantile_cols
     guarded_cols = sketch_cols + minmax_cols
     if on_retraction not in ("error", "stale", "recompute"):
@@ -383,12 +425,37 @@ def incremental_agg_update(
             )
             for c in minmax_cols
         ],
+        # signed power sums: every moment retracts exactly (sign flip),
+        # so moments need no guard — same contract as count/sum. m0 is
+        # the NON-NULL member count (a null value moves no moment in
+        # either direction), summed over a 0/±1 expression so it is
+        # never NULL for a touched group.
+        *[
+            e
+            for c in moment_cols
+            for e in (
+                F.sum(
+                    F.when(F.col(c).isNotNull(), sign).otherwise(F.lit(0))
+                ).alias(f"__d_m0_{c}"),
+                F.sum(F.col(c).cast("double") * sign).alias(f"__d_m1_{c}"),
+                F.sum(
+                    F.col(c).cast("double") * F.col(c).cast("double")
+                    * sign
+                ).alias(f"__d_m2_{c}"),
+            )
+        ],
     )
     sum_out = [f"sum_{c}" for c in sum_cols]
     hll_out = [f"hll_{c}" for c in distinct_cols]
     kll_out = [f"kll_{c}" for c in quantile_cols]
     min_out = [f"min_{c}" for c in minmax_cols]
     max_out = [f"max_{c}" for c in minmax_cols]
+    # (delta-col, out-col) per maintained power sum; m0 folds as long
+    mom_pairs = [
+        (f"__d_m{i}_{c}", f"m{i}_{c}")
+        for c in moment_cols
+        for i in range(3)
+    ]
     def _sketch_fold(cur_col, delta_col, union_fn):
         # union is only defined over two non-null sketches; either side
         # alone passes through (a group may see a batch with no new
@@ -402,7 +469,7 @@ def incremental_agg_update(
     if agg_exists:
         cur = agg_table.read(spark).select(
             *group_cols, count_col, *sum_out, *hll_out, *kll_out,
-            *min_out, *max_out,
+            *min_out, *max_out, *[o for _, o in mom_pairs],
         )
         # delta drives a LEFT join: only TOUCHED groups are re-emitted
         # and merged — a batch touching 3 groups of a 10^6-group
@@ -443,6 +510,19 @@ def incremental_agg_update(
                 F.greatest(F.col(o), F.col(f"__d_max_{c}")).alias(o)
                 for c, o in zip(minmax_cols, max_out)
             ],
+            *[
+                (
+                    F.coalesce(
+                        F.col(o),
+                        F.lit(0) if o.startswith("m0_") else F.lit(0.0),
+                    )
+                    + F.coalesce(
+                        F.col(d),
+                        F.lit(0) if o.startswith("m0_") else F.lit(0.0),
+                    )
+                ).alias(o)
+                for d, o in mom_pairs
+            ],
         )
     else:
         upd = delta.select(
@@ -467,6 +547,13 @@ def incremental_agg_update(
             *[
                 F.col(f"__d_max_{c}").alias(o)
                 for c, o in zip(minmax_cols, max_out)
+            ],
+            *[
+                F.coalesce(
+                    F.col(d),
+                    F.lit(0) if o.startswith("m0_") else F.lit(0.0),
+                ).alias(o)
+                for d, o in mom_pairs
             ],
         )
     if affected:

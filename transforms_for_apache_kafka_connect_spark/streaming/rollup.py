@@ -111,6 +111,13 @@ class TimeRollup:
     #: 'recompute' rebuilds only the violated buckets from the base
     #: table (see incremental.py)
     minmax_cols: list[str] = field(default_factory=list)
+    #: AVG/VAR/STDDEV per bucket maintained as signed power sums
+    #: (``m0_<col>``/``m1_<col>``/``m2_<col>``) — exactly
+    #: self-maintainable (no guard/policy; see incremental.py) AND
+    #: additive upward: a day bucket's moments are the sum of its hour
+    #: buckets'. ``read`` derives ``avg_<col>``/``var_<col>``/
+    #: ``std_<col>``
+    moment_cols: list[str] = field(default_factory=list)
     on_retraction: str = "error"
     n_buckets: int = 4
     count_col: str = "n_rows"
@@ -143,6 +150,7 @@ class TimeRollup:
                     distinct_cols=list(self.distinct_cols),
                     quantile_cols=list(self.quantile_cols),
                     minmax_cols=list(self.minmax_cols),
+                    moment_cols=list(self.moment_cols),
                     on_retraction=self.on_retraction,
                 )
             )
@@ -182,6 +190,10 @@ class TimeRollup:
                         F.col(f"kll_{c}"), F.lit(float(q))
                     ).alias(f"p{pct}_{c}")
                 )
+        from transforms_for_apache_kafka_connect_spark.streaming.incremental import (
+            moment_stats,
+        )
+
         return self.table(granularity).read(spark).select(
             "bucket_ms",
             *self.group_cols,
@@ -189,6 +201,7 @@ class TimeRollup:
             *[f"sum_{c}" for c in self.sum_cols],
             *[c for mm in self.minmax_cols
               for c in (f"min_{mm}", f"max_{mm}")],
+            *[e for mc in self.moment_cols for e in moment_stats(mc)],
             *[
                 # a group created solely by null members has no sketch:
                 # its distinct count is 0, not NULL
