@@ -122,6 +122,27 @@ def main() -> None:
     check("scd2_history: single exchange for all window exprs",
           p.count("Exchange hashpartitioning") == 1)
 
+    # 3e. sessionize: per-event labels from ONE hash exchange on the
+    # group key, lag + (index, start) in two collapsed Window nodes,
+    # no join, no Python
+    from pyspark.sql import functions as _SF
+    from transforms_for_apache_kafka_connect_spark.functions import (
+        sessionize as _sessionize,
+    )
+
+    sess_in = spark.read.parquet(os.path.join(sf_dir, "events.parquet")) \
+        .select("user_id", "event_id",
+                _SF.unix_millis(_SF.col("ts").cast("timestamp")).alias("t"))
+    p = plan_of(_sessionize(
+        sess_in, group_cols=["user_id"], time_col="t",
+        gap="12 hours", order_cols=["event_id"],
+    ))
+    check("sessionize: single hash exchange on the group key",
+          p.count("Exchange hashpartitioning") == 1)
+    check("sessionize: two Window nodes (lag | index+start collapsed)",
+          p.count("Window ") <= 2 and "Join" not in p)
+    check("sessionize: no Python eval", "Python" not in p)
+
     # 4. ann brute force: corpus never shuffled before scoring
     p = fmt(qs["ann_topk"](spark, sf_dir))
     check("ann_topk: query side broadcast (BroadcastNestedLoopJoin)",

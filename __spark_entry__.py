@@ -1999,7 +1999,31 @@ def q_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("string").alias("grp"),
         "n_events", "sum_val",
     )
-    return tumble.unionByName(session)
+    # sessionize leg: the PER-EVENT label path (functions/temporal.py
+    # sessionize -> session_summary) must reproduce the same sessions —
+    # one Window pass for labels, one combining exchange for the
+    # summary; the oracle's gaps-and-islands SQL is the third
+    # independent derivation
+    from transforms_for_apache_kafka_connect_spark.functions import (
+        session_summary,
+        sessionize,
+    )
+
+    labelled = sessionize(
+        ev, group_cols=["user_id"], time_col="timestamp",
+        gap="12 hours", order_cols=["event_id"],
+    )
+    sess2 = session_summary(
+        labelled, group_cols=["user_id"], time_col="timestamp",
+        gap="12 hours", aggs=[aggs[1]],
+    ).select(
+        F.lit("sessionize").alias("variant"),
+        F.col("session_start_ms").alias("window_start_ms"),
+        F.col("session_end_ms").alias("window_end_ms"),
+        F.col("user_id").cast("string").alias("grp"),
+        "n_events", "sum_val",
+    )
+    return tumble.unionByName(session).unionByName(sess2)
 
 
 def q_sampling_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3135,6 +3159,13 @@ def oracle_sql() -> dict[str, str]:
             "n AS n_events, s AS sum_val FROM tum "
             "UNION ALL "
             "SELECT 'session' AS variant, min(t) AS window_start_ms, "
+            "max(t) + 43200000 AS window_end_ms, "
+            "CAST(user_id AS VARCHAR) AS grp, count(*) AS n_events, "
+            "CAST(sum(v) AS DOUBLE) AS sum_val "
+            "FROM sess GROUP BY user_id, sid "
+            "UNION ALL "
+            # sessionize leg: same islands, third independent derivation
+            "SELECT 'sessionize' AS variant, min(t) AS window_start_ms, "
             "max(t) + 43200000 AS window_end_ms, "
             "CAST(user_id AS VARCHAR) AS grp, count(*) AS n_events, "
             "CAST(sum(v) AS DOUBLE) AS sum_val "

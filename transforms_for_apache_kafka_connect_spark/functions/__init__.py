@@ -26,6 +26,8 @@ from transforms_for_apache_kafka_connect_spark.functions.sampling import (
 from transforms_for_apache_kafka_connect_spark.functions.temporal import (
     asof_join,
     range_join,
+    session_summary,
+    sessionize,
 )
 from transforms_for_apache_kafka_connect_spark.functions.similarity import (
     brute_force_topk,
@@ -60,4 +62,6 @@ __all__ = [
     "lsh_topk",
     "asof_join",
     "range_join",
+    "session_summary",
+    "sessionize",
 ]

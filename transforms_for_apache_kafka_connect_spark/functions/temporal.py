@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-__all__ = ["asof_join", "range_join"]
+__all__ = ["asof_join", "range_join", "session_summary", "sessionize"]
 
 
 def asof_join(
@@ -221,3 +221,131 @@ def range_join(
         *[F.lit(None).cast(ranges.schema[c].dataType).alias(c) for c in range_cols],
     )
     return joined.select(*filled.columns).unionByName(filled)
+
+
+def sessionize(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    time_col: str,
+    gap: str | int,
+    order_cols: list[str] | None = None,
+    prefix: str = "session_",
+) -> DataFrame:
+    """Per-EVENT gap sessionization: every input row gains
+    ``<prefix>index`` (0-based session ordinal within its group) and
+    ``<prefix>start_ms`` (the session's first event time) — the labels
+    a training-data pipeline needs to stitch events/turns into episodes
+    before grouping, which ``F.session_window`` (aggregate-only output)
+    cannot provide.
+
+    Two events belong to one session iff they share ``group_cols`` and
+    are at most ``gap`` apart — the SAME boundary rule as
+    ``F.session_window`` (``t - prev <= gap`` continues a session), so
+    summaries derived from these labels agree with
+    ``windowed_aggregate(session_gap=...)`` row for row (law-tested).
+
+    ``gap`` is epoch-ms (int) or a duration string ("30 minutes").
+    ``order_cols`` breaks timestamp ties deterministically (default:
+    none — equal-time events are one session either way, but the index
+    assignment within a tie needs a tiebreaker to be reproducible
+    across partitionings; pass e.g. the LSN/event id).
+
+    Rows whose ``time_col`` is NULL cannot be ordered: they come back
+    with NULL session columns rather than poisoning the lag chain (a
+    NULLS FIRST sort would make the first real event's lag NULL-safe
+    comparison start a spurious session).
+
+    Scale shape: ONE hash exchange on ``group_cols`` + one sort; the
+    break flag (``lag``), the running session index (``sum`` over
+    unbounded preceding) and the carried session start all share that
+    single Window spec, so Catalyst plans them in one Window node —
+    no join, no second shuffle, no Python. Skewed groups (one user =
+    10^8 events) sort within one partition; sessionize AFTER any
+    per-group sampling/capping for such sources.
+    """
+    from transforms_for_apache_kafka_connect_spark.streaming.rollup import (
+        granularity_ms,
+    )
+
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    gap_ms = gap if isinstance(gap, int) else granularity_ms(gap)
+    if gap_ms <= 0:
+        raise ValueError("gap must be positive")
+    idx_col, start_col = f"{prefix}index", f"{prefix}start_ms"
+    for c in (idx_col, start_col):
+        if c in df.columns:
+            raise ValueError(f"output column {c!r} already exists")
+    t = F.col(time_col).cast("long")
+    ordered = df.filter(t.isNotNull())
+    nulls = df.filter(t.isNull()).select(
+        "*",
+        F.lit(None).cast("long").alias(idx_col),
+        F.lit(None).cast("long").alias(start_col),
+    )
+    order = [t.asc(), *[F.col(c).asc() for c in (order_cols or [])]]
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # one lag pass (its own Window node), then index + start share the
+    # running frame — Catalyst collapses them into a single second
+    # Window node over the SAME exchange + sort
+    lagged = ordered.select(
+        "*", t.alias("__t"), F.lag(t).over(w).alias("__prev")
+    )
+    # strictly-greater: an event exactly `gap` after its predecessor
+    # CONTINUES the session (F.session_window parity); the first event
+    # of a group (prev NULL) starts session 0
+    brk = F.when(
+        F.col("__t") - F.col("__prev") > F.lit(gap_ms), F.lit(1)
+    ).otherwise(F.lit(0))
+    is_start = F.col("__prev").isNull() | (
+        F.col("__t") - F.col("__prev") > F.lit(gap_ms)
+    )
+    # both in ONE select so they share a single Window node (same spec
+    # + frame): the running index, and the session start — stamped at
+    # the first row and every break row, dragged to the rest by
+    # last(ignorenulls) over the same frame
+    out = lagged.select(
+        *[c for c in lagged.columns if c not in ("__t", "__prev")],
+        F.sum(brk).over(run).cast("long").alias(idx_col),
+        F.last(F.when(is_start, F.col("__t")), ignorenulls=True)
+        .over(run).alias(start_col),
+    )
+    return out.unionByName(nulls)
+
+
+def session_summary(
+    sessions: DataFrame,
+    *,
+    group_cols: list[str],
+    time_col: str,
+    gap: str | int,
+    prefix: str = "session_",
+    aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Collapse :func:`sessionize` output to one row per session:
+    ``group_cols + [<prefix>start_ms, <prefix>end_ms]`` with
+    ``n_events`` plus any extra ``aggs``. ``<prefix>end_ms`` is
+    ``last event + gap`` — the same closed-open envelope
+    ``F.session_window`` reports, so this is interchangeable with
+    ``windowed_aggregate(session_gap=...)`` output. NULL-time rows
+    (NULL session labels) are excluded. One map-side-combining
+    exchange on (group, session index)."""
+    from transforms_for_apache_kafka_connect_spark.streaming.rollup import (
+        granularity_ms,
+    )
+
+    gap_ms = gap if isinstance(gap, int) else granularity_ms(gap)
+    idx_col, start_col = f"{prefix}index", f"{prefix}start_ms"
+    t = F.col(time_col).cast("long")
+    return (
+        sessions.filter(F.col(idx_col).isNotNull())
+        .groupBy(*group_cols, idx_col, start_col)
+        .agg(
+            (F.max(t) + F.lit(gap_ms)).alias(f"{prefix}end_ms"),
+            F.count(F.lit(1)).alias("n_events"),
+            *(aggs or []),
+        )
+        .drop(idx_col)
+    )
