@@ -465,6 +465,31 @@ def write_probe(spark, target_dir: str, n_rows: int = 2_000_000) -> dict:
     }
 
 
+def _q_sessionize(spark, sf_dir: str):
+    """Per-event gap sessionization + per-session summary over the
+    events table — the pure query-layer cost of the labelling pass."""
+    from pyspark.sql import functions as F
+
+    from transforms_for_apache_kafka_connect_spark.functions import (
+        session_summary,
+        sessionize,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("t"),
+        "value",
+    )
+    labelled = sessionize(
+        ev, group_cols=["user_id"], time_col="t", gap="12 hours",
+        order_cols=["event_id"],
+    )
+    return session_summary(
+        labelled, group_cols=["user_id"], time_col="t", gap="12 hours",
+        aggs=[F.sum("value").alias("sum_val")],
+    )
+
+
 def time_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
     import __spark_entry__ as entrymod
 
@@ -487,6 +512,9 @@ def time_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
         "extract_topic": entrymod.q_extract_topic,
         # r04c: folded into jaccard_dups; same single-variant timed plan
         "minhash_lsh": entrymod.q_minhash_lsh,
+        # r04d: pure query-layer leg — per-event labels + summary in
+        # one pass over events (1 exchange + 1 combining exchange)
+        "sessionize": _q_sessionize,
     }
     names = [
         "chain_fused", "hash", "filter_by_field_value_exact",
@@ -509,8 +537,9 @@ def time_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
         # bronze -> silver replication purely from the changelog
         "cdc_second_hop",
         # r04 query layer: point-in-time join, SCD2 build, continuous
-        # time rollup (replay + 2-granularity maintenance, build-incl.)
-        "asof_join", "scd2_history", "time_rollup",
+        # time rollup (replay + 2-granularity maintenance, build-incl.),
+        # per-event gap sessionization
+        "asof_join", "scd2_history", "time_rollup", "sessionize",
         # r04c: cross-table atomic delivery + DLQ quarantine->retry
         # (both replay + table-build harnesses, build-inclusive)
         "txn_delivery", "dlq_retry",

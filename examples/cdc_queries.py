@@ -9,7 +9,8 @@ answer the four questions every CDC consumer eventually asks —
 4. per-bucket timeline  (TimeRollup      — continuous aggregate)
 
 plus a point-in-time enrichment (asof_join) of an event feed against
-the dimension's history.
+the dimension's history and gap-based activity sessionization
+(sessionize / session_summary) of the raw change feed.
 
 Run: python examples/cdc_queries.py  (local[4], ~1 min)
 """
@@ -24,7 +25,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession, functions as F
 
-from transforms_for_apache_kafka_connect_spark.functions import asof_join
+from transforms_for_apache_kafka_connect_spark.functions import (
+    asof_join,
+    session_summary,
+    sessionize,
+)
 from transforms_for_apache_kafka_connect_spark.plans.chain import Chain
 from transforms_for_apache_kafka_connect_spark.sources import change_stream
 from transforms_for_apache_kafka_connect_spark.streaming import (
@@ -121,6 +126,26 @@ def main() -> None:
           "version at their position (early positions predate their "
           "key's first commit)")
     assert hit > 0
+
+    # 6. activity sessionization: stitch each repo's change events into
+    # bursts separated by >500 positions of silence — per-event labels
+    # (one Window pass), then one summary row per burst
+    activity = events.select(
+        F.col("key.repo").alias("repo"),
+        F.col("timestamp").alias("pos"),
+    )
+    labelled = sessionize(
+        activity, group_cols=["repo"], time_col="pos", gap=500,
+    )
+    bursts = session_summary(
+        labelled, group_cols=["repo"], time_col="pos", gap=500,
+    )
+    n_bursts = bursts.count()
+    top = bursts.orderBy(F.desc("n_events")).first()
+    print(f"sessionize: {n_bursts} activity bursts across "
+          f"{labelled.select('repo').distinct().count()} repos; "
+          f"busiest burst: {top['n_events']} events in repo {top['repo']}")
+    assert n_bursts > 0
 
     spark.stop()
     print("OK")

@@ -127,3 +127,84 @@ def test_scd2_laws(spark, events):
     # every upsert event produced exactly one version row
     n_upserts = sum(1 for _, op, _ in events if op == "u")
     assert len(hist) == n_upserts
+
+
+# ----------------------------------------------------- sessionize laws
+
+from transforms_for_apache_kafka_connect_spark.functions import sessionize  # noqa: E402
+
+GAP = 10
+
+sess_events = st.lists(
+    st.tuples(st.sampled_from(KEYS), st.integers(0, 120)),
+    min_size=1, max_size=25,
+)
+
+
+def _sessions_oracle(events):
+    """Pure-Python gap sessionization: per group, sort by (t, eid);
+    break when t - prev_t > GAP."""
+    out = {}
+    by_g = {}
+    for eid, (g, t) in enumerate(events):
+        by_g.setdefault(g, []).append((t, eid))
+    for g, rows in by_g.items():
+        rows.sort()
+        idx, start, prev = -1, None, None
+        for t, eid in rows:
+            if prev is None or t - prev > GAP:
+                idx, start = idx + 1, t
+            prev = t
+            out[eid] = (idx, start)
+    return out
+
+
+@settings(max_examples=25, deadline=None)
+@given(sess_events)
+def test_sessionize_matches_scan_oracle(spark, events):
+    df = spark.createDataFrame(
+        [(g, t, i) for i, (g, t) in enumerate(events)],
+        "g string, t long, eid long",
+    )
+    got = {
+        r["eid"]: (r["session_index"], r["session_start_ms"])
+        for r in sessionize(
+            df, group_cols=["g"], time_col="t", gap=GAP,
+            order_cols=["eid"],
+        ).collect()
+    }
+    assert got == _sessions_oracle(events)
+
+
+@settings(max_examples=15, deadline=None)
+@given(sess_events)
+def test_sessionize_laws(spark, events):
+    """Structural laws: labels PARTITION each group's events into
+    contiguous time runs — consecutive events inside one session are
+    <= GAP apart, the first event of session k+1 is > GAP after the
+    last of session k, indexes are dense from 0, and session_start is
+    the session's min time."""
+    df = spark.createDataFrame(
+        [(g, t, i) for i, (g, t) in enumerate(events)],
+        "g string, t long, eid long",
+    )
+    rows = sessionize(
+        df, group_cols=["g"], time_col="t", gap=GAP, order_cols=["eid"]
+    ).collect()
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r["g"], []).append(r)
+    for g, rs in by_g.items():
+        rs.sort(key=lambda r: (r["t"], r["eid"]))
+        sess = {}
+        for r in rs:
+            sess.setdefault(r["session_index"], []).append(r)
+        assert sorted(sess) == list(range(len(sess)))
+        prev_last = None
+        for k in sorted(sess):
+            ts = [r["t"] for r in sess[k]]
+            assert all(b - a <= GAP for a, b in zip(ts, ts[1:]))
+            assert all(r["session_start_ms"] == min(ts) for r in sess[k])
+            if prev_last is not None:
+                assert ts[0] - prev_last > GAP
+            prev_last = ts[-1]
