@@ -122,6 +122,33 @@ def main() -> None:
     check("scd2_history: single exchange for all window exprs",
           p.count("Exchange hashpartitioning") == 1)
 
+    # 3d2. maintained SCD2: the per-commit closed-version set is a pure
+    # filter+projection of the batch changelog — no join, no window, no
+    # read of the history or base table (the property that makes type-2
+    # maintenance O(batch) at 10^10 events)
+    from transforms_for_apache_kafka_connect_spark.streaming.scd2 import (
+        SCD2Table as _SCD2T,
+    )
+    import pyspark.sql.functions as _SF0
+
+    _scd2_chg = spark.createDataFrame(
+        [("k1", 1.0, 1, "update_preimage", 5)],
+        "k string, v double, _lsn long, _change_type string, _change_lsn long",
+    )
+    _scd2_closed = (
+        _scd2_chg.filter(
+            _SF0.col("_change_type").isin("update_preimage", "delete")
+        ).select(
+            "k", "v",
+            _SF0.col("_lsn").alias("valid_from"),
+            _SF0.col("_change_lsn").alias("valid_to"),
+        )
+    )
+    p = plan_of(_scd2_closed)
+    check("scd2 maintenance: closed set is filter+project only "
+          "(no join/window/agg)",
+          all(x not in p for x in ("Join", "Window", "Aggregate", "Python")))
+
     # 3e. sessionize: per-event labels from ONE hash exchange on the
     # group key, lag + (index, start) in two collapsed Window nodes,
     # no join, no Python

@@ -1133,11 +1133,21 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD type-2 build (streaming/scd2.py) over the events-as-changelog
-    fixture: key=user_id, order=event_id, 'error' events are deletes
-    that close the previous version; oracle is the same window SQL with
-    QUALIFY."""
-    from transforms_for_apache_kafka_connect_spark.streaming import scd2_history
+    """SCD type-2, both builds (streaming/scd2.py):
+
+    * ``batch`` leg — event-grain ``scd2_history`` over the
+      events-as-changelog fixture (key=user_id, order=event_id,
+      'error' = delete); oracle is the same window SQL with QUALIFY.
+    * ``maintained`` leg — ``SCD2Table`` attached to a 3-commit replay:
+      the history folded per commit from each batch's changelog
+      retraction rows (closed versions) ∪ the base table's open rows.
+      Batch-grain (the changelog nets each commit), so the oracle is
+      per-batch LWW winners -> lead intervals.
+    """
+    from transforms_for_apache_kafka_connect_spark.streaming import (
+        SCD2Table,
+        scd2_history,
+    )
 
     ev = _read(spark, sf_dir, "events")
     changes = ev.select(
@@ -1149,9 +1159,34 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("val"),
     )
     hist = scd2_history(changes, ["user_id"], "lsn", op_col="op")
-    return hist.withColumn(
-        "valid_to", F.coalesce(F.col("valid_to"), F.lit(-1))
+    batch_leg = hist.select(
+        F.lit("batch").alias("variant"),
+        "user_id", "event_type", "val", "valid_from",
+        F.coalesce(F.col("valid_to"), F.lit(-1)).alias("valid_to"),
+        "version", "is_current",
     )
+
+    stream = _events_as_change_stream(spark, sf_dir)
+    max_id = stream.agg(F.max("timestamp")).first()[0] or 0
+    root = _scratch("tkc_scd2_")
+    table = LakeTable(
+        os.path.join(root, "t"), key_cols=["user_id"], n_buckets=16,
+        discovery=False, merge_strategy="broadcast", changelog=True,
+    )
+    scd2 = SCD2Table(root=os.path.join(root, "scd2"),
+                     key_cols=["user_id"], n_buckets=16)
+    rep = Replayer(table=table, chain=Chain([]), epoch="driver",
+                   maintain=[scd2])
+    rep.replay(stream, batch_width=max(1, (max_id + 3) // 3),
+               max_pos=max_id + 1)
+    maintained_leg = scd2.read(spark, table).select(
+        F.lit("maintained").alias("variant"),
+        "user_id", "event_type", "val", "valid_from",
+        F.coalesce(F.col("valid_to"), F.lit(-1)).alias("valid_to"),
+        F.lit(-1).cast("int").alias("version"),
+        "is_current",
+    )
+    return batch_leg.unionByName(maintained_leg)
 
 
 def _events_change_stream_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2802,14 +2837,34 @@ def oracle_sql() -> dict[str, str]:
             "ON r.lo <= e.value AND e.value < r.hi"
         ),
         "scd2_history": (
-            "SELECT user_id, event_type, value AS val, "
-            "event_id AS valid_from, "
+            # batch leg: event-grain intervals straight off events
+            "SELECT 'batch' AS variant, user_id, event_type, "
+            "value AS val, event_id AS valid_from, "
             "coalesce(lead(event_id) OVER w, -1) AS valid_to, "
             "row_number() OVER w AS version, "
             "lead(event_id) OVER w IS NULL AS is_current "
             "FROM events WINDOW w AS "
             "(PARTITION BY user_id ORDER BY event_id) "
-            "QUALIFY event_type <> 'error'"
+            "QUALIFY event_type <> 'error' "
+            "UNION ALL "
+            # maintained leg: batch-grain — per-commit LWW winners
+            # (the changelog nets each batch), then lead intervals;
+            # delete winners close their predecessor and emit nothing
+            "SELECT 'maintained' AS variant, user_id, event_type, val, "
+            "lsn AS valid_from, coalesce(nxt, -1) AS valid_to, "
+            "-1 AS version, nxt IS NULL AS is_current FROM ("
+            "WITH params AS (SELECT (max(event_id) + 3) // 3 AS w "
+            "FROM events), "
+            "ev AS (SELECT user_id, event_id AS lsn, event_type, "
+            "value AS val, CASE WHEN event_type = 'error' THEN 'd' "
+            "ELSE 'u' END AS op, "
+            "event_id // (SELECT w FROM params) AS b FROM events), "
+            "winners AS (SELECT b, user_id, max(lsn) AS lsn, "
+            "arg_max(op, lsn) AS op, arg_max(event_type, lsn) AS event_type, "
+            "arg_max(val, lsn) AS val FROM ev GROUP BY b, user_id) "
+            "SELECT *, lead(lsn) OVER (PARTITION BY user_id "
+            "ORDER BY lsn) AS nxt FROM winners) seq "
+            "WHERE op <> 'd'"
         ),
         "time_travel": (
             # v1 leg = LWW over the first commit's prefix (ids <= mid),

@@ -31,6 +31,7 @@ from transforms_for_apache_kafka_connect_spark.streaming.rollup import (
     time_bucket,
 )
 from transforms_for_apache_kafka_connect_spark.streaming.scd2 import (
+    SCD2Table,
     as_of,
     scd2_history,
 )
@@ -59,6 +60,7 @@ __all__ = [
     "NearDupIndex",
     "batch_changes",
     "incremental_agg_update",
+    "SCD2Table",
     "scd2_history",
     "as_of",
     "TimeRollup",

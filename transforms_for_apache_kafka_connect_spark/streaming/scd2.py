@@ -25,17 +25,38 @@ as it has no row in the LWW table.
 the query-layer twin of ``LakeTable.read(version=...)`` (file-level
 time travel): file-level suits replays from a known commit, SCD2 suits
 arbitrary positions between commits.
+
+``SCD2Table`` is the MAINTAINED variant: attach it to
+``Replayer(maintain=[...])`` and the type-2 table stays consistent
+with the base table per commit — without ever rescanning the
+changelog. The trick that makes maintenance O(|batch|) with ZERO
+state reads: a closed version is immutable, and every batch's
+retraction rows already carry everything a closed version needs —
+an ``update_preimage``/``delete`` changelog row holds the displaced
+row's full payload, its ``_lsn`` (= the version's ``valid_from``) and
+``_change_lsn`` (the LSN of the event that displaced it = the
+version's ``valid_to``). So per commit the maintainer appends exactly
+those rows to a ledgered lake table and does nothing else; OPEN
+versions are never stored — they ARE the base table's current rows
+(``valid_from = _lsn``, ``valid_to = NULL``), unioned in at read time.
+Grain note: the changelog nets each batch (one winner per key), so
+the maintained history is BATCH-grain — identical to running
+``scd2_history`` over ``read_changelog()`` output, which is the
+parity law the tests pin. Event-grain history of intra-batch
+versions calls ``scd2_history`` on the raw stream instead.
 """
 
 from __future__ import annotations
 
+import os
+from dataclasses import dataclass, field
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["scd2_history", "as_of"]
+__all__ = ["SCD2Table", "scd2_history", "as_of"]
 
 
 def scd2_history(
@@ -94,3 +115,107 @@ def as_of(history: DataFrame, position: Column | int | float | str) -> DataFrame
         (F.col("valid_from") <= pos)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > pos))
     ).drop("is_current")
+
+
+@dataclass
+class SCD2Table:
+    """Changelog-maintained SCD type-2 history (module docstring).
+
+    ``root`` holds a ``LakeTable`` of CLOSED versions keyed by
+    ``(key_cols..., valid_from)`` — append-only in practice (a closed
+    version never changes), ledgered per source batch for exactly-once
+    under crash/replay. Attach to ``Replayer(maintain=[...])`` (the
+    general maintenance protocol: ``apply_changes`` is called with each
+    committed batch's changelog).
+
+    Scale shape: maintenance is one filter over the batch-sized
+    changelog plus one ledgered merge — no join, no window, no read of
+    the history or the base table. At 10^10 events the history table
+    grows with the number of REPLACED versions, and each commit touches
+    only the buckets its closed versions hash to. Time-slice reads
+    (``as_of``) prune via zone maps once the table is compacted with
+    ``sort_cols=["valid_from"]``.
+    """
+
+    root: str
+    key_cols: list[str]
+    n_buckets: int = 16
+    table: "LakeTable" = field(init=False)
+
+    def __post_init__(self):
+        from transforms_for_apache_kafka_connect_spark.streaming.sink import (
+            LakeTable,
+        )
+
+        if not self.key_cols:
+            raise ValueError("key_cols must be non-empty")
+        self.table = LakeTable(
+            os.path.join(self.root, "closed"),
+            key_cols=[*self.key_cols, "valid_from"],
+            n_buckets=self.n_buckets,
+            discovery=False,
+            merge_strategy="broadcast",
+        )
+
+    def apply_changes(
+        self, changes: DataFrame, *, epoch: str, batch_id: int
+    ) -> dict:
+        """Fold one committed batch's changelog in: every retraction
+        row (update_preimage / delete) IS a closed version — payload +
+        ``_lsn``→``valid_from`` + ``_change_lsn``→``valid_to``. An
+        empty batch (pure inserts) still writes a ledger entry, so
+        replay skips it exactly-once like any other."""
+        drop = {"_change_type", "_change_lsn", "_lsn", "epoch", "batch_id"}
+        closed = (
+            changes.filter(
+                F.col("_change_type").isin("update_preimage", "delete")
+            )
+            .select(
+                *[c for c in changes.columns if c not in drop],
+                F.col("_lsn").alias("valid_from"),
+                F.col("_change_lsn").alias("valid_to"),
+                # closed versions are upserts, never tombstones
+                F.lit(False).alias("__is_delete"),
+            )
+        )
+        return self.table.merge(closed, epoch=epoch, batch_id=batch_id)
+
+    def read(
+        self,
+        spark: SparkSession,
+        base: "LakeTable",
+        *,
+        with_versions: bool = False,
+    ) -> DataFrame:
+        """The full type-2 history: closed versions from this table ∪
+        the base table's current rows as open versions (``valid_to``
+        NULL, ``is_current`` true). ``base`` must be the LakeTable this
+        maintainer was replayed alongside.
+
+        ``with_versions=True`` adds a per-key 1-based ``version``
+        ordinal over ``valid_from`` (one window pass over the history —
+        pay it only when asked). NOTE: the ordinal is DENSE over
+        surviving versions; ``scd2_history``'s ``version`` counts every
+        changelog event including deletes, so the two numberings
+        diverge for keys that were deleted and re-inserted (intervals,
+        payloads and ``is_current`` always agree — that is the
+        parity law tests/test_scd2.py pins).
+        """
+        closed = self.table.read(spark)
+        open_ = base.read(spark).select(
+            *[c for c in closed.columns if c not in ("valid_from", "valid_to")],
+            F.col("_lsn").alias("valid_from"),
+            F.lit(None).cast("long").alias("valid_to"),
+        )
+        # base rows carry _lsn as a payload column too (closed rows do
+        # not): align on the closed schema + interval columns
+        out = (
+            closed.withColumn("is_current", F.lit(False))
+            .unionByName(open_.withColumn("is_current", F.lit(True)))
+        )
+        if with_versions:
+            w = Window.partitionBy(*self.key_cols).orderBy(
+                F.col("valid_from").asc()
+            )
+            out = out.withColumn("version", F.row_number().over(w))
+        return out
