@@ -149,6 +149,26 @@ def main() -> None:
           "(no join/window/agg)",
           all(x not in p for x in ("Join", "Window", "Aggregate", "Python")))
 
+    # 3d3. patch fold: the sparse-update fold is ONE aggregate over the
+    # batch (no join, no window, no Python); the overlay join is
+    # bounded by touched buckets (audited separately via the changelog
+    # capture checks it shares its shape with)
+    from transforms_for_apache_kafka_connect_spark.streaming.patch import (
+        fold_sparse as _fold_sparse,
+    )
+
+    _patch_env = spark.createDataFrame(
+        [("t", 0, ("k1",), ("u", 1, 0, None, (1.0, "y")), 1, None)],
+        "topic string, partition int, key struct<k:string>, "
+        "value struct<op:string, lsn:long, ts_ms:long, "
+        "before:struct<x:double,y:string>, after:struct<x:double,y:string>>, "
+        "timestamp long, headers map<string,string>",
+    )
+    p = plan_of(_fold_sparse(_patch_env, ["k"]))
+    check("patch fold: single aggregate, no join/window/Python",
+          all(x not in p for x in ("Join", "Window", "Python"))
+          and p.count("Aggregate") <= 2)
+
     # 3e. sessionize: per-event labels from ONE hash exchange on the
     # group key, lag + (index, start) in two collapsed Window nodes,
     # no join, no Python

@@ -2245,6 +2245,72 @@ def q_filter_by_field_value_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.unionByName(regex)
 
 
+def q_filter_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r04d composite: FilterByFieldValue (exact + regex legs, the
+    former ``filter_by_field_value`` entry) + FilterByFieldName
+    presence filtering in the schemaless MAP regime (the former
+    ``filter_by_field_name`` entry), folded to free a gate slot —
+    every leg still runs the real operator."""
+    both = q_filter_by_field_value_all(spark, sf_dir)
+    name = q_filter_by_field_name(spark, sf_dir).select(
+        F.lit("name").alias("variant"),
+        F.col("event_id").alias("rec_id"),
+        "event_type",
+        F.lit(None).cast("string").alias("user_id"),
+    )
+    return both.unionByName(name)
+
+
+def q_patch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-column (patch) updates (streaming/patch.py): a sparse
+    change stream — ``val`` provided only when event_id%3==0,
+    ``etype`` only when event_id%2==0, 'error' events are deletes —
+    applied in TWO ledgered batches with per-column overlay semantics.
+    The oracle is the single global fold (per column: last provided
+    value after the key's last delete; row exists iff the last event
+    isn't a delete) — the fold is associative, so the two-batch
+    composition through the real merge machinery must reproduce it."""
+    from transforms_for_apache_kafka_connect_spark.streaming import patch_apply
+
+    ev = _read(spark, sf_dir, "events")
+    op = F.when(F.col("event_type") == "error", F.lit("d")).otherwise(F.lit("u"))
+    x = F.when(F.col("event_id") % 3 == 0, F.col("value"))
+    y = F.when(F.col("event_id") % 2 == 0, F.col("event_type"))
+    after = F.struct(x.alias("val"), y.alias("etype"))
+    stream = ev.select(
+        F.lit("events").alias("topic"),
+        F.lit(0).cast("int").alias("partition"),
+        F.struct(F.col("user_id").alias("user_id")).alias("key"),
+        F.struct(
+            op.alias("op"),
+            F.col("event_id").alias("lsn"),
+            F.lit(0).cast("long").alias("ts_ms"),
+            F.lit(None).cast("struct<val:double,etype:string>").alias("before"),
+            F.when(op != "d", after).alias("after"),
+        ).alias("value"),
+        F.col("event_id").alias("timestamp"),
+        F.lit(None).cast("map<string,string>").alias("headers"),
+    )
+    max_id = stream.agg(F.max("timestamp")).first()[0] or 0
+    mid = max_id // 2
+    root = _scratch("tkc_patch_")
+    table = LakeTable(
+        os.path.join(root, "t"), key_cols=["user_id"], n_buckets=16,
+        discovery=False, merge_strategy="broadcast",
+    )
+    patch_apply(table, stream.filter(F.col("timestamp") <= mid),
+                epoch="driver", batch_id=0)
+    patch_apply(table, stream.filter(F.col("timestamp") > mid),
+                epoch="driver", batch_id=1)
+    return table.read(spark).select(
+        "user_id",
+        # sentinels, not NULL (pandas NaN round-trip)
+        F.coalesce(F.round(F.col("val"), 4), F.lit(-1.0)).alias("val"),
+        F.coalesce(F.col("etype"), F.lit("-")).alias("etype"),
+        F.col("_lsn").alias("last_lsn"),
+    )
+
+
 def q_case_transform_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CaseTransform, both regimes: STRUCT (schema-ful) and MAP
     (schemaless) value columns (CaseTransform.java struct/map branches).
@@ -2525,7 +2591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash": q_hash_all,
         "concat_fields": q_concat_fields,
         "case_transform": q_case_transform_all,
-        "filter_by_field_name": q_filter_by_field_name,
+        "filter_ops": q_filter_ops,
         "replace_field": q_replace_field,
         "stock_chain": q_stock_chain,
         "stock_fields": q_stock_fields_all,
@@ -2539,7 +2605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampling_split": q_sampling_split,
         "relay_envelope": q_relay_envelope,
         "media_decode": q_media_decode,
-        "filter_by_field_value": q_filter_by_field_value_all,
+        "patch_merge": q_patch_merge,
         "extract_ops": q_extract_ops,
         "txn_delivery": q_txn_delivery,
         "dlq_retry": q_dlq_retry,
@@ -2603,9 +2669,21 @@ def oracle_sql() -> dict[str, str]:
             "upper(event_type) AS transformed, CAST(user_id AS VARCHAR) AS other "
             "FROM events"
         ),
-        "filter_by_field_name": (
-            "SELECT event_id, event_type FROM events "
-            "WHERE event_type IS NOT NULL"
+        "filter_ops": (
+            # r04d composite: exact + regex (FilterByFieldValue) +
+            # name-presence (FilterByFieldName) legs, former oracles
+            # unchanged as subqueries
+            "SELECT 'exact' AS variant, event_id AS rec_id, event_type, "
+            "CAST(user_id AS VARCHAR) AS user_id "
+            "FROM events WHERE event_type IS NULL OR event_type <> 'click' "
+            "UNION ALL "
+            "SELECT 'regex' AS variant, doc_id AS rec_id, "
+            "CAST(NULL AS VARCHAR) AS event_type, CAST(NULL AS VARCHAR) AS user_id "
+            "FROM documents WHERE regexp_matches(text, 'data') "
+            "UNION ALL "
+            "SELECT 'name' AS variant, event_id AS rec_id, event_type, "
+            "CAST(NULL AS VARCHAR) AS user_id "
+            "FROM events WHERE event_type IS NOT NULL"
         ),
         "replace_field": (
             "SELECT event_id, user_id, event_type AS etype FROM events"
@@ -2646,14 +2724,33 @@ def oracle_sql() -> dict[str, str]:
             "CAST(user_id AS VARCHAR) AS agg_id, props AS payload, "
             "event_id AS ts FROM events"
         ),
-        "filter_by_field_value": (
-            "SELECT 'exact' AS variant, event_id AS rec_id, event_type, "
-            "CAST(user_id AS VARCHAR) AS user_id "
-            "FROM events WHERE event_type IS NULL OR event_type <> 'click' "
-            "UNION ALL "
-            "SELECT 'regex' AS variant, doc_id AS rec_id, "
-            "CAST(NULL AS VARCHAR) AS event_type, CAST(NULL AS VARCHAR) AS user_id "
-            "FROM documents WHERE regexp_matches(text, 'data')"
+        "patch_merge": (
+            # the single global fold (patch.py module docstring): per
+            # column, the value at the greatest lsn where it was
+            # provided, valid only after the key's last delete; the row
+            # exists iff the last event is not a delete. The Spark side
+            # applies the SAME stream in two ledgered batches —
+            # associativity of the fold is what's under test.
+            "WITH ev AS (SELECT user_id, event_id AS lsn, "
+            "CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op, "
+            "CASE WHEN event_type <> 'error' AND event_id % 3 = 0 "
+            "THEN value END AS xval, "
+            "CASE WHEN event_type <> 'error' AND event_id % 2 = 0 "
+            "THEN event_type END AS yval FROM events), "
+            "agg AS (SELECT user_id, max(lsn) AS last_lsn, "
+            "arg_max(op, lsn) AS last_op, "
+            "max(CASE WHEN op = 'd' THEN lsn END) AS del_lsn, "
+            "arg_max(xval, lsn) FILTER (WHERE xval IS NOT NULL) AS x_v, "
+            "max(lsn) FILTER (WHERE xval IS NOT NULL) AS x_l, "
+            "arg_max(yval, lsn) FILTER (WHERE yval IS NOT NULL) AS y_v, "
+            "max(lsn) FILTER (WHERE yval IS NOT NULL) AS y_l "
+            "FROM ev GROUP BY user_id) "
+            "SELECT user_id, "
+            "coalesce(round(CASE WHEN x_l > coalesce(del_lsn, -1) "
+            "THEN x_v END, 4), -1.0) AS val, "
+            "coalesce(CASE WHEN y_l > coalesce(del_lsn, -1) "
+            "THEN y_v END, '-') AS etype, "
+            "last_lsn FROM agg WHERE last_op <> 'd'"
         ),
         "extract_ops": (
             "SELECT 'ts_ms' AS variant, CAST(event_id AS VARCHAR) AS k, "

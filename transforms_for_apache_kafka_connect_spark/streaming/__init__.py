@@ -30,6 +30,11 @@ from transforms_for_apache_kafka_connect_spark.streaming.rollup import (
     granularity_ms,
     time_bucket,
 )
+from transforms_for_apache_kafka_connect_spark.streaming.patch import (
+    fold_sparse,
+    overlay_current,
+    patch_apply,
+)
 from transforms_for_apache_kafka_connect_spark.streaming.scd2 import (
     SCD2Table,
     as_of,
@@ -61,6 +66,9 @@ __all__ = [
     "batch_changes",
     "incremental_agg_update",
     "SCD2Table",
+    "fold_sparse",
+    "overlay_current",
+    "patch_apply",
     "scd2_history",
     "as_of",
     "TimeRollup",
