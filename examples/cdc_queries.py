@@ -35,6 +35,7 @@ from transforms_for_apache_kafka_connect_spark.sources import change_stream
 from transforms_for_apache_kafka_connect_spark.streaming import (
     LakeTable,
     Replayer,
+    SCD2Table,
     TimeRollup,
     as_of,
     scd2_history,
@@ -67,8 +68,10 @@ def main() -> None:
         root=os.path.join(root, "rollup"), time_col="_lsn",
         granularities=["2500 milliseconds", "10 seconds"],
     )
+    scd2 = SCD2Table(root=os.path.join(root, "scd2"),
+                     key_cols=["repo", "path"])
     rep = Replayer(table=table, chain=Chain([]), epoch="demo",
-                   maintain=roll.specs)
+                   maintain=[*roll.specs, scd2])
     rep.replay(events, batch_width=-(-n // 8), start_pos=base,
                max_pos=base + n)
 
@@ -90,6 +93,17 @@ def main() -> None:
     )
     print(f"SCD2 history: {hist.count()} versions, "
           f"{hist.filter('is_current').count()} current")
+    # 2b. the MAINTAINED twin: same history, but folded per commit from
+    # each batch's retraction rows (zero changelog rescans) — must
+    # agree with the batch build interval for interval
+    m_hist = scd2.read(spark, table)
+    m_iv = {tuple(r) for r in m_hist.select(
+        "repo", "path", "valid_from", "valid_to").collect()}
+    b_iv = {tuple(r) for r in hist.select(
+        "repo", "path", "valid_from", "valid_to").collect()}
+    assert m_iv == b_iv, "maintained SCD2 diverged from the batch build"
+    print(f"maintained SCD2: {len(m_iv)} versions — interval-identical "
+          "to the batch build")
 
     # 3a. state at an arbitrary position (query-layer time travel):
     # positions are LSNs (0..n), independent of the slice axis
