@@ -129,22 +129,15 @@ def main() -> None:
     from transforms_for_apache_kafka_connect_spark.streaming.scd2 import (
         SCD2Table as _SCD2T,
     )
-    import pyspark.sql.functions as _SF0
 
     _scd2_chg = spark.createDataFrame(
         [("k1", 1.0, 1, "update_preimage", 5)],
         "k string, v double, _lsn long, _change_type string, _change_lsn long",
     )
-    _scd2_closed = (
-        _scd2_chg.filter(
-            _SF0.col("_change_type").isin("update_preimage", "delete")
-        ).select(
-            "k", "v",
-            _SF0.col("_lsn").alias("valid_from"),
-            _SF0.col("_change_lsn").alias("valid_to"),
-        )
-    )
-    p = plan_of(_scd2_closed)
+    # the REAL code path (SCD2Table.apply_changes merges exactly this
+    # frame) — a regression that adds a join/window/aggregate to the
+    # closed-set derivation fails here
+    p = plan_of(_SCD2T.closed_versions(_scd2_chg))
     check("scd2 maintenance: closed set is filter+project only "
           "(no join/window/agg)",
           all(x not in p for x in ("Join", "Window", "Aggregate", "Python")))

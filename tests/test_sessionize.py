@@ -97,10 +97,6 @@ def test_session_summary_matches_session_window(spark):
             aggs=[F.sum("ev").alias("s")],
         ).collect()
     }
-    sw = {
-        (r["user"], r["w"]["start"].timestamp() * 1000, ): None
-        for r in []
-    }
     ref = (
         df.groupBy(
             "user",
@@ -149,3 +145,38 @@ def test_sessionize_plan_single_exchange_no_python(spark):
     # the labelled side shuffles once on the group key (the NULL-time
     # union leg adds no exchange of its own)
     assert phys.count("Exchange hashpartitioning") <= 1
+
+
+def test_sessionize_timestamp_type_normalized(spark):
+    """Review regression: a TimestampType time column cast to long is
+    epoch SECONDS — sessions would only break after >500 days. The
+    column must be normalized through unix_millis (13h apart with a
+    12h gap = two sessions), and unguessable types must raise."""
+    df = spark.createDataFrame(
+        [("a", "2026-01-01 00:00:00", 1), ("a", "2026-01-01 13:00:00", 2)],
+        "user string, ts string, ev long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = sessionize(df, group_cols=["user"], time_col="ts",
+                     gap="12 hours", order_cols=["ev"])
+    rows = {r["ev"]: r for r in out.collect()}
+    assert (rows[1]["session_index"], rows[2]["session_index"]) == (0, 1)
+    # start is epoch MILLIS despite the source being a timestamp
+    assert rows[1]["session_start_ms"] == 1_767_225_600_000
+    from transforms_for_apache_kafka_connect_spark.functions import (
+        session_summary,
+    )
+
+    summ = session_summary(out, group_cols=["user"], time_col="ts",
+                           gap="12 hours")
+    ends = sorted(r["session_end_ms"] for r in summ.collect())
+    assert ends == [1_767_225_600_000 + 43_200_000,
+                    1_767_272_400_000 + 43_200_000]
+    with pytest.raises(TypeError, match="epoch-ms"):
+        sessionize(df.withColumn("ts", F.col("ts").cast("string")),
+                   group_cols=["user"], time_col="ts", gap="12 hours")
+
+
+def test_sessionize_rejects_reserved_temp_columns(spark):
+    df = spark.createDataFrame([("a", 1, 2)], "user string, ts long, __prev long")
+    with pytest.raises(ValueError, match="already exists"):
+        sessionize(df, group_cols=["user"], time_col="ts", gap=10)

@@ -223,6 +223,22 @@ def range_join(
     return joined.select(*filled.columns).unionByName(filled)
 
 
+def _epoch_ms(df: DataFrame, time_col: str) -> Column:
+    """The gap arithmetic is epoch-MILLIS: a TimestampType cast to long
+    yields epoch SECONDS (a silent 1000x unit error — sessions would
+    only break after >500 days), so timestamps are normalized through
+    unix_millis; date/string/etc. are rejected rather than guessed."""
+    dt = df.schema[time_col].dataType
+    if isinstance(dt, T.TimestampType):
+        return F.unix_millis(F.col(time_col))
+    if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType)):
+        return F.col(time_col).cast("long")
+    raise TypeError(
+        f"time_col {time_col!r} must be an epoch-ms integer column or a "
+        f"TimestampType (got {dt.simpleString()}); convert explicitly"
+    )
+
+
 def sessionize(
     df: DataFrame,
     *,
@@ -245,7 +261,10 @@ def sessionize(
     summaries derived from these labels agree with
     ``windowed_aggregate(session_gap=...)`` row for row (law-tested).
 
-    ``gap`` is epoch-ms (int) or a duration string ("30 minutes").
+    ``gap`` is epoch-ms (int) or a duration string ("30 minutes");
+    ``time_col`` must be an epoch-ms integer column or a TimestampType
+    (normalized via ``unix_millis`` — other types raise rather than
+    silently sessionizing in the wrong unit).
     ``order_cols`` breaks timestamp ties deterministically (default:
     none — equal-time events are one session either way, but the index
     assignment within a tie needs a tiebreaker to be reproducible
@@ -274,10 +293,10 @@ def sessionize(
     if gap_ms <= 0:
         raise ValueError("gap must be positive")
     idx_col, start_col = f"{prefix}index", f"{prefix}start_ms"
-    for c in (idx_col, start_col):
+    for c in (idx_col, start_col, "__t", "__prev"):
         if c in df.columns:
             raise ValueError(f"output column {c!r} already exists")
-    t = F.col(time_col).cast("long")
+    t = _epoch_ms(df, time_col)
     ordered = df.filter(t.isNotNull())
     nulls = df.filter(t.isNull()).select(
         "*",
@@ -338,7 +357,7 @@ def session_summary(
 
     gap_ms = gap if isinstance(gap, int) else granularity_ms(gap)
     idx_col, start_col = f"{prefix}index", f"{prefix}start_ms"
-    t = F.col(time_col).cast("long")
+    t = _epoch_ms(sessions, time_col)
     return (
         sessions.filter(F.col(idx_col).isNotNull())
         .groupBy(*group_cols, idx_col, start_col)

@@ -180,7 +180,20 @@ def patch_apply(
     updates applied with patch semantics, exactly-once under the
     table's (epoch, batch_id) ledger like any other merge. Run the SMT
     chain on ``batch`` first if one applies — the fold consumes the
-    canonical envelope shape."""
+    canonical envelope shape.
+
+    The fold output feeds two jobs (overlay bucket discovery, then the
+    merge), so it is persisted across them — same policy as the merge's
+    own touched-bucket discovery; a replay of an already-committed
+    batch short-circuits through the ledger BEFORE the overlay's eager
+    discovery job runs."""
+    committed = getattr(table, "committed", None)
+    if committed is not None and committed(epoch, batch_id):
+        return {"skipped": True, "batch_id": batch_id}
     folded = fold_sparse(batch, list(table.key_cols), payload_fields)
-    upd = overlay_current(table, folded, batch.sparkSession)
-    return table.merge(upd, epoch=epoch, batch_id=batch_id)
+    folded.persist()
+    try:
+        upd = overlay_current(table, folded, batch.sparkSession)
+        return table.merge(upd, epoch=epoch, batch_id=batch_id)
+    finally:
+        folded.unpersist()

@@ -157,16 +157,14 @@ class SCD2Table:
             merge_strategy="broadcast",
         )
 
-    def apply_changes(
-        self, changes: DataFrame, *, epoch: str, batch_id: int
-    ) -> dict:
-        """Fold one committed batch's changelog in: every retraction
-        row (update_preimage / delete) IS a closed version — payload +
-        ``_lsn``→``valid_from`` + ``_change_lsn``→``valid_to``. An
-        empty batch (pure inserts) still writes a ledger entry, so
-        replay skips it exactly-once like any other."""
+    @staticmethod
+    def closed_versions(changes: DataFrame) -> DataFrame:
+        """One batch's changelog -> the closed-version rows it implies
+        (pure filter + projection — the plan audit pins that this
+        carries no join/window/aggregate, which is what keeps type-2
+        maintenance O(batch))."""
         drop = {"_change_type", "_change_lsn", "_lsn", "epoch", "batch_id"}
-        closed = (
+        return (
             changes.filter(
                 F.col("_change_type").isin("update_preimage", "delete")
             )
@@ -178,7 +176,18 @@ class SCD2Table:
                 F.lit(False).alias("__is_delete"),
             )
         )
-        return self.table.merge(closed, epoch=epoch, batch_id=batch_id)
+
+    def apply_changes(
+        self, changes: DataFrame, *, epoch: str, batch_id: int
+    ) -> dict:
+        """Fold one committed batch's changelog in: every retraction
+        row (update_preimage / delete) IS a closed version — payload +
+        ``_lsn``→``valid_from`` + ``_change_lsn``→``valid_to``. An
+        empty batch (pure inserts) still writes a ledger entry, so
+        replay skips it exactly-once like any other."""
+        return self.table.merge(
+            self.closed_versions(changes), epoch=epoch, batch_id=batch_id
+        )
 
     def read(
         self,
