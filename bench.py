@@ -550,6 +550,11 @@ def time_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
         "cdc_merge", "cdc_merge_mor", "data_skipping", "routed_merge",
         "lookup_many", "cdc_bootstrap", "incremental_agg", "cdc_second_hop",
         "time_rollup", "txn_delivery", "dlq_retry", "neardup_index",
+        # r04d: the gate entry became a batch+maintained composite — the
+        # maintained leg replays a 3-commit table, so the leg is now
+        # build-inclusive (r03's 0.6 s was the pure event-grain query);
+        # time_rollup likewise gained moment/avg/std legs in r04d
+        "scd2_history",
     }
     scratch = entrymod.scratch_base() or tempfile.gettempdir()
     qs = entrymod.queries()
