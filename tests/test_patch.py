@@ -200,3 +200,53 @@ def test_patch_matches_sequential_oracle(spark, tmp_path_factory, events):
     got = _table_state(spark, table)
     want = _sequential_oracle(events)
     assert got == want
+
+
+def test_stream_patch_into_end_to_end(spark, tmp_path):
+    """Streaming entry: sparse envelopes land through readStream ->
+    foreachBatch patch_apply in SOURCE ORDER (the binlog-tail contract
+    every merge path shares); final state equals the sequential-apply
+    oracle exactly, and a second drained run from the same checkpoint
+    is a no-op (ledger + checkpoint)."""
+    import time as _time
+
+    from transforms_for_apache_kafka_connect_spark.streaming import (
+        stream_patch_into,
+    )
+
+    events = [
+        (1, "a", "u", 1.0, "one"),
+        (2, "b", "u", 2.0, None),
+        (3, "a", "u", None, "uno"),   # sparse: only y
+        (4, "b", "d", None, None),
+        (5, "b", "u", 5.0, None),     # reborn sparse: y stays NULL
+        (6, "a", "u", 6.0, None),     # sparse: only x
+    ]
+    src = str(tmp_path / "src")
+    # three LSN-ordered appends -> three source-ordered micro-batches
+    # (FileStreamSource orders by modification time)
+    for lo, hi in ((1, 2), (3, 4), (5, 6)):
+        chunk = [e for e in events if lo <= e[0] <= hi]
+        _env(spark, chunk).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+    table = _mk_table(tmp_path)
+    env_schema = _env(spark, events).schema
+
+    def run():
+        q = stream_patch_into(
+            table,
+            spark.readStream.schema(env_schema)
+            .option("maxFilesPerTrigger", 1).parquet(src),
+            str(tmp_path / "ckpt"),
+            available_now=True,
+        )
+        q.awaitTermination(600)
+        q.stop()
+
+    run()
+    got = _table_state(spark, table)
+    assert got == _sequential_oracle(events) == {
+        "a": (6.0, "uno", 6), "b": (5.0, None, 5),
+    }
+    run()  # restart from the same checkpoint: nothing changes
+    assert _table_state(spark, table) == got

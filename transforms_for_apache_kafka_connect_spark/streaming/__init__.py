@@ -34,6 +34,7 @@ from transforms_for_apache_kafka_connect_spark.streaming.patch import (
     fold_sparse,
     overlay_current,
     patch_apply,
+    stream_patch_into,
 )
 from transforms_for_apache_kafka_connect_spark.streaming.scd2 import (
     SCD2Table,
@@ -69,6 +70,7 @@ __all__ = [
     "fold_sparse",
     "overlay_current",
     "patch_apply",
+    "stream_patch_into",
     "scd2_history",
     "as_of",
     "TimeRollup",

@@ -45,7 +45,7 @@ from transforms_for_apache_kafka_connect_spark.streaming.sink import (
     LakeTable,
 )
 
-__all__ = ["fold_sparse", "overlay_current", "patch_apply"]
+__all__ = ["fold_sparse", "overlay_current", "patch_apply", "stream_patch_into"]
 
 
 def fold_sparse(
@@ -197,3 +197,47 @@ def patch_apply(
         return table.merge(upd, epoch=epoch, batch_id=batch_id)
     finally:
         folded.unpersist()
+
+
+def stream_patch_into(
+    table: LakeTable,
+    envelopes: DataFrame,
+    checkpoint_dir: str,
+    *,
+    epoch: str = "patch",
+    payload_fields: list[str] | None = None,
+    available_now: bool = False,
+    trigger_seconds: int = 10,
+    prepare=None,
+):
+    """Maintain a patch-semantics table from a streaming envelope
+    source: each micro-batch folds its sparse updates, overlays the
+    touched buckets and merges under the table's ledger — redelivery
+    after a crash/restart is a ledger no-op, same contract as the
+    Replayer's streaming entry. ``prepare`` (optional) runs on the raw
+    stream first (converter boundary / SMT chain).
+
+    Per-batch ordering caveat (shared with every patch consumer): the
+    fold orders by LSN within a micro-batch, and micro-batches arrive
+    in source order, so cross-batch ordering holds as long as the
+    source respects it — the usual binlog-tail contract.
+    """
+    if prepare is not None:
+        envelopes = prepare(envelopes)
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        patch_apply(
+            table, df, epoch=epoch, batch_id=batch_id,
+            payload_fields=payload_fields,
+        )
+
+    writer = (
+        envelopes.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
