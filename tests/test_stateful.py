@@ -177,3 +177,94 @@ def test_suppressor_drops_stale_within_batch(spark, tmp_path):
     # the watermark so (a,3) is stale
     assert ("b", 1) in got and ("a", 5) in got
     assert ("a", 3) not in got
+
+
+# --------------------------------------------- streaming sessionization
+
+
+def test_sessionize_stream_matches_batch_build(spark, tmp_path):
+    """Parity law: on a per-key time-ordered stream, streaming labels
+    (managed state across micro-batches) equal the batch sessionize's
+    exactly — including sessions that SPAN micro-batch boundaries."""
+    import time as _time
+
+    from transforms_for_apache_kafka_connect_spark.functions import sessionize
+    from transforms_for_apache_kafka_connect_spark.streaming.stateful import (
+        sessionize_stream,
+    )
+
+    GAP = 10_000
+    rows = []
+    ev = 0
+    for u in ("u1", "u2"):
+        t = 0
+        for i in range(30):
+            # gaps straddle the boundary: some sessions continue across
+            # the file split below
+            t += (1_000, 4_000, 11_000)[i % 3]
+            ev += 1
+            rows.append((u, t, ev))
+    df = spark.createDataFrame(rows, "user string, t long, ev long")
+    src = str(tmp_path / "in")
+    # three time-ordered files -> three source-ordered micro-batches
+    for lo, hi in ((0, 34_000), (34_001, 90_000), (90_001, 10**9)):
+        df.filter((F.col("t") >= lo) & (F.col("t") <= hi)) \
+            .coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+    stream = spark.readStream.schema(df.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out_dir = str(tmp_path / "out")
+    q = (
+        sessionize_stream(
+            stream, group_cols=["user"], time_col="t", gap=GAP,
+            order_cols=["ev"],
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    got = {
+        (r["user"], r["ev"]): (r["session_index"], r["session_start_ms"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        (r["user"], r["ev"]): (r["session_index"], r["session_start_ms"])
+        for r in sessionize(
+            df, group_cols=["user"], time_col="t", gap=GAP,
+            order_cols=["ev"],
+        ).collect()
+    }
+    assert got == want and len(got) == 60
+    # the cross-batch state carry was genuinely exercised: at least one
+    # session contains events on BOTH sides of the first file split
+    # (t <= 34000 and t > 34000 — the split lands INSIDE the
+    # {33000, 37000} session)
+    t_of = {(r[0], r[2]): r[1] for r in rows}
+    by_sess = {}
+    for (u, ev_), (idx, _s) in got.items():
+        by_sess.setdefault((u, idx), []).append(t_of[(u, ev_)])
+    spanning = [
+        k for k, ts in by_sess.items()
+        if min(ts) <= 34_000 < max(ts)
+    ]
+    assert spanning, "no session spanned the micro-batch boundary"
+
+
+def test_sessionize_stream_validation(spark):
+    from transforms_for_apache_kafka_connect_spark.streaming.stateful import (
+        sessionize_stream,
+    )
+
+    df = spark.readStream.format("rate").load()  # timestamp + value
+    with pytest.raises(ValueError, match="group_cols"):
+        sessionize_stream(df, group_cols=[], time_col="value", gap=10)
+    with pytest.raises(ValueError, match="positive"):
+        sessionize_stream(df, group_cols=["value"], time_col="value", gap=0)
+    with pytest.raises(TypeError, match="epoch-ms"):
+        sessionize_stream(df, group_cols=["value"], time_col="timestamp",
+                          gap=10)

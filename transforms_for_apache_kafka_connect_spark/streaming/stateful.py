@@ -155,3 +155,138 @@ def suppress_stale_envelope(
     ).select("e.*")
     tombstones = envelope_stream.filter(F.col("value").isNull())
     return rebuilt.unionByName(tombstones)
+
+
+# --------------------------------------------- streaming sessionization
+
+_SESS_STATE_SCHEMA = "last_t bigint, idx bigint, start bigint"
+
+
+def _make_sessionizer(
+    group_cols: list[str],
+    time_col: str,
+    gap_ms: int,
+    order_cols: list[str],
+    state_timeout_ms: int,
+):
+    def _label(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # idle key: drop state so the store stays bounded. A
+            # reappearing key starts again at session_index 0 — the
+            # SESSION BOUNDARY is still correct (it was silent far
+            # longer than the gap), only the ordinal restarts.
+            state.remove()
+            return
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if not len(pdf):
+            return
+        pdf = pdf.sort_values(
+            [time_col, *order_cols], kind="mergesort"
+        ).reset_index(drop=True)
+        last_t, idx, start = (
+            state.get if state.exists else (None, -1, None)
+        )
+        t = pdf[time_col].astype("int64")
+        prev = t.shift(1)
+        if last_t is not None:
+            prev.iloc[0] = last_t
+        # same boundary rule as the batch sessionize: exactly `gap`
+        # after the predecessor CONTINUES the session
+        brk = prev.isna() | (t - prev > gap_ms)
+        sidx = idx + brk.cumsum()
+        starts = t.where(brk).ffill()
+        if start is not None and pd.isna(starts.iloc[0]):
+            starts = starts.fillna(start)
+        out = pdf.copy()
+        out["session_index"] = sidx.astype("int64")
+        out["session_start_ms"] = starts.astype("int64")
+        state.update(
+            (int(t.iloc[-1]), int(sidx.iloc[-1]), int(starts.iloc[-1]))
+        )
+        if state_timeout_ms > 0:
+            state.setTimeoutDuration(state_timeout_ms)
+        yield out
+
+    return _label
+
+
+def sessionize_stream(
+    events: DataFrame,
+    *,
+    group_cols: list[str],
+    time_col: str,
+    gap: "str | int",
+    order_cols: list[str] | None = None,
+    state_timeout_ms: int = 0,
+) -> DataFrame:
+    """STREAMING per-event session labels — the online twin of
+    ``functions.temporal.sessionize``: every event gains
+    ``session_index`` / ``session_start_ms`` the moment it arrives
+    (append output each micro-batch), with the per-key (last time,
+    ordinal, open start) carried in Spark's managed state store via
+    ``applyInPandasWithState`` (Arrow-batched per key group, never
+    row-at-a-time over the stream).
+
+    Contract: events must arrive per-key time-ordered ACROSS
+    micro-batches (the binlog-tail contract shared by every merge
+    path); within a batch any order is fine (sorted per group, with
+    ``order_cols`` breaking timestamp ties). An out-of-order late
+    arrival gets labeled against the state as it stands — online
+    labeling cannot relabel already-emitted rows; repair offline with
+    the batch ``sessionize``. Parity law (tests): on an in-order
+    stream, labels equal the batch build's exactly.
+
+    ``state_timeout_ms`` > 0 evicts keys idle that long (processing
+    time): their next event correctly starts a new session, but the
+    ordinal restarts at 0 — set it comfortably above ``gap``. 0 = no
+    timeout (REQUIRED for ``availableNow`` backfills, where pending
+    timers keep the query alive).
+
+    Scale shape: state is 3 longs per ACTIVE key; each micro-batch
+    shuffles once on the group key (the state operator's required
+    partitioning) and does vectorized pandas per group.
+    """
+    from transforms_for_apache_kafka_connect_spark.streaming.rollup import (
+        granularity_ms,
+    )
+
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    gap_ms = gap if isinstance(gap, int) else granularity_ms(gap)
+    if gap_ms <= 0:
+        raise ValueError("gap must be positive")
+    for c in ("session_index", "session_start_ms"):
+        if c in events.columns:
+            raise ValueError(f"output column {c!r} already exists")
+    dt = events.schema[time_col].dataType
+    if not isinstance(dt, (T.LongType, T.IntegerType, T.ShortType)):
+        raise TypeError(
+            f"time_col {time_col!r} must be an epoch-ms integer column "
+            f"(got {dt.simpleString()}); convert with unix_millis first"
+        )
+    out_schema = T.StructType(
+        list(events.schema.fields)
+        + [
+            T.StructField("session_index", T.LongType()),
+            T.StructField("session_start_ms", T.LongType()),
+        ]
+    )
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_timeout_ms > 0
+        else GroupStateTimeout.NoTimeout
+    )
+    return events.groupBy(*group_cols).applyInPandasWithState(
+        _make_sessionizer(
+            list(group_cols), time_col, gap_ms,
+            list(order_cols or []), state_timeout_ms,
+        ),
+        outputStructType=out_schema,
+        stateStructType=T._parse_datatype_string(_SESS_STATE_SCHEMA),
+        outputMode="append",
+        timeoutConf=timeout_conf,
+    )
