@@ -268,3 +268,40 @@ def test_sessionize_stream_validation(spark):
     with pytest.raises(TypeError, match="epoch-ms"):
         sessionize_stream(df, group_cols=["value"], time_col="timestamp",
                           gap=10)
+
+
+def test_sessionize_stream_null_times_pass_through(spark, tmp_path):
+    """Review regression: a NULL time value must come back with NULL
+    session labels (batch-sessionize parity), not crash the query via
+    the int cast."""
+    from transforms_for_apache_kafka_connect_spark.streaming.stateful import (
+        sessionize_stream,
+    )
+
+    df = spark.createDataFrame(
+        [("a", None, 1), ("a", 5_000, 2), ("a", 6_000, 3)],
+        "user string, t long, ev long",
+    )
+    src = str(tmp_path / "in")
+    df.coalesce(1).write.parquet(src)
+    out_dir = str(tmp_path / "out")
+    q = (
+        sessionize_stream(
+            spark.readStream.schema(df.schema).parquet(src),
+            group_cols=["user"], time_col="t", gap=10_000,
+            order_cols=["ev"],
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    rows = {r["ev"]: r for r in spark.read.parquet(out_dir).collect()}
+    assert len(rows) == 3
+    assert rows[1]["session_index"] is None
+    assert rows[1]["session_start_ms"] is None
+    assert rows[2]["session_index"] == 0 and rows[2]["session_start_ms"] == 5_000
+    assert rows[3]["session_index"] == 0

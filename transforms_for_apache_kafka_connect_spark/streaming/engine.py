@@ -778,11 +778,12 @@ class Replayer:
             writer_schemas=writer_schemas,
             suppress_stale_ms=suppress_stale_ms,
         )
-        writer = events.writeStream.foreachBatch(
-            lambda df, bid: self.apply_batch(df, bid)
-        ).option("checkpointLocation", checkpoint_dir)
-        if available_now:
-            writer = writer.trigger(availableNow=True)
-        else:
-            writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
-        return writer.start()
+        from transforms_for_apache_kafka_connect_spark.streaming.writers import (
+            start_foreach_batch,
+        )
+
+        return start_foreach_batch(
+            events, lambda df, bid: self.apply_batch(df, bid),
+            checkpoint_dir, available_now=available_now,
+            trigger_seconds=trigger_seconds,
+        )

@@ -222,6 +222,10 @@ def stream_patch_into(
     in source order, so cross-batch ordering holds as long as the
     source respects it — the usual binlog-tail contract.
     """
+    from transforms_for_apache_kafka_connect_spark.streaming.writers import (
+        start_foreach_batch,
+    )
+
     if prepare is not None:
         envelopes = prepare(envelopes)
 
@@ -231,13 +235,7 @@ def stream_patch_into(
             payload_fields=payload_fields,
         )
 
-    writer = (
-        envelopes.writeStream.outputMode("append")
-        .foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_dir)
+    return start_foreach_batch(
+        envelopes, sink, checkpoint_dir, output_mode="append",
+        available_now=available_now, trigger_seconds=trigger_seconds,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    else:
-        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
-    return writer.start()

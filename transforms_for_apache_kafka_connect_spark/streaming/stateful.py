@@ -163,7 +163,6 @@ _SESS_STATE_SCHEMA = "last_t bigint, idx bigint, start bigint"
 
 
 def _make_sessionizer(
-    group_cols: list[str],
     time_col: str,
     gap_ms: int,
     order_cols: list[str],
@@ -175,15 +174,26 @@ def _make_sessionizer(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
-            # idle key: drop state so the store stays bounded. A
-            # reappearing key starts again at session_index 0 — the
-            # SESSION BOUNDARY is still correct (it was silent far
-            # longer than the gap), only the ordinal restarts.
+            # idle key (PROCESSING time — see the sessionize_stream
+            # docstring's lag caveat): drop state so the store stays
+            # bounded
             state.remove()
             return
         pdf = pd.concat(list(pdfs), ignore_index=True)
         if not len(pdf):
             return
+        # NULL-time rows can't be ordered: emit them with NULL session
+        # labels (batch-sessionize parity) instead of poisoning the
+        # int cast below
+        null_mask = pdf[time_col].isna()
+        if null_mask.any():
+            nulls = pdf[null_mask].reset_index(drop=True)
+            nulls["session_index"] = None
+            nulls["session_start_ms"] = None
+            yield nulls
+            pdf = pdf[~null_mask]
+            if not len(pdf):
+                return
         pdf = pdf.sort_values(
             [time_col, *order_cols], kind="mergesort"
         ).reset_index(drop=True)
@@ -201,15 +211,16 @@ def _make_sessionizer(
         starts = t.where(brk).ffill()
         if start is not None and pd.isna(starts.iloc[0]):
             starts = starts.fillna(start)
-        out = pdf.copy()
-        out["session_index"] = sidx.astype("int64")
-        out["session_start_ms"] = starts.astype("int64")
+        # pdf is already a private frame (concat -> filter/sort ->
+        # reset_index): assign the label columns in place
+        pdf["session_index"] = sidx.astype("int64")
+        pdf["session_start_ms"] = starts.astype("int64")
         state.update(
             (int(t.iloc[-1]), int(sidx.iloc[-1]), int(starts.iloc[-1]))
         )
         if state_timeout_ms > 0:
             state.setTimeoutDuration(state_timeout_ms)
-        yield out
+        yield pdf
 
     return _label
 
@@ -240,11 +251,16 @@ def sessionize_stream(
     the batch ``sessionize``. Parity law (tests): on an in-order
     stream, labels equal the batch build's exactly.
 
-    ``state_timeout_ms`` > 0 evicts keys idle that long (processing
-    time): their next event correctly starts a new session, but the
-    ordinal restarts at 0 — set it comfortably above ``gap``. 0 = no
-    timeout (REQUIRED for ``availableNow`` backfills, where pending
-    timers keep the query alive).
+    ``state_timeout_ms`` > 0 evicts keys idle that long in PROCESSING
+    time, while the gap rule is EVENT time — if the source stalls or a
+    backfill lags longer than the timeout, the next event of an evicted
+    key is labeled a NEW session (fresh start, ordinal back at 0) even
+    when its event-time gap is tiny. Safe only when processing time
+    tracks event time (a live tail) AND the timeout is set far above
+    both ``gap`` and any tolerated source lag; the offline batch
+    ``sessionize`` is the repair path either way. 0 = no timeout
+    (REQUIRED for ``availableNow`` backfills, where pending timers keep
+    the query alive — and where processing time is meaningless).
 
     Scale shape: state is 3 longs per ACTIVE key; each micro-batch
     shuffles once on the group key (the state operator's required
@@ -282,8 +298,7 @@ def sessionize_stream(
     )
     return events.groupBy(*group_cols).applyInPandasWithState(
         _make_sessionizer(
-            list(group_cols), time_col, gap_ms,
-            list(order_cols or []), state_timeout_ms,
+            time_col, gap_ms, list(order_cols or []), state_timeout_ms,
         ),
         outputStructType=out_schema,
         stateStructType=T._parse_datatype_string(_SESS_STATE_SCHEMA),

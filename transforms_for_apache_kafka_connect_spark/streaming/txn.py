@@ -336,15 +336,16 @@ class TransactionalRouter:
             prepare_stream_events,
         )
 
+        from transforms_for_apache_kafka_connect_spark.streaming.writers import (
+            start_foreach_batch,
+        )
+
         events = prepare_stream_events(events, **prepare_kwargs)
-        writer = events.writeStream.foreachBatch(
-            lambda df, bid: self.apply_batch(df, bid)
-        ).option("checkpointLocation", checkpoint_dir)
-        if available_now:
-            writer = writer.trigger(availableNow=True)
-        else:
-            writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
-        return writer.start()
+        return start_foreach_batch(
+            events, lambda df, bid: self.apply_batch(df, bid),
+            checkpoint_dir, available_now=available_now,
+            trigger_seconds=trigger_seconds,
+        )
 
     def vacuum(self, **vacuum_kwargs) -> dict:
         """Transaction-safe garbage collection: roll every DECIDED

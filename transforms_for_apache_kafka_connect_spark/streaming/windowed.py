@@ -180,14 +180,12 @@ def stream_windowed_into(
         )
         table.merge(updates, epoch=epoch, batch_id=batch_id)
 
-    mode = "update" if session_gap is None else "append"
-    writer = (
-        agg.writeStream.outputMode(mode)
-        .foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_dir)
+    from transforms_for_apache_kafka_connect_spark.streaming.writers import (
+        start_foreach_batch,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    else:
-        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
-    return writer.start()
+
+    return start_foreach_batch(
+        agg, sink, checkpoint_dir,
+        output_mode="update" if session_gap is None else "append",
+        available_now=available_now, trigger_seconds=trigger_seconds,
+    )
