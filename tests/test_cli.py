@@ -531,3 +531,54 @@ def test_cli_lookup_many_keys(spark, tmp_path, capsys):
     assert main(["--table", root, "--buckets", "4",
                  "--maintenance", "lookup", "--keys", '{"not": "a list"}'
                  ]) == 2
+
+
+def test_cli_patch_semantics(spark, tmp_path):
+    """--merge-semantics patch: sparse updates from the CLI land with
+    per-column overlay semantics; incompatible flags exit 2."""
+    from transforms_for_apache_kafka_connect_spark.cli import main
+
+    rows = [
+        # (lsn, k, op, x, y) — sparse: None = not provided
+        (1, "a", "u", 1.0, "one"),
+        (2, "a", "u", 2.0, None),     # y must survive
+        (3, "b", "u", 3.0, "bee"),
+        (4, "b", "d", None, None),
+        (5, "b", "u", 5.0, None),     # reborn: y stays NULL
+    ]
+    env = spark.createDataFrame(
+        [("t", 0, (k,),
+          (op, lsn, 0, None, None if op == "d" else (x, y)), lsn, None)
+         for lsn, k, op, x, y in rows],
+        "topic string, partition int, key struct<k:string>, "
+        "value struct<op:string, lsn:long, ts_ms:long, "
+        "before:struct<x:double,y:string>, after:struct<x:double,y:string>>, "
+        "timestamp long, headers map<string,string>",
+    )
+    env.write.mode("overwrite").parquet(str(tmp_path / "events"))
+    base = [
+        "--events", str(tmp_path / "events"),
+        "--table", str(tmp_path / "table"),
+        "--key-cols", "k", "--buckets", "4",
+        "--batches", "2", "--merge-semantics", "patch",
+        "--merge-strategy", "broadcast", "--no-discovery",
+        "--master", "local[2]",
+    ]
+    assert main(base + ["--routed"]) == 2
+    assert main(base) == 0
+    got = {
+        r["k"]: (r["x"], r["y"], r["_lsn"])
+        for r in LakeTable(
+            str(tmp_path / "table"), key_cols=["k"], discovery=False
+        ).read(spark).collect()
+    }
+    assert got == {"a": (2.0, "one", 2), "b": (5.0, None, 5)}
+    # replay: every batch skips through the ledger
+    assert main(base) == 0
+    got2 = {
+        r["k"]: (r["x"], r["y"], r["_lsn"])
+        for r in LakeTable(
+            str(tmp_path / "table"), key_cols=["k"], discovery=False
+        ).read(spark).collect()
+    }
+    assert got2 == got

@@ -53,6 +53,14 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["shuffle", "broadcast", "append"],
                     default="shuffle",
                     help="append = merge-on-read (delta files + LWW reads)")
+    ap.add_argument("--merge-semantics", choices=["lww", "patch"],
+                    default="lww",
+                    help="patch = partial-column updates (NULL means "
+                         "'not provided': per column the last provided "
+                         "value wins, deletes clear, unmentioned columns "
+                         "survive — streaming/patch.py). Incompatible "
+                         "with --routed/--bootstrap/--expectations/"
+                         "--error-mode dlq")
     ap.add_argument("--no-discovery", action="store_true",
                     help="dense updates: skip touched-bucket discovery")
     ap.add_argument("--target-rows-per-file", type=int, default=2_000_000)
@@ -442,6 +450,19 @@ def main(argv: list[str] | None = None) -> int:
         print("--error-mode dlq requires --dlq-dir", file=sys.stderr)
         return 2
 
+    if args.merge_semantics == "patch":
+        for bad, flag in (
+            (args.routed, "--routed"),
+            (args.bootstrap, "--bootstrap"),
+            (expectations, "--expectations"),
+            (error_mode == "dlq", "--error-mode dlq"),
+        ):
+            if bad:
+                print(f"--merge-semantics patch is incompatible with "
+                      f"{flag}", file=sys.stderr)
+                return 2
+        return _run_patch(spark, args, table, chain)
+
     if args.routed:
         from transforms_for_apache_kafka_connect_spark.streaming import (
             TopicTableRouter,
@@ -535,37 +556,10 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     events = spark.read.parquet(args.events)
-    lo = args.start_pos
-    hi = args.max_pos
-    if lo is None or hi is None:
-        dtype = dict(events.dtypes).get(args.slice_col)
-        if dtype is None:
-            print(
-                f"--slice-col {args.slice_col!r} not found in events "
-                f"schema (columns: {', '.join(events.columns)})",
-                file=sys.stderr,
-            )
-            return 2
-        numeric = {"tinyint", "smallint", "int", "bigint", "float", "double"}
-        if dtype not in numeric and not dtype.startswith("decimal"):
-            print(
-                f"--slice-col {args.slice_col!r} has type {dtype}; batching "
-                "needs a numeric position column (e.g. an epoch-millis "
-                "long — cast timestamps via unix_millis first)",
-                file=sys.stderr,
-            )
-            return 2
-        bounds = events.agg(
-            F.min(args.slice_col).alias("lo"), F.max(args.slice_col).alias("hi")
-        ).first()
-        if bounds["hi"] is None:
-            print(f"no events found under {args.events}", file=sys.stderr)
-            return 2
-        if lo is None:
-            lo = bounds["lo"]
-        if hi is None:
-            hi = bounds["hi"] + 1
-    width = max(1, -(-(hi - lo) // args.batches))
+    sliced = _slice_bounds(events, args)
+    if isinstance(sliced, int):
+        return sliced
+    lo, hi, width = sliced
 
     results = engine.replay(
         events, batch_width=width, max_pos=hi, start_pos=lo,
@@ -599,6 +593,114 @@ def main(argv: list[str] | None = None) -> int:
             }
         )
     )
+    return 0
+
+
+
+
+def _slice_bounds(events, args):
+    """(lo, hi, width) for position-sliced batch replay, or an exit
+    code on argument/validation errors (shared by the LWW and patch
+    batch paths)."""
+    from pyspark.sql import functions as F
+
+    lo = args.start_pos
+    hi = args.max_pos
+    if lo is None or hi is None:
+        dtype = dict(events.dtypes).get(args.slice_col)
+        if dtype is None:
+            print(
+                f"--slice-col {args.slice_col!r} not found in events "
+                f"schema (columns: {', '.join(events.columns)})",
+                file=sys.stderr,
+            )
+            return 2
+        numeric = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+        if dtype not in numeric and not dtype.startswith("decimal"):
+            print(
+                f"--slice-col {args.slice_col!r} has type {dtype}; batching "
+                "needs a numeric position column (e.g. an epoch-millis "
+                "long — cast timestamps via unix_millis first)",
+                file=sys.stderr,
+            )
+            return 2
+        bounds = events.agg(
+            F.min(args.slice_col).alias("lo"), F.max(args.slice_col).alias("hi")
+        ).first()
+        if bounds["hi"] is None:
+            print(f"no events found under {args.events}", file=sys.stderr)
+            return 2
+        if lo is None:
+            lo = bounds["lo"]
+        if hi is None:
+            hi = bounds["hi"] + 1
+    return lo, hi, max(1, -(-(hi - lo) // args.batches))
+
+
+def _run_patch(spark, args, table, chain) -> int:
+    """--merge-semantics patch: position-sliced batches (or the
+    streaming entry) through the SMT chain into patch_apply — partial-
+    column updates with the table's ledger for exactly-once. The
+    restricted surface (no routing/bootstrap/expectations/DLQ) is
+    validated by the caller."""
+    from transforms_for_apache_kafka_connect_spark.record import ensure_error_col
+    from transforms_for_apache_kafka_connect_spark.streaming.patch import (
+        patch_apply,
+        stream_patch_into,
+    )
+
+    from pyspark.sql import functions as F
+
+    def through_chain(df):
+        out = chain.apply(ensure_error_col(df)) if chain.stages else df
+        return out
+
+    if args.streaming:
+        if not args.checkpoint:
+            print("--streaming requires --checkpoint", file=sys.stderr)
+            return 2
+        batch_df = spark.read.parquet(args.events)
+        stream = (
+            spark.readStream.schema(batch_df.schema).parquet(args.events)
+        )
+        q = stream_patch_into(
+            table, stream, args.checkpoint,
+            epoch=args.epoch or "default",
+            available_now=True, prepare=through_chain,
+        )
+        q.awaitTermination()
+        print(json.dumps({"mode": "streaming", "semantics": "patch",
+                          "table": args.table}))
+        return 0
+
+    events = spark.read.parquet(args.events)
+    sliced = _slice_bounds(events, args)
+    if isinstance(sliced, int):
+        return sliced
+    lo, hi, width = sliced
+    results = []
+    for b, start in enumerate(range(lo, hi, width)):
+        batch = events.filter(
+            (F.col(args.slice_col) >= start)
+            & (F.col(args.slice_col) < min(start + width, hi))
+        )
+        r = patch_apply(
+            table, through_chain(batch),
+            epoch=args.epoch or "default", batch_id=b,
+        )
+        results.append(r)
+        print(json.dumps({"batch_id": b, **{
+            k: v for k, v in r.items() if isinstance(v, (int, str, bool))
+        }}))
+    print(json.dumps({
+        "mode": "batch",
+        "semantics": "patch",
+        "table": args.table,
+        "n_batches": len(results),
+        "applied": sum(1 for r in results if not r.get("skipped")),
+        "skipped": sum(1 for r in results if r.get("skipped")),
+        "final_version": table.manifest()["version"],
+    }))
     return 0
 
 
