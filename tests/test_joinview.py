@@ -1,0 +1,301 @@
+"""Changelog-maintained join view (MaintainedJoin): the delta-join
+decomposition dV = dL x R_new  UNION  (L_new \\ dL) x dR applied per
+committed batch.
+
+The money test: after EVERY batch, the maintained view equals a full
+recompute join of the two base tables' current states — across fact
+inserts/updates/deletes, fk retargeting, dim updates, dim deletes
+(inner cascade vs left null-out), late-arriving dims, and null fks.
+
+Reference parity note: the reference SMT catalog is single-record
+(no joins); this is engine-level capability beyond
+aiven/transforms-for-apache-kafka-connect (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from transforms_for_apache_kafka_connect_spark.streaming import (
+    LakeTable,
+    MaintainedJoin,
+    batch_changes,
+)
+
+_FACT = T.StructType([
+    T.StructField("order_id", T.LongType(), False),
+    T.StructField("cust_id", T.LongType(), True),
+    T.StructField("amount", T.DoubleType(), True),
+    T.StructField("_lsn", T.LongType(), False),
+    T.StructField("__is_delete", T.BooleanType(), False),
+])
+_DIM = T.StructType([
+    T.StructField("cust_id", T.LongType(), False),
+    T.StructField("name", T.StringType(), True),
+    T.StructField("tier", T.StringType(), True),
+    T.StructField("_lsn", T.LongType(), False),
+    T.StructField("__is_delete", T.BooleanType(), False),
+])
+
+# per batch: (facts, dims) update rows
+#   fact: (order_id, cust_id, amount, lsn, is_delete)
+#   dim:  (cust_id, name, tier, lsn, is_delete)
+_BATCHES = [
+    (  # b0: base load; o3 references a dim that doesn't exist yet,
+       # o4 has a NULL fk
+        [(1, 1, 10.0, 1, False), (2, 2, 20.0, 2, False),
+         (3, 9, 30.0, 3, False), (4, None, 40.0, 4, False)],
+        [(1, "ann", "gold", 1, False), (2, "bob", "silver", 2, False),
+         (4, "dee", "bronze", 3, False)],
+    ),
+    (  # b1: o1 amount update; o2 retargets fk 2->3 (3 doesn't exist);
+       # o5/o6 insert; dim c4 tier update; dim c1 DELETED (o1 cascades
+       # out under inner, nulls out under left)
+        [(1, 1, 11.0, 5, False), (2, 3, 20.0, 6, False),
+         (5, 4, 50.0, 7, False), (6, 9, 60.0, 8, False)],
+        [(4, "dee", "gold", 4, False), (1, None, None, 5, True)],
+    ),
+    (  # b2: o3 deleted; late dims c9 and c3 arrive (o6 and o2 light up
+       # under inner)
+        [(3, None, None, 9, True)],
+        [(9, "zed", "gold", 6, False), (3, "cat", "silver", 7, False)],
+    ),
+]
+
+
+def _mk_tables(spark, tmp_path, **join_kw):
+    left = LakeTable(str(tmp_path / "facts"), key_cols=["order_id"],
+                     n_buckets=4, discovery=False,
+                     merge_strategy="broadcast", changelog=True)
+    right = LakeTable(str(tmp_path / "dims"), key_cols=["cust_id"],
+                      n_buckets=4, discovery=False,
+                      merge_strategy="broadcast", changelog=True)
+    mj = MaintainedJoin(root=str(tmp_path / "mj"), left=left, right=right,
+                        fk_cols=["cust_id"], n_buckets=4, **join_kw)
+    return left, right, mj
+
+
+def _recompute(left, right, spark, how):
+    """Full-recompute oracle with the view's column shape."""
+    l = left.read(spark)
+    r = (right.read(spark)
+         .withColumnRenamed("_lsn", "_lsn_dim")
+         .withColumnRenamed("cust_id", "__k"))
+    j = l.join(r, l["cust_id"] == r["__k"], how).drop("__k", "_lsn_dim")
+    return j
+
+
+def _apply_batch(spark, left, right, mj, b, facts, dims):
+    if dims:
+        right.merge(spark.createDataFrame(dims, _DIM), epoch="e", batch_id=b)
+    if facts:
+        left.merge(spark.createDataFrame(facts, _FACT), epoch="e", batch_id=b)
+    lchg = (batch_changes(left, spark, epoch="e", batch_id=b)
+            if facts and left.has_changes("e", b) else None)
+    rchg = (batch_changes(right, spark, epoch="e", batch_id=b)
+            if dims and right.has_changes("e", b) else None)
+    if lchg is not None and rchg is not None:
+        mj.apply_both(lchg, rchg, epoch="e", batch_id=b)
+    elif lchg is not None:
+        mj.apply_changes(lchg, epoch="e", batch_id=b)
+    elif rchg is not None:
+        mj.apply_right_changes(rchg, epoch="e", batch_id=b)
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(
+        (tuple(r[c] for c in cols) for r in df.select(*cols).collect()),
+        key=str,  # None-safe ordering
+    )
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_view_matches_recompute_after_every_batch(spark, tmp_path, how):
+    left, right, mj = _mk_tables(spark, tmp_path, how=how)
+    for b, (facts, dims) in enumerate(_BATCHES):
+        _apply_batch(spark, left, right, mj, b, facts, dims)
+        got = _rows(mj.read(spark))
+        want = _rows(_recompute(left, right, spark, how))
+        assert got == want, f"batch {b} ({how}): {got} != {want}"
+
+
+def test_inner_final_state_is_expected_set(spark, tmp_path):
+    left, right, mj = _mk_tables(spark, tmp_path, how="inner")
+    for b, (facts, dims) in enumerate(_BATCHES):
+        _apply_batch(spark, left, right, mj, b, facts, dims)
+    final = {
+        (r["order_id"], r["cust_id"], r["name"], r["tier"])
+        for r in mj.read(spark).collect()
+    }
+    # o1 cascaded out with dim c1's delete; o3 deleted; o4 null-fk;
+    # o2 -> late dim c3; o5 -> updated c4; o6 -> late dim c9
+    assert final == {
+        (2, 3, "cat", "silver"),
+        (5, 4, "dee", "gold"),
+        (6, 9, "zed", "gold"),
+    }
+
+
+def test_left_unmatched_rows_surface_with_null_dim_cols(spark, tmp_path):
+    left, right, mj = _mk_tables(spark, tmp_path, how="left")
+    for b, (facts, dims) in enumerate(_BATCHES[:2]):
+        _apply_batch(spark, left, right, mj, b, facts, dims)
+    rows = {r["order_id"]: (r["name"], r["tier"])
+            for r in mj.read(spark).collect()}
+    # all live facts present; o1 (dim deleted), o2 (retargeted to
+    # missing), o4 (null fk), o6 (dim not yet arrived) carry nulls
+    assert set(rows) == {1, 2, 3, 4, 5, 6}
+    assert rows[1] == (None, None)
+    assert rows[2] == (None, None)
+    assert rows[4] == (None, None)
+    assert rows[6] == (None, None)
+    assert rows[5] == ("dee", "gold")
+
+
+def test_exactly_once_reapply_is_skipped(spark, tmp_path):
+    left, right, mj = _mk_tables(spark, tmp_path, how="inner")
+    facts, dims = _BATCHES[0]
+    _apply_batch(spark, left, right, mj, 0, facts, dims)
+    before = _rows(mj.read(spark))
+    lchg = batch_changes(left, spark, epoch="e", batch_id=0)
+    rchg = batch_changes(right, spark, epoch="e", batch_id=0)
+    out = mj.apply_both(lchg, rchg, epoch="e", batch_id=0)
+    assert out.get("skipped") is True
+    assert _rows(mj.read(spark)) == before
+
+
+def test_left_and_right_sides_ledger_independently(spark, tmp_path):
+    """The same (epoch, batch_id) may arrive once from each side —
+    the view ledgers them under distinct derived epochs."""
+    left, right, mj = _mk_tables(spark, tmp_path, how="inner")
+    facts, dims = _BATCHES[0]
+    right.merge(spark.createDataFrame(dims, _DIM), epoch="e", batch_id=0)
+    left.merge(spark.createDataFrame(facts, _FACT), epoch="e", batch_id=0)
+    rchg = batch_changes(right, spark, epoch="e", batch_id=0)
+    lchg = batch_changes(left, spark, epoch="e", batch_id=0)
+    r1 = mj.apply_right_changes(rchg, epoch="e", batch_id=0)
+    r2 = mj.apply_changes(lchg, epoch="e", batch_id=0)
+    assert not r1.get("skipped") and not r2.get("skipped")
+    assert _rows(mj.read(spark)) == _rows(
+        _recompute(left, right, spark, "inner")
+    )
+
+
+def test_right_maintainer_adapter(spark, tmp_path):
+    left, right, mj = _mk_tables(spark, tmp_path, how="inner")
+    facts, dims = _BATCHES[0]
+    right.merge(spark.createDataFrame(dims, _DIM), epoch="e", batch_id=0)
+    left.merge(spark.createDataFrame(facts, _FACT), epoch="e", batch_id=0)
+    mj.apply_changes(batch_changes(left, spark, epoch="e", batch_id=0),
+                     epoch="e", batch_id=0)
+    adapter = mj.right_maintainer()
+    # dim-side batch arrives through the Replayer maintenance protocol
+    dims2 = [(9, "zed", "gold", 6, False)]
+    right.merge(spark.createDataFrame(dims2, _DIM), epoch="e", batch_id=1)
+    adapter.apply_changes(batch_changes(right, spark, epoch="e", batch_id=1),
+                          epoch="e", batch_id=1)
+    got = {(r["order_id"], r["name"]) for r in mj.read(spark).collect()}
+    assert (3, "zed") in got  # o3 -> c9 lit up via the adapter
+
+
+def test_fk_retarget_moves_view_row(spark, tmp_path):
+    left, right, mj = _mk_tables(spark, tmp_path, how="inner")
+    _apply_batch(spark, left, right, mj, 0,
+                 [(1, 1, 10.0, 1, False)],
+                 [(1, "ann", "gold", 1, False),
+                  (2, "bob", "silver", 2, False)])
+    _apply_batch(spark, left, right, mj, 1,
+                 [(1, 2, 10.0, 5, False)], [])
+    rows = mj.read(spark).collect()
+    assert len(rows) == 1 and rows[0]["name"] == "bob"
+
+
+def test_dim_update_rewrites_only_referencing_rows(spark, tmp_path):
+    """A dim-side batch touches exactly the fact rows referencing the
+    changed keys — verified through the view contents; the read is the
+    multi-point 'in' path."""
+    left, right, mj = _mk_tables(spark, tmp_path, how="inner")
+    facts = [(i, i % 3 + 1, float(i), i + 1, False) for i in range(30)]
+    dims = [(k, f"n{k}", "base", 100 + k, False) for k in (1, 2, 3)]
+    _apply_batch(spark, left, right, mj, 0, facts, dims)
+    # update only dim 2
+    _apply_batch(spark, left, right, mj, 1,
+                 [], [(2, "n2", "vip", 200, False)])
+    tiers = {(r["order_id"], r["tier"]) for r in mj.read(spark).collect()}
+    for oid, fk, *_ in facts:
+        assert (oid, "vip" if fk == 2 else "base") in tiers
+
+
+def test_in_where_op_reads_correct_rows_and_prunes_files(spark, tmp_path):
+    """('col','in',values) on a compacted COW table: exact results and
+    zone-map file skipping — the dim-delta scan path at scale."""
+    t = LakeTable(str(tmp_path / "t"), key_cols=["id"], n_buckets=2,
+                  discovery=False, merge_strategy="broadcast",
+                  target_rows_per_file=50)
+    rows = [(i, i // 100, f"v{i}") for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, g long, v string") \
+        .withColumn("__is_delete", F.lit(False))
+    t.merge(df, epoch="e", batch_id=0)
+    t.compact(spark, all_buckets=True, sort_cols=["g"])
+    got = t.read(spark, where=[("g", "in", [2, 7])])
+    assert got.count() == 200
+    assert set(r["g"] for r in got.select("g").distinct().collect()) == {2, 7}
+    p = t.last_prune
+    assert p["files_read"] < p["files_total"]
+    # empty membership list: no rows, no files
+    assert t.read(spark, where=[("g", "in", [])]).count() == 0
+
+
+def test_in_where_on_mor_table_filters_without_wrong_rows(spark, tmp_path):
+    """Non-key 'in' on a merge-on-read table must not resurrect
+    superseded versions: results equal post-LWW filtering."""
+    t = LakeTable(str(tmp_path / "t"), key_cols=["id"], n_buckets=2,
+                  discovery=False, merge_strategy="append")
+    mk = lambda rows: spark.createDataFrame(
+        rows, "id long, g long, _lsn long").withColumn(
+        "__is_delete", F.lit(False))
+    t.merge(mk([(i, 1, i) for i in range(10)]), epoch="e", batch_id=0)
+    # move ids 0-4 to group 2 (newer versions)
+    t.merge(mk([(i, 2, 100 + i) for i in range(5)]), epoch="e", batch_id=1)
+    got = sorted(r["id"] for r in t.read(
+        spark, where=[("g", "in", [1])]).collect())
+    assert got == [5, 6, 7, 8, 9]
+
+
+def test_changelog_view_cascades_downstream(spark, tmp_path):
+    """changelog=True on the view: a second hop can replicate the
+    maintained join without reading it."""
+    from transforms_for_apache_kafka_connect_spark.streaming.incremental import (
+        apply_changes_to_table,
+    )
+
+    left, right, mj = _mk_tables(spark, tmp_path, how="inner",
+                                 changelog=True)
+    replica = LakeTable(str(tmp_path / "replica"), key_cols=["order_id"],
+                        n_buckets=4, discovery=False,
+                        merge_strategy="broadcast")
+    for b, (facts, dims) in enumerate(_BATCHES):
+        _apply_batch(spark, left, right, mj, b, facts, dims)
+        for tag in ("L", "R", "LR"):
+            ve = f"e#{tag}"
+            if mj.view.has_changes(ve, b):
+                apply_changes_to_table(
+                    replica,
+                    batch_changes(mj.view, spark, epoch=ve, batch_id=b),
+                    epoch=ve, batch_id=b,
+                )
+    assert _rows(replica.read(spark)) == _rows(mj.read(spark))
+
+
+def test_validation_errors(spark, tmp_path):
+    left = LakeTable(str(tmp_path / "l"), key_cols=["a"], n_buckets=2)
+    right = LakeTable(str(tmp_path / "r"), key_cols=["b"], n_buckets=2)
+    with pytest.raises(ValueError, match="how"):
+        MaintainedJoin(root=str(tmp_path / "m1"), left=left, right=right,
+                       fk_cols=["a"], how="full")
+    with pytest.raises(ValueError, match="positionally"):
+        MaintainedJoin(root=str(tmp_path / "m2"), left=left, right=right,
+                       fk_cols=["a", "c"])

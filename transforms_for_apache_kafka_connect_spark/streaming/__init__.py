@@ -44,6 +44,9 @@ from transforms_for_apache_kafka_connect_spark.streaming.scd2 import (
 from transforms_for_apache_kafka_connect_spark.streaming.txn import (
     TransactionalRouter,
 )
+from transforms_for_apache_kafka_connect_spark.streaming.joinview import (
+    MaintainedJoin,
+)
 from transforms_for_apache_kafka_connect_spark.streaming.windowed import (
     stream_windowed_into,
     windowed_aggregate,
@@ -63,6 +66,7 @@ __all__ = [
     "TransactionalRouter",
     "Expectation",
     "MaintainedAggregate",
+    "MaintainedJoin",
     "NearDupIndex",
     "batch_changes",
     "incremental_agg_update",

@@ -270,7 +270,20 @@ _PRUNE_OPS = {
     ">": lambda mn, mx, v: mx > v,
     "<=": lambda mn, mx, v: mn <= v,
     "<": lambda mn, mx, v: mn < v,
+    # membership: a file can match iff ANY listed value falls in its
+    # range — the multi-point probe a delta-join's "which fact rows
+    # reference these changed dims" read needs. The scan survives only
+    # files overlapping at least one value.
+    "in": lambda mn, mx, vs: any(mn <= v <= mx for v in vs),
 }
+
+
+def _same_kind(val, mn) -> bool:
+    return (
+        isinstance(val, (int, float))
+        and isinstance(mn, (int, float))
+        and not isinstance(val, bool)
+    ) or (isinstance(val, str) and isinstance(mn, str))
 
 
 def _file_matches(stats: dict, where) -> bool:
@@ -284,12 +297,17 @@ def _file_matches(stats: dict, where) -> bool:
         if rng is None:
             continue
         mn, mx = rng
-        same_kind = (
-            isinstance(val, (int, float))
-            and isinstance(mn, (int, float))
-            and not isinstance(val, bool)
-        ) or (isinstance(val, str) and isinstance(mn, str))
-        if not same_kind:
+        if op == "in":
+            # prune only when EVERY value is comparable to the stats
+            # and none falls in range; a single non-comparable value
+            # means 'maybe' (keep)
+            vals = list(val)
+            if any(not _same_kind(v, mn) for v in vals):
+                continue
+            if not _PRUNE_OPS[op](mn, mx, vals):
+                return False
+            continue
+        if not _same_kind(val, mn):
             continue
         if not _PRUNE_OPS[op](mn, mx, val):
             return False
@@ -850,7 +868,10 @@ class LakeTable:
             ops = {"==": _op.eq, ">=": _op.ge, ">": _op.gt,
                    "<=": _op.le, "<": _op.lt}
             for col, op, val in where or []:
-                df = df.filter(ops[op](F.col(col), F.lit(val)))
+                if op == "in":
+                    df = df.filter(F.col(col).isin(list(val)))
+                else:
+                    df = df.filter(ops[op](F.col(col), F.lit(val)))
             return df
 
         if not files:
