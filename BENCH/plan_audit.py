@@ -564,6 +564,71 @@ def main() -> None:
     check("expectations: no Python eval (pure Column predicates)",
           "Python" not in p)
 
+    # 20. maintained join view: both delta paths must be
+    # broadcast-shaped (the batch-bounded side broadcasts; neither base
+    # table shuffles) and the dim-delta scan must prune files via the
+    # multi-point 'in' zone maps on a fk-clustered fact table
+    from transforms_for_apache_kafka_connect_spark.streaming.joinview import (
+        MaintainedJoin as _MJ,
+    )
+    from transforms_for_apache_kafka_connect_spark.streaming.incremental import (
+        batch_changes as _bc2,
+    )
+
+    jvroot = _tf.mkdtemp(prefix="audit_jv_")
+    jleft = _LT(os.path.join(jvroot, "facts"), key_cols=["order_id"],
+                n_buckets=4, discovery=False, merge_strategy="broadcast",
+                changelog=True, target_rows_per_file=200)
+    jright = _LT(os.path.join(jvroot, "dims"), key_cols=["cust_id"],
+                 n_buckets=4, discovery=False, merge_strategy="broadcast",
+                 changelog=True)
+    jmj = _MJ(root=os.path.join(jvroot, "mj"), left=jleft, right=jright,
+              fk_cols=["cust_id"], how="inner", n_buckets=4)
+    jright.merge(
+        spark.range(40).select(
+            _F.col("id").alias("cust_id"),
+            _F.concat(_F.lit("n"), _F.col("id")).alias("name"),
+            _F.col("id").alias("_lsn"),
+            _F.lit(False).alias("__is_delete"),
+        ), epoch="audit", batch_id=0)
+    jleft.merge(
+        spark.range(4000).select(
+            _F.col("id").alias("order_id"),
+            (_F.col("id") % 40).alias("cust_id"),
+            (_F.col("id") * 1.5).alias("amount"),
+            _F.col("id").alias("_lsn"),
+            _F.lit(False).alias("__is_delete"),
+        ), epoch="audit", batch_id=0)
+    jl0 = _bc2(jleft, spark, epoch="audit", batch_id=0)
+    p = plan_of(jmj._left_delta_updates(jl0))
+    check("join view fact-delta: dim probe is broadcast, no shuffle",
+          "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+          and "Exchange hashpartitioning" not in p)
+    check("join view fact-delta: no Python eval", "Python" not in p)
+    jmj.apply_changes(jl0, epoch="audit", batch_id=0)
+    # cluster the fact table by fk so the 'in' zone maps have ranges
+    jleft.compact(spark, all_buckets=True, sort_cols=["cust_id"])
+    jright.merge(
+        spark.range(2).select(
+            (_F.col("id") + 7).alias("cust_id"),
+            _F.lit("upd").alias("name"),
+            (_F.col("id") + 100).alias("_lsn"),
+            _F.lit(False).alias("__is_delete"),
+        ), epoch="audit", batch_id=1)
+    jr1 = _bc2(jright, spark, epoch="audit", batch_id=1)
+    rdelta = jmj._right_delta_updates(jr1, None)
+    p = plan_of(rdelta)
+    check("join view dim-delta: changed-dim side broadcast, no shuffle "
+          "of the fact scan",
+          "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+          and "Exchange hashpartitioning" not in p)
+    rdelta.count()  # materialize so last_prune reflects the scan
+    check("join view dim-delta: 'in' zone maps prune the fk-clustered "
+          "fact scan",
+          jleft.last_prune["files_read"] < jleft.last_prune["files_total"],
+          f"{jleft.last_prune['files_read']}/"
+          f"{jleft.last_prune['files_total']} files")
+
     n_fail = sum(1 for _, ok, _ in checks if not ok)
     lines = [
         "# BENCH/PLANS.md — Catalyst plan audit",

@@ -571,6 +571,118 @@ def q_money(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_record_shaping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KeyToValue + MoneyConverter in one composite (same operators as
+    the former standalone entries; r04d fold freeing a slot for
+    joined_view). k2v leg: key fields copied into the value struct;
+    money leg: Debezium money semantics via '%.2f' formatting."""
+    k2v = q_key_to_value(spark, sf_dir).select(
+        F.lit("k2v").alias("variant"),
+        F.col("user_id").cast("string").alias("k"),
+        F.col("event_type").alias("s"),
+        F.col("val").cast("double").alias("n"),
+    )
+    money = q_money(spark, sf_dir).select(
+        F.lit("money").alias("variant"),
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit("-"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("k"),
+        F.col("quantity_money").alias("s"),
+        F.lit(-1.0).alias("n"),
+    )
+    return k2v.unionByName(money)
+
+
+def q_joined_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog-maintained join view (streaming/joinview.py
+    MaintainedJoin): facts = per-user LWW state replayed from the
+    events change stream in two committed batches; dims = customer
+    rows keyed by c_custkey ingested in two batches (second batch
+    updates the segment of even keys and DELETES keys ending in 9
+    after some facts already referenced them). The view is maintained
+    per batch via the delta-join decomposition — fact deltas probe the
+    dim via bucket-pruned lookup_many, dim deltas find referencing
+    facts via the multi-point 'in' zone-map read — and is served from
+    its own LakeTable. Oracle: plain SQL join of the two final states
+    (inner semantics: the dim delete cascades its facts out of the
+    view; fact users without a surviving dim row are absent)."""
+    from transforms_for_apache_kafka_connect_spark.streaming.incremental import (
+        batch_changes,
+    )
+    from transforms_for_apache_kafka_connect_spark.streaming.joinview import (
+        MaintainedJoin,
+    )
+
+    stream = _events_as_change_stream(spark, sf_dir)
+    max_id = stream.agg(F.max("timestamp")).first()[0] or 0
+    root = _scratch("tkc_jv_")
+    facts = LakeTable(
+        os.path.join(root, "facts"), key_cols=["user_id"], n_buckets=8,
+        discovery=False, merge_strategy="broadcast", changelog=True,
+    )
+    dims = LakeTable(
+        os.path.join(root, "dims"), key_cols=["c_custkey"], n_buckets=8,
+        discovery=False, merge_strategy="broadcast", changelog=True,
+    )
+    mj = MaintainedJoin(
+        root=os.path.join(root, "mj"), left=facts, right=dims,
+        fk_cols=["user_id"], how="inner", n_buckets=8,
+    )
+    cust = _read(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+    rep = Replayer(table=facts, chain=Chain([]), epoch="driver")
+    mid = max_id // 2
+
+    # batch 0: dims not ending in 0 + first half of facts
+    dims.merge(
+        cust.filter(F.col("c_custkey") % 10 != 0)
+        .withColumn("_lsn", F.col("c_custkey"))
+        .withColumn("__is_delete", F.lit(False)),
+        epoch="driver", batch_id=0,
+    )
+    rep.apply_batch(stream.filter(F.col("timestamp") <= mid), 0)
+    mj.apply_both(
+        batch_changes(facts, spark, epoch="driver", batch_id=0),
+        batch_changes(dims, spark, epoch="driver", batch_id=0),
+        epoch="driver", batch_id=0,
+    )
+
+    # batch 1: remaining facts; dim updates (even keys get a new
+    # segment) + deletes (keys ending in 9 leave — cascading their
+    # already-joined facts out of the view)
+    upd = (
+        cust.filter(F.col("c_custkey") % 10 == 0)
+        .withColumn("c_mktsegment", F.lit("UPDATED"))
+        .withColumn("_lsn", F.col("c_custkey") + 1_000_000)
+        .withColumn("__is_delete", F.lit(False))
+    )
+    dels = (
+        cust.filter(F.col("c_custkey") % 10 == 9)
+        .withColumn("_lsn", F.col("c_custkey") + 1_000_000)
+        .withColumn("__is_delete", F.lit(True))
+    )
+    dims.merge(upd.unionByName(dels), epoch="driver", batch_id=1)
+    rep.apply_batch(stream.filter(F.col("timestamp") > mid), 1)
+    mj.apply_both(
+        batch_changes(facts, spark, epoch="driver", batch_id=1),
+        batch_changes(dims, spark, epoch="driver", batch_id=1),
+        epoch="driver", batch_id=1,
+    )
+    out = mj.read(spark)
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("_lsn").cast("long").alias("last_event_id"),
+        F.col("event_type").alias("event_type"),
+        F.col("val").cast("double").alias("val"),
+        F.col("c_name").alias("c_name"),
+        F.col("c_mktsegment").alias("c_mktsegment"),
+    )
+
+
 def q_extract_topic_from_schema_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     # schema-name metadata rides as a column next to the envelope
@@ -2587,6 +2699,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # extract_topic_from_schema_name folded into extract_ops (all five
     # legs preserved), freeing the slots now holding txn_delivery and
     # dlq_retry.
+    # r04d: key_to_value/money_converter folded into record_shaping
+    # (both legs preserved), freeing the slot now holding joined_view
+    # (the changelog-maintained join view).
     return {
         "hash": q_hash_all,
         "concat_fields": q_concat_fields,
@@ -2610,8 +2725,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txn_delivery": q_txn_delivery,
         "dlq_retry": q_dlq_retry,
         "tombstone_chain": q_tombstone_all,
-        "key_to_value": q_key_to_value,
-        "money_converter": q_money,
+        "record_shaping": q_record_shaping,
+        "joined_view": q_joined_view,
         "chain_fused": q_chain_fused,
         "lww_dedupe": q_lww_dedupe_all,
         "regex_router": q_regex_router,
@@ -2797,12 +2912,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'make' AS variant, 'original_topic' AS event_type, "
             "count(*) AS n FROM events"
         ),
-        "key_to_value": (
-            "SELECT user_id, event_type, value AS val FROM events"
+        "record_shaping": (
+            "SELECT 'k2v' AS variant, CAST(user_id AS VARCHAR) AS k, "
+            "event_type AS s, value AS n FROM events "
+            "UNION ALL "
+            "SELECT 'money' AS variant, "
+            "CAST(l_orderkey AS VARCHAR) || '-' || "
+            "CAST(l_linenumber AS VARCHAR) AS k, "
+            "printf('%.2f', l_quantity) AS s, -1.0 AS n FROM lineitem"
         ),
-        "money_converter": (
-            "SELECT l_orderkey, l_linenumber, printf('%.2f', l_quantity) "
-            "AS quantity_money FROM lineitem"
+        "joined_view": (
+            "WITH facts AS ("
+            "SELECT user_id, event_id AS last_event_id, event_type, "
+            "value AS val FROM (SELECT *, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY event_id DESC) AS rn "
+            "FROM events) t WHERE rn = 1 AND event_type <> 'error'), "
+            "dims AS (SELECT c_custkey, c_name, "
+            "CASE WHEN c_custkey % 10 = 0 THEN 'UPDATED' "
+            "ELSE c_mktsegment END AS c_mktsegment "
+            "FROM customer WHERE c_custkey % 10 <> 9) "
+            "SELECT f.user_id, f.last_event_id, f.event_type, f.val, "
+            "d.c_name, d.c_mktsegment "
+            "FROM facts f JOIN dims d ON f.user_id = d.c_custkey"
         ),
         "chain_fused": (
             "SELECT doc_id, source || '/' || lang AS topic, "
