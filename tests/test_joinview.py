@@ -290,6 +290,146 @@ def test_changelog_view_cascades_downstream(spark, tmp_path):
     assert _rows(replica.read(spark)) == _rows(mj.read(spark))
 
 
+def test_medallion_rollup_over_view_stays_consistent(spark, tmp_path):
+    """Gold-layer aggregate maintained from the VIEW's changelog
+    (maintain=[...] on the MaintainedJoin): per-tier count/sum over the
+    joined rows equals a recompute after every batch — including the
+    dim-driven batch that MOVES facts between tiers (c4 bronze->gold),
+    the retraction path."""
+    from transforms_for_apache_kafka_connect_spark.streaming.incremental import (
+        MaintainedAggregate,
+    )
+
+    gold = LakeTable(str(tmp_path / "gold"), key_cols=["tier"],
+                     n_buckets=2, discovery=False,
+                     merge_strategy="broadcast")
+    left, right, mj = _mk_tables(
+        spark, tmp_path, how="inner", changelog=True,
+        maintain=[MaintainedAggregate(
+            table=gold, group_cols=["tier"], sum_cols=["amount"],
+        )],
+    )
+    for b, (facts, dims) in enumerate(_BATCHES):
+        _apply_batch(spark, left, right, mj, b, facts, dims)
+        got = {r["tier"]: (r["n_rows"], round(r["sum_amount"], 6))
+               for r in gold.read(spark).collect()}
+        want = {r["tier"]: (r["n"], round(r["s"], 6))
+                for r in mj.read(spark).groupBy("tier").agg(
+                    F.count("*").alias("n"),
+                    F.sum("amount").alias("s")).collect()}
+        assert got == want, f"batch {b}: {got} != {want}"
+
+
+def test_maintain_requires_changelog_view(spark, tmp_path):
+    from transforms_for_apache_kafka_connect_spark.streaming.incremental import (
+        MaintainedAggregate,
+    )
+
+    left = LakeTable(str(tmp_path / "l"), key_cols=["a"], n_buckets=2)
+    right = LakeTable(str(tmp_path / "r"), key_cols=["b"], n_buckets=2)
+    gold = LakeTable(str(tmp_path / "g"), key_cols=["g"], n_buckets=2)
+    with pytest.raises(ValueError, match="changelog=True"):
+        MaintainedJoin(
+            root=str(tmp_path / "m"), left=left, right=right,
+            fk_cols=["b"],
+            maintain=[MaintainedAggregate(table=gold, group_cols=["g"])],
+        )
+
+
+def test_two_replayers_maintain_the_view_through_the_protocol(
+    spark, tmp_path
+):
+    """The deployment shape: a facts Replayer with maintain=[mj] and a
+    dims Replayer with maintain=[mj.right_maintainer()], batches
+    interleaved — the view tracks the recompute join at every step."""
+    from transforms_for_apache_kafka_connect_spark.plans.chain import Chain
+    from transforms_for_apache_kafka_connect_spark.streaming import Replayer
+
+    fact_env_schema = T.StructType([
+        T.StructField("topic", T.StringType(), False),
+        T.StructField("partition", T.IntegerType(), False),
+        T.StructField("key", T.StructType(
+            [T.StructField("order_id", T.LongType())])),
+        T.StructField("value", T.StructType([
+            T.StructField("op", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("ts_ms", T.LongType()),
+            T.StructField("before", T.StructType([
+                T.StructField("cust_id", T.LongType()),
+                T.StructField("amount", T.DoubleType())])),
+            T.StructField("after", T.StructType([
+                T.StructField("cust_id", T.LongType()),
+                T.StructField("amount", T.DoubleType())])),
+        ])),
+        T.StructField("timestamp", T.LongType()),
+        T.StructField("headers",
+                      T.MapType(T.StringType(), T.StringType())),
+    ])
+    dim_env_schema = T.StructType([
+        T.StructField("topic", T.StringType(), False),
+        T.StructField("partition", T.IntegerType(), False),
+        T.StructField("key", T.StructType(
+            [T.StructField("cust_id", T.LongType())])),
+        T.StructField("value", T.StructType([
+            T.StructField("op", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("ts_ms", T.LongType()),
+            T.StructField("before", T.StructType(
+                [T.StructField("tier", T.StringType())])),
+            T.StructField("after", T.StructType(
+                [T.StructField("tier", T.StringType())])),
+        ])),
+        T.StructField("timestamp", T.LongType()),
+        T.StructField("headers",
+                      T.MapType(T.StringType(), T.StringType())),
+    ])
+
+    def fenv(events):  # (lsn, order_id, op, cust_id, amount)
+        rows = [("f", 0, (oid,),
+                 (op, lsn, lsn, None,
+                  None if op == "d" else (cid, amt)), lsn, None)
+                for lsn, oid, op, cid, amt in events]
+        return spark.createDataFrame(rows, fact_env_schema)
+
+    def denv(events):  # (lsn, cust_id, op, tier)
+        rows = [("d", 0, (cid,),
+                 (op, lsn, lsn, None,
+                  None if op == "d" else (tier,)), lsn, None)
+                for lsn, cid, op, tier in events]
+        return spark.createDataFrame(rows, dim_env_schema)
+
+    left = LakeTable(str(tmp_path / "facts"), key_cols=["order_id"],
+                     n_buckets=4, discovery=False,
+                     merge_strategy="broadcast", changelog=True)
+    right = LakeTable(str(tmp_path / "dims"), key_cols=["cust_id"],
+                      n_buckets=4, discovery=False,
+                      merge_strategy="broadcast", changelog=True)
+    mj = MaintainedJoin(root=str(tmp_path / "mj"), left=left, right=right,
+                        fk_cols=["cust_id"], how="inner", n_buckets=4)
+    frep = Replayer(table=left, chain=Chain([]), epoch="ef",
+                    maintain=[mj])
+    drep = Replayer(table=right, chain=Chain([]), epoch="ed",
+                    maintain=[mj.right_maintainer()])
+
+    # interleave: dims b0, facts b0, dims b1 (tier update + delete),
+    # facts b1 (fk retarget + delete)
+    drep.apply_batch(denv([(1, 1, "u", "gold"), (2, 2, "u", "silver")]), 0)
+    frep.apply_batch(fenv([(1, 10, "u", 1, 5.0), (2, 11, "u", 2, 6.0),
+                           (3, 12, "u", 3, 7.0)]), 0)
+    drep.apply_batch(denv([(3, 2, "u", "bronze"), (4, 1, "d", None),
+                           (5, 3, "u", "new")]), 1)
+    frep.apply_batch(fenv([(4, 11, "u", 3, 6.5), (5, 12, "d", None, None)]),
+                     1)
+
+    got = _rows(mj.read(spark))
+    want = _rows(_recompute(left, right, spark, "inner"))
+    assert got == want
+    tiers = {(r["order_id"], r["tier"]) for r in mj.read(spark).collect()}
+    # order 10's dim was deleted; order 12 deleted; order 11 retargeted
+    # to the late dim 3
+    assert tiers == {(11, "new")}
+
+
 def test_validation_errors(spark, tmp_path):
     left = LakeTable(str(tmp_path / "l"), key_cols=["a"], n_buckets=2)
     right = LakeTable(str(tmp_path / "r"), key_cols=["b"], n_buckets=2)

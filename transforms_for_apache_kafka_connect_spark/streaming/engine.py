@@ -217,43 +217,14 @@ class Replayer:
         exactly-once. Batches that wrote no changelog entry (verifiably
         empty) have nothing to fold.
         """
-        if not self.maintain or not self.table.has_changes(
-            self.epoch, batch_id
-        ):
-            return
         from transforms_for_apache_kafka_connect_spark.streaming.incremental import (
-            batch_changes,
-            incremental_agg_update,
+            fold_maintenance,
         )
 
-        changes = batch_changes(
-            self.table, spark, epoch=self.epoch, batch_id=batch_id
+        fold_maintenance(
+            self.table, self.maintain, spark,
+            epoch=self.epoch, batch_id=batch_id,
         )
-        for spec in self.maintain:
-            if hasattr(spec, "apply_changes"):
-                # general maintenance protocol: any derived-table
-                # maintainer (e.g. NearDupIndex) folds the batch itself,
-                # exactly-once through its own tables' ledgers
-                spec.apply_changes(
-                    changes, epoch=self.epoch, batch_id=batch_id
-                )
-                continue
-            incremental_agg_update(
-                spec.table,
-                changes,
-                group_cols=spec.group_cols,
-                sum_cols=spec.sum_cols,
-                count_col=spec.count_col,
-                derived=getattr(spec, "derived", None),
-                distinct_cols=getattr(spec, "distinct_cols", None),
-                quantile_cols=getattr(spec, "quantile_cols", None),
-                minmax_cols=getattr(spec, "minmax_cols", None),
-                moment_cols=getattr(spec, "moment_cols", None),
-                on_retraction=getattr(spec, "on_retraction", "error"),
-                base_table=self.table,
-                epoch=self.epoch,
-                batch_id=batch_id,
-            )
 
     def _dlq_serialize(self, df: DataFrame) -> DataFrame:
         """Errored envelope rows -> flat JSON-string form (key/value

@@ -625,6 +625,53 @@ def incremental_agg_update(
     return agg_table.merge(upd, epoch=epoch, batch_id=batch_id)
 
 
+def fold_maintenance(
+    table: LakeTable,
+    maintain: list,
+    spark: SparkSession,
+    *,
+    epoch: str,
+    batch_id: int,
+) -> None:
+    """Fold one committed batch's changelog into every attached
+    maintenance spec (the Replayer maintenance loop, factored so any
+    changelog-producing component — e.g. a MaintainedJoin's view —
+    can chain its own downstream maintainers).
+
+    Safe for fresh AND ledger-skipped batches: a crash between the
+    source commit and a maintainer's update replays as (skip source,
+    apply maintainer) — each side's own ledger makes the composition
+    exactly-once. Batches that wrote no changelog entry (verifiably
+    empty) have nothing to fold.
+    """
+    if not maintain or not table.has_changes(epoch, batch_id):
+        return
+    changes = batch_changes(table, spark, epoch=epoch, batch_id=batch_id)
+    for spec in maintain:
+        if hasattr(spec, "apply_changes"):
+            # general maintenance protocol: any derived-table
+            # maintainer (e.g. NearDupIndex, MaintainedJoin) folds the
+            # batch itself, exactly-once through its own tables' ledgers
+            spec.apply_changes(changes, epoch=epoch, batch_id=batch_id)
+            continue
+        incremental_agg_update(
+            spec.table,
+            changes,
+            group_cols=spec.group_cols,
+            sum_cols=spec.sum_cols,
+            count_col=spec.count_col,
+            derived=getattr(spec, "derived", None),
+            distinct_cols=getattr(spec, "distinct_cols", None),
+            quantile_cols=getattr(spec, "quantile_cols", None),
+            minmax_cols=getattr(spec, "minmax_cols", None),
+            moment_cols=getattr(spec, "moment_cols", None),
+            on_retraction=getattr(spec, "on_retraction", "error"),
+            base_table=table,
+            epoch=epoch,
+            batch_id=batch_id,
+        )
+
+
 def apply_changes_to_table(
     dst: LakeTable,
     changes: DataFrame,

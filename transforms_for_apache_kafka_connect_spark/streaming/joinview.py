@@ -96,11 +96,21 @@ class MaintainedJoin:
     right_suffix: str = "_r"
     max_probe_keys: int = 10_000
     changelog: bool = False
+    #: downstream maintenance specs folded from the VIEW's changelog
+    #: after each commit (MaintainedAggregate / TimeRollup / any
+    #: apply_changes maintainer) — the medallion chain facts+dims ->
+    #: joined silver -> gold rollups stays incremental end to end
+    maintain: list = field(default_factory=list)
     view: LakeTable = field(init=False)
 
     def __post_init__(self):
         if self.how not in ("inner", "left"):
             raise ValueError(f"how must be 'inner' or 'left', got {self.how!r}")
+        if self.maintain and not self.changelog:
+            raise ValueError(
+                "downstream maintenance folds the view's changelog: "
+                "construct the MaintainedJoin with changelog=True"
+            )
         if len(self.fk_cols) != len(self.right.key_cols):
             raise ValueError(
                 f"fk_cols {self.fk_cols} must match right key "
@@ -398,7 +408,13 @@ class MaintainedJoin:
         # distinct ledger epochs per side: the same source (epoch,
         # batch_id) may legitimately arrive once from each side
         vepoch = f"{epoch}#{tag}"
+        src = left_changes if left_changes is not None else right_changes
+        spark = src.sparkSession
         if self.view.committed(vepoch, batch_id):
+            # still fold downstream maintenance: a crash between the
+            # view commit and a maintainer's update replays as (skip
+            # view, apply maintainer) — exactly-once via each ledger
+            self._fold_downstream(spark, vepoch, batch_id)
             return {"skipped": True, "reason": "already committed"}
         parts: list[DataFrame] = []
         excl = None
@@ -412,16 +428,29 @@ class MaintainedJoin:
                 parts.append(rpart)
         if not parts:
             # nothing to fold — still ledger the batch so replays skip
-            src = left_changes if left_changes is not None else right_changes
-            spark = src.sparkSession
             empty = self._empty_updates(spark)
             if empty is None:
                 return {"skipped": True, "reason": "empty view, no schema"}
-            return self.view.merge(empty, epoch=vepoch, batch_id=batch_id)
+            out = self.view.merge(empty, epoch=vepoch, batch_id=batch_id)
+            self._fold_downstream(spark, vepoch, batch_id)
+            return out
         upd = parts[0]
         for p in parts[1:]:
             upd = upd.unionByName(p, allowMissingColumns=True)
-        return self.view.merge(upd, epoch=vepoch, batch_id=batch_id)
+        out = self.view.merge(upd, epoch=vepoch, batch_id=batch_id)
+        self._fold_downstream(spark, vepoch, batch_id)
+        return out
+
+    def _fold_downstream(self, spark, vepoch: str, batch_id: int) -> None:
+        if not self.maintain:
+            return
+        from transforms_for_apache_kafka_connect_spark.streaming.incremental import (
+            fold_maintenance,
+        )
+
+        fold_maintenance(
+            self.view, self.maintain, spark, epoch=vepoch, batch_id=batch_id
+        )
 
     def _empty_updates(self, spark) -> DataFrame | None:
         m = self.view.manifest()
