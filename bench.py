@@ -545,6 +545,9 @@ def time_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
         "txn_delivery", "dlq_retry",
         # r04c: changelog-maintained LSH index (replay+index build+query)
         "neardup_index",
+        # r04e: changelog-maintained join view (two-table replay + two
+        # delta-join maintenance commits, build-inclusive)
+        "joined_view",
     ]
     build_inclusive = {
         "cdc_merge", "cdc_merge_mor", "data_skipping", "routed_merge",
@@ -555,6 +558,7 @@ def time_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
         # build-inclusive (r03's 0.6 s was the pure event-grain query);
         # time_rollup likewise gained moment/avg/std legs in r04d
         "scd2_history",
+        "joined_view",
     }
     scratch = entrymod.scratch_base() or tempfile.gettempdir()
     qs = entrymod.queries()

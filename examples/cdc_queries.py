@@ -161,6 +161,51 @@ def main() -> None:
           f"busiest burst: {top['n_events']} events in repo {top['repo']}")
     assert n_bursts > 0
 
+    # 7. maintained join view: denormalize current state against a
+    # repo->team dim, kept consistent by the delta-join decomposition
+    # (fact deltas probe the dim via bucket-pruned lookups; dim deltas
+    # touch only the referencing fact rows via the multi-point 'in'
+    # zone-map read) — never a recompute of the join
+    from transforms_for_apache_kafka_connect_spark.streaming import (
+        MaintainedJoin,
+        batch_changes,
+    )
+
+    dim = LakeTable(os.path.join(root, "teams"), key_cols=["repo"],
+                    n_buckets=4, discovery=False,
+                    merge_strategy="broadcast", changelog=True)
+    mj = MaintainedJoin(root=os.path.join(root, "mj"), left=table,
+                        right=dim, fk_cols=["repo"], how="inner",
+                        n_buckets=8)
+    repos = [r["repo"] for r in
+             table.read(spark).select("repo").distinct().collect()]
+    team = spark.createDataFrame(
+        [(r, f"team-{sum(map(ord, r)) % 5}") for r in repos],
+        "repo string, team string"
+    ).withColumn("_lsn", F.lit(0)).withColumn("__is_delete", F.lit(False))
+    dim.merge(team, epoch="demo", batch_id=0)
+    mj.apply_right_changes(
+        batch_changes(dim, spark, epoch="demo", batch_id=0),
+        epoch="demo", batch_id=0,
+    )
+    # a dim-side correction: one repo changes team; only ITS fact rows
+    # are rewritten in the view
+    fix = spark.createDataFrame(
+        [(repos[0], "team-fixed")], "repo string, team string"
+    ).withColumn("_lsn", F.lit(1)).withColumn("__is_delete", F.lit(False))
+    dim.merge(fix, epoch="demo", batch_id=1)
+    mj.apply_right_changes(
+        batch_changes(dim, spark, epoch="demo", batch_id=1),
+        epoch="demo", batch_id=1,
+    )
+    view = mj.read(spark)
+    n_view = view.count()
+    n_fixed = view.filter(F.col("team") == "team-fixed").count()
+    n_repo0 = cur.filter(F.col("repo") == repos[0]).count()
+    print(f"maintained join view: {n_view} denormalized rows; "
+          f"dim fix rewrote {n_fixed} rows (repo {repos[0]}'s keys)")
+    assert n_view == cur.count() and n_fixed == n_repo0
+
     spark.stop()
     print("OK")
 
