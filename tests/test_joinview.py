@@ -430,6 +430,146 @@ def test_two_replayers_maintain_the_view_through_the_protocol(
     assert tiers == {(11, "new")}
 
 
+def test_streaming_facts_maintain_the_view(spark, tmp_path):
+    """Structured Streaming deployment: facts arrive through
+    Replayer.stream (foreachBatch + checkpoint) with maintain=[mj];
+    the view tracks the recompute join, and a checkpoint restart is a
+    no-op."""
+    from transforms_for_apache_kafka_connect_spark import Chain
+    from transforms_for_apache_kafka_connect_spark.sources import (
+        change_stream,
+    )
+    from transforms_for_apache_kafka_connect_spark.streaming import Replayer
+
+    BASE = 1_600_000_000_000
+    N = 2_000
+    events = change_stream(spark, N, n_repos=12, paths_per_repo=3)
+    src = str(tmp_path / "incoming")
+    events.filter(F.col("timestamp") < BASE + N // 2).write.parquet(
+        src + "/f1.parquet")
+    events.filter(F.col("timestamp") >= BASE + N // 2).write.parquet(
+        src + "/f2.parquet")
+
+    left = LakeTable(str(tmp_path / "t"), n_buckets=8,
+                     merge_strategy="broadcast", discovery=False,
+                     changelog=True)
+    right = LakeTable(str(tmp_path / "dims"), key_cols=["repo"],
+                      n_buckets=4, discovery=False,
+                      merge_strategy="broadcast", changelog=True)
+    mj = MaintainedJoin(root=str(tmp_path / "mj"), left=left, right=right,
+                        fk_cols=["repo"], how="inner", n_buckets=8)
+    # static dim: every repo except repo-0 (its facts stay out of the
+    # inner view)
+    repos = [f"repo-{i}" for i in range(1, 12)]
+    right.merge(
+        spark.createDataFrame([(r, f"team-{i % 3}") for i, r in
+                               enumerate(repos)], "repo string, team string")
+        .withColumn("_lsn", F.lit(0))
+        .withColumn("__is_delete", F.lit(False)),
+        epoch="dim", batch_id=0)
+    mj.apply_right_changes(
+        batch_changes(right, spark, epoch="dim", batch_id=0),
+        epoch="dim", batch_id=0)
+
+    rep = Replayer(table=left, chain=Chain([]), epoch="s1", maintain=[mj])
+    q = rep.stream(
+        spark.readStream.schema(events.schema).parquet(src + "/*"),
+        str(tmp_path / "ckpt"), available_now=True)
+    q.awaitTermination(120)
+
+    def recompute():
+        l = left.read(spark)
+        r = (right.read(spark).withColumnRenamed("_lsn", "_lsn_dim")
+             .withColumnRenamed("repo", "__k"))
+        return (l.join(r, l["repo"] == r["__k"], "inner")
+                .drop("__k", "_lsn_dim"))
+
+    assert _rows(mj.read(spark)) == _rows(recompute())
+    assert mj.read(spark).filter("repo = 'repo-0'").count() == 0
+
+    # restart over the same checkpoint: ledgers make it a no-op
+    q2 = rep.stream(
+        spark.readStream.schema(events.schema).parquet(src + "/*"),
+        str(tmp_path / "ckpt"), available_now=True)
+    q2.awaitTermination(120)
+    assert _rows(mj.read(spark)) == _rows(recompute())
+
+
+def test_snowflake_three_table_chain(spark, tmp_path):
+    """Snowflake composition: facts JOIN dim1 -> view1 (changelog) is
+    itself the LEFT of a second MaintainedJoin against dim2, chained
+    through view1's maintain=[...] — a 3-table denormalization kept
+    incremental end to end, including a dim2-side update."""
+    facts_t = LakeTable(str(tmp_path / "facts"), key_cols=["order_id"],
+                        n_buckets=4, discovery=False,
+                        merge_strategy="broadcast", changelog=True)
+    dim1 = LakeTable(str(tmp_path / "dim1"), key_cols=["cust_id"],
+                     n_buckets=4, discovery=False,
+                     merge_strategy="broadcast", changelog=True)
+    dim2 = LakeTable(str(tmp_path / "dim2"), key_cols=["region_id"],
+                     n_buckets=2, discovery=False,
+                     merge_strategy="broadcast", changelog=True)
+    mj1 = MaintainedJoin(root=str(tmp_path / "mj1"), left=facts_t,
+                         right=dim1, fk_cols=["cust_id"], how="inner",
+                         n_buckets=4, changelog=True)
+    mj2 = MaintainedJoin(root=str(tmp_path / "mj2"), left=mj1.view,
+                         right=dim2, fk_cols=["region_id"], how="inner",
+                         n_buckets=4)
+    mj1.maintain.append(mj2)  # second hop chains off view1's changelog
+
+    dim2_rows = [(1, "emea", 1, False), (2, "apac", 2, False)]
+    dim2.merge(spark.createDataFrame(
+        dim2_rows, "region_id long, region string, _lsn long, "
+        "__is_delete boolean"), epoch="e", batch_id=0)
+    mj2.apply_right_changes(
+        batch_changes(dim2, spark, epoch="e", batch_id=0),
+        epoch="e", batch_id=0)
+
+    dim1_rows = [(1, "ann", 1, 1, False), (2, "bob", 2, 2, False)]
+    dim1.merge(spark.createDataFrame(
+        dim1_rows, "cust_id long, name string, region_id long, _lsn long, "
+        "__is_delete boolean"), epoch="e", batch_id=0)
+    mj1.apply_right_changes(
+        batch_changes(dim1, spark, epoch="e", batch_id=0),
+        epoch="e", batch_id=0)
+
+    fact_rows = [(10, 1, 5.0, 1, False), (11, 2, 6.0, 2, False),
+                 (12, 1, 7.0, 3, False)]
+    facts_t.merge(spark.createDataFrame(
+        fact_rows, "order_id long, cust_id long, amount double, _lsn long, "
+        "__is_delete boolean"), epoch="e", batch_id=1)
+    mj1.apply_changes(
+        batch_changes(facts_t, spark, epoch="e", batch_id=1),
+        epoch="e", batch_id=1)
+
+    got = {(r["order_id"], r["name"], r["region"])
+           for r in mj2.read(spark).collect()}
+    assert got == {(10, "ann", "emea"), (11, "bob", "apac"),
+                   (12, "ann", "emea")}
+
+    # dim2 update ripples through the second hop only
+    dim2.merge(spark.createDataFrame(
+        [(1, "europe", 10, False)],
+        "region_id long, region string, _lsn long, __is_delete boolean"),
+        epoch="e", batch_id=1)
+    mj2.apply_right_changes(
+        batch_changes(dim2, spark, epoch="e", batch_id=1),
+        epoch="e", batch_id=1)
+    got = {(r["order_id"], r["region"]) for r in mj2.read(spark).collect()}
+    assert got == {(10, "europe"), (11, "apac"), (12, "europe")}
+
+    # dim1 retarget ripples through BOTH hops via view1's changelog
+    dim1.merge(spark.createDataFrame(
+        [(1, "ann", 2, 20, False)],
+        "cust_id long, name string, region_id long, _lsn long, "
+        "__is_delete boolean"), epoch="e", batch_id=1)
+    mj1.apply_right_changes(
+        batch_changes(dim1, spark, epoch="e", batch_id=1),
+        epoch="e", batch_id=1)
+    got = {(r["order_id"], r["region"]) for r in mj2.read(spark).collect()}
+    assert got == {(10, "apac"), (11, "apac"), (12, "apac")}
+
+
 def test_validation_errors(spark, tmp_path):
     left = LakeTable(str(tmp_path / "l"), key_cols=["a"], n_buckets=2)
     right = LakeTable(str(tmp_path / "r"), key_cols=["b"], n_buckets=2)
