@@ -570,6 +570,60 @@ def test_snowflake_three_table_chain(spark, tmp_path):
     assert got == {(10, "apac"), (11, "apac"), (12, "apac")}
 
 
+def test_noop_dim_fold_is_ledgered_against_replay(spark, tmp_path):
+    """Regression (review finding): a dim batch folded while the fact
+    table was still empty is a no-op — but it must still be ledgered,
+    or a later replay re-applies its STALE post-images over newer dim
+    values in the view."""
+    left, right, mj = _mk_tables(spark, tmp_path, how="inner")
+    # dim batch 0 arrives before any facts: old tier for cust 1
+    right.merge(spark.createDataFrame(
+        [(1, "ann", "OLD", 1, False)], _DIM), epoch="e", batch_id=0)
+    r0 = batch_changes(right, spark, epoch="e", batch_id=0)
+    out = mj.apply_right_changes(r0, epoch="e", batch_id=0)
+    assert out.get("noop") is True
+    # facts arrive (probing the dim's CURRENT state incl. batch 0)
+    left.merge(spark.createDataFrame(
+        [(10, 1, 5.0, 2, False)], _FACT), epoch="e", batch_id=1)
+    mj.apply_changes(batch_changes(left, spark, epoch="e", batch_id=1),
+                     epoch="e", batch_id=1)
+    # dim batch 1: tier moves to NEW
+    right.merge(spark.createDataFrame(
+        [(1, "ann", "NEW", 3, False)], _DIM), epoch="e", batch_id=1)
+    mj.apply_right_changes(batch_changes(right, spark, epoch="e",
+                                         batch_id=1),
+                           epoch="e", batch_id=1)
+    assert [r["tier"] for r in mj.read(spark).collect()] == ["NEW"]
+    # dims pipeline crashes and replays batches 0..1: batch 0 must be
+    # skipped by the no-op marker, batch 1 by the view ledger
+    s0 = mj.apply_right_changes(r0, epoch="e", batch_id=0)
+    s1 = mj.apply_right_changes(
+        batch_changes(right, spark, epoch="e", batch_id=1),
+        epoch="e", batch_id=1)
+    assert s0.get("skipped") and s1.get("skipped")
+    assert [r["tier"] for r in mj.read(spark).collect()] == ["NEW"]
+
+
+def test_in_where_rejects_scalars_and_handles_generators(spark, tmp_path):
+    """Regression (review finding): a bare string must raise (it would
+    silently explode into characters); a generator must be materialized
+    once, not consumed by the first file's prune test."""
+    t = LakeTable(str(tmp_path / "t"), key_cols=["id"], n_buckets=2,
+                  discovery=False, merge_strategy="broadcast",
+                  target_rows_per_file=50)
+    rows = [(i, i // 100) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, g long") \
+        .withColumn("__is_delete", F.lit(False))
+    t.merge(df, epoch="e", batch_id=0)
+    t.compact(spark, all_buckets=True, sort_cols=["g"])
+    with pytest.raises(ValueError, match="'in' takes"):
+        t.read(spark, where=[("g", "in", "1")])
+    with pytest.raises(ValueError, match="'in' takes"):
+        t.read(spark, where=[("g", "in", 1)])
+    got = t.read(spark, where=[("g", "in", (v for v in [1, 3]))])
+    assert got.count() == 200
+
+
 def test_validation_errors(spark, tmp_path):
     left = LakeTable(str(tmp_path / "l"), key_cols=["a"], n_buckets=2)
     right = LakeTable(str(tmp_path / "r"), key_cols=["b"], n_buckets=2)

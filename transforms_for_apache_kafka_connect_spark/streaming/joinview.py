@@ -116,9 +116,7 @@ class MaintainedJoin:
                 f"fk_cols {self.fk_cols} must match right key "
                 f"{self.right.key_cols} positionally"
             )
-        overlap = set(self.fk_cols) & set(self.left.key_cols)
-        # fk may equal the left key (1:1 joins) — allowed
-        del overlap
+        # fk overlapping the left key is allowed (1:1 joins)
         self.view = LakeTable(
             os.path.join(self.root, "view"),
             key_cols=list(self.left.key_cols),
@@ -260,6 +258,10 @@ class MaintainedJoin:
     def _right_delta_updates(
         self, changes: DataFrame, exclude_left: DataFrame | None
     ) -> DataFrame | None:
+        if self.left.manifest()["schema"] is None:
+            # no facts yet — nothing references the changed dims (a
+            # free driver-side check, before any Spark job)
+            return None
         spark = changes.sparkSession
         drop = [c for c in _META_COLS if c in changes.columns]
         rposts = changes.filter(
@@ -277,8 +279,6 @@ class MaintainedJoin:
         )
         key_rows = affected.limit(self.max_probe_keys + 1).collect()
         if not key_rows:
-            return None
-        if self.left.manifest()["schema"] is None:
             return None
 
         if len(key_rows) <= self.max_probe_keys:
@@ -410,6 +410,12 @@ class MaintainedJoin:
         vepoch = f"{epoch}#{tag}"
         src = left_changes if left_changes is not None else right_changes
         spark = src.sparkSession
+        if self._noop_committed(vepoch, batch_id):
+            # the batch originally folded as a no-op (no facts existed
+            # yet); every later fact batch probed the dim's state
+            # INCLUDING it, so re-applying its stale post-images now
+            # would overwrite newer dim values — skip, exactly-once
+            return {"skipped": True, "reason": "no-op batch (marker)"}
         if self.view.committed(vepoch, batch_id):
             # still fold downstream maintenance: a crash between the
             # view commit and a maintainer's update replays as (skip
@@ -430,7 +436,11 @@ class MaintainedJoin:
             # nothing to fold — still ledger the batch so replays skip
             empty = self._empty_updates(spark)
             if empty is None:
-                return {"skipped": True, "reason": "empty view, no schema"}
+                # the view has no schema to merge into: record the
+                # no-op in a marker ledger so a replay cannot re-apply
+                # this batch's stale post-images against later state
+                self._mark_noop(vepoch, batch_id)
+                return {"skipped": False, "noop": True}
             out = self.view.merge(empty, epoch=vepoch, batch_id=batch_id)
             self._fold_downstream(spark, vepoch, batch_id)
             return out
@@ -440,6 +450,21 @@ class MaintainedJoin:
         out = self.view.merge(upd, epoch=vepoch, batch_id=batch_id)
         self._fold_downstream(spark, vepoch, batch_id)
         return out
+
+    def _noop_dir(self) -> str:
+        return os.path.join(self.view.root, "_noop_ledger")
+
+    def _noop_committed(self, vepoch: str, batch_id: int) -> bool:
+        return os.path.exists(
+            os.path.join(self._noop_dir(), f"{vepoch}__{batch_id}")
+        )
+
+    def _mark_noop(self, vepoch: str, batch_id: int) -> None:
+        os.makedirs(self._noop_dir(), exist_ok=True)
+        with open(
+            os.path.join(self._noop_dir(), f"{vepoch}__{batch_id}"), "w"
+        ):
+            pass
 
     def _fold_downstream(self, spark, vepoch: str, batch_id: int) -> None:
         if not self.maintain:

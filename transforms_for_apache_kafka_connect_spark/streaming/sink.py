@@ -756,11 +756,16 @@ class LakeTable:
         (Iceberg time-travel analog; snapshots survive until vacuumed).
 
         ``where`` = conjunctive conditions ``[(col, op, value), ...]``
-        with op in ``== >= > <= <``: files whose manifest zone maps
+        with op in ``== >= > <= < in``: files whose manifest zone maps
         prove no row can match are skipped BEFORE the scan (driver-side
         — at 100 TB this is the difference between listing a slice and
         scanning the table), and the conditions are then applied as
         real filters so the result is exactly the matching rows.
+        ``('col', 'in', values)`` takes a list/tuple/set of values (a
+        bare string is rejected — it would silently explode into
+        characters) and keeps a file if ANY value falls in its range —
+        the multi-point probe a delta-join's "which rows reference
+        these changed keys" read needs.
 
         Merge-on-read safety: before LWW resolution a key's versions
         may straddle files, so file skipping on a NON-key column could
@@ -788,12 +793,29 @@ class LakeTable:
                 raise ValueError(f"no such tag: {tag!r}")
             version = tags[tag]
         m = _manifest if _manifest is not None else self.manifest(version)
-        for cond in where or []:
-            if len(cond) != 3 or cond[1] not in _PRUNE_OPS:
-                raise ValueError(
-                    f"where condition must be (col, op, value) with op in "
-                    f"{sorted(_PRUNE_OPS)}: {cond!r}"
-                )
+        if where:
+            normalized = []
+            for cond in where:
+                if len(cond) != 3 or cond[1] not in _PRUNE_OPS:
+                    raise ValueError(
+                        f"where condition must be (col, op, value) with op "
+                        f"in {sorted(_PRUNE_OPS)}: {cond!r}"
+                    )
+                col, op, val = cond
+                if op == "in":
+                    # reject scalars (a string would explode into
+                    # characters) and materialize once so a generator
+                    # is not consumed by the first file's prune test
+                    if isinstance(val, (str, bytes)) or not hasattr(
+                        val, "__iter__"
+                    ):
+                        raise ValueError(
+                            f"'in' takes a list/tuple/set of values, got "
+                            f"{type(val).__name__}: {val!r}"
+                        )
+                    val = list(val)
+                normalized.append((col, op, val))
+            where = normalized
         files = [
             f
             for b, fs in m["buckets"].items()
