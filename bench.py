@@ -417,8 +417,14 @@ def skew_benchmark(spark, work_dir: str, cpus: int) -> dict:
         spark, n, n_repos=2_000, paths_per_repo=20, alpha=12.0,
         partitions=cpus * 4,
     ).persist()
+    t0 = time.perf_counter()
     hot.count()  # materialize once; both legs replay identical input
     out = {}
+    # fixed-work probe (stream synthesis + persist) taken seconds
+    # before the timed legs: when a skew leg swings round-over-round
+    # while this holds, it's the engine; when both swing, it's the VM
+    # window (same adjudication discipline as the scan/write probes)
+    out["skew_input_probe_sec"] = round(time.perf_counter() - t0, 3)
     for label, n_salt in (("skew_plain", 0), ("skew_salted", 8)):
         table = LakeTable(
             os.path.join(work_dir, f"{label}_table"), n_buckets=16,

@@ -47,6 +47,10 @@ from transforms_for_apache_kafka_connect_spark.streaming.txn import (
 from transforms_for_apache_kafka_connect_spark.streaming.joinview import (
     MaintainedJoin,
 )
+from transforms_for_apache_kafka_connect_spark.streaming.starview import (
+    DimSpec,
+    MaintainedStar,
+)
 from transforms_for_apache_kafka_connect_spark.streaming.windowed import (
     stream_windowed_into,
     windowed_aggregate,
@@ -67,6 +71,8 @@ __all__ = [
     "Expectation",
     "MaintainedAggregate",
     "MaintainedJoin",
+    "MaintainedStar",
+    "DimSpec",
     "NearDupIndex",
     "batch_changes",
     "incremental_agg_update",
