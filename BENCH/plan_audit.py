@@ -629,6 +629,50 @@ def main() -> None:
           f"{jleft.last_prune['files_read']}/"
           f"{jleft.last_prune['files_total']} files")
 
+    # 21. star view: the N-dim rebuild must be N broadcast joins with
+    # zero hash exchanges (each dim probe is batch-bounded)
+    from transforms_for_apache_kafka_connect_spark.streaming.starview import (
+        DimSpec as _DS,
+        MaintainedStar as _MS,
+    )
+
+    svroot = _tf.mkdtemp(prefix="audit_sv_")
+    svd0 = _LT(os.path.join(svroot, "d0"), key_cols=["k0"], n_buckets=2,
+               discovery=False, merge_strategy="broadcast", changelog=True)
+    svd1 = _LT(os.path.join(svroot, "d1"), key_cols=["k1"], n_buckets=2,
+               discovery=False, merge_strategy="broadcast", changelog=True)
+    svf = _LT(os.path.join(svroot, "f"), key_cols=["oid"], n_buckets=2,
+              discovery=False, merge_strategy="broadcast", changelog=True)
+    svd0.merge(spark.range(20).select(
+        _F.col("id").alias("k0"), _F.lit("a").alias("va"),
+        _F.col("id").alias("_lsn"), _F.lit(False).alias("__is_delete")),
+        epoch="audit", batch_id=0)
+    svd1.merge(spark.range(20).select(
+        _F.col("id").alias("k1"), _F.lit("b").alias("vb"),
+        _F.col("id").alias("_lsn"), _F.lit(False).alias("__is_delete")),
+        epoch="audit", batch_id=0)
+    svf.merge(spark.range(500).select(
+        _F.col("id").alias("oid"), (_F.col("id") % 20).alias("f0"),
+        (_F.col("id") % 17).alias("f1"), _F.col("id").alias("_lsn"),
+        _F.lit(False).alias("__is_delete")), epoch="audit", batch_id=0)
+    star = _MS(root=os.path.join(svroot, "s"), left=svf,
+               dims=[_DS(table=svd0, fk_cols=["f0"]),
+                     _DS(table=svd1, fk_cols=["f1"])], n_buckets=2)
+    sfl = _bc2(svf, spark, epoch="audit", batch_id=0)
+    drop = [c for c in ("_change_type", "_change_lsn", "epoch", "batch_id")
+            if c in sfl.columns]
+    posts = sfl.filter(
+        _F.col("_change_type").isin("insert", "update_postimage")
+    ).drop(*drop)
+    p = plan_of(star._build_rows(posts))
+    # each dim contributes a broadcast probe join in both union
+    # branches (plus lookup_many's broadcast semi-joins); what matters
+    # is that EVERY join is broadcast-shaped and nothing shuffles
+    check("star view rebuild: broadcast joins only, no shuffle",
+          p.count("BroadcastHashJoin") >= 2 and "SortMergeJoin" not in p
+          and "Exchange hashpartitioning" not in p)
+    check("star view rebuild: no Python eval", "Python" not in p)
+
     n_fail = sum(1 for _, ok, _ in checks if not ok)
     lines = [
         "# BENCH/PLANS.md — Catalyst plan audit",

@@ -595,7 +595,7 @@ def q_record_shaping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k2v.unionByName(money)
 
 
-def q_joined_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _joined_view_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Changelog-maintained join view (streaming/joinview.py
     MaintainedJoin): facts = per-user LWW state replayed from the
     events change stream in two committed batches; dims = customer
@@ -681,6 +681,128 @@ def q_joined_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_name").alias("c_name"),
         F.col("c_mktsegment").alias("c_mktsegment"),
     )
+
+
+def _star_view_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog-maintained STAR view (streaming/starview.py
+    MaintainedStar): facts = orders ingested in two commits (split by
+    o_orderkey parity), dim0 = customer (second batch re-segments keys
+    ending in 3 and DELETES keys ending in 7 — cascading their orders
+    out of the inner view), dim1 = a priority dim keyed by the
+    o_orderpriority string. Oracle: plain SQL join of the final
+    states."""
+    from transforms_for_apache_kafka_connect_spark.streaming.starview import (
+        DimSpec,
+        MaintainedStar,
+    )
+    from transforms_for_apache_kafka_connect_spark.streaming.incremental import (
+        batch_changes,
+    )
+
+    root = _scratch("tkc_star_")
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    cust = _read(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    facts = LakeTable(
+        os.path.join(root, "facts"), key_cols=["o_orderkey"], n_buckets=8,
+        discovery=False, merge_strategy="broadcast", changelog=True,
+    )
+    dcust = LakeTable(
+        os.path.join(root, "cust"), key_cols=["c_custkey"], n_buckets=8,
+        discovery=False, merge_strategy="broadcast", changelog=True,
+    )
+    dprio = LakeTable(
+        os.path.join(root, "prio"), key_cols=["prio"], n_buckets=2,
+        discovery=False, merge_strategy="broadcast", changelog=True,
+    )
+    star = MaintainedStar(
+        root=os.path.join(root, "star"), left=facts,
+        dims=[DimSpec(table=dcust, fk_cols=["o_custkey"], how="inner"),
+              DimSpec(table=dprio, fk_cols=["o_orderpriority"],
+                      how="inner")],
+        n_buckets=8,
+    )
+
+    def fold(b, fact_df=None, cust_df=None, prio_df=None):
+        dchg = {}
+        if cust_df is not None:
+            dcust.merge(cust_df, epoch="driver", batch_id=b)
+            if dcust.has_changes("driver", b):
+                dchg[0] = batch_changes(dcust, spark, epoch="driver",
+                                        batch_id=b)
+        if prio_df is not None:
+            dprio.merge(prio_df, epoch="driver", batch_id=b)
+            if dprio.has_changes("driver", b):
+                dchg[1] = batch_changes(dprio, spark, epoch="driver",
+                                        batch_id=b)
+        lchg = None
+        if fact_df is not None:
+            facts.merge(fact_df, epoch="driver", batch_id=b)
+            if facts.has_changes("driver", b):
+                lchg = batch_changes(facts, spark, epoch="driver",
+                                     batch_id=b)
+        if lchg is not None or dchg:
+            star.apply_all(lchg, dchg, epoch="driver", batch_id=b)
+
+    mark = lambda df: df.withColumn("__is_delete", F.lit(False))
+    prio0 = mark(
+        orders.select(F.col("o_orderpriority").alias("prio")).distinct()
+        .withColumn("prio_label", F.upper(F.col("prio")))
+        .withColumn("_lsn", F.lit(0))
+    )
+    fold(
+        0,
+        fact_df=mark(orders.filter(F.col("o_orderkey") % 2 == 0)
+                     .withColumn("_lsn", F.col("o_orderkey"))),
+        cust_df=mark(cust.withColumn("_lsn", F.col("c_custkey"))),
+        prio_df=prio0,
+    )
+    upd = (
+        cust.filter(F.col("c_custkey") % 10 == 3)
+        .withColumn("c_mktsegment", F.lit("STAR"))
+        .withColumn("_lsn", F.col("c_custkey") + 1_000_000)
+        .withColumn("__is_delete", F.lit(False))
+    )
+    dels = (
+        cust.filter(F.col("c_custkey") % 10 == 7)
+        .withColumn("_lsn", F.col("c_custkey") + 1_000_000)
+        .withColumn("__is_delete", F.lit(True))
+    )
+    fold(
+        1,
+        fact_df=mark(orders.filter(F.col("o_orderkey") % 2 == 1)
+                     .withColumn("_lsn", F.col("o_orderkey"))),
+        cust_df=upd.unionByName(dels),
+    )
+    return star.read(spark)
+
+
+def q_joined_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite: the two-table maintained join (join leg) + the
+    N-dim maintained star (star leg), both driver-oracled against
+    plain SQL joins of the final states."""
+    join = _joined_view_leg(spark, sf_dir).select(
+        F.lit("join").alias("variant"),
+        F.col("user_id").cast("string").alias("k"),
+        F.col("last_event_id").cast("long").alias("n"),
+        F.col("event_type").alias("s1"),
+        F.col("c_name").alias("s2"),
+        F.col("c_mktsegment").alias("s3"),
+        F.col("val").cast("double").alias("d"),
+    )
+    star = _star_view_leg(spark, sf_dir).select(
+        F.lit("star").alias("variant"),
+        F.col("o_orderkey").cast("string").alias("k"),
+        F.col("o_custkey").cast("long").alias("n"),
+        F.col("prio_label").alias("s1"),
+        F.col("c_name").alias("s2"),
+        F.col("c_mktsegment").alias("s3"),
+        F.lit(-1.0).alias("d"),
+    )
+    return join.unionByName(star)
 
 
 def q_extract_topic_from_schema_name(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2931,9 +3053,18 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN c_custkey % 10 = 0 THEN 'UPDATED' "
             "ELSE c_mktsegment END AS c_mktsegment "
             "FROM customer WHERE c_custkey % 10 <> 9) "
-            "SELECT f.user_id, f.last_event_id, f.event_type, f.val, "
-            "d.c_name, d.c_mktsegment "
-            "FROM facts f JOIN dims d ON f.user_id = d.c_custkey"
+            "SELECT 'join' AS variant, CAST(f.user_id AS VARCHAR) AS k, "
+            "f.last_event_id AS n, f.event_type AS s1, d.c_name AS s2, "
+            "d.c_mktsegment AS s3, f.val AS d "
+            "FROM facts f JOIN dims d ON f.user_id = d.c_custkey "
+            "UNION ALL "
+            "SELECT 'star' AS variant, CAST(o.o_orderkey AS VARCHAR) AS k, "
+            "o.o_custkey AS n, upper(o.o_orderpriority) AS s1, "
+            "c.c_name AS s2, "
+            "CASE WHEN c.c_custkey % 10 = 3 THEN 'STAR' "
+            "ELSE c.c_mktsegment END AS s3, -1.0 AS d "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+            "WHERE c.c_custkey % 10 <> 7"
         ),
         "chain_fused": (
             "SELECT doc_id, source || '/' || lang AS topic, "

@@ -552,7 +552,11 @@ def time_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
         # r04c: changelog-maintained LSH index (replay+index build+query)
         "neardup_index",
         # r04e: changelog-maintained join view (two-table replay + two
-        # delta-join maintenance commits, build-inclusive)
+        # delta-join maintenance commits, build-inclusive). Scope note:
+        # later in r04e the gate entry became a join+star composite, so
+        # this leg now ALSO builds the 3-table star (orders x customer
+        # x priority) — compare r04e+ numbers to r04e's 12.97 s with
+        # that added work in mind, not as a regression.
         "joined_view",
     ]
     build_inclusive = {
