@@ -298,11 +298,16 @@ class MaintainedStar:
 
         parts: list[DataFrame] = []
         excl = None
+        pinned: list[DataFrame] = []
         if left_changes is not None:
             drop = [c for c in _META_COLS if c in left_changes.columns]
+            # the rebuild consumes its input several times (one
+            # probe-collect per dim, then the joins): pin it for the
+            # duration of this commit
             posts = left_changes.filter(
                 F.col("_change_type").isin("insert", "update_postimage")
-            ).drop(*drop)
+            ).drop(*drop).persist()
+            pinned.append(posts)
             dels = (
                 left_changes.filter(F.col("_change_type") == "delete")
                 .select(*self.left.key_cols)
@@ -332,6 +337,8 @@ class MaintainedStar:
                         F.broadcast(excl), on=list(self.left.key_cols),
                         how="left_anti",
                     )
+                affected = affected.persist()
+                pinned.append(affected)
                 parts.append(self._build_rows(affected))
 
         if not parts:
@@ -345,7 +352,11 @@ class MaintainedStar:
         upd = parts[0]
         for p in parts[1:]:
             upd = upd.unionByName(p, allowMissingColumns=True)
-        out = self.view.merge(upd, epoch=vepoch, batch_id=batch_id)
+        try:
+            out = self.view.merge(upd, epoch=vepoch, batch_id=batch_id)
+        finally:
+            for df in pinned:
+                df.unpersist()
         self._fold_downstream(spark, vepoch, batch_id)
         return out
 
