@@ -595,7 +595,7 @@ def test_noop_dim_fold_is_ledgered_against_replay(spark, tmp_path):
                            epoch="e", batch_id=1)
     assert [r["tier"] for r in mj.read(spark).collect()] == ["NEW"]
     # dims pipeline crashes and replays batches 0..1: batch 0 must be
-    # skipped by the no-op marker, batch 1 by the view ledger
+    # skipped by its ledger-only commit, batch 1 by the data commit
     s0 = mj.apply_right_changes(r0, epoch="e", batch_id=0)
     s1 = mj.apply_right_changes(
         batch_changes(right, spark, epoch="e", batch_id=1),

@@ -170,7 +170,7 @@ def test_dim_maintainer_adapters_and_exactly_once(spark, tmp_path):
         batch_changes(facts_t, spark, epoch="e", batch_id=0),
         epoch="e", batch_id=0)
     before = _rows(star.read(spark))
-    # replays of both sides are skipped (marker or ledger)
+    # replays of both sides are skipped through the one ledger
     s1 = star.dim_maintainer(0).apply_changes(
         batch_changes(cust_t, spark, epoch="e", batch_id=0),
         epoch="e", batch_id=0)

@@ -154,10 +154,15 @@ class MaintainedJoin:
             for i, k in enumerate(self.right.key_cols)
         ]
         for c in self._right_cols():
+            name = self._renamed(c, lset)
+            # accumulate so two right columns cannot silently emit the
+            # same output name (e.g. 'label' suffixing onto a literal
+            # 'label_r' sibling)
+            lset.add(name)
             if c in rdf.columns:
-                sel.append(F.col(c).alias(self._renamed(c, lset)))
+                sel.append(F.col(c).alias(name))
             else:
-                sel.append(F.lit(None).alias(self._renamed(c, lset)))
+                sel.append(F.lit(None).alias(name))
         return rdf.select(*sel).withColumn("__rm", F.lit(True))
 
     def _join_cond(self, ldf: DataFrame, rdf: DataFrame):
@@ -219,10 +224,11 @@ class MaintainedJoin:
                 )
                 return unmatched.unionByName(dels)
             padded = posts
+            taken = set(left_cols)
             for c in self._right_cols():
-                padded = padded.withColumn(
-                    self._renamed(c, set(left_cols)), F.lit(None)
-                )
+                name = self._renamed(c, taken)
+                taken.add(name)
+                padded = padded.withColumn(name, F.lit(None))
             padded = padded.withColumn("__is_delete", F.lit(False))
             return padded.unionByName(dels, allowMissingColumns=True)
 
@@ -410,16 +416,15 @@ class MaintainedJoin:
         vepoch = f"{epoch}#{tag}"
         src = left_changes if left_changes is not None else right_changes
         spark = src.sparkSession
-        if self._noop_committed(vepoch, batch_id):
-            # the batch originally folded as a no-op (no facts existed
-            # yet); every later fact batch probed the dim's state
-            # INCLUDING it, so re-applying its stale post-images now
-            # would overwrite newer dim values — skip, exactly-once
-            return {"skipped": True, "reason": "no-op batch (marker)"}
         if self.view.committed(vepoch, batch_id):
-            # still fold downstream maintenance: a crash between the
-            # view commit and a maintainer's update replays as (skip
-            # view, apply maintainer) — exactly-once via each ledger
+            # one ledger is the single source of truth — including for
+            # batches that folded as verifiably-empty no-ops (a no-op
+            # folded before the facts existed must NOT re-apply its
+            # stale post-images on replay: every later fact batch
+            # probed the dim's state including it). Still fold
+            # downstream maintenance: a crash between the view commit
+            # and a maintainer's update replays as (skip view, apply
+            # maintainer) — exactly-once via each ledger.
             self._fold_downstream(spark, vepoch, batch_id)
             return {"skipped": True, "reason": "already committed"}
         parts: list[DataFrame] = []
@@ -433,38 +438,16 @@ class MaintainedJoin:
             if rpart is not None:
                 parts.append(rpart)
         if not parts:
-            # nothing to fold — still ledger the batch so replays skip
-            empty = self._empty_updates(spark)
-            if empty is None:
-                # the view has no schema to merge into: record the
-                # no-op in a marker ledger so a replay cannot re-apply
-                # this batch's stale post-images against later state
-                self._mark_noop(vepoch, batch_id)
-                return {"skipped": False, "noop": True}
-            out = self.view.merge(empty, epoch=vepoch, batch_id=batch_id)
-            self._fold_downstream(spark, vepoch, batch_id)
-            return out
+            # nothing to fold — still ledger the batch (ledger-only
+            # commit, works pre-schema) so replays skip it
+            out = self.view.commit_empty(epoch=vepoch, batch_id=batch_id)
+            return dict(out, noop=True)
         upd = parts[0]
         for p in parts[1:]:
             upd = upd.unionByName(p, allowMissingColumns=True)
         out = self.view.merge(upd, epoch=vepoch, batch_id=batch_id)
         self._fold_downstream(spark, vepoch, batch_id)
         return out
-
-    def _noop_dir(self) -> str:
-        return os.path.join(self.view.root, "_noop_ledger")
-
-    def _noop_committed(self, vepoch: str, batch_id: int) -> bool:
-        return os.path.exists(
-            os.path.join(self._noop_dir(), f"{vepoch}__{batch_id}")
-        )
-
-    def _mark_noop(self, vepoch: str, batch_id: int) -> None:
-        os.makedirs(self._noop_dir(), exist_ok=True)
-        with open(
-            os.path.join(self._noop_dir(), f"{vepoch}__{batch_id}"), "w"
-        ):
-            pass
 
     def _fold_downstream(self, spark, vepoch: str, batch_id: int) -> None:
         if not self.maintain:
@@ -475,17 +458,6 @@ class MaintainedJoin:
 
         fold_maintenance(
             self.view, self.maintain, spark, epoch=vepoch, batch_id=batch_id
-        )
-
-    def _empty_updates(self, spark) -> DataFrame | None:
-        m = self.view.manifest()
-        if m["schema"] is None:
-            return None
-        from pyspark.sql import types as T
-
-        sch = T.StructType.fromJson(m["schema"])
-        return spark.createDataFrame([], sch).withColumn(
-            "__is_delete", F.lit(False)
         )
 
     def read(self, spark, **kwargs) -> DataFrame:

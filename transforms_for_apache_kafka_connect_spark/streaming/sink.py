@@ -1930,6 +1930,30 @@ class LakeTable:
 
     # -------------------------------------------------------------- merge
 
+    def commit_empty(self, *, epoch: str, batch_id: int) -> dict[str, Any]:
+        """Ledger-only commit: record (epoch, batch_id) in the manifest
+        with no data written — the same bookkeeping merge's
+        statically-empty branch does, but callable even before the
+        table has a schema. Derived-table maintainers use this to make
+        verifiably-no-op batches replay-skippable through the ONE
+        ledger (no side marker files)."""
+        m = self.manifest()
+        if [epoch, batch_id] in m["committed"]:
+            return {"skipped": True, "reason": "already committed"}
+        commit = dict(m)
+        commit["version"] = m["version"] + 1
+        commit["committed"] = m["committed"] + [[epoch, batch_id]]
+        commit["n_buckets"] = self.n_buckets
+        commit["key_cols"] = self.key_cols
+        self._carry_forward(commit, m, None)
+        self._swap(commit)
+        return {
+            "skipped": False,
+            "staged": None,
+            "touched_buckets": [],
+            "version": commit["version"],
+        }
+
     def merge(
         self,
         updates: DataFrame,

@@ -32,10 +32,11 @@ exactly-once per side (derived epochs ``e#L`` / ``e#D<i>`` /
 ``changelog=True`` it chains its own downstream maintainers
 (``maintain=[...]``) like the Replayer does.
 
-Ordering contract: fold a batch AFTER all its base-table commits; on
-pipeline replay the no-op marker ledger (same scheme as joinview)
-keeps batches folded before the facts existed from re-applying stale
-post-images.
+Ordering contract: fold a batch AFTER all its base-table commits; a
+batch that folds as a verifiably-empty no-op (e.g. dims arriving
+before any facts) still lands in the view's ledger via
+``LakeTable.commit_empty`` so a pipeline replay cannot re-apply its
+stale post-images against later state.
 """
 
 from __future__ import annotations
@@ -136,6 +137,10 @@ class MaintainedStar:
         for c in self._dim_payload_cols(i):
             name = self._emitted_name(i, c, taken)
             emitted.append(name)
+            # accumulate so two payload columns of ONE dim cannot
+            # silently emit the same output name (e.g. 'label'
+            # suffixing onto a literal 'label_d1' sibling)
+            taken.add(name)
             if c in rdf.columns:
                 sel.append(F.col(c).alias(name))
             else:
@@ -196,8 +201,7 @@ class MaintainedStar:
                 cur = cur.withColumn(f"__sm{i}", F.lit(None).cast("boolean"))
                 flags.append((i, f"__sm{i}"))
                 continue
-            prepped, emitted = self._prep_dim(i, rdf, taken)
-            taken.update(emitted)
+            prepped, _emitted = self._prep_dim(i, rdf, taken)  # mutates taken
             if small:
                 prepped = F.broadcast(prepped)
             cond = None
@@ -290,69 +294,70 @@ class MaintainedStar:
         if not srcs:
             raise ValueError("apply needs at least one change frame")
         spark = srcs[0].sparkSession
-        if self._noop_committed(vepoch, batch_id):
-            return {"skipped": True, "reason": "no-op batch (marker)"}
         if self.view.committed(vepoch, batch_id):
+            # one ledger is the single source of truth — including for
+            # batches that folded as verifiably-empty no-ops (see
+            # joinview._apply for the replay argument)
             self._fold_downstream(spark, vepoch, batch_id)
             return {"skipped": True, "reason": "already committed"}
 
         parts: list[DataFrame] = []
         excl = None
+        # the rebuild consumes its inputs several times (one
+        # probe-collect per dim, then the joins): pin them for the
+        # duration of this commit, releasing even when a build step
+        # raises
         pinned: list[DataFrame] = []
-        if left_changes is not None:
-            drop = [c for c in _META_COLS if c in left_changes.columns]
-            # the rebuild consumes its input several times (one
-            # probe-collect per dim, then the joins): pin it for the
-            # duration of this commit
-            posts = left_changes.filter(
-                F.col("_change_type").isin("insert", "update_postimage")
-            ).drop(*drop).persist()
-            pinned.append(posts)
-            dels = (
-                left_changes.filter(F.col("_change_type") == "delete")
-                .select(*self.left.key_cols)
-                .withColumn("__is_delete", F.lit(True))
-            )
-            parts.append(
-                self._build_rows(posts).unionByName(
-                    dels, allowMissingColumns=True
-                )
-            )
-            excl = (
-                left_changes.drop(*drop)
-                .select(*self.left.key_cols)
-                .distinct()
-            )
-        if dim_changes and self.left.manifest()["schema"] is not None:
-            affected = None
-            for i, changes in dim_changes.items():
-                a = self._affected_facts(i, changes)
-                if a is None:
-                    continue
-                affected = a if affected is None else affected.unionByName(a)
-            if affected is not None:
-                affected = affected.dropDuplicates(list(self.left.key_cols))
-                if excl is not None:
-                    affected = affected.join(
-                        F.broadcast(excl), on=list(self.left.key_cols),
-                        how="left_anti",
-                    )
-                affected = affected.persist()
-                pinned.append(affected)
-                parts.append(self._build_rows(affected))
-
-        if not parts:
-            empty = self._empty_updates(spark)
-            if empty is None:
-                self._mark_noop(vepoch, batch_id)
-                return {"skipped": False, "noop": True}
-            out = self.view.merge(empty, epoch=vepoch, batch_id=batch_id)
-            self._fold_downstream(spark, vepoch, batch_id)
-            return out
-        upd = parts[0]
-        for p in parts[1:]:
-            upd = upd.unionByName(p, allowMissingColumns=True)
         try:
+            if left_changes is not None:
+                drop = [c for c in _META_COLS if c in left_changes.columns]
+                posts = left_changes.filter(
+                    F.col("_change_type").isin("insert", "update_postimage")
+                ).drop(*drop).persist()
+                pinned.append(posts)
+                dels = (
+                    left_changes.filter(F.col("_change_type") == "delete")
+                    .select(*self.left.key_cols)
+                    .withColumn("__is_delete", F.lit(True))
+                )
+                parts.append(
+                    self._build_rows(posts).unionByName(
+                        dels, allowMissingColumns=True
+                    )
+                )
+                excl = (
+                    left_changes.drop(*drop)
+                    .select(*self.left.key_cols)
+                    .distinct()
+                )
+            if dim_changes and self.left.manifest()["schema"] is not None:
+                affected = None
+                for i, changes in dim_changes.items():
+                    a = self._affected_facts(i, changes)
+                    if a is None:
+                        continue
+                    affected = (a if affected is None
+                                else affected.unionByName(a))
+                if affected is not None:
+                    affected = affected.dropDuplicates(
+                        list(self.left.key_cols)
+                    )
+                    if excl is not None:
+                        affected = affected.join(
+                            F.broadcast(excl), on=list(self.left.key_cols),
+                            how="left_anti",
+                        )
+                    affected = affected.persist()
+                    pinned.append(affected)
+                    parts.append(self._build_rows(affected))
+
+            if not parts:
+                # ledger-only commit (works pre-schema): replays skip
+                out = self.view.commit_empty(epoch=vepoch, batch_id=batch_id)
+                return dict(out, noop=True)
+            upd = parts[0]
+            for p in parts[1:]:
+                upd = upd.unionByName(p, allowMissingColumns=True)
             out = self.view.merge(upd, epoch=vepoch, batch_id=batch_id)
         finally:
             for df in pinned:
@@ -408,34 +413,8 @@ class MaintainedStar:
         )
 
     # ------------------------------------------------------------------
-    # ledgers / downstream
+    # downstream
     # ------------------------------------------------------------------
-    def _noop_dir(self) -> str:
-        return os.path.join(self.view.root, "_noop_ledger")
-
-    def _noop_committed(self, vepoch: str, batch_id: int) -> bool:
-        return os.path.exists(
-            os.path.join(self._noop_dir(), f"{vepoch}__{batch_id}")
-        )
-
-    def _mark_noop(self, vepoch: str, batch_id: int) -> None:
-        os.makedirs(self._noop_dir(), exist_ok=True)
-        with open(
-            os.path.join(self._noop_dir(), f"{vepoch}__{batch_id}"), "w"
-        ):
-            pass
-
-    def _empty_updates(self, spark) -> DataFrame | None:
-        m = self.view.manifest()
-        if m["schema"] is None:
-            return None
-        from pyspark.sql import types as T
-
-        sch = T.StructType.fromJson(m["schema"])
-        return spark.createDataFrame([], sch).withColumn(
-            "__is_delete", F.lit(False)
-        )
-
     def _fold_downstream(self, spark, vepoch: str, batch_id: int) -> None:
         if not self.maintain:
             return
