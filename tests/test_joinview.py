@@ -633,3 +633,43 @@ def test_validation_errors(spark, tmp_path):
     with pytest.raises(ValueError, match="positionally"):
         MaintainedJoin(root=str(tmp_path / "m2"), left=left, right=right,
                        fk_cols=["a", "c"])
+
+
+def test_dim_schema_appearing_in_changeless_batch_widens_left_view(
+    spark, tmp_path
+):
+    """Regression (hypothesis find): a fact with a NULL fk folds while
+    the dim table is still schema-less, so the view is created with
+    left columns only. The dim's schema then appears via a batch that
+    produces NO change rows (a delete merged into the empty dim). The
+    fold is a verifiable no-op, but the left-join contract now includes
+    the dim payload columns — the ledger-only commit must widen the
+    view schema so the never-retouched fact reads with null dim
+    columns, exactly like the recompute join."""
+    left, right, mj = _mk_tables(spark, tmp_path, how="left")
+    left.merge(spark.createDataFrame([(1, None, 10.0, 1, False)], _FACT),
+               epoch="e", batch_id=0)
+    mj.apply_changes(batch_changes(left, spark, epoch="e", batch_id=0),
+                     epoch="e", batch_id=0)
+    assert "tier" not in mj.read(spark).columns
+    # dim delete against the empty dim: establishes the schema, zero
+    # change rows
+    right.merge(
+        spark.createDataFrame([(1, None, None, 2, True)], _DIM),
+        epoch="e", batch_id=1,
+    )
+    out = mj.apply_right_changes(
+        batch_changes(right, spark, epoch="e", batch_id=1),
+        epoch="e", batch_id=1,
+    )
+    assert out["noop"] is True
+    got = mj.read(spark)
+    assert {"name", "tier"} <= set(got.columns)
+    row = got.collect()[0]
+    assert (row["order_id"], row["name"], row["tier"]) == (1, None, None)
+    # replay of the widening batch: skipped through the one ledger
+    replay = mj.apply_right_changes(
+        batch_changes(right, spark, epoch="e", batch_id=1),
+        epoch="e", batch_id=1,
+    )
+    assert replay["skipped"] is True

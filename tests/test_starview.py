@@ -224,3 +224,36 @@ def test_star_colliding_dim_columns_are_suffixed(spark, tmp_path):
         epoch="e", batch_id=0)
     row = star.read(spark).collect()[0]
     assert row["label"] == "x" and row["label_d1"] == "y"
+
+
+def test_dim_schema_appearing_in_changeless_batch_widens_star(
+    spark, tmp_path
+):
+    """Regression (mirrors the joinview hypothesis find): a left-how
+    dim whose schema appears via a change-less batch (delete into an
+    empty dim) must still widen the star view's schema through the
+    ledger-only commit."""
+    facts_t = LakeTable(str(tmp_path / "f"), key_cols=["order_id"],
+                        n_buckets=2, discovery=False,
+                        merge_strategy="broadcast", changelog=True)
+    d0 = LakeTable(str(tmp_path / "d0"), key_cols=["k0"], n_buckets=2,
+                   discovery=False, merge_strategy="broadcast",
+                   changelog=True)
+    star = MaintainedStar(
+        root=str(tmp_path / "s"), left=facts_t,
+        dims=[DimSpec(table=d0, fk_cols=["f0"], how="left")], n_buckets=2)
+    mk = lambda rows, ddl, dele=False: spark.createDataFrame(rows, ddl) \
+        .withColumn("__is_delete", F.lit(dele))
+    facts_t.merge(mk([(10, None)], "order_id long, f0 long"),
+                  epoch="e", batch_id=0)
+    star.apply_changes(batch_changes(facts_t, spark, epoch="e", batch_id=0),
+                       epoch="e", batch_id=0)
+    assert "label" not in star.read(spark).columns
+    d0.merge(mk([(1, None)], "k0 long, label string", dele=True),
+             epoch="e", batch_id=1)
+    out = star.dim_maintainer(0).apply_changes(
+        batch_changes(d0, spark, epoch="e", batch_id=1),
+        epoch="e", batch_id=1)
+    assert out["noop"] is True
+    row = star.read(spark).collect()[0]
+    assert (row["order_id"], row["label"]) == (10, None)

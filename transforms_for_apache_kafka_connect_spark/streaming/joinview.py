@@ -439,14 +439,47 @@ class MaintainedJoin:
                 parts.append(rpart)
         if not parts:
             # nothing to fold — still ledger the batch (ledger-only
-            # commit, works pre-schema) so replays skip it
-            out = self.view.commit_empty(epoch=vepoch, batch_id=batch_id)
+            # commit, works pre-schema) so replays skip it. A base-side
+            # commit may have just ESTABLISHED the dim's schema (e.g. a
+            # delete merged into an empty dim table) without producing
+            # change rows: the view's contract now includes the dim
+            # payload columns (nulls on unmatched/old rows), so widen
+            # the view schema in the same ledger commit — otherwise no
+            # later fold would ever add them for facts that are never
+            # touched again.
+            out = self.view.commit_empty(
+                epoch=vepoch, batch_id=batch_id,
+                widen=self._missing_right_fields() or None,
+            )
             return dict(out, noop=True)
         upd = parts[0]
         for p in parts[1:]:
             upd = upd.unionByName(p, allowMissingColumns=True)
         out = self.view.merge(upd, epoch=vepoch, batch_id=batch_id)
         self._fold_downstream(spark, vepoch, batch_id)
+        return out
+
+    def _missing_right_fields(self) -> list[dict]:
+        """Renamed right payload fields the view's schema lacks —
+        schema-JSON field dicts typed from the dim's manifest. The
+        rename walk mirrors ``_prep_right`` exactly (taken starts from
+        the LEFT table's columns and accumulates), so the widened
+        names always match what a later data fold would emit."""
+        vm = self.view.manifest()
+        rm = self.right.manifest()
+        lm = self.left.manifest()
+        if vm["schema"] is None or rm["schema"] is None:
+            return []
+        taken = ({f["name"] for f in lm["schema"]["fields"]}
+                 if lm["schema"] is not None else set())
+        have = {f["name"] for f in vm["schema"]["fields"]}
+        rtypes = {f["name"]: f for f in rm["schema"]["fields"]}
+        out = []
+        for c in self._right_cols():
+            name = self._renamed(c, taken)
+            taken.add(name)
+            if name not in have:
+                out.append(dict(rtypes[c], name=name, nullable=True))
         return out
 
     def _fold_downstream(self, spark, vepoch: str, batch_id: int) -> None:

@@ -1930,17 +1930,39 @@ class LakeTable:
 
     # -------------------------------------------------------------- merge
 
-    def commit_empty(self, *, epoch: str, batch_id: int) -> dict[str, Any]:
+    def commit_empty(
+        self,
+        *,
+        epoch: str,
+        batch_id: int,
+        widen: list[dict[str, Any]] | None = None,
+    ) -> dict[str, Any]:
         """Ledger-only commit: record (epoch, batch_id) in the manifest
         with no data written — the same bookkeeping merge's
         statically-empty branch does, but callable even before the
         table has a schema. Derived-table maintainers use this to make
         verifiably-no-op batches replay-skippable through the ONE
-        ledger (no side marker files)."""
+        ledger (no side marker files).
+
+        ``widen`` optionally appends nullable fields (Spark schema-JSON
+        field dicts) to the manifest schema — the additive-only union
+        merge performs, without data. Join/star views use it when a
+        dim's schema appears in a batch that touches no fact rows:
+        existing files simply surface nulls for the new columns on
+        read. Ignored while the table has no schema (nothing to read
+        yet; the first data merge records the full schema)."""
         m = self.manifest()
         if [epoch, batch_id] in m["committed"]:
             return {"skipped": True, "reason": "already committed"}
         commit = dict(m)
+        if widen and m["schema"] is not None:
+            seen = {f["name"] for f in m["schema"]["fields"]}
+            add = [dict(f, nullable=True) for f in widen
+                   if f["name"] not in seen]
+            if add:
+                commit["schema"] = {
+                    **m["schema"], "fields": m["schema"]["fields"] + add
+                }
         commit["version"] = m["version"] + 1
         commit["committed"] = m["committed"] + [[epoch, batch_id]]
         commit["n_buckets"] = self.n_buckets

@@ -352,8 +352,16 @@ class MaintainedStar:
                     parts.append(self._build_rows(affected))
 
             if not parts:
-                # ledger-only commit (works pre-schema): replays skip
-                out = self.view.commit_empty(epoch=vepoch, batch_id=batch_id)
+                # ledger-only commit (works pre-schema): replays skip.
+                # A dim's schema may have just appeared in a batch that
+                # touches no fact rows (e.g. a delete merged into an
+                # empty dim): widen the view schema with its emitted
+                # payload columns in the same commit, else no later
+                # fold would add them for never-retouched facts.
+                out = self.view.commit_empty(
+                    epoch=vepoch, batch_id=batch_id,
+                    widen=self._missing_dim_fields() or None,
+                )
                 return dict(out, noop=True)
             upd = parts[0]
             for p in parts[1:]:
@@ -415,6 +423,32 @@ class MaintainedStar:
     # ------------------------------------------------------------------
     # downstream
     # ------------------------------------------------------------------
+    def _missing_dim_fields(self) -> list[dict]:
+        """Emitted dim payload fields the view's schema lacks —
+        schema-JSON field dicts typed from each dim's manifest. The
+        naming walk mirrors ``_build_rows`` (taken starts from the
+        fact table's columns, dims in order, names accumulate), so the
+        widened names always match what a later data fold emits."""
+        vm = self.view.manifest()
+        lm = self.left.manifest()
+        if vm["schema"] is None:
+            return []
+        taken = ({f["name"] for f in lm["schema"]["fields"]}
+                 if lm["schema"] is not None else set())
+        have = {f["name"] for f in vm["schema"]["fields"]}
+        out = []
+        for i, d in enumerate(self.dims):
+            m = d.table.manifest()
+            if m["schema"] is None:
+                continue
+            dtypes = {f["name"]: f for f in m["schema"]["fields"]}
+            for c in self._dim_payload_cols(i):
+                name = self._emitted_name(i, c, taken)
+                taken.add(name)
+                if name not in have:
+                    out.append(dict(dtypes[c], name=name, nullable=True))
+        return out
+
     def _fold_downstream(self, spark, vepoch: str, batch_id: int) -> None:
         if not self.maintain:
             return
