@@ -673,3 +673,67 @@ def test_dim_schema_appearing_in_changeless_batch_widens_left_view(
         epoch="e", batch_id=1,
     )
     assert replay["skipped"] is True
+
+
+def test_crash_between_view_commit_and_downstream_fold_recovers(
+    spark, tmp_path
+):
+    """Crash window the _apply docstring promises to close: the view's
+    merge commits, then the process dies BEFORE the downstream
+    maintainer folds the view's changelog. The replay must skip the
+    view (its ledger) but still fold the maintainer (its own ledger),
+    and a second full replay must be a no-op everywhere."""
+    from transforms_for_apache_kafka_connect_spark.streaming.incremental import (
+        MaintainedAggregate,
+    )
+
+    gold = LakeTable(str(tmp_path / "gold"), key_cols=["tier"],
+                     n_buckets=2, discovery=False,
+                     merge_strategy="broadcast")
+    left, right, mj = _mk_tables(
+        spark, tmp_path, how="inner", changelog=True,
+        maintain=[MaintainedAggregate(
+            table=gold, group_cols=["tier"], sum_cols=["amount"],
+        )],
+    )
+    facts0, dims0 = _BATCHES[0]
+    _apply_batch(spark, left, right, mj, 0, facts0, dims0)
+
+    real = mj._fold_downstream
+    calls = {"n": 0}
+
+    def dying(spark_, vepoch, batch_id):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated crash before downstream fold")
+        return real(spark_, vepoch, batch_id)
+
+    mj._fold_downstream = dying
+    facts1, dims1 = _BATCHES[1]
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        _apply_batch(spark, left, right, mj, 1, facts1, dims1)
+    # the view committed batch 1 but gold did not fold it
+    view_rows = _rows(mj.read(spark))
+    want_gold = {r["tier"]: (r["n"], round(r["s"], 6))
+                 for r in mj.read(spark).groupBy("tier").agg(
+                     F.count("*").alias("n"),
+                     F.sum("amount").alias("s")).collect()}
+    got_gold = {r["tier"]: (r["n_rows"], round(r["sum_amount"], 6))
+                for r in gold.read(spark).collect()}
+    assert got_gold != want_gold, "crash did not open the window"
+
+    # replay batch 1 (new process would re-run the maintenance call):
+    # view skips through its ledger, downstream folds exactly once
+    _apply_batch(spark, left, right, mj, 1, facts1, dims1)
+    assert _rows(mj.read(spark)) == view_rows
+    got_gold = {r["tier"]: (r["n_rows"], round(r["sum_amount"], 6))
+                for r in gold.read(spark).collect()}
+    assert got_gold == want_gold
+
+    # a second full replay is a no-op for both tables
+    v_before = (mj.view.manifest()["version"], gold.manifest()["version"])
+    _apply_batch(spark, left, right, mj, 1, facts1, dims1)
+    assert _rows(mj.read(spark)) == view_rows
+    assert {r["tier"]: (r["n_rows"], round(r["sum_amount"], 6))
+            for r in gold.read(spark).collect()} == want_gold
+    assert gold.manifest()["version"] == v_before[1]
