@@ -117,11 +117,14 @@ class MaintainedJoin:
                 f"{self.right.key_cols} positionally"
             )
         # fk overlapping the left key is allowed (1:1 joins)
+        # discovery=True: view deltas are batch-bounded, so folds touch
+        # few buckets — at 100 TB view size the merge must read/rewrite
+        # ONLY those, never the whole view
         self.view = LakeTable(
             os.path.join(self.root, "view"),
             key_cols=list(self.left.key_cols),
             n_buckets=self.n_buckets,
-            discovery=False,
+            discovery=True,
             merge_strategy="broadcast",
             changelog=self.changelog,
         )
@@ -133,7 +136,11 @@ class MaintainedJoin:
         m = self.right.manifest()
         if m["schema"] is None:
             return []
-        drop = set(self.right.key_cols) | {"_lsn", "__is_delete"}
+        # _deleted/__seq are MoR storage internals recorded in an
+        # append-strategy dim's manifest schema but resolved away by
+        # read() — never payload
+        drop = (set(self.right.key_cols)
+                | {"_lsn", "__is_delete", "_deleted", "__seq"})
         return [f["name"] for f in m["schema"]["fields"] if f["name"] not in drop]
 
     def _renamed(self, c: str, left_cols: set[str]) -> str:
@@ -181,7 +188,16 @@ class MaintainedJoin:
         posts = changes.filter(
             F.col("_change_type").isin("insert", "update_postimage")
         ).drop(*drop)
-        left_cols = posts.columns
+        # collision-suffix decisions must be stable across batches: an
+        # insert-only changelog may omit fact columns earlier batches
+        # carried (merge unions schemas), and a right column suffixed
+        # against the MANIFEST must never come back unsuffixed — that
+        # would write dim values into the fact's column
+        lm = self.left.manifest()
+        left_cols = list(posts.columns) + [
+            f["name"] for f in (lm["schema"] or {"fields": []})["fields"]
+            if f["name"] not in posts.columns
+        ]
         dels = (
             changes.filter(F.col("_change_type") == "delete")
             .select(*self.left.key_cols)
@@ -332,6 +348,15 @@ class MaintainedJoin:
                 on=list(self.left.key_cols),
                 how="left_anti",
             )
+        if aff_left.isEmpty():
+            # no fact references the changed dim keys: contribute
+            # nothing rather than merging a runtime-empty frame — with
+            # a bounded-bucket view that merge would rewrite the WHOLE
+            # view for a no-op. The caller's ledger-only commit path
+            # widens the view schema if this batch introduced new dim
+            # payload columns; a probe of batch-bounded pruned files is
+            # far cheaper than the rewrite it avoids.
+            return None
         left_cols = aff_left.columns
         rside = F.broadcast(self._prep_right(rposts, left_cols))
         joined = aff_left.join(rside, self._join_cond(aff_left, rside), "left")

@@ -1182,19 +1182,24 @@ class LakeTable:
             .parquet(*[self._abs(f) for f in delta_files])
             .drop(BUCKET_COL)
         )
-        # LWW within the window, but KEEP the _deleted winner rows —
-        # a delete is a change the consumer must see
+        # LWW within the window (same (_lsn, __seq) order as
+        # _resolve_mor), but KEEP the _deleted winner rows — a delete
+        # is a change the consumer must see
         others = [c for c in df.columns if c not in self.key_cols]
         packed = F.struct(*[F.col(c) for c in others])
+        seq = (F.coalesce(F.col("__seq"), F.lit(-1))
+               if "__seq" in df.columns else F.lit(-1))
         resolved = (
             df.groupBy(*[F.col(c) for c in self.key_cols])
-            .agg(F.max_by(packed, F.col("_lsn")).alias("__r"))
+            .agg(F.max_by(packed, F.struct(F.col("_lsn"), seq)).alias("__r"))
             .select(*self.key_cols, "__r.*")
         )
         if "_deleted" in others:
             resolved = resolved.withColumn(
                 "_deleted", F.coalesce(F.col("_deleted"), F.lit(False))
             )
+        if "__seq" in others:
+            resolved = resolved.drop("__seq")
         return resolved
 
     def _write_changes(
@@ -1353,7 +1358,7 @@ class LakeTable:
             )
         )
         return T.StructType(
-            [f for f in base.fields if f.name != "_deleted"]
+            [f for f in base.fields if f.name not in ("_deleted", "__seq")]
             + [
                 T.StructField("_change_type", T.StringType()),
                 T.StructField("_change_lsn", T.LongType()),
@@ -1422,23 +1427,40 @@ class LakeTable:
         return df
 
     def _resolve_mor(self, df: DataFrame) -> DataFrame:
-        """Merge-on-read resolution: per key keep the max-``_lsn`` row
-        (delta rows beat the base rows they supersede), then drop rows
-        whose winner is a ``_deleted`` marker. A no-op pass-through for
-        tables that never saw an append-mode merge."""
+        """Merge-on-read resolution: per key keep the max-``(_lsn,
+        __seq)`` row (delta rows beat the base rows they supersede),
+        then drop rows whose winner is a ``_deleted`` marker. A no-op
+        pass-through for tables that never saw an append-mode merge.
+
+        ``__seq`` is the commit version stamped into every delta file
+        (``_merge_append``); base files and pre-stamp deltas read it as
+        null and rank lowest. It breaks ``_lsn`` TIES by commit order,
+        which otherwise resolve nondeterministically: a delete marker
+        whose ``_lsn`` was coalesced from the pre-image it deletes
+        (second-hop CDC of a derived view, incremental.py
+        apply_changes_to_table), or a view row rewritten by a DIM-side
+        change that leaves the fact's ``_lsn`` unchanged — in both the
+        later commit is the truth. Staged (WAP) commits stamp the
+        version predicted at stage time; under the single-driver model
+        stages of one table are serialized, so stage order = publish
+        order."""
         if "_lsn" not in df.columns:
             return df
         others = [c for c in df.columns if c not in self.key_cols]
         packed = F.struct(*[F.col(c) for c in others])
+        seq = (F.coalesce(F.col("__seq"), F.lit(-1))
+               if "__seq" in df.columns else F.lit(-1))
         resolved = (
             df.groupBy(*[F.col(c) for c in self.key_cols])
-            .agg(F.max_by(packed, F.col("_lsn")).alias("__r"))
+            .agg(F.max_by(packed, F.struct(F.col("_lsn"), seq)).alias("__r"))
             .select(*self.key_cols, "__r.*")
         )
         if "_deleted" in others:
             resolved = resolved.filter(
                 ~F.coalesce(F.col("_deleted"), F.lit(False))
             ).drop("_deleted")
+        if "__seq" in others:
+            resolved = resolved.drop("__seq")
         return resolved
 
     def _merge_append(
@@ -1457,8 +1479,15 @@ class LakeTable:
                 "append (merge-on-read) strategy requires an _lsn column "
                 "on the update set (Replayer.updates_for provides it)"
             )
-        delta = upd.withColumn("_deleted", F.col(delete_col)).drop(delete_col)
         version = m["version"] + 1
+        # __seq = this delta's commit version: the constant-per-file
+        # tiebreaker _resolve_mor uses for equal-_lsn versions (RLE
+        # makes it free in the file)
+        delta = (
+            upd.withColumn("_deleted", F.col(delete_col))
+            .drop(delete_col)
+            .withColumn("__seq", F.lit(version).cast("long"))
+        )
         rel_dir = os.path.join("data", f"v{version:08d}-b{batch_id}-delta")
         if not publish:
             # same staged-dir uniqueness rule as the COW path: an
@@ -1701,17 +1730,18 @@ class LakeTable:
         commit["buckets"] = new_buckets
         if all_buckets and m.get("mor"):
             # every delta has been folded through _resolve_mor: reads no
-            # longer need the LWW aggregate. _deleted marker rows were
-            # dropped by the resolving read, so the column can leave the
-            # schema too (additive-contract exception: it is engine
-            # metadata, not user data).
+            # longer need the LWW aggregate. _deleted marker rows and the
+            # __seq commit-order tiebreaker were dropped by the resolving
+            # read, so the columns can leave the schema too
+            # (additive-contract exception: engine metadata, not user
+            # data).
             commit["mor"] = False
             if m["schema"] is not None:
                 commit["schema"] = {
                     **m["schema"],
                     "fields": [
                         f for f in m["schema"]["fields"]
-                        if f["name"] != "_deleted"
+                        if f["name"] not in ("_deleted", "__seq")
                     ],
                 }
         self._swap(commit)
@@ -1769,7 +1799,7 @@ class LakeTable:
                     **m["schema"],
                     "fields": [
                         f for f in m["schema"]["fields"]
-                        if f["name"] != "_deleted"
+                        if f["name"] not in ("_deleted", "__seq")
                     ],
                 }
         self._swap(commit)
@@ -1930,6 +1960,31 @@ class LakeTable:
 
     # -------------------------------------------------------------- merge
 
+    def _union_schema_from(
+        self,
+        commit: dict[str, Any],
+        m: dict[str, Any],
+        upd: DataFrame,
+        delete_col: str,
+    ) -> None:
+        """Additive schema union from an update frame's STATIC schema
+        into a ledger-only commit: an empty batch still declares its
+        columns, exactly as a 1-row batch would evolve them — derived
+        views rely on this when a fold's update frame is runtime-empty
+        but carries newly-appeared dim payload columns. No-op while the
+        table has no schema (nothing to read yet)."""
+        if m["schema"] is None:
+            return
+        drop = [c for c in (BUCKET_COL, delete_col) if c in upd.columns]
+        upd_schema = json.loads(upd.drop(*drop).schema.json())
+        seen = {f["name"] for f in m["schema"]["fields"]}
+        add = [dict(f, nullable=True) for f in upd_schema["fields"]
+               if f["name"] not in seen]
+        if add:
+            commit["schema"] = {
+                **m["schema"], "fields": m["schema"]["fields"] + add
+            }
+
     def commit_empty(
         self,
         *,
@@ -2077,6 +2132,7 @@ class LakeTable:
             if not touched:
                 upd.unpersist()
                 commit = dict(m)
+                self._union_schema_from(commit, m, upd, delete_col)
                 commit["version"] = m["version"] + 1
                 commit["committed"] = m["committed"] + [[epoch, batch_id]]
                 commit["n_buckets"] = self.n_buckets
@@ -2108,6 +2164,7 @@ class LakeTable:
                 # rewrite every survivor row for a no-op. Commit only
                 # the ledger entry instead.
                 commit = dict(m)
+                self._union_schema_from(commit, m, upd, delete_col)
                 commit["version"] = m["version"] + 1
                 commit["committed"] = m["committed"] + [[epoch, batch_id]]
                 commit["n_buckets"] = self.n_buckets

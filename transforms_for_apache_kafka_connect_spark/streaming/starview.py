@@ -94,11 +94,14 @@ class MaintainedStar:
                 "downstream maintenance folds the view's changelog: "
                 "construct the MaintainedStar with changelog=True"
             )
+        # discovery=True: view deltas are batch-bounded, so folds touch
+        # few buckets — at 100 TB view size the merge must read/rewrite
+        # ONLY those, never the whole view
         self.view = LakeTable(
             os.path.join(self.root, "view"),
             key_cols=list(self.left.key_cols),
             n_buckets=self.n_buckets,
-            discovery=False,
+            discovery=True,
             merge_strategy="broadcast",
             changelog=self.changelog,
         )
@@ -110,7 +113,11 @@ class MaintainedStar:
         m = self.dims[i].table.manifest()
         if m["schema"] is None:
             return []
-        drop = set(self.dims[i].table.key_cols) | {"_lsn", "__is_delete"}
+        # _deleted/__seq are MoR storage internals recorded in an
+        # append-strategy dim's manifest schema but resolved away by
+        # read() — never payload
+        drop = (set(self.dims[i].table.key_cols)
+                | {"_lsn", "__is_delete", "_deleted", "__seq"})
         return [f["name"] for f in m["schema"]["fields"] if f["name"] not in drop]
 
     def _emitted_name(self, i: int, c: str, taken: set[str]) -> str:
@@ -178,7 +185,15 @@ class MaintainedStar:
     def _build_rows(self, facts: DataFrame) -> DataFrame:
         """Full view rows for ``facts`` (fact-payload frames): upserts
         for rows matching every inner dim, deletes for the rest."""
+        # seed collisions from frame ∪ MANIFEST columns: an insert-only
+        # changelog may omit fact columns earlier batches carried, and
+        # a dim column suffixed against the manifest must never come
+        # back unsuffixed (that would write dim values into the fact's
+        # column)
         taken = set(facts.columns)
+        lm = self.left.manifest()
+        if lm["schema"] is not None:
+            taken |= {f["name"] for f in lm["schema"]["fields"]}
         cur = facts
         flags: list[tuple[int, str]] = []
         for i, d in enumerate(self.dims):
@@ -228,8 +243,10 @@ class MaintainedStar:
             .drop(*flag_cols)
             .withColumn("__is_delete", F.lit(False))
         )
+        # survive is a conjunction of isNotNull() terms — never null —
+        # so ups/dels are an exact partition of cur
         dels = (
-            cur.filter(~F.coalesce(survive, F.lit(False)))
+            cur.filter(~survive)
             .select(*self.left.key_cols)
             .withColumn("__is_delete", F.lit(True))
         )
@@ -289,6 +306,10 @@ class MaintainedStar:
         tag: str,
     ) -> dict:
         vepoch = f"{epoch}#{tag}"
+        # tolerate None entries in dim_changes (a driver passing "no
+        # changes this batch" per dim) exactly like a None left_changes
+        dim_changes = {i: c for i, c in (dim_changes or {}).items()
+                       if c is not None}
         srcs = [s for s in (left_changes, *dim_changes.values())
                 if s is not None]
         if not srcs:
@@ -349,7 +370,13 @@ class MaintainedStar:
                         )
                     affected = affected.persist()
                     pinned.append(affected)
-                    parts.append(self._build_rows(affected))
+                    # when no fact references the changed dim keys,
+                    # contribute nothing: merging a runtime-empty frame
+                    # would still cost a merge commit, and the
+                    # ledger-only path widens the schema if this batch
+                    # introduced new dim payload columns
+                    if not affected.isEmpty():
+                        parts.append(self._build_rows(affected))
 
             if not parts:
                 # ledger-only commit (works pre-schema): replays skip.
