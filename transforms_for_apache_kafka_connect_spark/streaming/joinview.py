@@ -133,15 +133,7 @@ class MaintainedJoin:
     # right-side payload shaping
     # ------------------------------------------------------------------
     def _right_cols(self) -> list[str]:
-        m = self.right.manifest()
-        if m["schema"] is None:
-            return []
-        # _deleted/__seq are MoR storage internals recorded in an
-        # append-strategy dim's manifest schema but resolved away by
-        # read() — never payload
-        drop = (set(self.right.key_cols)
-                | {"_lsn", "__is_delete", "_deleted", "__seq"})
-        return [f["name"] for f in m["schema"]["fields"] if f["name"] not in drop]
+        return [f["name"] for f in self.right.payload_fields()]
 
     def _renamed(self, c: str, left_cols: set[str]) -> str:
         out = c if c not in left_cols else f"{c}{self.right_suffix}"
@@ -491,20 +483,18 @@ class MaintainedJoin:
         the LEFT table's columns and accumulates), so the widened
         names always match what a later data fold would emit."""
         vm = self.view.manifest()
-        rm = self.right.manifest()
         lm = self.left.manifest()
-        if vm["schema"] is None or rm["schema"] is None:
+        if vm["schema"] is None:
             return []
         taken = ({f["name"] for f in lm["schema"]["fields"]}
                  if lm["schema"] is not None else set())
         have = {f["name"] for f in vm["schema"]["fields"]}
-        rtypes = {f["name"]: f for f in rm["schema"]["fields"]}
         out = []
-        for c in self._right_cols():
-            name = self._renamed(c, taken)
+        for f in self.right.payload_fields():
+            name = self._renamed(f["name"], taken)
             taken.add(name)
             if name not in have:
-                out.append(dict(rtypes[c], name=name, nullable=True))
+                out.append(dict(f, name=name, nullable=True))
         return out
 
     def _fold_downstream(self, spark, vepoch: str, batch_id: int) -> None:

@@ -1960,6 +1960,21 @@ class LakeTable:
 
     # -------------------------------------------------------------- merge
 
+    def payload_fields(self) -> list[dict[str, Any]]:
+        """Manifest schema fields that are USER PAYLOAD: key columns
+        and storage internals (``_lsn``, ``__is_delete``, and the MoR
+        markers ``_deleted``/``__seq`` an append-strategy manifest
+        records but ``read()`` resolves away) excluded. The one place
+        derived views ask "which columns does this table contribute" —
+        empty list while the table has no schema."""
+        m = self.manifest()
+        if m["schema"] is None:
+            return []
+        drop = set(self.key_cols) | {
+            "_lsn", "__is_delete", "_deleted", "__seq"
+        }
+        return [f for f in m["schema"]["fields"] if f["name"] not in drop]
+
     def _union_schema_from(
         self,
         commit: dict[str, Any],

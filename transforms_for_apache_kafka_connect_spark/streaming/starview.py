@@ -110,15 +110,7 @@ class MaintainedStar:
     # dim payload shaping
     # ------------------------------------------------------------------
     def _dim_payload_cols(self, i: int) -> list[str]:
-        m = self.dims[i].table.manifest()
-        if m["schema"] is None:
-            return []
-        # _deleted/__seq are MoR storage internals recorded in an
-        # append-strategy dim's manifest schema but resolved away by
-        # read() — never payload
-        drop = (set(self.dims[i].table.key_cols)
-                | {"_lsn", "__is_delete", "_deleted", "__seq"})
-        return [f["name"] for f in m["schema"]["fields"] if f["name"] not in drop]
+        return [f["name"] for f in self.dims[i].table.payload_fields()]
 
     def _emitted_name(self, i: int, c: str, taken: set[str]) -> str:
         d = self.dims[i]
@@ -465,15 +457,11 @@ class MaintainedStar:
         have = {f["name"] for f in vm["schema"]["fields"]}
         out = []
         for i, d in enumerate(self.dims):
-            m = d.table.manifest()
-            if m["schema"] is None:
-                continue
-            dtypes = {f["name"]: f for f in m["schema"]["fields"]}
-            for c in self._dim_payload_cols(i):
-                name = self._emitted_name(i, c, taken)
+            for f in d.table.payload_fields():
+                name = self._emitted_name(i, f["name"], taken)
                 taken.add(name)
                 if name not in have:
-                    out.append(dict(dtypes[c], name=name, nullable=True))
+                    out.append(dict(f, name=name, nullable=True))
         return out
 
     def _fold_downstream(self, spark, vepoch: str, batch_id: int) -> None:
