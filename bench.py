@@ -556,7 +556,11 @@ def time_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
         # later in r04e the gate entry became a join+star composite, so
         # this leg now ALSO builds the 3-table star (orders x customer
         # x priority) — compare r04e+ numbers to r04e's 12.97 s with
-        # that added work in mind, not as a regression.
+        # that added work in mind, not as a regression. r04f: view
+        # tables fold with discovery=True (touched-bucket-bounded
+        # rewrites at scale); A/B-measured ±0.3 s on this leg at sf0.1
+        # (29.5 vs 29.2 s isolated, idle machine) — the composite's
+        # level is the star work, not the discovery jobs.
         "joined_view",
     ]
     build_inclusive = {

@@ -284,7 +284,7 @@ def test_unreferenced_dim_batch_is_ledger_only(spark, tmp_path):
     out = mj.apply_right_changes(
         batch_changes(right, spark, epoch="e", batch_id=1),
         epoch="e", batch_id=1)
-    assert out.get("noop") is True and out["touched_buckets"] == []
+    assert out["touched_buckets"] == []
     assert _rows(mj.read(spark)) == before
     replay = mj.apply_right_changes(
         batch_changes(right, spark, epoch="e", batch_id=1),

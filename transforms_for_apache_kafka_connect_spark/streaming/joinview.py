@@ -340,15 +340,11 @@ class MaintainedJoin:
                 on=list(self.left.key_cols),
                 how="left_anti",
             )
-        if aff_left.isEmpty():
-            # no fact references the changed dim keys: contribute
-            # nothing rather than merging a runtime-empty frame — with
-            # a bounded-bucket view that merge would rewrite the WHOLE
-            # view for a no-op. The caller's ledger-only commit path
-            # widens the view schema if this batch introduced new dim
-            # payload columns; a probe of batch-bounded pruned files is
-            # far cheaper than the rewrite it avoids.
-            return None
+        # NOTE: a batch whose changed dim keys match no facts yields a
+        # runtime-empty update frame here — the view's discovery merge
+        # resolves that to a ledger-only commit (touched=[], static
+        # schema still unioned) in the same single evaluation, so no
+        # emptiness pre-probe is needed on this path.
         left_cols = aff_left.columns
         rside = F.broadcast(self._prep_right(rposts, left_cols))
         joined = aff_left.join(rside, self._join_cond(aff_left, rside), "left")
