@@ -464,6 +464,144 @@ def q_outbox_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_envelopes_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite over the four CDC wire envelopes the engine ingests:
+    the Debezium ExtractNewRecordState leg (the original
+    `debezium_unwrap` entry, realigned) plus the three third-party
+    adapters (sources/cdc_envelopes.py). Each third-party leg
+    SYNTHESIZES real wire JSON from the events table with ``to_json``
+    (Maxwell's old-holds-changed-columns diff, Canal's
+    all-values-as-strings arrays, DMS's ISO-8601 metadata timestamp)
+    and runs the real adapter — the oracle recomputes the normalized
+    images straight from events."""
+    from transforms_for_apache_kafka_connect_spark.sources import (
+        envelope_from_canal,
+        envelope_from_dms,
+        envelope_from_maxwell,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    dz = q_debezium_unwrap(spark, sf_dir).select(
+        F.lit("debezium").alias("variant"),
+        F.col("event_id"),
+        F.col("op"),
+        _val_str(F.when(F.col("deleted") == "true", F.col("val")))
+        .alias("before_val"),
+        _val_str(F.when(F.col("deleted") == "false", F.col("val")))
+        .alias("after_val"),
+        F.col("lsn").alias("ts_ms"),
+    )
+
+    schema = "id bigint, uid bigint, val double"
+    data = F.struct(
+        F.col("event_id").alias("id"),
+        F.col("user_id").alias("uid"),
+        F.col("value").alias("val"),
+    )
+
+    def leg(env, name):
+        return env.select(
+            F.lit(name).alias("variant"),
+            F.col("key.id").alias("event_id"),
+            F.col("value.op").alias("op"),
+            _val_str(F.col("value.before.val")).alias("before_val"),
+            _val_str(F.col("value.after.val")).alias("after_val"),
+            F.col("value.ts_ms").alias("ts_ms"),
+        )
+
+    mx_type = (
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .when(F.col("event_type") == "purchase", F.lit("update"))
+        .otherwise(F.lit("insert"))
+    )
+    mx_doc = F.to_json(
+        F.struct(
+            F.lit("shop").alias("database"),
+            F.lit("events").alias("table"),
+            mx_type.alias("type"),
+            F.col("event_id").alias("ts"),
+            data.alias("data"),
+            F.when(
+                mx_type == "update",
+                F.struct((F.col("value") - 1).alias("val")),
+            ).alias("old"),
+        )
+    )
+    mx = envelope_from_maxwell(
+        ev.select(mx_doc.alias("value"), F.col("event_id").alias("offset")),
+        data_schema=schema,
+        key_fields=["id"],
+    )
+
+    cn_type = (
+        F.when(F.col("event_type") == "error", F.lit("DELETE"))
+        .when(F.col("event_type") == "purchase", F.lit("UPDATE"))
+        .otherwise(F.lit("INSERT"))
+    )
+    row_map = F.create_map(
+        F.lit("id"), F.col("event_id").cast("string"),
+        F.lit("uid"), F.col("user_id").cast("string"),
+        F.lit("val"), F.col("value").cast("string"),
+    )
+    cn_doc = F.to_json(
+        F.struct(
+            F.array(row_map).alias("data"),
+            F.when(
+                cn_type == "UPDATE",
+                F.array(
+                    F.create_map(
+                        F.lit("val"), (F.col("value") - 1).cast("string")
+                    )
+                ),
+            ).alias("old"),
+            F.lit("shop").alias("database"),
+            F.lit("events").alias("table"),
+            (F.col("event_id") * 1000).alias("es"),
+            (F.col("event_id") * 1000 + 7).alias("ts"),
+            F.lit(False).alias("isDdl"),
+            F.col("event_id").alias("id"),
+            cn_type.alias("type"),
+        )
+    )
+    cn = envelope_from_canal(
+        ev.select(cn_doc.alias("value"), F.col("event_id").alias("offset")),
+        data_schema=schema,
+        key_fields=["id"],
+    )
+
+    dms_oper = (
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .when(F.col("event_type") == "purchase", F.lit("update"))
+        .when(F.col("event_type") == "signup", F.lit("load"))
+        .otherwise(F.lit("insert"))
+    )
+    dms_doc = F.to_json(
+        F.struct(
+            data.alias("data"),
+            F.struct(
+                F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+                .alias("timestamp"),
+                F.lit("data").alias("record-type"),
+                dms_oper.alias("operation"),
+                F.lit("shop").alias("schema-name"),
+                F.lit("events").alias("table-name"),
+                F.col("event_id").alias("transaction-id"),
+            ).alias("metadata"),
+        )
+    )
+    dm = envelope_from_dms(
+        ev.select(dms_doc.alias("value"), F.col("event_id").alias("offset")),
+        data_schema=schema,
+        key_fields=["id"],
+    )
+
+    return (
+        dz.unionByName(leg(mx, "maxwell"))
+        .unionByName(leg(cn, "canal"))
+        .unionByName(leg(dm, "dms"))
+    )
+
+
 def q_filter_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events")
     env = envelope(
@@ -2835,7 +2973,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timestamp_router": q_timestamp_router,
         "guarded_mask": q_guarded_mask,
         "filter_predicate": q_filter_predicate,
-        "debezium_unwrap": q_debezium_unwrap,
+        # r04e: debezium_unwrap widened into the cdc_envelopes
+        # composite — the same Debezium leg plus the Maxwell/Canal/DMS
+        # adapter legs (sources/cdc_envelopes.py)
+        "cdc_envelopes": q_cdc_envelopes_all,
         "outbox_router": q_outbox_router,
         "boundaries": q_boundary_all,
         "windowed_agg": q_windowed_agg,
@@ -2947,14 +3088,34 @@ def oracle_sql() -> dict[str, str]:
             "THEN 'original_topic' ELSE event_type END AS topic "
             "FROM events WHERE event_type IS NULL OR event_type <> 'click'"
         ),
-        "debezium_unwrap": (
-            "WITH e AS (SELECT *, CASE WHEN event_type = 'error' THEN 'd' "
+        "cdc_envelopes": (
+            "WITH e AS (SELECT event_id, value, ts, event_type, "
+            "CASE WHEN event_type = 'error' THEN 'd' "
             "WHEN event_type = 'purchase' THEN 'u' ELSE 'c' END AS op "
             "FROM events) "
-            "SELECT event_id, user_id, "
-            "CASE WHEN op = 'd' THEN value - 1 ELSE value END AS val, "
-            "CASE WHEN op = 'd' THEN 'true' ELSE 'false' END AS deleted, "
-            "op, event_id AS lsn FROM e"
+            "SELECT 'debezium' AS variant, event_id, op, "
+            "CAST(CAST(FLOOR((CASE WHEN op = 'd' THEN value - 1 END) "
+            "* 10000) AS BIGINT) AS VARCHAR) AS before_val, "
+            "CAST(CAST(FLOOR((CASE WHEN op <> 'd' THEN value END) "
+            "* 10000) AS BIGINT) AS VARCHAR) AS after_val, "
+            "event_id AS ts_ms FROM e "
+            "UNION ALL SELECT 'maxwell', event_id, op, "
+            "CAST(CAST(FLOOR((CASE WHEN op = 'u' THEN value - 1 "
+            "WHEN op = 'd' THEN value END) * 10000) AS BIGINT) AS VARCHAR), "
+            "CAST(CAST(FLOOR((CASE WHEN op <> 'd' THEN value END) "
+            "* 10000) AS BIGINT) AS VARCHAR), event_id * 1000 FROM e "
+            "UNION ALL SELECT 'canal', event_id, op, "
+            "CAST(CAST(FLOOR((CASE WHEN op = 'u' THEN value - 1 "
+            "WHEN op = 'd' THEN value END) * 10000) AS BIGINT) AS VARCHAR), "
+            "CAST(CAST(FLOOR((CASE WHEN op <> 'd' THEN value END) "
+            "* 10000) AS BIGINT) AS VARCHAR), event_id * 1000 FROM e "
+            "UNION ALL SELECT 'dms', event_id, "
+            "CASE WHEN event_type = 'signup' THEN 'r' ELSE op END, "
+            "CAST(CAST(FLOOR((CASE WHEN op = 'd' THEN value END) "
+            "* 10000) AS BIGINT) AS VARCHAR), "
+            "CAST(CAST(FLOOR((CASE WHEN op <> 'd' THEN value END) "
+            "* 10000) AS BIGINT) AS VARCHAR), "
+            "CAST(epoch(date_trunc('second', ts)) AS BIGINT) * 1000 FROM e"
         ),
         "outbox_router": (
             "SELECT 'outbox.event.' || event_type AS topic, "

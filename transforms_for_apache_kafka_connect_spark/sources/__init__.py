@@ -27,6 +27,11 @@ from transforms_for_apache_kafka_connect_spark.sources.protobuf_boundary import 
     proto_schema_to_spark,
     spark_to_proto_schema,
 )
+from transforms_for_apache_kafka_connect_spark.sources.cdc_envelopes import (
+    envelope_from_canal,
+    envelope_from_dms,
+    envelope_from_maxwell,
+)
 from transforms_for_apache_kafka_connect_spark.sources.json_boundary import (
     envelope_from_json,
     envelope_from_kafka,
@@ -43,6 +48,9 @@ __all__ = [
     "infer_json_schema",
     "envelope_from_avro",
     "envelope_to_avro",
+    "envelope_from_maxwell",
+    "envelope_from_canal",
+    "envelope_from_dms",
     "avro_schema_to_spark",
     "spark_to_avro_schema",
     "encode_record",
