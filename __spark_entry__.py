@@ -1504,6 +1504,58 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_join_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite: the banded range join (original entry) plus the
+    STREAM-STREAM interval join (streaming/streamjoin.py) — signups
+    joined to same-user purchases within [0, 2h], both sides run as
+    real Structured Streaming sources (readStream -> symmetric hash
+    join -> parquet sink, availableNow). Oracle = the plain SQL
+    inequality joins."""
+    from transforms_for_apache_kafka_connect_spark.streaming import (
+        interval_join,
+    )
+
+    band = q_range_join(spark, sf_dir).select(
+        F.lit("band").alias("variant"),
+        F.col("event_id").alias("l_id"),
+        F.col("bin").alias("r_id"),
+    )
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("timestamp"),
+    )
+    root = _scratch("tkc_sjoin_")
+    csrc, bsrc = os.path.join(root, "s"), os.path.join(root, "p")
+    ev.filter(F.col("event_type") == "signup").repartition(2)\
+        .write.mode("overwrite").parquet(csrc)
+    ev.filter(F.col("event_type") == "purchase").repartition(2)\
+        .write.mode("overwrite").parquet(bsrc)
+    schema = spark.read.parquet(csrc).schema
+    joined = interval_join(
+        spark.readStream.schema(schema).parquet(csrc),
+        spark.readStream.schema(schema).parquet(bsrc),
+        keys=["user_id"], lower_ms=0, upper_ms=7_200_000,
+        left_watermark="3650 days", right_watermark="3650 days",
+    )
+    sink = os.path.join(root, "out")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    q.stop()
+    stream = spark.read.parquet(sink).select(
+        F.lit("stream").alias("variant"),
+        F.col("event_id").alias("l_id"),
+        F.col("event_id_r").alias("r_id"),
+    )
+    return band.unionByName(stream)
+
+
 def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2, both builds (streaming/scd2.py):
 
@@ -3003,7 +3055,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lookup_many": q_lookup_many,
         "relational_core": q_relational_core,
         "asof_join": q_asof_join,
-        "range_join": q_range_join,
+        # r04f: range_join widened into a composite — banded range
+        # join + the stream-stream interval join (streamjoin.py)
+        "range_join": q_range_join_all,
         "scd2_history": q_scd2_history,
         "time_travel": q_time_travel,
         "dedupe_exact_fp": q_dedupe_exact_fp,
@@ -3353,8 +3407,14 @@ def oracle_sql() -> dict[str, str]:
             "WITH r AS (SELECT CAST(range AS BIGINT) AS bin, "
             "range * 20.0 AS lo, range * 20.0 + 20.0 AS hi FROM range(0, 25) "
             "UNION ALL SELECT 1000, 50.0, 130.0) "
-            "SELECT e.event_id, r.bin FROM events e JOIN r "
-            "ON r.lo <= e.value AND e.value < r.hi"
+            "SELECT 'band' AS variant, e.event_id AS l_id, r.bin AS r_id "
+            "FROM events e JOIN r "
+            "ON r.lo <= e.value AND e.value < r.hi "
+            "UNION ALL "
+            "SELECT 'stream', s.event_id, p.event_id "
+            "FROM events s JOIN events p ON s.user_id = p.user_id "
+            "AND s.event_type = 'signup' AND p.event_type = 'purchase' "
+            "AND epoch_ms(p.ts) - epoch_ms(s.ts) BETWEEN 0 AND 7200000"
         ),
         "scd2_history": (
             # batch leg: event-grain intervals straight off events

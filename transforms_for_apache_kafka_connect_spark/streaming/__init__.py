@@ -51,6 +51,9 @@ from transforms_for_apache_kafka_connect_spark.streaming.starview import (
     DimSpec,
     MaintainedStar,
 )
+from transforms_for_apache_kafka_connect_spark.streaming.streamjoin import (
+    interval_join,
+)
 from transforms_for_apache_kafka_connect_spark.streaming.windowed import (
     stream_windowed_into,
     windowed_aggregate,
@@ -62,6 +65,7 @@ __all__ = [
     "relay_schemas",
     "windowed_aggregate",
     "stream_windowed_into",
+    "interval_join",
     "lww_dedupe",
     "LakeTable",
     "Replayer",

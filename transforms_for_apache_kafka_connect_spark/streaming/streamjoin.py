@@ -1,0 +1,126 @@
+"""Watermarked stream-stream interval join (Structured Streaming's
+symmetric hash join, over the engine's epoch-millis convention).
+
+The reference has no streaming at all (SURVEY.md §2.3); this is the
+remaining Structured Streaming shape the engine's streaming layer
+lacked: joining two live streams on a key within an event-time band
+(clickstream enrichment, request/response stitching, signup→purchase
+attribution). Spark executes it as a StreamingSymmetricHashJoin —
+both sides exchange ONCE on the equality keys, and per-side state is
+evicted as soon as the other side's watermark passes the interval
+bound, so state stays O(key-rate × interval) regardless of stream
+length — the property that matters on an unbounded 100 TB stream.
+
+Contract (public Spark stream-stream join semantics):
+
+* both inputs carry event time as epoch millis (the envelope
+  ``timestamp`` convention); the join matches rows with equal keys
+  where ``right_ts − left_ts ∈ [lower_ms, upper_ms]``;
+* watermarks are REQUIRED on both sides for state cleanup and for any
+  outer join: an input later than its side's watermark is dropped by
+  the state store, and outer-null rows emit only once the opposite
+  watermark passes the row's interval bound — on a finite test stream
+  that means trailing unmatched rows need a watermark-advancing
+  sentinel (or a final batch pass) to flush, which is Spark's
+  documented behavior, not a defect of this wrapper;
+* the identical call on BATCH frames skips the watermarks (complete
+  data needs no lateness bound) and degenerates to a plain join with
+  the same range predicate — which is exactly the oracle the parity
+  tests and the driver gate compare against.
+
+The range predicate is expressed on the derived event-time TIMESTAMP
+columns (not the raw longs): Spark's IncrementalExecution derives the
+state-eviction watermark from time-interval conditions between two
+watermarked event-time columns — a condition on the raw longs would
+join correctly but keep state forever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_HOW = {
+    "inner": "inner",
+    "left": "leftOuter",
+    "right": "rightOuter",
+    "full": "fullOuter",
+}
+
+_L_ET = "__l_event_time"
+_R_ET = "__r_event_time"
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    keys: list[str],
+    lower_ms: int,
+    upper_ms: int,
+    how: str = "inner",
+    left_ts: str = "timestamp",
+    right_ts: str = "timestamp",
+    left_watermark: str = "10 minutes",
+    right_watermark: str = "10 minutes",
+    rsuffix: str = "_r",
+) -> DataFrame:
+    """Join ``left`` and ``right`` on equal ``keys`` where the right
+    row's event time is within ``[lower_ms, upper_ms]`` of the left
+    row's (both epoch-millis columns; negative ``lower_ms`` looks
+    backward). Key columns are emitted once; every other right column
+    that collides with a left name gets ``rsuffix``.
+
+    Works on two streams (watermarked symmetric hash join), one stream
+    + one batch frame, or two batch frames (plain join, same
+    predicate — the oracle shape).
+    """
+    if lower_ms > upper_ms:
+        raise ValueError(f"empty interval: [{lower_ms}, {upper_ms}]")
+    if how not in _HOW:
+        raise ValueError(f"how must be one of {sorted(_HOW)}, got {how!r}")
+
+    lf = left.withColumn(_L_ET, F.timestamp_millis(F.col(left_ts)))
+    rf = right.withColumn(_R_ET, F.timestamp_millis(F.col(right_ts)))
+    if lf.isStreaming:
+        lf = lf.withWatermark(_L_ET, left_watermark)
+    if rf.isStreaming:
+        rf = rf.withWatermark(_R_ET, right_watermark)
+
+    # right columns: keys join by equality (emitted once, from the
+    # coalesced join output); non-key collisions get the suffix
+    lcols = set(left.columns)
+    renames = {
+        c: c + rsuffix
+        for c in right.columns
+        if c in lcols and c not in keys
+    }
+    for old, new in renames.items():
+        rf = rf.withColumnRenamed(old, new)
+
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (lf[k] == rf[k])
+    cond = (
+        cond
+        & (
+            rf[_R_ET]
+            >= lf[_L_ET] + F.expr(f"INTERVAL {int(lower_ms)} MILLISECOND")
+        )
+        & (
+            rf[_R_ET]
+            <= lf[_L_ET] + F.expr(f"INTERVAL {int(upper_ms)} MILLISECOND")
+        )
+    )
+
+    joined = lf.join(rf, cond, _HOW[how])
+    # one output column per key (outer joins need the coalesce)
+    for k in keys:
+        joined = joined.withColumn(f"__k_{k}", F.coalesce(lf[k], rf[k]))
+    out = joined.drop(_L_ET, _R_ET)
+    for k in keys:
+        out = out.drop(lf[k]).drop(rf[k])
+        out = out.withColumnRenamed(f"__k_{k}", k)
+    # key columns first, stable order
+    rest = [c for c in out.columns if c not in keys]
+    return out.select(*keys, *rest)
