@@ -112,9 +112,32 @@ def main() -> None:
 
     # 3c. range_join: banded bucketing turns the inequality join into an
     # equi-join — no nested loop anywhere
-    p = plan_of(qs["range_join"](spark, sf_dir))
+    # r04f: qs["range_join"] became a composite whose stream leg RUNS a
+    # Structured Streaming job — audit the banded plan in isolation
+    p = plan_of(entrymod.q_range_join(spark, sf_dir))
     check("range_join: equi-join plan (no nested loop / cartesian)",
           "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p)
+
+    # 3c2. interval join (streamjoin.py), batch shape: the key equality
+    # makes it a hash/sort-merge join with the time band as a residual
+    # condition — never a nested loop; pure Column expressions
+    from pyspark.sql import functions as F
+
+    from transforms_for_apache_kafka_connect_spark.streaming import (
+        interval_join,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("timestamp"),
+    )
+    p = plan_of(interval_join(
+        ev, ev.withColumnRenamed("event_id", "rid"),
+        keys=["user_id"], lower_ms=0, upper_ms=3_600_000,
+    ))
+    check("interval join: equi-key join (no nested loop / cartesian)",
+          "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p)
+    check("interval join: no Python eval in plan", "Python" not in p)
 
     # 3d. scd2_history: lead/row_number/filter all ride ONE exchange +
     # one sort (Catalyst reuses the window frame)
@@ -353,7 +376,9 @@ def main() -> None:
     check("guarded_mask: no Python eval in plan", "Python" not in p)
 
     # 11. debezium unwrap+route chain: fused, UDF-free
-    p = fmt(qs["debezium_unwrap"](spark, sf_dir))
+    # r04e: gate key renamed to the cdc_envelopes composite; the audited
+    # plan stays the original single-variant unwrap chain
+    p = fmt(entrymod.q_debezium_unwrap(spark, sf_dir))
     check("debezium_unwrap: no Python eval in plan", "Python" not in p)
     # (formatted explain prints each operator twice: tree + detail)
     check("debezium_unwrap: single scan, no shuffle",

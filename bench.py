@@ -516,6 +516,8 @@ def time_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
         "dedup_exact": entrymod.q_dedup_exact,
         # r04c: folded into extract_ops; same single-variant timed plan
         "extract_topic": entrymod.q_extract_topic,
+        # r04e: folded into cdc_envelopes; same single-variant timed plan
+        "debezium_unwrap": entrymod.q_debezium_unwrap,
         # r04c: folded into jaccard_dups; same single-variant timed plan
         "minhash_lsh": entrymod.q_minhash_lsh,
         # r04d: pure query-layer leg — per-event labels + summary in

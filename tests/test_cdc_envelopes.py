@@ -111,6 +111,26 @@ def test_maxwell_drops_bootstrap_markers_errors_unknown(spark):
     assert len(tomb) == 1 and tomb[0]["value"] is None
 
 
+def test_missing_type_or_metadata_errors_not_silent(spark):
+    """Valid JSON with no type/operation key must land on the error
+    channel, never pass as an op-NULL envelope (review finding: NULL
+    propagation through `drop` made the unknown check dead)."""
+    doc = '{"data":{"id":1,"name":"x","balance":1.0}}'
+    mx = envelope_from_maxwell(
+        _raw(spark, [doc]), data_schema=SCHEMA, key_fields=["id"]
+    ).collect()
+    assert len(mx) == 1 and "<missing type>" in mx[0][ERROR_COL]
+    dm = envelope_from_dms(
+        _raw(spark, [doc]), data_schema=SCHEMA, key_fields=["id"]
+    ).collect()
+    assert len(dm) == 1 and "<missing operation>" in dm[0][ERROR_COL]
+    cn = envelope_from_canal(
+        _raw(spark, ['{"data":[{"id":"1"}],"database":"d","table":"t"}']),
+        data_schema=SCHEMA, key_fields=["id"],
+    ).collect()
+    assert len(cn) == 1 and "<missing type>" in cn[0][ERROR_COL]
+
+
 def test_maxwell_requires_lsn_source(spark):
     df = spark.createDataFrame([("{}",)], "value string")
     with pytest.raises(ValueError, match="LWW ordering"):

@@ -70,6 +70,19 @@ def test_batch_left_outer_and_backward_band(spark):
     assert got == EXPECTED_INNER
 
 
+def test_self_join_same_lineage(spark):
+    """Attribution within ONE stream: both sides derived from the same
+    frame must resolve (internal aliases), and a row joins itself at
+    lag 0 plus every in-band successor."""
+    ev = _clicks(spark)
+    out = interval_join(
+        ev, ev.withColumnRenamed("click_id", "next_id"),
+        keys=["user"], lower_ms=0, upper_ms=5 * MIN,
+    )
+    got = {(r["click_id"], r["next_id"]) for r in out.collect()}
+    assert got == {(10, 10), (10, 11), (11, 11), (20, 20), (30, 30)}
+
+
 def test_empty_interval_and_bad_how_rejected(spark):
     with pytest.raises(ValueError, match="empty interval"):
         interval_join(
@@ -118,8 +131,15 @@ def test_streaming_inner_parity_with_batch(spark, tmp_path):
         for r in spark.read.parquet(sink).collect()
     }
     assert got == EXPECTED_INNER
-    # the streaming plan ran a symmetric hash join with state
-    assert q.lastProgress is None or True  # progress optional after stop
+    # the streaming plan ran a stateful symmetric hash join: every
+    # completed trigger reports exactly one state operator
+    progress = [p for p in q.recentProgress if p["stateOperators"]]
+    assert progress, "no stateful operator in any trigger progress"
+    assert all(
+        op["operatorName"] == "symmetricHashJoin"
+        for p in progress
+        for op in p["stateOperators"]
+    )
 
 
 def test_streaming_drops_input_later_than_watermark(spark, tmp_path):

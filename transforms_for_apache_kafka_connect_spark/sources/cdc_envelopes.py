@@ -234,7 +234,11 @@ def envelope_from_maxwell(
         .when(typ == "delete", F.lit("d"))
         .when(typ == "bootstrap-insert", F.lit("r"))
     )
-    drop = raw_v.isNotNull() & typ.isin("bootstrap-start", "bootstrap-complete")
+    drop = F.coalesce(
+        raw_v.isNotNull()
+        & typ.isin("bootstrap-start", "bootstrap-complete"),
+        F.lit(False),
+    )
     bad = raw_v.isNotNull() & meta_bad
     unknown = F.when(
         raw_v.isNotNull() & ~bad & ~drop & op.isNull(),
@@ -253,7 +257,7 @@ def envelope_from_maxwell(
     env = _std_envelope(
         raw.withColumn("__cdc_bad", bad)
         .withColumn("__cdc_raw", raw_v)
-        .withColumn("__cdc_drop", F.coalesce(drop, F.lit(False)))
+        .withColumn("__cdc_drop", drop)
         .withColumn("__cdc_unknown", unknown),
         op=op,
         lsn=lsn_c,
@@ -450,10 +454,11 @@ def envelope_from_dms(
         .when(oper == "delete", F.lit("d"))
     )
     bad = raw_v.isNotNull() & doc_bad
-    drop = (
+    drop = F.coalesce(
         raw_v.isNotNull()
         & ~bad
-        & (meta.getField("record-type") != F.lit("data"))
+        & (meta.getField("record-type") != F.lit("data")),
+        F.lit(False),
     )
     unknown = F.when(
         raw_v.isNotNull() & ~bad & ~drop & op.isNull(),
@@ -468,7 +473,7 @@ def envelope_from_dms(
     env = _std_envelope(
         raw.withColumn("__cdc_bad", bad)
         .withColumn("__cdc_raw", raw_v)
-        .withColumn("__cdc_drop", F.coalesce(drop, F.lit(False)))
+        .withColumn("__cdc_drop", drop)
         .withColumn("__cdc_unknown", unknown),
         op=op,
         lsn=lsn_c,

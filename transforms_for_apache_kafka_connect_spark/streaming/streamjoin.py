@@ -98,29 +98,33 @@ def interval_join(
     for old, new in renames.items():
         rf = rf.withColumnRenamed(old, new)
 
+    # alias both sides so SELF-joins (attribution within one stream)
+    # resolve unambiguously — column references go through the alias,
+    # never through the (possibly shared) source lineage
+    la, ra = lf.alias("__sj_l"), rf.alias("__sj_r")
+
+    def L(c: str):
+        return F.col(f"__sj_l.{c}")
+
+    def R(c: str):
+        return F.col(f"__sj_r.{c}")
+
     cond = F.lit(True)
     for k in keys:
-        cond = cond & (lf[k] == rf[k])
+        cond = cond & (L(k) == R(k))
     cond = (
         cond
-        & (
-            rf[_R_ET]
-            >= lf[_L_ET] + F.expr(f"INTERVAL {int(lower_ms)} MILLISECOND")
-        )
-        & (
-            rf[_R_ET]
-            <= lf[_L_ET] + F.expr(f"INTERVAL {int(upper_ms)} MILLISECOND")
-        )
+        & (R(_R_ET) >= L(_L_ET) + F.expr(f"INTERVAL {int(lower_ms)} MILLISECOND"))
+        & (R(_R_ET) <= L(_L_ET) + F.expr(f"INTERVAL {int(upper_ms)} MILLISECOND"))
     )
 
-    joined = lf.join(rf, cond, _HOW[how])
-    # one output column per key (outer joins need the coalesce)
-    for k in keys:
-        joined = joined.withColumn(f"__k_{k}", F.coalesce(lf[k], rf[k]))
-    out = joined.drop(_L_ET, _R_ET)
-    for k in keys:
-        out = out.drop(lf[k]).drop(rf[k])
-        out = out.withColumnRenamed(f"__k_{k}", k)
-    # key columns first, stable order
-    rest = [c for c in out.columns if c not in keys]
-    return out.select(*keys, *rest)
+    joined = la.join(ra, cond, _HOW[how])
+    # one output column per key (outer joins need the coalesce), then
+    # project by position: left non-key columns, right non-key columns
+    lout = [c for c in lf.columns if c not in keys and c != _L_ET]
+    rout = [c for c in rf.columns if c not in keys and c != _R_ET]
+    return joined.select(
+        *[F.coalesce(L(k), R(k)).alias(k) for k in keys],
+        *[L(c).alias(c) for c in lout],
+        *[R(c).alias(c) for c in rout],
+    )
