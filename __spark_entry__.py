@@ -1970,8 +1970,54 @@ def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1.0).alias("d"),
         F.lit("-").alias("s"),
     )
+    from transforms_for_apache_kafka_connect_spark.functions import (
+        decontaminate,
+        scrub_pii,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    # decon leg: GPT-3-style n-gram decontamination — eval set = every
+    # 41st doc, train = the rest, 5-grams (13-grams never collide on
+    # this synthetic corpus); the oracle recomputes the overlap with a
+    # DuckDB list comprehension
+    dc = decontaminate(
+        docs.filter(F.col("doc_id") % 41 != 0).select("doc_id", "text"),
+        docs.filter(F.col("doc_id") % 41 == 0).select("doc_id", "text"),
+        n=5,
+    ).select(
+        F.lit("decon").alias("variant"),
+        "doc_id",
+        F.lit(-1.0).alias("a"),
+        F.lit(-1.0).alias("b"),
+        F.lit(-1.0).alias("c"),
+        F.lit(-1.0).alias("d"),
+        F.col("contaminated").cast("string").alias("s"),
+    )
+    # pii leg: synthesize PII spans into every doc, scrub with the
+    # default patterns, compare the sha256 of the scrubbed text —
+    # byte-exact regex parity across engines
+    pii_src = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com at 10.0.0.1 ssn 123-45-6789 "
+                  "tel +14155550123 end"),
+        ).alias("text"),
+    )
+    pii = scrub_pii(pii_src, ["text"]).select(
+        F.lit("pii").alias("variant"),
+        "doc_id",
+        F.lit(-1.0).alias("a"),
+        F.lit(-1.0).alias("b"),
+        F.lit(-1.0).alias("c"),
+        F.lit(-1.0).alias("d"),
+        F.sha2("text", 256).alias("s"),
+    )
     return (
         st.unionByName(lg).unionByName(qs).unionByName(bm).unionByName(rp)
+        .unionByName(dc).unionByName(pii)
     )
 
 
@@ -3644,7 +3690,36 @@ def oracle_sql() -> dict[str, str]:
             "THEN round(1.0 - CAST(g.dist AS DOUBLE) / g.total, 6) "
             "ELSE 0.0 END AS dup_ngram_frac, "
             "coalesce(tt.top_token_frac, 0.0) AS top_token_frac "
-            "FROM g LEFT JOIN tt ON g.doc_id = tt.doc_id) trep"
+            "FROM g LEFT JOIN tt ON g.doc_id = tt.doc_id) trep "
+            "UNION ALL "
+            # decon leg: n-gram (n=5) overlap vs the mod-41 eval set
+            "SELECT 'decon' AS variant, d.doc_id, -1.0 AS a, -1.0 AS b, "
+            "-1.0 AS c, -1.0 AS d, "
+            "CASE WHEN h.doc_id IS NOT NULL THEN 'true' ELSE 'false' END "
+            "AS s FROM documents d LEFT JOIN ("
+            "WITH tok AS (SELECT doc_id, "
+            r"regexp_split_to_array(lower(trim(text)), '\s+') AS w "
+            "FROM documents), "
+            "g AS (SELECT doc_id, unnest([array_to_string(w[i:i+4], ' ') "
+            "FOR i IN range(1, greatest(len(w)-3, 1))]) AS gram FROM tok), "
+            "eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 41 = 0) "
+            "SELECT DISTINCT g.doc_id FROM g JOIN eg USING (gram) "
+            "WHERE g.doc_id % 41 <> 0"
+            ") h ON d.doc_id = h.doc_id WHERE d.doc_id % 41 <> 0 "
+            "UNION ALL "
+            # pii leg: same synthesized spans, same RE2-safe patterns,
+            # same replacement order — sha256 of the scrubbed text
+            "SELECT 'pii' AS variant, doc_id, -1.0 AS a, -1.0 AS b, "
+            "-1.0 AS c, -1.0 AS d, sha256("
+            "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+            "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+            "'@example.com at 10.0.0.1 ssn 123-45-6789 "
+            "tel +14155550123 end', "
+            r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', "
+            "'<PII>', 'g'), "
+            r"'\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<PII>', 'g'), "
+            r"'\b\d{3}-\d{2}-\d{4}\b', '<PII>', 'g'), "
+            r"'\+\d{7,15}\b', '<PII>', 'g')) AS s FROM documents"
         ),
         "jaccard_dups": (
             "SELECT 'ngram' AS variant, * FROM (" + _jaccard_sql(0.6) + ") "

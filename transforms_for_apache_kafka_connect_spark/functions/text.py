@@ -267,3 +267,101 @@ def prepare_training_docs(
         (F.col("lang_detected") == lang)
         & (F.col("quality_score") >= min_quality)
     ).select(id_col, "lang_detected", "n_tokens", "quality_score")
+
+
+#: default PII patterns — deliberately conservative, RE2-compatible
+#: (no lookaround) so the same pattern text runs identically on Spark
+#: (java.util.regex) and any RE2-based oracle engine
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "intl_phone": r"\+\d{7,15}\b",
+}
+
+
+def scrub_pii(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    patterns: dict[str, str] | None = None,
+    replacement: str = "<PII>",
+) -> DataFrame:
+    """Redact PII-shaped spans (C4-style pre-training hygiene): each
+    pattern is applied as a global ``regexp_replace`` in dict order.
+
+    Scale shape: pure per-row Column expressions — zero shuffles, zero
+    Python; a 100 TB scrub is exactly the cost of one scan + rewrite.
+    Patterns stay in the conservative RE2-compatible subset (character
+    classes, bounded repeats, ``\\b``) — no lookaround — so the scrub
+    is portable across regex engines and cannot backtrack
+    pathologically on adversarial documents.
+    """
+    pats = patterns if patterns is not None else PII_PATTERNS
+    out = df
+    for c in cols:
+        expr = F.col(c)
+        for pat in pats.values():
+            expr = F.regexp_replace(expr, pat, replacement)
+        out = out.withColumn(c, expr)
+    return out
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    *,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str | None = None,
+    mode: str = "flag",
+) -> DataFrame:
+    """Eval-set decontamination by word n-gram overlap (the GPT-3-style
+    13-gram rule): a training document is contaminated iff it shares
+    at least one lowercased word ``n``-gram with ANY eval document.
+
+    ``mode='flag'`` appends boolean ``contaminated``; ``mode='drop'``
+    removes contaminated rows.
+
+    Scale shape (100 TB train corpus vs a small eval set): the eval
+    side collapses to a DISTINCT n-gram hash set and is broadcast —
+    the train side explodes to (id, gram-hash) pairs but those flow
+    scan → broadcast-semi-join → distinct(id), so the only exchange
+    carries contaminated ids (bounded by the train row count, usually
+    a tiny fraction), never the exploded grams. Gram comparison is on
+    ``xxhash64`` of the gram text: 64-bit collisions at eval-set scale
+    (≤ 10^9 grams) are ~1e-10-probable per doc and only ever
+    over-flag, which is the safe direction for decontamination.
+    """
+    if mode not in ("flag", "drop"):
+        raise ValueError(f"mode must be 'flag' or 'drop', got {mode!r}")
+    from transforms_for_apache_kafka_connect_spark.functions.dedupe import (
+        word_shingles,
+    )
+
+    ecol = eval_text_col or text_col
+    eval_grams = (
+        eval_df.select(
+            F.explode(word_shingles(F.col(ecol), n)).alias("__gram")
+        )
+        .select(F.xxhash64("__gram").alias("__gh"))
+        .distinct()
+    )
+    hit_ids = (
+        train.select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col(text_col), n)).alias("__gram"),
+        )
+        .select(id_col, F.xxhash64("__gram").alias("__gh"))
+        .join(F.broadcast(eval_grams), "__gh", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("__contaminated", F.lit(True))
+    )
+    flagged = train.join(hit_ids, id_col, "left").withColumn(
+        "contaminated", F.coalesce(F.col("__contaminated"), F.lit(False))
+    ).drop("__contaminated")
+    if mode == "drop":
+        return flagged.filter(~F.col("contaminated")).drop("contaminated")
+    return flagged
