@@ -54,6 +54,43 @@ def _bucket_expr(key_cols: list[str], n_buckets: int):
     return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
 
 
+#: lossless numeric promotion lattice (schema-JSON type names). Only
+#: these type drifts are accepted as schema evolution: the integral
+#: up-chain, float→double, and small-integral→double — every one is
+#: value-preserving AND supported as a widening read by Spark 4's
+#: Parquet readers (an int32 file scans correctly under a bigint or
+#: double read schema). long↔float/double is REFUSED: Spark's union
+#: coercion would silently pick the floating type and corrupt 2^53+
+#: longs — a CDC engine must fail loudly and demand an explicit cast.
+_INTEGRAL_RANK = {"byte": 0, "short": 1, "integer": 2, "long": 3}
+_FRACTIONAL_RANK = {"float": 0, "double": 1}
+_JSON_TO_DDL = {
+    "byte": "tinyint", "short": "smallint", "integer": "int",
+    "long": "bigint", "float": "float", "double": "double",
+}
+
+
+def _wider_json_type(name: str, a, b):
+    """Widened schema-JSON type for a clashing field, or raise."""
+    from transforms_for_apache_kafka_connect_spark.errors import (
+        SchemaEnforcementError,
+    )
+
+    if a in _INTEGRAL_RANK and b in _INTEGRAL_RANK:
+        return a if _INTEGRAL_RANK[a] >= _INTEGRAL_RANK[b] else b
+    if a in _FRACTIONAL_RANK and b in _FRACTIONAL_RANK:
+        return a if _FRACTIONAL_RANK[a] >= _FRACTIONAL_RANK[b] else b
+    small = ("byte", "short", "integer")
+    if (a in small and b == "double") or (b in small and a == "double"):
+        return "double"
+    raise SchemaEnforcementError(
+        f"incompatible type evolution on column {name!r}: table has "
+        f"{a!r}, update batch has {b!r} — not a lossless widening "
+        f"(allowed: byte→short→int→long, float→double, "
+        f"byte/short/int→double). Cast the source explicitly."
+    )
+
+
 def _is_statically_empty(df: DataFrame) -> bool:
     """True iff Catalyst proved ``df`` empty (optimized plan collapsed
     to a zero-row LocalRelation) — driver-side only, no job. Note this
@@ -1395,9 +1432,13 @@ class LakeTable:
             # every entry expired (vacuum changelog retention) or none
             # written yet: an empty result, not a schema-inference crash
             return spark.createDataFrame([], self._changelog_schema(m))
+        # explicit manifest-derived schema: skips the distributed
+        # footer-merge job AND keeps mixed-width changelogs readable
+        # after a type widening (mergeSchema refuses int-vs-long file
+        # pairs; explicit-schema reads promote the narrow files)
         df = (
             spark.read.option("basePath", chg_root)
-            .option("mergeSchema", "true")
+            .schema(self._changelog_schema(m))
             .parquet(chg_root)
         )
         committed = [(e, b) for e, b in m["committed"]]
@@ -1467,7 +1508,7 @@ class LakeTable:
         self, m, upd, *, touched, n_upd, obs, touched_rows,
         epoch, batch_id, delete_col, lineage, pre_commit,
         publish: bool = True, manifest_extra: dict[str, Any] | None = None,
-        _cache=None,
+        _cache=None, widen_map: dict[str, str] | None = None,
     ) -> dict[str, Any]:
         """Merge-on-read commit: append this batch's update rows
         (deletes as ``_deleted`` markers) without reading the target at
@@ -1539,12 +1580,19 @@ class LakeTable:
                 if files:
                     new_buckets[str(b)] = new_buckets.get(str(b), []) + files
 
-        # additive schema union: existing fields keep their order, new
-        # delta columns (incl. _deleted) append
+        # additive schema union: existing fields keep their order (but
+        # widen to the _widen_updates-resolved type — reads apply the
+        # manifest schema, and Spark 4's Parquet readers promote the
+        # old narrower files), new delta columns (incl. _deleted)
+        # append
         delta_schema = json.loads(delta.drop(BUCKET_COL).schema.json())
+        wm = widen_map or {}
         if m["schema"] is not None:
             seen = {f["name"] for f in m["schema"]["fields"]}
-            fields = m["schema"]["fields"] + [
+            fields = [
+                {**f, "type": wm[f["name"]]} if f["name"] in wm else f
+                for f in m["schema"]["fields"]
+            ] + [
                 f for f in delta_schema["fields"] if f["name"] not in seen
             ]
             schema = {**m["schema"], "fields": fields}
@@ -1975,6 +2023,65 @@ class LakeTable:
         }
         return [f for f in m["schema"]["fields"] if f["name"] not in drop]
 
+    def _widen_updates(
+        self, m: dict[str, Any], updates: DataFrame, delete_col: str
+    ) -> tuple[DataFrame, dict[str, str]]:
+        """Resolve numeric type drift between an update frame and the
+        manifest schema (merge() docstring note). Returns the frame
+        with NARROWER-than-manifest columns cast up (so written files
+        and — critically — the type-sensitive bucket hash always use
+        the manifest type) plus ``widen_map`` ({col: wider json type})
+        for columns where the MANIFEST must widen; COW picks the wider
+        type up from Spark's union coercion, the append strategy
+        applies widen_map in its manifest schema union. Raises on
+        lossy/incompatible drift, on key-column widening (old rows were
+        bucketed under the narrow type's hash — widening a key needs an
+        explicit table rebuild/rescale), and in strict schema mode."""
+        if m["schema"] is None:
+            return updates, {}
+        from transforms_for_apache_kafka_connect_spark.errors import (
+            SchemaEnforcementError,
+        )
+
+        old = {f["name"]: f["type"] for f in m["schema"]["fields"]}
+        casts: dict[str, str] = {}
+        widen_map: dict[str, str] = {}
+        for f in json.loads(updates.schema.json())["fields"]:
+            name, new_t = f["name"], f["type"]
+            old_t = old.get(name)
+            if name == delete_col or old_t is None or old_t == new_t:
+                continue
+            if not isinstance(old_t, str) or not isinstance(new_t, str):
+                raise SchemaEnforcementError(
+                    f"incompatible type evolution on column {name!r}: "
+                    f"non-primitive type drift ({old_t!r} vs {new_t!r})"
+                )
+            wide = _wider_json_type(name, old_t, new_t)
+            if wide == old_t:
+                casts[name] = wide
+            else:
+                if name in self.key_cols:
+                    raise SchemaEnforcementError(
+                        f"cannot widen key column {name!r} from {old_t!r}"
+                        f" to {new_t!r}: the bucket hash is "
+                        f"type-sensitive, existing rows were placed "
+                        f"under the {old_t!r} hash — rebuild the table "
+                        f"(or cast the source back) instead"
+                    )
+                if self.schema_mode == "strict":
+                    raise SchemaEnforcementError(
+                        f"schema_mode='strict': update column {name!r} "
+                        f"would widen the table type {old_t!r} -> "
+                        f"{wide!r} — evolve explicitly "
+                        f"(schema_mode='evolve') or cast the source"
+                    )
+                widen_map[name] = wide
+        if casts:
+            updates = updates.withColumns(
+                {n: F.col(n).cast(_JSON_TO_DDL[t]) for n, t in casts.items()}
+            )
+        return updates, widen_map
+
     def _union_schema_from(
         self,
         commit: dict[str, Any],
@@ -2105,6 +2212,17 @@ class LakeTable:
                 )
 
         spark = updates.sparkSession
+        # numeric type evolution BEFORE bucketing: xxhash64 is
+        # type-sensitive (hash(int 5) != hash(long 5)), so an update
+        # frame whose key column drifted narrower than the manifest
+        # type MUST be cast up before the bucket expression or the same
+        # logical key lands in a different bucket and LWW silently
+        # splits. Non-key columns cast up too (files are never narrower
+        # than the manifest); manifest-widening clashes are resolved in
+        # each strategy's schema union (COW gets it free from Spark's
+        # union coercion). Incompatible/lossy drifts raise here, before
+        # any write.
+        updates, widen_map = self._widen_updates(m, updates, delete_col)
         upd = updates.withColumn(BUCKET_COL, _bucket_expr(self.key_cols, self.n_buckets))
 
         # change capture consumes the update set one extra time; in the
@@ -2223,6 +2341,7 @@ class LakeTable:
                 epoch=epoch, batch_id=batch_id, delete_col=delete_col,
                 lineage=lineage, pre_commit=pre_commit, publish=publish,
                 manifest_extra=manifest_extra, _cache=chg_cache,
+                widen_map=widen_map,
             )
 
         have_target = bool(m["buckets"]) and (
