@@ -21,6 +21,11 @@ Stages (each prints a one-line summary):
     eval probe set.
 7.  **BM25 retrieval probe** — rank the kept corpus against a query
     bag, top-10.
+8.  **PII scrub + eval-set decontamination** — redact PII-shaped
+    spans, then drop every train doc sharing a 5-gram with the eval
+    probe set (GPT-3-style decontamination).
+9.  **Sequence packing** — first-fit-decreasing packing of the final
+    train set into 256-token training rows.
 
 Everything is deterministic (seeded hashes, no RNG state): re-running
 prints identical numbers.
@@ -38,6 +43,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from transforms_for_apache_kafka_connect_spark.functions import (
     add_repetition_stats,
+    decontaminate,
+    pack_sequences,
+    scrub_pii,
     add_text_stats,
     bm25_rank,
     dedup_paragraphs,
@@ -179,6 +187,26 @@ def main() -> None:
     top = bm25_rank(kept, ["merge", "window", "scan"], top_k=10).collect()
     print(f"7. bm25 top-10 for ['merge','window','scan']: "
           f"{[(r['doc_id'], r['bm25']) for r in top[:3]]} ...")
+
+    # 8. PII scrub, then decontaminate train against the eval probe
+    scrubbed = scrub_pii(train, ["text"])
+    clean = decontaminate(
+        scrubbed, probe.select("doc_id", "text"), n=5, mode="drop"
+    )
+    n_train, n_clean = train.count(), clean.count()
+    print(f"8. pii-scrubbed {n_train} train docs; decontamination "
+          f"dropped {n_train - n_clean} sharing a 5-gram with the "
+          f"{probe.count()}-doc eval probe -> {n_clean} kept")
+    assert n_clean <= n_train
+
+    # 9. pack the surviving train docs into 256-token training rows
+    packed = pack_sequences(clean, max_tokens=256)
+    n_packs = packed.select("pack_id").distinct().count()
+    util = packed.groupBy("pack_id").agg(
+        F.sum("n_tokens").alias("t")).agg(F.avg("t")).first()[0]
+    print(f"9. packed {n_clean} docs into {n_packs} sequences of "
+          f"<=256 tokens (mean fill {util:.1f})")
+    assert n_packs < n_clean
 
     spark.stop()
     print("done")
