@@ -496,6 +496,36 @@ def _q_sessionize(spark, sf_dir: str):
     )
 
 
+def _q_decontaminate(spark, sf_dir: str):
+    """5-gram decontamination of the documents corpus against a mod-41
+    eval slice: eval grams -> broadcast hash set, train grams flow
+    scan -> broadcast-semi-join -> distinct(id)."""
+    from pyspark.sql import functions as F
+
+    from transforms_for_apache_kafka_connect_spark.functions import (
+        decontaminate,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return decontaminate(
+        docs.filter(F.col("doc_id") % 41 != 0).select("doc_id", "text"),
+        docs.filter(F.col("doc_id") % 41 == 0).select("doc_id", "text"),
+        n=5,
+    )
+
+
+def _q_pack_sequences(spark, sf_dir: str):
+    """FFD sequence packing of the documents corpus into 512-token
+    training rows (one exchange on the shard key, Arrow-batched
+    packer over (id, n_tokens) pairs)."""
+    from transforms_for_apache_kafka_connect_spark.functions import (
+        pack_sequences,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_sequences(docs, max_tokens=512)
+
+
 def time_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
     import __spark_entry__ as entrymod
 
@@ -523,6 +553,9 @@ def time_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
         # r04d: pure query-layer leg — per-event labels + summary in
         # one pass over events (1 exchange + 1 combining exchange)
         "sessionize": _q_sessionize,
+        # r04g: training-prep legs (no standalone gate keys)
+        "decontaminate": _q_decontaminate,
+        "pack_sequences": _q_pack_sequences,
     }
     names = [
         "chain_fused", "hash", "filter_by_field_value_exact",
@@ -564,6 +597,9 @@ def time_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
         # (29.5 vs 29.2 s isolated, idle machine) — the composite's
         # level is the star work, not the discovery jobs.
         "joined_view",
+        # r04g: training-prep ops — decontamination (n-gram broadcast
+        # semi-join) and FFD sequence packing over documents
+        "decontaminate", "pack_sequences",
     ]
     build_inclusive = {
         "cdc_merge", "cdc_merge_mor", "data_skipping", "routed_merge",
