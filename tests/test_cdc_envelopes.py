@@ -287,3 +287,110 @@ def test_adapter_plans_have_no_python(spark):
         )
         plan = env._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ----------------------------------------------- streaming + deployment
+
+
+def test_maxwell_streaming_entry(spark, tmp_path):
+    """raw_format='maxwell' through Replayer.stream: the adapter is a
+    first-class converter boundary in the Structured Streaming path."""
+    raw = _raw(spark, MAXWELL_DOCS)
+    src = str(tmp_path / "raw")
+    raw.coalesce(1).write.parquet(src)
+    table = LakeTable(str(tmp_path / "t"), key_cols=["id"], n_buckets=4)
+    rep = Replayer(table=table, chain=Chain([]), epoch="mxs")
+    q = rep.stream(
+        spark.readStream.schema(raw.schema).parquet(src),
+        str(tmp_path / "ckpt"),
+        available_now=True,
+        raw_format="maxwell",
+        value_schema=SCHEMA,
+        key_fields=["id"],
+    )
+    q.awaitTermination(300)
+    q.stop()
+    got = {r["id"]: r["balance"] for r in table.read(spark).collect()}
+    # MAXWELL_DOCS: id=1 deleted, id=2 updated to 3.0, id=3 bootstrap
+    assert got == {2: 3.0, 3: 0.0}
+
+
+def test_stream_entry_requires_key_fields_and_rejects_framing(spark):
+    from transforms_for_apache_kafka_connect_spark.streaming.engine import (
+        prepare_stream_events,
+    )
+
+    df = _raw(spark, ["{}"])
+    with pytest.raises(ValueError, match="key_fields"):
+        prepare_stream_events(df, raw_format="dms", value_schema=SCHEMA)
+    with pytest.raises(ValueError, match="do not apply"):
+        prepare_stream_events(
+            df, raw_format="canal", value_schema=SCHEMA,
+            key_fields=["id"], confluent_framing=True,
+        )
+
+
+def test_cli_streaming_cdc_envelope(spark, tmp_path):
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    raw = _raw(spark, MAXWELL_DOCS)
+    raw.coalesce(1).write.parquet(str(tmp_path / "raw"))
+    env = dict(os.environ, PYTHONPATH=REPO)
+    out = subprocess.run(
+        [
+            sys.executable, "-m",
+            "transforms_for_apache_kafka_connect_spark",
+            "--events", str(tmp_path / "raw"),
+            "--table", str(tmp_path / "table"),
+            "--streaming",
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--cdc-envelope", "maxwell",
+            "--key-cols", "id",
+            "--value-schema", SCHEMA,
+            "--buckets", "4",
+            "--master", "local[4]",
+        ],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert _json.loads(out.stdout.strip().splitlines()[-1])["mode"] == \
+        "streaming"
+    table = LakeTable(str(tmp_path / "table"), key_cols=["id"], n_buckets=4)
+    got = {r["id"]: r["balance"] for r in table.read(spark).collect()}
+    assert got == {2: 3.0, 3: 0.0}
+
+
+def test_properties_declare_cdc_envelope(tmp_path):
+    from transforms_for_apache_kafka_connect_spark.errors import (
+        ConfigException,
+    )
+    from transforms_for_apache_kafka_connect_spark.plans.properties import (
+        converters_from_properties,
+    )
+
+    p = tmp_path / "c.properties"
+    p.write_text(
+        "source.cdc.envelope=canal\n"
+        f"value.converter.schema={SCHEMA}\n"
+        "source.cdc.key.fields=id\n"
+    )
+    conv = converters_from_properties(str(p))
+    assert conv["raw_format"] == "canal"
+    assert conv["value_schema"] == SCHEMA
+    assert conv["key_fields"] == ["id"]
+
+    bad = tmp_path / "bad.properties"
+    bad.write_text(
+        "source.cdc.envelope=maxwell\n"
+        "value.converter=org.apache.kafka.connect.json.JsonConverter\n"
+    )
+    with pytest.raises(ConfigException, match="conflicts"):
+        converters_from_properties(str(bad))
+    unknown = tmp_path / "u.properties"
+    unknown.write_text("source.cdc.envelope=goldengate\n")
+    with pytest.raises(ConfigException, match="Unknown source.cdc"):
+        converters_from_properties(str(unknown))

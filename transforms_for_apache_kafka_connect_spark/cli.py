@@ -96,6 +96,14 @@ def build_parser() -> argparse.ArgumentParser:
                     help="streaming: events are raw Avro binary; requires "
                          "--value-schema (Avro JSON, inline or a .avsc "
                          "file path)")
+    ap.add_argument("--cdc-envelope", choices=["maxwell", "canal", "dms"],
+                    default=None,
+                    help="treat the value column as a third-party CDC "
+                         "wire envelope (Maxwell / Canal FlatMessage / "
+                         "AWS DMS JSON) and normalize it to the change "
+                         "envelope: --value-schema types the row "
+                         "payload, --key-cols names its primary key "
+                         "(streaming mode)")
     ap.add_argument("--confluent-framing", action="store_true",
                     help="with --raw-avro: strip + validate the Confluent "
                          "5-byte wire frame (magic + schema id)")
@@ -502,8 +510,10 @@ def main(argv: list[str] | None = None) -> int:
         if not args.checkpoint:
             print("--streaming requires --checkpoint", file=sys.stderr)
             return 2
-        if args.raw_json and args.raw_avro:
-            print("--raw-json and --raw-avro are exclusive", file=sys.stderr)
+        if sum(map(bool, (args.raw_json, args.raw_avro,
+                          args.cdc_envelope))) > 1:
+            print("--raw-json / --raw-avro / --cdc-envelope are "
+                  "exclusive", file=sys.stderr)
             return 2
 
         def _avro_schema(s):
@@ -513,11 +523,14 @@ def main(argv: list[str] | None = None) -> int:
                     return fh.read()
             return s
 
-        raw_format = ("avro" if args.raw_avro
+        raw_format = (args.cdc_envelope if args.cdc_envelope
+                      else "avro" if args.raw_avro
                       else "json" if args.raw_json else None)
         key_schema, value_schema = args.key_schema, args.value_schema
         confluent_framing = args.confluent_framing
         writer_schemas = None
+        key_fields = (args.key_cols.split(",") if args.cdc_envelope
+                      else None)
         if raw_format == "avro":
             key_schema = _avro_schema(key_schema)
             value_schema = _avro_schema(value_schema)
@@ -537,6 +550,11 @@ def main(argv: list[str] | None = None) -> int:
                 value_schema = conv.get("value_schema")
                 confluent_framing = conv.get("confluent_framing", False)
                 writer_schemas = conv.get("writer_schemas")
+                key_fields = conv.get("key_fields") or (
+                    args.key_cols.split(",")
+                    if raw_format in ("maxwell", "canal", "dms")
+                    else None
+                )
         batch_df = spark.read.parquet(args.events)
         stream = (
             spark.readStream.schema(batch_df.schema).parquet(args.events)
@@ -549,6 +567,7 @@ def main(argv: list[str] | None = None) -> int:
             confluent_framing=confluent_framing,
             writer_schemas=writer_schemas,
             suppress_stale_ms=args.suppress_stale_ms,
+            key_fields=key_fields,
         )
         q.awaitTermination()
         print(json.dumps({"mode": "streaming", "table": args.table,

@@ -302,6 +302,33 @@ def converters_from_properties(source) -> dict:
     dict when no converter is declared.
     """
     props = _load_props(source)
+    dialect = props.get("source.cdc.envelope")
+    if dialect is not None:
+        # engine extension: third-party CDC wire envelopes (no Connect
+        # converter class exists for these) — sources/cdc_envelopes.py.
+        # ``value.converter.schema``/``.file`` types the row payload,
+        # ``source.cdc.key.fields`` names its primary key.
+        if dialect not in ("maxwell", "canal", "dms"):
+            raise ConfigException(
+                f"Unknown source.cdc.envelope: {dialect!r}. Known: "
+                "canal, dms, maxwell"
+            )
+        if "value.converter" in props or "key.converter" in props:
+            raise ConfigException(
+                "source.cdc.envelope conflicts with key/value.converter"
+                " — the envelope adapter IS the value boundary"
+            )
+        inline = props.get("value.converter.schema")
+        path = props.get("value.converter.schema.file")
+        if inline is None and path is not None:
+            with open(path) as f:
+                inline = f.read()
+        out: dict = {"raw_format": dialect, "value_schema": inline,
+                     "confluent_framing": False}
+        kf = props.get("source.cdc.key.fields")
+        if kf:
+            out["key_fields"] = [c.strip() for c in kf.split(",") if c.strip()]
+        return out
     if "value.converter" not in props and "key.converter" not in props:
         return {}
 

@@ -45,6 +45,7 @@ def prepare_stream_events(
     confluent_framing: bool = False,
     writer_schemas: dict | None = None,
     suppress_stale_ms: int | None = None,
+    key_fields: list[str] | None = None,
 ) -> DataFrame:
     """Pre-fan-out stream preparation shared by Replayer.stream and
     TopicTableRouter.stream: the converter boundary (explicit schemas
@@ -63,7 +64,9 @@ def prepare_stream_events(
     ``raw_format="json"``."""
     if raw_json and raw_format is None:
         raw_format = "json"
-    if raw_format not in (None, "json", "avro", "protobuf"):
+    if raw_format not in (
+        None, "json", "avro", "protobuf", "maxwell", "canal", "dms"
+    ):
         raise ValueError(f"unknown raw_format: {raw_format!r}")
     if raw_format is not None and value_schema is None:
         raise ValueError(
@@ -107,6 +110,31 @@ def prepare_stream_events(
             value_schema=value_schema,
             confluent_framing=confluent_framing,
         )
+    elif raw_format in ("maxwell", "canal", "dms"):
+        # third-party CDC wire envelopes (sources/cdc_envelopes.py):
+        # the boundary produces the FULL change envelope directly —
+        # value_schema types the row payload, key_fields names its
+        # primary key, the Kafka offset column is the LSN
+        if not key_fields:
+            raise ValueError(
+                f"raw_format={raw_format!r} requires key_fields= (the "
+                "payload's primary-key columns)"
+            )
+        if confluent_framing or writer_schemas or key_schema:
+            raise ValueError(
+                "confluent_framing/writer_schemas/key_schema do not "
+                f"apply to the {raw_format} envelope boundary"
+            )
+        from transforms_for_apache_kafka_connect_spark.sources import (
+            cdc_envelopes,
+        )
+
+        fn = {
+            "maxwell": cdc_envelopes.envelope_from_maxwell,
+            "canal": cdc_envelopes.envelope_from_canal,
+            "dms": cdc_envelopes.envelope_from_dms,
+        }[raw_format]
+        events = fn(events, data_schema=value_schema, key_fields=key_fields)
     if suppress_stale_ms is not None:
         # live-tailing input bound: drop redelivered/stale LSNs via
         # managed state BEFORE the per-batch chain/dedupe/merge
@@ -722,6 +750,7 @@ class Replayer:
         raw_format: str | None = None,
         confluent_framing: bool = False,
         writer_schemas: dict | None = None,
+        key_fields: list[str] | None = None,
     ):
         """Structured Streaming entry: same apply_batch via foreachBatch.
 
@@ -748,6 +777,7 @@ class Replayer:
             confluent_framing=confluent_framing,
             writer_schemas=writer_schemas,
             suppress_stale_ms=suppress_stale_ms,
+            key_fields=key_fields,
         )
         from transforms_for_apache_kafka_connect_spark.streaming.writers import (
             start_foreach_batch,
