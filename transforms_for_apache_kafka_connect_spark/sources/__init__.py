@@ -31,6 +31,7 @@ from transforms_for_apache_kafka_connect_spark.sources.cdc_envelopes import (
     envelope_from_canal,
     envelope_from_dms,
     envelope_from_maxwell,
+    envelope_to_maxwell,
 )
 from transforms_for_apache_kafka_connect_spark.sources.json_boundary import (
     envelope_from_json,
@@ -51,6 +52,7 @@ __all__ = [
     "envelope_from_maxwell",
     "envelope_from_canal",
     "envelope_from_dms",
+    "envelope_to_maxwell",
     "avro_schema_to_spark",
     "spark_to_avro_schema",
     "encode_record",

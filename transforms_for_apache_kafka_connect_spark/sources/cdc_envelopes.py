@@ -73,6 +73,7 @@ __all__ = [
     "envelope_from_maxwell",
     "envelope_from_canal",
     "envelope_from_dms",
+    "envelope_to_maxwell",
 ]
 
 
@@ -497,3 +498,116 @@ def envelope_from_dms(
         },
     )
     return _finish(env, "DMS")
+
+
+def envelope_to_maxwell(
+    env: DataFrame,
+    *,
+    database: str = "engine",
+    table: str | None = None,
+    data_fields: list[str] | None = None,
+) -> DataFrame:
+    """Standard change envelope → Maxwell wire JSON (the inverse of
+    :func:`envelope_from_maxwell`): the engine as a CDC *source* for
+    downstream Maxwell consumers, complementing relay.py's
+    Debezium-style publisher.
+
+    Emission rules (Maxwell's documented shapes):
+
+    * op c→insert, u→update, d→delete, r→bootstrap-insert;
+    * ``data`` = after-image for insert/update/bootstrap, the
+      before-image for delete (Maxwell deletes carry the deleted row);
+    * ``old`` = the changed-columns diff between before and after for
+      updates — only columns whose value differs appear, with their
+      OLD value (null-to-value and value-to-null transitions count as
+      changes, exactly what the ``json_object_keys`` overlay on the
+      decode side reconstructs);
+    * ``ts`` = envelope ``ts_ms`` floored to seconds; ``xid`` = lsn;
+    * tombstone records (null value) stay null-value records.
+
+    Output: ``(topic, partition, key, value, timestamp, headers,
+    offset)`` with ``value`` the Maxwell JSON string and ``offset``
+    carrying the LSN — feeding this straight back to
+    ``envelope_from_maxwell`` reproduces the envelope (round-trip
+    law-tested), modulo Maxwell's own lossiness: a delete's after-side
+    is gone and bootstrap rows re-enter as op 'r'.
+    """
+    vdt = env.schema["value"].dataType
+    if data_fields is None:
+        data_fields = [f.name for f in vdt["after"].dataType.fields]
+    after, before = F.col("value.after"), F.col("value.before")
+    op = F.col("value.op")
+    typ = (
+        F.when(op == "c", F.lit("insert"))
+        .when(op == "u", F.lit("update"))
+        .when(op == "d", F.lit("delete"))
+        .otherwise(F.lit("bootstrap-insert"))
+    )
+    image = F.when(op == "d", before).otherwise(after)
+    # a delete whose before-image is null (key-only changelogs) still
+    # carries its primary key: key-struct fields backfill the image
+    kdt = env.schema["key"].dataType
+    key_names = (
+        {f.name for f in kdt.fields} if isinstance(kdt, T.StructType)
+        else set()
+    )
+    data = F.struct(
+        *[
+            (
+                F.coalesce(image.getField(f), F.col("key").getField(f))
+                if f in key_names
+                else image.getField(f)
+            ).alias(f)
+            for f in data_fields
+        ]
+    )
+    # old: per changed column, a 1-key JSON fragment ("col":oldval or
+    # "col":null); to_json cannot express "present with null", so the
+    # fragments are assembled by hand and concatenated
+    def _json_scalar(col: Column) -> Column:
+        # JSON-escaped scalar: to_json only takes containers, so wrap
+        # in a 1-field struct and strip the {"x": ... } shell
+        wrapped = F.to_json(F.struct(col.alias("x")))
+        return F.when(col.isNull(), F.lit("null")).otherwise(
+            wrapped.substr(F.lit(6), F.length(wrapped) - 6)
+        )
+
+    def _old_frag(f: str) -> Column:
+        rendered = _json_scalar(before.getField(f))
+        return F.when(
+            ~before.getField(f).eqNullSafe(after.getField(f)),
+            F.concat(F.lit(f'"{f}":'), rendered),
+        )
+
+    frags = [_old_frag(f) for f in data_fields]
+    old_body = F.concat_ws(",", F.array_compact(F.array(*frags)))
+    old_json = F.when(
+        (op == "u") & before.isNotNull() & (old_body != ""),
+        F.concat(F.lit("{"), old_body, F.lit("}")),
+    )
+    tbl = F.lit(table) if table is not None else F.split(
+        F.col("topic"), r"\."
+    ).getItem(0)
+    doc = F.concat(
+        F.lit('{"database":'), _json_scalar(F.lit(database)),
+        F.lit(',"table":'), _json_scalar(tbl),
+        F.lit(',"type":"'), typ, F.lit('"'),
+        F.lit(',"ts":'),
+        F.coalesce(
+            F.floor(F.col("value.ts_ms") / 1000).cast("string"), F.lit("0")
+        ),
+        F.lit(',"xid":'), F.col("value.lsn").cast("string"),
+        F.lit(',"data":'), F.to_json(data),
+        F.when(old_json.isNotNull(), F.concat(F.lit(',"old":'), old_json))
+        .otherwise(F.lit("")),
+        F.lit("}"),
+    )
+    return env.select(
+        F.col("topic"),
+        F.col("partition"),
+        F.to_json(F.col("key")).alias("key"),
+        F.when(F.col("value").isNotNull(), doc).alias("value"),
+        F.col("timestamp"),
+        F.col("headers"),
+        F.col("value.lsn").alias("offset"),
+    )
