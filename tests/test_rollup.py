@@ -887,3 +887,128 @@ def test_rollup_moments_exactly_once(spark, tmp_path):
     rep.replay(_env(spark, events), batch_width=10, start_pos=0, max_pos=10)
     assert _mom_state(spark, roll, "1 hour") == before
     assert before[BASE][1:] == (3.0, 2.0, 2.0 ** 0.5)
+
+
+# ---------------------------------------------------- exact heavy hitters
+
+_CAT_T = T.StructType([
+    T.StructField("cat", T.StringType()),
+    T.StructField("ts_ms", T.LongType()),
+])
+_CENV_T = T.StructType([
+    T.StructField("topic", T.StringType(), False),
+    T.StructField("partition", T.IntegerType(), False),
+    T.StructField("key", T.StructType([T.StructField("k", T.StringType())])),
+    T.StructField("value", T.StructType([
+        T.StructField("op", T.StringType()),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("before", _CAT_T),
+        T.StructField("after", _CAT_T),
+    ])),
+    T.StructField("timestamp", T.LongType()),
+    T.StructField("headers", T.MapType(T.StringType(), T.StringType())),
+])
+
+
+def _cenv(spark, events):
+    rows = []
+    for lsn, k, op, cat, ts in events:
+        after = None if op == "d" else (cat, ts)
+        rows.append(("t", 0, (k,), (op, lsn, ts or 0, None, after), lsn, None))
+    return spark.createDataFrame(rows, _CENV_T)
+
+
+@pytest.fixture()
+def freq_replayed(spark, tmp_path):
+    """Keys flip categories, move buckets and die: every transition the
+    signed occurrence counts must absorb."""
+    events = [
+        # batch 0: x/x/y in hour 0, y in hour 1
+        (1, "a", "u", "x", BASE + 10),
+        (2, "b", "u", "x", BASE + 20),
+        (3, "c", "u", "y", BASE + 30),
+        (4, "d", "u", "y", BASE + HOUR + 5),
+        # batch 1: a flips x->y (count must MOVE between values),
+        # d moves hour 1 -> hour 0 keeping y
+        (11, "a", "u", "y", BASE + 10),
+        (12, "d", "u", "y", BASE + 40),
+        # batch 2: b deleted (x count drops to zero in hour 0)
+        (21, "b", "d", None, None),
+    ]
+    table = LakeTable(str(tmp_path / "t"), key_cols=["k"], n_buckets=4,
+                      merge_strategy="broadcast", changelog=True,
+                      discovery=False)
+    roll = TimeRollup(
+        root=str(tmp_path / "roll"), time_col="ts_ms",
+        granularities=["1 hour", "1 day"], freq_cols=["cat"],
+    )
+    rep = Replayer(table=table, chain=Chain([]), epoch="e",
+                   maintain=roll.specs)
+    rep.replay(_cenv(spark, events), batch_width=10, start_pos=0, max_pos=30)
+    return table, roll
+
+
+def test_topk_values_equals_recompute(spark, freq_replayed):
+    table, roll = freq_replayed
+    for gran in ("1 hour", "1 day"):
+        got = {
+            (r["bucket_ms"], r["cat"]): (r["n_occ"], r["rank"])
+            for r in roll.topk_values(spark, gran, "cat", k=10).collect()
+        }
+        # recompute: counts per (bucket, cat) over the FINAL table,
+        # same (count desc, value asc) ranking
+        rows = (
+            table.read(spark)
+            .groupBy(time_bucket("ts_ms", gran).alias("b"), "cat")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        want = {}
+        per_bucket: dict = {}
+        for r in rows:
+            per_bucket.setdefault(r["b"], []).append((r["cat"], r["n"]))
+        for b, items in per_bucket.items():
+            items.sort(key=lambda t: (-t[1], t[0]))
+            for i, (cat, n) in enumerate(items):
+                want[(b, cat)] = (n, i + 1)
+        assert got == want and got, gran
+    # final state: hour 0 has y x3 (a flipped, d moved in), x is GONE
+    h0 = {
+        r["cat"]: r["n_occ"]
+        for r in roll.topk_values(spark, "1 hour", "cat", k=5)
+        .filter(F.col("bucket_ms") == BASE).collect()
+    }
+    assert h0 == {"y": 3}
+
+
+def test_topk_k_cut_and_additivity(spark, freq_replayed):
+    table, roll = freq_replayed
+    top1 = roll.topk_values(spark, "1 hour", "cat", k=1)
+    assert top1.groupBy("bucket_ms").count().filter("count > 1").count() == 0
+    # day counts are the sum of that day's hour counts (additivity)
+    hour = roll._freq_tables[(HOUR, "cat")].read(spark)
+    day_from_hours = {
+        (r["b"], r["cat"]): r["n"]
+        for r in hour.groupBy(
+            (F.col("bucket_ms") - F.pmod(F.col("bucket_ms"), F.lit(DAY)))
+            .alias("b"), "cat",
+        ).agg(F.sum("n_occ").alias("n")).filter("n > 0").collect()
+    }
+    day = {
+        (r["bucket_ms"], r["cat"]): r["n_occ"]
+        for r in roll._freq_tables[(DAY, "cat")].read(spark)
+        .filter("n_occ > 0").collect()
+    }
+    assert day == day_from_hours
+
+
+def test_freq_cols_validation(spark, tmp_path):
+    with pytest.raises(ValueError, match="group col"):
+        TimeRollup(root=str(tmp_path / "r"), time_col="ts_ms",
+                   granularities=["1 hour"], group_cols=["cat"],
+                   freq_cols=["cat"])
+    roll = TimeRollup(root=str(tmp_path / "r2"), time_col="ts_ms",
+                      granularities=["1 hour"], freq_cols=["cat"])
+    with pytest.raises(KeyError, match="freq_cols"):
+        roll.topk_values(spark, "1 hour", "other", k=3)

@@ -118,6 +118,16 @@ class TimeRollup:
     #: buckets'. ``read`` derives ``avg_<col>``/``var_<col>``/
     #: ``std_<col>``
     moment_cols: list[str] = field(default_factory=list)
+    #: exact heavy-hitters support: one CHILD rollup per listed column,
+    #: keyed (bucket_ms, *group_cols, <col>) with a maintained signed
+    #: occurrence count — exactly self-maintainable (retractions fold
+    #: with a sign flip, like moments) and additive upward (a day
+    #:  bucket's counts are the sum of its hour buckets'). Probe with
+    #: ``topk_values``. Cardinality = buckets x distinct values: the
+    #: EXACT counting shape; at vocabularies where that table itself
+    #: would not fit, sample or pre-filter upstream — this engine
+    #: never silently approximates counts.
+    freq_cols: list[str] = field(default_factory=list)
     on_retraction: str = "error"
     n_buckets: int = 4
     count_col: str = "n_rows"
@@ -128,6 +138,7 @@ class TimeRollup:
             raise ValueError("need at least one granularity")
         seen = set()
         self.specs = []
+        self._freq_tables = {}
         for g in self.granularities:
             ms = granularity_ms(g)
             if ms in seen:
@@ -154,6 +165,27 @@ class TimeRollup:
                     on_retraction=self.on_retraction,
                 )
             )
+            for fc in self.freq_cols:
+                if fc in self.group_cols:
+                    raise ValueError(
+                        f"freq_cols entry {fc!r} is already a group col"
+                    )
+                ft = LakeTable(
+                    os.path.join(self._dir(g), f"freq={fc}"),
+                    key_cols=["bucket_ms", *self.group_cols, fc],
+                    n_buckets=self.n_buckets,
+                    discovery=False,
+                    merge_strategy="broadcast",
+                )
+                self._freq_tables[(ms, fc)] = ft
+                self.specs.append(
+                    MaintainedAggregate(
+                        table=ft,
+                        group_cols=["bucket_ms", *self.group_cols, fc],
+                        count_col="n_occ",
+                        derived={"bucket_ms": time_bucket(self.time_col, g)},
+                    )
+                )
 
     def _slug(self, granularity: str) -> str:
         return f"g={granularity_ms(granularity)}ms"
@@ -211,6 +243,36 @@ class TimeRollup:
                 for c in self.distinct_cols
             ],
             *q_exprs,
+        )
+
+    def topk_values(
+        self,
+        spark: SparkSession,
+        granularity: str,
+        col: str,
+        k: int,
+    ) -> DataFrame:
+        """Per-(bucket, group) exact top-``k`` most frequent values of
+        a ``freq_cols`` column: (bucket_ms, *group_cols, <col>, n_occ,
+        rank), rank 1 = most frequent, ties broken by value ascending
+        (deterministic). The rank filter plans as a WindowGroupLimit —
+        each map task keeps only its local top-k before the exchange,
+        so the shuffle carries O(groups x k), not the value table."""
+        from pyspark.sql import Window
+
+        ms = granularity_ms(granularity)
+        if (ms, col) not in self._freq_tables:
+            raise KeyError(f"{col!r} is not a freq_cols entry")
+        df = self._freq_tables[(ms, col)].read(spark).filter(
+            F.col("n_occ") > 0
+        )
+        w = Window.partitionBy("bucket_ms", *self.group_cols).orderBy(
+            F.desc("n_occ"), F.asc(col)
+        )
+        return (
+            df.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("bucket_ms", *self.group_cols, col, "n_occ", "rank")
         )
 
     def read_sketches(self, spark: SparkSession, granularity: str) -> DataFrame:
