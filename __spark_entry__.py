@@ -1666,6 +1666,7 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         root=os.path.join(root, "roll"), time_col="ts_ms",
         granularities=["1 hour", "1 day"], sum_cols=["val"],
         minmax_cols=["val"], moment_cols=["val"],
+        freq_cols=["event_type"],
         on_retraction="recompute",
     )
     rep = Replayer(table=table, chain=Chain([]), epoch="driver",
@@ -1694,6 +1695,28 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # sentinel, not NULL: NULL bigint round-trips as NaN
                 # through the harness's pandas conversion
                 F.lit(-1).cast("long").alias("distinct_users"),
+                F.lit("-").alias("top_value"),
+                F.lit(-1).cast("long").alias("top_rank"),
+            )
+        )
+    # exact heavy-hitters legs (freq_cols): per-bucket top-3 event
+    # types from the MAINTAINED signed occurrence counts — retractions
+    # from LWW updates/deletes and timestamp moves must net out to the
+    # final-state counts the oracle recomputes from scratch
+    for name, gran in (("topk_hour", "1 hour"), ("topk_day", "1 day")):
+        legs.append(
+            roll.topk_values(spark, gran, "event_type", k=3).select(
+                F.lit(name).alias("variant"),
+                "bucket_ms",
+                F.col("n_occ").alias("n_rows"),
+                F.lit(-1.0).alias("sum_val"),
+                F.lit(-1.0).alias("min_val"),
+                F.lit(-1.0).alias("max_val"),
+                F.lit(-1.0).alias("avg_val"),
+                F.lit(-1.0).alias("std_val"),
+                F.lit(-1).cast("long").alias("distinct_users"),
+                F.col("event_type").alias("top_value"),
+                F.col("rank").cast("long").alias("top_rank"),
             )
         )
     # distinct legs: an append-only rollup (events keyed by their own
@@ -1755,6 +1778,8 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(-1.0).alias("avg_val"),
                 F.lit(-1.0).alias("std_val"),
                 F.col("approx_distinct_user_id").alias("distinct_users"),
+                F.lit("-").alias("top_value"),
+                F.lit(-1).cast("long").alias("top_rank"),
             )
         )
     out = legs[0]
@@ -3559,7 +3584,8 @@ def oracle_sql() -> dict[str, str]:
             "min(value) AS min_val, max(value) AS max_val, "
             "round(avg(value), 4) AS avg_val, "
             "coalesce(round(stddev_samp(value), 4), -1.0) AS std_val, "
-            "CAST(-1 AS BIGINT) AS distinct_users "
+            "CAST(-1 AS BIGINT) AS distinct_users, "
+            "'-' AS top_value, CAST(-1 AS BIGINT) AS top_rank "
             "FROM lww GROUP BY 1, 2 "
             "UNION ALL "
             "SELECT 'day' AS variant, ts_ms - (ts_ms % 86400000) AS bucket_ms, "
@@ -3567,8 +3593,34 @@ def oracle_sql() -> dict[str, str]:
             "min(value) AS min_val, max(value) AS max_val, "
             "round(avg(value), 4) AS avg_val, "
             "coalesce(round(stddev_samp(value), 4), -1.0) AS std_val, "
-            "CAST(-1 AS BIGINT) AS distinct_users "
+            "CAST(-1 AS BIGINT) AS distinct_users, "
+            "'-' AS top_value, CAST(-1 AS BIGINT) AS top_rank "
             "FROM lww GROUP BY 1, 2 "
+            # heavy-hitters legs: top-3 event types per bucket over the
+            # final LWW state, (count DESC, value ASC) ranking — must
+            # equal the MAINTAINED signed occurrence counts
+            "UNION ALL "
+            "SELECT variant, bucket_ms, n_rows, -1.0 AS sum_val, "
+            "-1.0 AS min_val, -1.0 AS max_val, -1.0 AS avg_val, "
+            "-1.0 AS std_val, CAST(-1 AS BIGINT) AS distinct_users, "
+            "top_value, top_rank FROM ("
+            "SELECT 'topk_hour' AS variant, "
+            "ts_ms - (ts_ms % 3600000) AS bucket_ms, "
+            "count(*) AS n_rows, event_type AS top_value, "
+            "row_number() OVER (PARTITION BY ts_ms - (ts_ms % 3600000) "
+            "ORDER BY count(*) DESC, event_type ASC) AS top_rank "
+            "FROM lww GROUP BY 2, 4) t WHERE top_rank <= 3 "
+            "UNION ALL "
+            "SELECT variant, bucket_ms, n_rows, -1.0 AS sum_val, "
+            "-1.0 AS min_val, -1.0 AS max_val, -1.0 AS avg_val, "
+            "-1.0 AS std_val, CAST(-1 AS BIGINT) AS distinct_users, "
+            "top_value, top_rank FROM ("
+            "SELECT 'topk_day' AS variant, "
+            "ts_ms - (ts_ms % 86400000) AS bucket_ms, "
+            "count(*) AS n_rows, event_type AS top_value, "
+            "row_number() OVER (PARTITION BY ts_ms - (ts_ms % 86400000) "
+            "ORDER BY count(*) DESC, event_type ASC) AS top_rank "
+            "FROM lww GROUP BY 2, 4) t WHERE top_rank <= 3 "
             # distinct legs: append-only rollup over ALL events; the
             # maintained HLL sketch is exact at this cardinality
             "UNION ALL "
@@ -3577,7 +3629,8 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_rows, -1.0 AS sum_val, "
             "-1.0 AS min_val, -1.0 AS max_val, "
             "-1.0 AS avg_val, -1.0 AS std_val, "
-            "count(DISTINCT user_id) AS distinct_users "
+            "count(DISTINCT user_id) AS distinct_users, "
+            "'-' AS top_value, CAST(-1 AS BIGINT) AS top_rank "
             "FROM events WHERE event_id % 5 = 0 GROUP BY 1, 2 "
             "UNION ALL "
             "SELECT 'distinct_day' AS variant, "
@@ -3585,7 +3638,8 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_rows, -1.0 AS sum_val, "
             "-1.0 AS min_val, -1.0 AS max_val, "
             "-1.0 AS avg_val, -1.0 AS std_val, "
-            "count(DISTINCT user_id) AS distinct_users "
+            "count(DISTINCT user_id) AS distinct_users, "
+            "'-' AS top_value, CAST(-1 AS BIGINT) AS top_rank "
             "FROM events WHERE event_id % 5 = 0 GROUP BY 1, 2"
         ),
         "text_analysis": (

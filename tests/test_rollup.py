@@ -1003,6 +1003,23 @@ def test_topk_k_cut_and_additivity(spark, freq_replayed):
     assert day == day_from_hours
 
 
+def test_read_unaffected_by_freq_specs(spark, freq_replayed):
+    # freq specs interleave into .specs; table()/read() must still
+    # resolve the MAIN rollup table for every granularity (a zip over
+    # (granularities, specs) misaligned once freq_cols existed)
+    table, roll = freq_replayed
+    for gran in ("1 hour", "1 day"):
+        got = {r["bucket_ms"]: r["n_rows"]
+               for r in roll.read(spark, gran).collect()}
+        want = {
+            r["b"]: r["n"]
+            for r in table.read(spark)
+            .groupBy(time_bucket("ts_ms", gran).alias("b"))
+            .agg(F.count("*").alias("n")).collect()
+        }
+        assert got == want and got, gran
+
+
 def test_freq_cols_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="group col"):
         TimeRollup(root=str(tmp_path / "r"), time_col="ts_ms",

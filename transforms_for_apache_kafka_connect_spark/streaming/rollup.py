@@ -138,6 +138,7 @@ class TimeRollup:
             raise ValueError("need at least one granularity")
         seen = set()
         self.specs = []
+        self._tables = {}
         self._freq_tables = {}
         for g in self.granularities:
             ms = granularity_ms(g)
@@ -151,6 +152,7 @@ class TimeRollup:
                 discovery=False,
                 merge_strategy="broadcast",
             )
+            self._tables[ms] = table
             self.specs.append(
                 MaintainedAggregate(
                     table=table,
@@ -195,10 +197,9 @@ class TimeRollup:
 
     def table(self, granularity: str) -> LakeTable:
         ms = granularity_ms(granularity)
-        for g, spec in zip(self.granularities, self.specs):
-            if granularity_ms(g) == ms:
-                return spec.table
-        raise KeyError(granularity)
+        if ms not in self._tables:
+            raise KeyError(granularity)
+        return self._tables[ms]
 
     def read(
         self,
