@@ -326,6 +326,57 @@ def main() -> None:
           and p.find("partial_max_by") > p.find("Exchange"))
     golden_check(check, "mor read plan", "mor_read_plan_golden.txt", p)
 
+    # 7b. heavy-hitters probe: topk_values must plan a WindowGroupLimit
+    # BELOW the exchange (each map task keeps its local top-k before the
+    # shuffle) — the property that keeps the probe O(groups x k) when
+    # the maintained value table is huge
+    from pyspark.sql import types as _T
+    from transforms_for_apache_kafka_connect_spark.streaming.rollup import TimeRollup
+
+    _cenv_t = _T.StructType([
+        _T.StructField("topic", _T.StringType(), False),
+        _T.StructField("partition", _T.IntegerType(), False),
+        _T.StructField("key", _T.StructType([_T.StructField("k", _T.StringType())])),
+        _T.StructField("value", _T.StructType([
+            _T.StructField("op", _T.StringType()),
+            _T.StructField("lsn", _T.LongType()),
+            _T.StructField("ts_ms", _T.LongType()),
+            _T.StructField("before", _T.StructType([
+                _T.StructField("cat", _T.StringType()),
+                _T.StructField("ts_ms", _T.LongType())])),
+            _T.StructField("after", _T.StructType([
+                _T.StructField("cat", _T.StringType()),
+                _T.StructField("ts_ms", _T.LongType())])),
+        ])),
+        _T.StructField("timestamp", _T.LongType()),
+        _T.StructField("headers", _T.MapType(_T.StringType(), _T.StringType())),
+    ])
+    _base = 1_700_000_000_000
+    _cenv = spark.createDataFrame(
+        [("t", 0, (str(i),), ("u", i, _base + i, None,
+                              ("abc"[i % 3], _base + i)), i, None)
+         for i in range(1, 7)],
+        _cenv_t,
+    )
+    _rroot = _tf.mkdtemp()
+    _rt = LakeTable(_rroot + "/t", key_cols=["k"], n_buckets=2,
+                    discovery=False, merge_strategy="broadcast",
+                    changelog=True)
+    _roll = TimeRollup(root=_rroot + "/roll", time_col="ts_ms",
+                       granularities=["1 hour"], freq_cols=["cat"],
+                       n_buckets=2)
+    Replayer(table=_rt, chain=Chain([]), epoch="audit_tk",
+             maintain=_roll.specs).replay(
+        _cenv, batch_width=10, start_pos=0, max_pos=10)
+    p = fmt(_roll.topk_values(spark, "1 hour", "cat", k=3))
+    check("rollup topk_values: partial WindowGroupLimit below the exchange",
+          re.search(r"row_number\(\), \d+, Partial", p) is not None,
+          "map-side top-k cut")
+    _n_ex = len(re.findall(r"\(\d+\) Exchange", p))
+    check("rollup topk_values: single hash exchange",
+          _n_ex == 1 and "hashpartitioning(bucket_ms" in p,
+          f"exchanges={_n_ex}")
+
     # 8. ngram jaccard default path: band-blocked, never an all-pairs product
     p = plan_of(entrymod.q_ngram_jaccard(spark, sf_dir))  # folded into jaccard_dups in r04c
     check("ngram_jaccard default: no CartesianProduct / BNLJ",
