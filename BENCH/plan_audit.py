@@ -377,6 +377,21 @@ def main() -> None:
           _n_ex == 1 and "hashpartitioning(bucket_ms" in p,
           f"exchanges={_n_ex}")
 
+    # 7c. state-parity checksum: ONE exchange, partial bit_xor/count
+    # below it (map-side combine) — the property that lets a 100 TB
+    # table reduce to n_buckets checksum rows in a single pass
+    from transforms_for_apache_kafka_connect_spark.streaming import (
+        table_checksum,
+    )
+
+    p = fmt(table_checksum(spark, _rt))
+    _n_ex = len(re.findall(r"\(\d+\) Exchange", p))
+    check("table_checksum: single exchange",
+          _n_ex == 1, f"exchanges={_n_ex}")
+    check("table_checksum: map-side partial bit_xor (combine before shuffle)",
+          "partial_bit_xor" in p, "partial aggregation in effect")
+    check("table_checksum: no Python eval", "Python" not in p)
+
     # 8. ngram jaccard default path: band-blocked, never an all-pairs product
     p = plan_of(entrymod.q_ngram_jaccard(spark, sf_dir))  # folded into jaccard_dups in r04c
     check("ngram_jaccard default: no CartesianProduct / BNLJ",

@@ -1792,7 +1792,18 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot time travel (LakeTable.read(version=...)): replay the
     changelog in two commits split at the midpoint LSN, then read BOTH
     the historical version-1 snapshot and the current state as variant
-    legs; the oracle replays each prefix with LWW SQL."""
+    legs; the oracle replays each prefix with LWW SQL.
+
+    r04h adds a ``diff`` leg — state-parity verification
+    (streaming/verify.py table_diff, the pt-table-checksum shape): the
+    current state is compared against a deliberately PERTURBED expected
+    frame (keys user_id%97==0 deleted, event_type tampered for
+    user_id%89==0); the emitted rows are the exact symmetric
+    difference with each row's canonical sha256, which the oracle
+    recomputes independently in SQL — certifying both the bucket
+    checksum routing and the cross-engine row-digest encoding."""
+    from transforms_for_apache_kafka_connect_spark.streaming import table_diff
+
     stream = _events_as_change_stream(spark, sf_dir)
     max_id = stream.agg(F.max("timestamp")).first()[0] or 0
     mid = max_id // 2
@@ -1811,7 +1822,26 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     v1 = table.read(spark, version=1).select(F.lit("v1").alias("variant"), *cols)
     cur = table.read(spark).select(F.lit("current").alias("variant"), *cols)
-    return v1.unionByName(cur)
+    state = table.read(spark)
+    expected = state.filter(F.col("user_id") % 97 != 0).withColumn(
+        "event_type",
+        F.when(F.col("user_id") % 89 == 0, F.lit("TAMPERED"))
+        .otherwise(F.col("event_type")),
+    )
+    # digest user_id + event_type only: both sides of the oracle must
+    # reproduce the canonical string encoding, and doubles don't format
+    # identically across engines
+    diff = table_diff(
+        spark, table, expected, cols=["user_id", "event_type"]
+    ).select(
+        F.lit("diff").alias("variant"),
+        "user_id",
+        F.lit(-1).cast("long").alias("last_event_id"),
+        F.concat(F.col("side"), F.lit(":"), F.col("row_sha256"))
+        .alias("event_type"),
+        F.lit(-1.0).alias("val"),
+    )
+    return v1.unionByName(cur).unionByName(diff)
 
 
 # --------------------------------------------- training-data pipeline ops
@@ -3534,7 +3564,36 @@ def oracle_sql() -> dict[str, str]:
             "event_type, value AS val FROM ("
             "SELECT *, row_number() OVER (PARTITION BY user_id "
             "ORDER BY event_id DESC) AS rn FROM events) t "
-            "WHERE rn = 1 AND event_type <> 'error'"
+            "WHERE rn = 1 AND event_type <> 'error' "
+            # diff leg: independent recompute of the symmetric
+            # difference AND of each row's canonical digest
+            # (name:Vlen:value; encoding — must match row_digest)
+            "UNION ALL "
+            "SELECT 'diff' AS variant, user_id, "
+            "CAST(-1 AS BIGINT) AS last_event_id, "
+            "side || ':' || d AS event_type, -1.0 AS val FROM ("
+            "WITH cur2 AS (SELECT user_id, event_type FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY user_id "
+            "ORDER BY event_id DESC) AS rn FROM events) t "
+            "WHERE rn = 1 AND event_type <> 'error'), "
+            "exp2 AS (SELECT user_id, CASE WHEN user_id % 89 = 0 "
+            "THEN 'TAMPERED' ELSE event_type END AS event_type "
+            "FROM cur2 WHERE user_id % 97 <> 0), "
+            "td AS (SELECT user_id, sha256("
+            "'user_id:V' || length(CAST(user_id AS VARCHAR)) || ':' "
+            "|| CAST(user_id AS VARCHAR) || ';event_type:V' "
+            "|| length(event_type) || ':' || event_type || ';') AS d "
+            "FROM cur2), "
+            "ed AS (SELECT user_id, sha256("
+            "'user_id:V' || length(CAST(user_id AS VARCHAR)) || ':' "
+            "|| CAST(user_id AS VARCHAR) || ';event_type:V' "
+            "|| length(event_type) || ':' || event_type || ';') AS d "
+            "FROM exp2) "
+            "SELECT 'table' AS side, user_id, d FROM td "
+            "WHERE d NOT IN (SELECT d FROM ed) "
+            "UNION ALL "
+            "SELECT 'expected' AS side, user_id, d FROM ed "
+            "WHERE d NOT IN (SELECT d FROM td)) sdiff"
         ),
         "dedupe_exact_fp": (
             f"WITH b AS ({_DUPS_SQL}), "

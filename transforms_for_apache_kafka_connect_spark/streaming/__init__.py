@@ -18,6 +18,12 @@ from transforms_for_apache_kafka_connect_spark.streaming.relay import (
     publish_changelog,
     relay_schemas,
 )
+from transforms_for_apache_kafka_connect_spark.streaming.verify import (
+    row_digest,
+    table_checksum,
+    table_diff,
+    verify_state,
+)
 from transforms_for_apache_kafka_connect_spark.streaming.dlq import (
     read_dlq,
     retry_dlq,
@@ -92,4 +98,8 @@ __all__ = [
     "time_bucket",
     "read_dlq",
     "retry_dlq",
+    "row_digest",
+    "table_checksum",
+    "table_diff",
+    "verify_state",
 ]
