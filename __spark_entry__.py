@@ -2498,7 +2498,50 @@ def q_boundary_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         _val_str("val").alias("val_s"), "props",
         F.col("schema_id").cast("string").alias("off"),
     )
-    return kb.unionByName(jb).unionByName(ab).unionByName(pb)
+    gp = q_sequence_gaps(spark, sf_dir).select(
+        F.lit("gaps").alias("variant"),
+        F.col("gap_from").alias("event_id"),
+        F.col("gap_to").alias("user_id"),
+        F.col("kind").alias("event_type"),
+        F.col("missing").cast("string").alias("val_s"),
+        F.col("topic").alias("props"),
+        F.col("partition").cast("string").alias("off"),
+    )
+    return kb.unionByName(jb).unionByName(ab).unionByName(pb).unionByName(gp)
+
+
+def q_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-continuity checking (streaming/gaps.py): three synthetic
+    partitions derived from the dense event_id space —
+
+    * p0: ids with %13 holes punched plus %41 re-deliveries → intra-
+      batch ``gap`` + ``duplicate`` rows (state -1: clean head);
+    * p1: all ids against tracked last_seq=50 → ``rewind``;
+    * p2: ids >= 10 against tracked last_seq=5 → ``head_gap`` 6..9.
+
+    The oracle rebuilds the identical three partitions and classifies
+    with the same lag-window logic in SQL."""
+    from transforms_for_apache_kafka_connect_spark.streaming import sequence_gaps
+
+    ids = _read(spark, sf_dir, "events").select("event_id")
+    p0 = (
+        ids.filter(F.col("event_id") % 13 != 0)
+        .unionAll(ids.filter(F.col("event_id") % 41 == 0))
+        .select(F.lit(0).alias("partition"), F.col("event_id").alias("lsn"))
+    )
+    p1 = ids.select(F.lit(1).alias("partition"), F.col("event_id").alias("lsn"))
+    p2 = ids.filter(F.col("event_id") >= 10).select(
+        F.lit(2).alias("partition"), F.col("event_id").alias("lsn")
+    )
+    env = (
+        p0.unionByName(p1).unionByName(p2)
+        .withColumn("topic", F.lit("events"))
+    )
+    state = spark.createDataFrame(
+        [("events", 0, -1), ("events", 1, 50), ("events", 2, 5)],
+        "topic string, partition int, last_seq long",
+    )
+    return sequence_gaps(env, seq="lsn", start_after=state)
 
 
 def q_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3960,7 +4003,41 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT 'proto' AS variant, event_id, user_id, event_type, "
             "CAST(CAST(FLOOR(value*10000) AS BIGINT) AS VARCHAR) AS val_s, "
-            "props, '11' AS off FROM events"
+            "props, '11' AS off FROM events "
+            # gaps leg: identical partition construction, identical
+            # lag-window classification (streaming/gaps.py semantics)
+            "UNION ALL "
+            "SELECT 'gaps' AS variant, gap_from AS event_id, "
+            "gap_to AS user_id, kind AS event_type, "
+            "CAST(missing AS VARCHAR) AS val_s, 'events' AS props, "
+            "CAST(part AS VARCHAR) AS off FROM ("
+            "WITH s AS ("
+            "SELECT 0 AS part, event_id AS seq FROM events "
+            "WHERE event_id % 13 <> 0 "
+            "UNION ALL SELECT 0, event_id FROM events WHERE event_id % 41 = 0 "
+            "UNION ALL SELECT 1, event_id FROM events "
+            "UNION ALL SELECT 2, event_id FROM events WHERE event_id >= 10), "
+            "st AS (SELECT * FROM (VALUES (0, -1), (1, 50), (2, 5)) "
+            "t(part, last_seq)), "
+            "l AS (SELECT s.part, seq, "
+            "lag(seq) OVER (PARTITION BY s.part ORDER BY seq) AS prev, "
+            "st.last_seq AS lastq FROM s LEFT JOIN st ON s.part = st.part), "
+            "k AS (SELECT *, CASE "
+            "WHEN prev IS NOT NULL AND seq = prev THEN 'duplicate' "
+            "WHEN prev IS NOT NULL AND seq - prev > 1 THEN 'gap' "
+            "WHEN prev IS NULL AND lastq IS NOT NULL AND seq > lastq + 1 "
+            "THEN 'head_gap' "
+            "WHEN prev IS NULL AND lastq IS NOT NULL AND seq <= lastq "
+            "THEN 'rewind' END AS kind FROM l) "
+            "SELECT part, kind, "
+            "CASE WHEN kind IN ('duplicate', 'rewind') THEN seq "
+            "WHEN kind = 'gap' THEN prev + 1 ELSE lastq + 1 END AS gap_from, "
+            "CASE WHEN kind = 'duplicate' THEN seq "
+            "WHEN kind = 'rewind' THEN lastq ELSE seq - 1 END AS gap_to, "
+            "CASE WHEN kind IN ('duplicate', 'rewind') THEN 0 "
+            "WHEN kind = 'gap' THEN seq - prev - 1 "
+            "ELSE seq - lastq - 1 END AS missing "
+            "FROM k WHERE kind IS NOT NULL) ganom"
         ),
         "windowed_agg": (
             # tumble leg: 1-day epoch-aligned windows by event_type;

@@ -18,6 +18,10 @@ from transforms_for_apache_kafka_connect_spark.streaming.relay import (
     publish_changelog,
     relay_schemas,
 )
+from transforms_for_apache_kafka_connect_spark.streaming.gaps import (
+    SequenceTracker,
+    sequence_gaps,
+)
 from transforms_for_apache_kafka_connect_spark.streaming.verify import (
     row_digest,
     table_checksum,
@@ -98,6 +102,8 @@ __all__ = [
     "time_bucket",
     "read_dlq",
     "retry_dlq",
+    "SequenceTracker",
+    "sequence_gaps",
     "row_digest",
     "table_checksum",
     "table_diff",
