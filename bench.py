@@ -608,7 +608,9 @@ def time_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
         # r04d: the gate entry became a batch+maintained composite — the
         # maintained leg replays a 3-commit table, so the leg is now
         # build-inclusive (r03's 0.6 s was the pure event-grain query);
-        # time_rollup likewise gained moment/avg/std legs in r04d
+        # time_rollup likewise gained moment/avg/std legs in r04d and
+        # heavy-hitters freq legs (2 more maintained tables + topk
+        # probes) in r04h — compare across rounds with that in mind
         "scd2_history",
         "joined_view",
     }
