@@ -1262,12 +1262,72 @@ def q_cdc_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep = Replayer(table=table, chain=Chain([]), epoch="driver")
     rep.bootstrap(snapshot, snapshot_lsn=cut)
     rep.replay(stream, batch_width=max(1, (max_id + 3) // 3), max_pos=max_id + 1)
-    return table.read(spark).select(
+    fence = table.read(spark).select(
+        F.lit("fence").alias("variant"),
         "user_id",
         F.col("_lsn").alias("last_event_id"),
         "event_type",
         "val",
     )
+
+    # chunked leg (r04h): DBLog-style incremental snapshot — the stream
+    # NEVER pauses; two key-range chunks land between live batches,
+    # each read at the then-current source position (the freshness
+    # precondition streaming/snapshot.py enforces). A chunk-landed key
+    # untouched afterwards carries the chunk's position as its _lsn
+    # (greatest(winner, cutoff) in the oracle); any later event
+    # supersedes it.
+    from transforms_for_apache_kafka_connect_spark.streaming import (
+        IncrementalSnapshot,
+    )
+
+    c2 = (max_id * 3) // 4
+    half_u = stream.agg(
+        F.floor(F.max("key.user_id") / 2).cast("long")
+    ).first()[0]
+
+    def state_at(pos):
+        return (
+            stream.filter(
+                F.col("value").isNotNull() & (F.col("value.lsn") <= pos)
+            )
+            .groupBy("key")
+            .agg(F.max_by(F.col("value"), F.col("value.lsn")).alias("v"))
+            .filter(F.col("v.op") != "d")
+            .select(F.col("key.user_id").alias("user_id"), "v.after.*")
+        )
+
+    table2 = LakeTable(
+        os.path.join(root, "t2"), key_cols=["user_id"], n_buckets=16,
+        discovery=False, merge_strategy="broadcast", changelog=True,
+    )
+    rep2 = Replayer(table=table2, chain=Chain([]), epoch="driver")
+    snap2 = IncrementalSnapshot(replayer=rep2)
+
+    def slice_of(lo, hi):
+        return stream.filter(
+            (F.col("timestamp") > lo) & (F.col("timestamp") <= hi)
+        )
+
+    rep2.apply_batch(slice_of(-1, cut), 0)
+    snap2.apply_chunk(
+        state_at(cut).filter(F.col("user_id") < half_u),
+        chunk_id=0, low_lsn=cut,
+    )
+    rep2.apply_batch(slice_of(cut, c2), 1)
+    snap2.apply_chunk(
+        state_at(c2).filter(F.col("user_id") >= half_u),
+        chunk_id=1, low_lsn=c2,
+    )
+    rep2.apply_batch(slice_of(c2, max_id), 2)
+    chunked = table2.read(spark).select(
+        F.lit("chunked").alias("variant"),
+        "user_id",
+        F.col("_lsn").alias("last_event_id"),
+        "event_type",
+        "val",
+    )
+    return fence.unionByName(chunked)
 
 
 def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3472,18 +3532,32 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY event_type"
         ),
         "cdc_bootstrap": (
-            # snapshot fence stamping: winners at or below the midpoint
-            # LSN carry the snapshot LSN itself (Debezium stamps the
-            # single snapshot position); later winners keep their own id
+            # fence leg: winners at or below the midpoint LSN carry the
+            # snapshot LSN itself (Debezium stamps the single snapshot
+            # position); later winners keep their own id.
+            # chunked leg: per key-range chunk position stamping — a
+            # chunk-landed key untouched afterwards carries its chunk's
+            # read position (greatest(winner, cutoff)), everything else
+            # its own winner id
             "WITH cut AS (SELECT CAST(FLOOR(MAX(event_id) / 2.0) AS BIGINT) "
-            "AS s FROM events) "
-            "SELECT user_id, "
+            "AS s, CAST(FLOOR(MAX(event_id) * 3 / 4.0) AS BIGINT) AS c2 "
+            "FROM events), "
+            "hu AS (SELECT CAST(FLOOR(MAX(user_id) / 2.0) AS BIGINT) AS h "
+            "FROM events), "
+            "win AS (SELECT * FROM (SELECT *, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY event_id DESC) AS rn "
+            "FROM events) t WHERE rn = 1 AND event_type <> 'error') "
+            "SELECT 'fence' AS variant, user_id, "
             "CASE WHEN event_id <= (SELECT s FROM cut) "
             "THEN (SELECT s FROM cut) ELSE event_id END AS last_event_id, "
-            "event_type, value AS val "
-            "FROM (SELECT *, row_number() OVER "
-            "(PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events) t "
-            "WHERE rn = 1 AND event_type <> 'error'"
+            "event_type, value AS val FROM win "
+            "UNION ALL "
+            "SELECT 'chunked' AS variant, user_id, "
+            "CASE WHEN user_id < (SELECT h FROM hu) "
+            "THEN greatest(event_id, (SELECT s FROM cut)) "
+            "ELSE greatest(event_id, (SELECT c2 FROM cut)) END "
+            "AS last_event_id, "
+            "event_type, value AS val FROM win"
         ),
         "lookup_many": (
             "SELECT user_id, event_id AS last_event_id, event_type, value AS val "

@@ -572,6 +572,11 @@ def time_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
         # batched point lookups over a replayed table (multi-get)
         "lookup_many",
         # initial-snapshot bootstrap -> incremental handoff (LSN fence)
+        # r04h scope change: the gate entry became a fence+chunked
+        # composite — the leg now ALSO runs a DBLog-style incremental
+        # snapshot (second changelog table, two chunks interleaved with
+        # three live batches); compare to earlier rounds with that in
+        # mind
         "cdc_bootstrap",
         # change capture + incremental view maintenance from the changelog
         "incremental_agg",

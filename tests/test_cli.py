@@ -582,3 +582,56 @@ def test_cli_patch_semantics(spark, tmp_path):
         ).read(spark).collect()
     }
     assert got2 == got
+
+
+def test_cli_checksum_and_diff(spark, tmp_path, capsys):
+    import json as _json
+
+    from transforms_for_apache_kafka_connect_spark.cli import main
+
+    events = change_stream(spark, 1_000, n_repos=10, paths_per_repo=4)
+    events.write.mode("overwrite").parquet(str(tmp_path / "events"))
+    root_a, root_b = str(tmp_path / "a"), str(tmp_path / "b")
+    for root in (root_a, root_b):
+        assert main(["--table", root, "--buckets", "4", "--batches", "2",
+                     "--events", str(tmp_path / "events")]) == 0
+    capsys.readouterr()
+
+    def last_json():
+        return _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    # same replay -> same fingerprint; a tampered state -> different
+    sums = []
+    for root in (root_a, root_b):
+        assert main(["--table", root, "--buckets", "4",
+                     "--maintenance", "checksum"]) == 0
+        sums.append(last_json())
+    assert sums[0]["table_sha256"] == sums[1]["table_sha256"]
+    assert sums[0]["n_rows"] > 0
+
+    # diff against the twin lake root: match
+    assert main(["--table", root_a, "--buckets", "4",
+                 "--maintenance", "diff", "--expected", root_b]) == 0
+    assert last_json()["match"] is True
+
+    # diff against a tampered parquet snapshot: the dropped key surfaces
+    cur = LakeTable(root_a, n_buckets=4).read(spark)
+    victim = cur.orderBy("repo", "path").first()
+    cur.filter(
+        ~((cur.repo == victim["repo"]) & (cur.path == victim["path"]))
+    ).write.parquet(str(tmp_path / "exp"))
+    assert main(["--table", root_a, "--buckets", "4",
+                 "--maintenance", "diff",
+                 "--expected", str(tmp_path / "exp")]) == 0
+    out = last_json()
+    assert out["match"] is False
+    assert [(r["side"], r["repo"], r["path"]) for r in out["rows"]] == [
+        ("table", victim["repo"], victim["path"])
+    ]
+
+    # user errors exit 2, never a traceback
+    assert main(["--table", root_a, "--buckets", "4",
+                 "--maintenance", "diff"]) == 2
+    assert main(["--table", root_a, "--buckets", "4",
+                 "--maintenance", "diff", "--expected", root_b,
+                 "--diff-cols", "content"]) == 2

@@ -118,7 +118,8 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--maintenance",
                     choices=["compact", "vacuum", "rescale", "lookup",
                              "publish", "stats", "delete-where",
-                             "tag", "drop-tag", "relay", "retry-dlq"],
+                             "tag", "drop-tag", "relay", "retry-dlq",
+                             "checksum", "diff"],
                     default=None,
                     help="run a table op instead of a replay "
                          "(--events is ignored)")
@@ -195,6 +196,16 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--tag-version", type=int, default=None,
                     help="with --maintenance tag: version to pin "
                          "(default: current)")
+    ap.add_argument("--expected", default=None,
+                    help="with --maintenance diff: parquet dir or lake "
+                         "table root holding the expected state")
+    ap.add_argument("--diff-cols", default=None,
+                    help="with --maintenance checksum/diff: comma-"
+                         "separated columns to digest (default: every "
+                         "key+payload column)")
+    ap.add_argument("--diff-limit", type=int, default=1000,
+                    help="with --maintenance diff: max difference rows "
+                         "printed")
     ap.add_argument("--staged-token", default=None,
                     help="with --maintenance publish: the staged commit "
                          "token returned by merge(publish=False)")
@@ -380,6 +391,67 @@ def main(argv: list[str] | None = None) -> int:
             raw.write.mode("overwrite").parquet(args.relay_out)
             r = {"out": args.relay_out, "format": args.relay_format,
                  "n_events": spark.read.parquet(args.relay_out).count()}
+        elif args.maintenance == "checksum":
+            # one table fingerprint from the per-bucket digests: two
+            # runs print the same table_sha256 iff the states match on
+            # the digested columns — compare across clusters/days
+            # without moving row data (streaming/verify.py)
+            from transforms_for_apache_kafka_connect_spark.streaming.verify import (
+                table_checksum,
+            )
+
+            dcols = (
+                [c.strip() for c in args.diff_cols.split(",") if c.strip()]
+                if args.diff_cols else None
+            )
+            rows = sorted(
+                table_checksum(spark, table, cols=dcols).collect(),
+                key=lambda x: x["bucket"],
+            )
+            import hashlib
+
+            h = hashlib.sha256()
+            for row in rows:
+                h.update(repr(tuple(row)).encode())
+            r = {
+                "n_rows": sum(row["n_rows"] for row in rows),
+                "n_buckets_present": len(rows),
+                "table_sha256": h.hexdigest(),
+            }
+        elif args.maintenance == "diff":
+            # row-level difference vs an expected state: a parquet dir,
+            # or another lake table root (detected by its CURRENT
+            # manifest pointer — the expected side is read through its
+            # own LakeTable so MoR deltas/deletes resolve first)
+            if not args.expected:
+                print("--maintenance diff requires --expected",
+                      file=sys.stderr)
+                return 2
+            from transforms_for_apache_kafka_connect_spark.streaming.verify import (
+                table_diff,
+            )
+
+            if os.path.exists(
+                os.path.join(args.expected, "_manifest", "CURRENT")
+            ):
+                exp = LakeTable(args.expected, discovery=False).read(spark)
+            else:
+                exp = spark.read.parquet(args.expected)
+            dcols = (
+                [c.strip() for c in args.diff_cols.split(",") if c.strip()]
+                if args.diff_cols else None
+            )
+            try:
+                diff = table_diff(spark, table, exp, cols=dcols)
+            except ValueError as exc:
+                print(f"diff: {exc}", file=sys.stderr)
+                return 2
+            sample = diff.limit(args.diff_limit).collect()
+            r = {
+                "match": not sample,
+                "rows": [row.asDict(recursive=True) for row in sample],
+                "truncated_at": args.diff_limit,
+            }
         elif args.maintenance == "publish":
             if not args.staged_token:
                 print("--maintenance publish requires --staged-token",

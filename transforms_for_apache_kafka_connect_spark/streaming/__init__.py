@@ -18,6 +18,9 @@ from transforms_for_apache_kafka_connect_spark.streaming.relay import (
     publish_changelog,
     relay_schemas,
 )
+from transforms_for_apache_kafka_connect_spark.streaming.snapshot import (
+    IncrementalSnapshot,
+)
 from transforms_for_apache_kafka_connect_spark.streaming.gaps import (
     SequenceTracker,
     sequence_gaps,
@@ -102,6 +105,7 @@ __all__ = [
     "time_bucket",
     "read_dlq",
     "retry_dlq",
+    "IncrementalSnapshot",
     "SequenceTracker",
     "sequence_gaps",
     "row_digest",

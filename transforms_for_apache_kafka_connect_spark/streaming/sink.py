@@ -1558,9 +1558,16 @@ class LakeTable:
             # the dense-mode observe() wrapper does not sameResult the
             # cached child plan — release the exact persisted handle
             _cache.unpersist()
+        dense_lsn_range = {}
         if n_upd is None and obs is not None:
             try:
                 n_upd = int(obs.get["n_updates"])
+                got = obs.get
+                if got.get("max_lsn") is not None:
+                    dense_lsn_range = {
+                        "min_lsn": int(got["min_lsn"]),
+                        "max_lsn": int(got["max_lsn"]),
+                    }
             except Exception as exc:
                 if observation_pruned(exc):
                     n_upd = 0  # observed subtree was provably empty
@@ -1613,7 +1620,7 @@ class LakeTable:
         else:
             lineage_rows = [
                 {"epoch": epoch, "batch_id": batch_id, "bucket": None,
-                 "n_updates": n_upd}
+                 "n_updates": n_upd, **dense_lsn_range}
             ]
         prev_rows = (m.get("stats") or {}).get("total_rows", 0)
         commit = {
@@ -2320,10 +2327,19 @@ class LakeTable:
             touched = None
             n_upd = None
             obs = Observation(f"merge_{epoch}_{batch_id}")
+            _lsn_metrics = (
+                [
+                    F.min("_lsn").alias("min_lsn"),
+                    F.max("_lsn").alias("max_lsn"),
+                ]
+                if "_lsn" in upd.columns
+                else []
+            )
             upd = upd.observe(
                 obs,
                 F.count(F.lit(1)).alias("n_updates"),
                 F.sum(F.col(delete_col).cast("long")).alias("n_deletes"),
+                *_lsn_metrics,
             )
             if self.merge_strategy == "broadcast":
                 # the broadcast build materializes upd once; cache it so
@@ -2479,9 +2495,16 @@ class LakeTable:
             total_rows = int(obs_out.get["total_rows"])
         except Exception:
             pass
+        dense_lsn_range = {}
         if n_upd is None and obs is not None:
             try:
                 n_upd = int(obs.get["n_updates"])
+                got = obs.get
+                if got.get("max_lsn") is not None:
+                    dense_lsn_range = {
+                        "min_lsn": int(got["min_lsn"]),
+                        "max_lsn": int(got["max_lsn"]),
+                    }
             except Exception as exc:
                 if observation_pruned(exc):
                     n_upd = 0  # observed subtree was provably empty
@@ -2501,9 +2524,11 @@ class LakeTable:
                 for r in touched_rows
             ]
         else:
+            # dense mode: one lineage row for the batch, lsn range from
+            # the same Observation the counts ride (no extra job)
             lineage_rows = [
                 {"epoch": epoch, "batch_id": batch_id, "bucket": None,
-                 "n_updates": n_upd}
+                 "n_updates": n_upd, **dense_lsn_range}
             ]
 
         schema = json.loads(merged.drop(BUCKET_COL).schema.json())
