@@ -664,6 +664,16 @@ def main() -> None:
             work_dir, "events"
         )
         probe = scan_probe(spark, events_path)
+        extra = {}
+        if not os.environ.get("SPARK_GRAFT_SKIP_QUERIES"):
+            # streaming legs run IMMEDIATELY after the replay phase, in
+            # a comparable session context every round — r04h moved
+            # them up after measuring a 2x in-context penalty once 31
+            # query legs preceded them (the isolated A/B showed the
+            # ENGINE got faster round-over-round; the old in-context
+            # number was aging-JVM noise, steady 30 s in-context vs
+            # 15.8 s in this position on identical code+input)
+            extra.update(streaming_benchmark(spark, work_dir, cpus))
         if os.environ.get("SPARK_GRAFT_SKIP_QUERIES"):
             queries, leg_probes = {}, {}
         else:
@@ -673,9 +683,7 @@ def main() -> None:
             if os.environ.get("SPARK_GRAFT_SKIP_QUERIES")
             else sparse_merge_benchmark(spark, work_dir, cpus)
         )
-        extra = {}
         if not os.environ.get("SPARK_GRAFT_SKIP_QUERIES"):
-            extra.update(streaming_benchmark(spark, work_dir, cpus))
             extra.update(skew_benchmark(spark, work_dir, cpus))
     finally:
         shutil.rmtree(work_dir, ignore_errors=True)

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import json
 import os
+
+import pytest
 import subprocess
 import sys
 
@@ -635,3 +637,48 @@ def test_cli_checksum_and_diff(spark, tmp_path, capsys):
     assert main(["--table", root_a, "--buckets", "4",
                  "--maintenance", "diff", "--expected", root_b,
                  "--diff-cols", "content"]) == 2
+
+
+def test_cli_track_gaps(spark, tmp_path, capsys):
+    import json as _json
+
+    from transforms_for_apache_kafka_connect_spark.cli import main
+    from transforms_for_apache_kafka_connect_spark.errors import DataException
+
+    # change_stream LSNs are dense event ids, so punching a hole in the
+    # slice makes --track-gaps dense fire
+    events = change_stream(spark, 500, n_repos=10, paths_per_repo=4)
+    events.filter("timestamp % 97 != 50").write.mode("overwrite").parquet(
+        str(tmp_path / "holey")
+    )
+    events.write.mode("overwrite").parquet(str(tmp_path / "full"))
+    root = str(tmp_path / "table")
+    base = ["--table", root, "--buckets", "4", "--batches", "2"]
+
+    # policy error: the batch with the hole aborts (reference
+    # DataException model — the task fails, the batch stays replayable)
+    with pytest.raises(DataException, match="sequence continuity"):
+        main(base + ["--events", str(tmp_path / "holey"),
+                     "--track-gaps", "dense", "--gaps-by", "topic"])
+
+    # policy warn: proceeds, reports the anomaly count in the output
+    assert main(base + ["--events", str(tmp_path / "holey"),
+                        "--track-gaps", "dense", "--gaps-by", "topic",
+                        "--gaps-policy", "warn",
+                        "--gaps-report-dir", str(tmp_path / "rep")]) == 0
+    lines = [
+        _json.loads(ln)
+        for ln in capsys.readouterr().out.strip().splitlines()
+        if ln.startswith("{")
+    ]
+    assert sum(b.get("gap_anomalies", 0) for b in lines) > 0
+
+    # clean stream on a fresh table: no anomalies, exit 0
+    root2 = str(tmp_path / "table2")
+    assert main(["--table", root2, "--buckets", "4", "--batches", "2",
+                 "--events", str(tmp_path / "full"),
+                 "--track-gaps", "dense", "--gaps-by", "topic"]) == 0
+
+    # routed mode refuses the flag
+    assert main(base + ["--events", str(tmp_path / "full"), "--routed",
+                        "--track-gaps", "dense"]) == 2

@@ -81,6 +81,16 @@ def test_head_gap_and_rewind_against_state(spark):
     }
 
 
+def test_null_seqs_are_ignored(spark):
+    # tombstone-style rows (NULL seq) cannot be continuity-checked and
+    # must neither crash the window nor fabricate anomalies
+    env = spark.createDataFrame(
+        [("t", 0, 1), ("t", 0, None), ("t", 0, 2), ("t", 0, 3)],
+        "topic string, partition int, lsn long",
+    )
+    assert sequence_gaps(env, seq="lsn").count() == 0
+
+
 def test_bad_inputs(spark):
     env = _env(spark, {("t", 0): [1]})
     with pytest.raises(ValueError, match="mode"):
@@ -152,3 +162,97 @@ def test_gap_plan_single_exchange(spark, tmp_path):
     import re
 
     assert len(re.findall(r"Exchange hashpartitioning", p)) <= 1, p
+
+
+# ------------------------------------------------ Replayer integration
+
+def _cdc_env(spark, seqs, op="u"):
+    rows = [("t", 0, ("k%d" % (s % 5),), (op, s, 0, None, ("v%d" % s,)), s, None)
+            for s in seqs]
+    return spark.createDataFrame(
+        rows,
+        "topic string, partition int, key struct<k:string>, "
+        "value struct<op:string,lsn:bigint,ts_ms:bigint,"
+        "before:struct<v:string>,after:struct<v:string>>, "
+        "timestamp long, headers map<string,string>",
+    )
+
+
+def _tracked_rig(spark, tmp_path, **rep_kw):
+    from transforms_for_apache_kafka_connect_spark import Chain
+    from transforms_for_apache_kafka_connect_spark.streaming import Replayer
+
+    state = LakeTable(str(tmp_path / "seq"), key_cols=["topic", "partition"],
+                      n_buckets=2, discovery=False, merge_strategy="broadcast")
+    table = LakeTable(str(tmp_path / "t"), key_cols=["k"], n_buckets=2,
+                      discovery=False, merge_strategy="broadcast")
+    tr = SequenceTracker(table=state, seq="value.lsn")
+    rep = Replayer(table=table, chain=Chain([]), epoch="e",
+                   track_gaps=tr, **rep_kw)
+    return state, table, rep
+
+
+def test_replayer_gap_error_aborts_precommit(spark, tmp_path):
+    from transforms_for_apache_kafka_connect_spark.errors import DataException
+
+    state, table, rep = _tracked_rig(spark, tmp_path)
+    rep.apply_batch(_cdc_env(spark, [1, 2, 3]), 0)
+    assert table.manifest()["committed"] == [["e", 0]]
+    # batch 1 skips lsn 4: policy error -> abort BEFORE the commit,
+    # watermark NOT advanced, batch replayable
+    with pytest.raises(DataException, match="sequence continuity"):
+        rep.apply_batch(_cdc_env(spark, [5, 6]), 1)
+    assert ["e", 1] not in table.manifest()["committed"]
+    assert state.read(spark).first()["last_seq"] == 3
+    # the healed redelivery (4 included) commits and advances
+    r = rep.apply_batch(_cdc_env(spark, [4, 5, 6]), 1)
+    assert r.get("gap_anomalies") == 0
+    assert state.read(spark).first()["last_seq"] == 6
+
+
+def test_replayer_gap_warn_proceeds_and_reports(spark, tmp_path):
+    state, table, rep = _tracked_rig(spark, tmp_path, gaps_policy="warn")
+    rep.gaps_report_dir = str(tmp_path / "reports")
+    rep.apply_batch(_cdc_env(spark, [1, 2]), 0)
+    r = rep.apply_batch(_cdc_env(spark, [5, 5, 6]), 1)  # head gap + dup
+    assert r["gap_anomalies"] == 2
+    assert ["e", 1] in table.manifest()["committed"]
+    rep_rows = spark.read.parquet(
+        str(tmp_path / "reports") + "/epoch=e/batch_id=1"
+    ).collect()
+    assert {x["kind"] for x in rep_rows} == {"head_gap", "duplicate"}
+    assert state.read(spark).first()["last_seq"] == 6
+
+
+def test_replayer_replayed_batch_rechecks_identically(spark, tmp_path):
+    # crash AFTER the table commit but BEFORE the watermark advance:
+    # the replayed batch lands on the committed-skip path, which must
+    # catch the watermark up without re-raising
+    state, table, rep = _tracked_rig(spark, tmp_path)
+    rep.apply_batch(_cdc_env(spark, [1, 2, 3]), 0)
+    # simulate the crash window by advancing the table only
+    no_track = rep.track_gaps
+    rep.track_gaps = None
+    rep.apply_batch(_cdc_env(spark, [4, 5]), 1)
+    rep.track_gaps = no_track
+    assert state.read(spark).first()["last_seq"] == 3
+    r = rep.apply_batch(_cdc_env(spark, [4, 5]), 1)   # replay
+    assert r.get("skipped")
+    assert state.read(spark).first()["last_seq"] == 5
+
+
+def test_replayer_gap_refusals(spark, tmp_path):
+    from transforms_for_apache_kafka_connect_spark import Chain
+    from transforms_for_apache_kafka_connect_spark.streaming import Replayer
+
+    state = LakeTable(str(tmp_path / "seq"), key_cols=["topic", "partition"],
+                      n_buckets=2, discovery=False)
+    table = LakeTable(str(tmp_path / "t"), key_cols=["k"], n_buckets=2,
+                      discovery=False)
+    tr = SequenceTracker(table=state)
+    with pytest.raises(ValueError, match="gaps_policy"):
+        Replayer(table=table, chain=Chain([]), epoch="e",
+                 track_gaps=tr, gaps_policy="ignore")
+    with pytest.raises(ValueError, match="unpublished"):
+        Replayer(table=table, chain=Chain([]), epoch="e",
+                 track_gaps=tr, publish=False)

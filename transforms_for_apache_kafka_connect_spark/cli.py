@@ -206,6 +206,33 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--diff-limit", type=int, default=1000,
                     help="with --maintenance diff: max difference rows "
                          "printed")
+    ap.add_argument("--track-gaps", choices=["dense", "monotonic"],
+                    default=None,
+                    help="continuity-check every batch's value.lsn per "
+                         "(topic, partition) against a tracked watermark "
+                         "(state table at <table>/_seq_state); dense = "
+                         "offsets must be contiguous, monotonic = only "
+                         "duplicates/rewinds flagged")
+    ap.add_argument("--gaps-seq", default="timestamp",
+                    help="with --track-gaps: envelope expression giving "
+                         "each record's sequence number (default "
+                         "'timestamp' — the offset slot, which every "
+                         "record including tombstones carries; "
+                         "'value.lsn' checks source LSNs instead but "
+                         "skips tombstone records)")
+    ap.add_argument("--gaps-by", default="topic,partition",
+                    help="with --track-gaps: comma-separated envelope "
+                         "columns defining a sequence domain (default "
+                         "topic,partition for Kafka offsets; use "
+                         "'topic' for a binlog whose LSNs are dense "
+                         "per topic, not per partition)")
+    ap.add_argument("--gaps-policy", choices=["error", "warn"],
+                    default="error",
+                    help="with --track-gaps: abort the batch pre-commit "
+                         "on anomalies, or log and proceed")
+    ap.add_argument("--gaps-report-dir", default=None,
+                    help="with --track-gaps: append per-batch anomaly "
+                         "rows under this parquet root")
     ap.add_argument("--staged-token", default=None,
                     help="with --maintenance publish: the staged commit "
                          "token returned by merge(publish=False)")
@@ -548,6 +575,11 @@ def main(argv: list[str] | None = None) -> int:
             TopicTableRouter,
         )
 
+        if args.track_gaps:
+            print("--track-gaps is not supported with --routed "
+                  "(per-destination watermarks are not yet wired)",
+                  file=sys.stderr)
+            return 2
         engine = TopicTableRouter(
             root=args.table, chain=chain, epoch=args.epoch or "default",
             table_opts=table_opts,
@@ -558,11 +590,31 @@ def main(argv: list[str] | None = None) -> int:
             compact_every=args.compact_every,
         )
     else:
+        tracker = None
+        if args.track_gaps:
+            from transforms_for_apache_kafka_connect_spark.streaming.gaps import (
+                SequenceTracker,
+            )
+
+            by = [c.strip() for c in args.gaps_by.split(",") if c.strip()]
+            tracker = SequenceTracker(
+                table=LakeTable(
+                    os.path.join(args.table, "_seq_state"),
+                    key_cols=by, n_buckets=1,
+                    discovery=False, merge_strategy="broadcast",
+                ),
+                by=tuple(by),
+                seq=args.gaps_seq,
+                mode=args.track_gaps,
+            )
         engine = Replayer(table=table, chain=chain,
                           epoch=args.epoch or "default",
                           compact_every=args.compact_every,
                           error_mode=error_mode, dlq_dir=dlq_dir,
-                          expectations=expectations)
+                          expectations=expectations,
+                          track_gaps=tracker,
+                          gaps_policy=args.gaps_policy,
+                          gaps_report_dir=args.gaps_report_dir)
 
     if args.bootstrap:
         snap = spark.read.parquet(args.bootstrap)

@@ -20,6 +20,7 @@ from transforms_for_apache_kafka_connect_spark.streaming.relay import (
 )
 from transforms_for_apache_kafka_connect_spark.streaming.snapshot import (
     IncrementalSnapshot,
+    hash_chunk,
 )
 from transforms_for_apache_kafka_connect_spark.streaming.gaps import (
     SequenceTracker,
@@ -106,6 +107,7 @@ __all__ = [
     "read_dlq",
     "retry_dlq",
     "IncrementalSnapshot",
+    "hash_chunk",
     "SequenceTracker",
     "sequence_gaps",
     "row_digest",

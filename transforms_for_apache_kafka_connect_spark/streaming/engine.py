@@ -14,6 +14,7 @@ The same ``apply_batch`` works under Structured Streaming
 from __future__ import annotations
 
 import logging
+import os
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -216,10 +217,26 @@ class Replayer:
     #: batch is NOT yet in the ledger — a transaction coordinator
     #: (txn.py) publishes it later, atomically with its sibling tables
     publish: bool = True
+    #: optional SequenceTracker (gaps.py): every batch's RAW envelope
+    #: is continuity-checked against the tracked per-group watermark
+    #: BEFORE the merge, and the watermark advances exactly-once AFTER
+    #: the commit (so a failed batch re-checks identically on replay).
+    #: Opt-in because the check is one extra aggregation job per batch
+    #: (a window pass cannot ride the merge's Observation).
+    track_gaps: object | None = None
+    #: 'error' aborts the batch pre-commit on any anomaly (replayable,
+    #: same contract as the per-record error path); 'warn' logs the
+    #: anomaly count and proceeds
+    gaps_policy: str = "error"
+    #: optional parquet root: each batch's anomaly rows are appended
+    #: under epoch=<epoch>/batch_id=<id> for later audit
+    gaps_report_dir: str | None = None
 
     def __post_init__(self):
         if self.error_mode not in ("fail", "dlq"):
             raise ValueError("error_mode must be 'fail' or 'dlq'")
+        if self.gaps_policy not in ("error", "warn"):
+            raise ValueError("gaps_policy must be 'error' or 'warn'")
         if self.error_mode == "dlq" and not self.dlq_dir:
             raise ValueError("error_mode='dlq' requires dlq_dir")
         if self.maintain and not getattr(self.table, "changelog", False):
@@ -234,6 +251,15 @@ class Replayer:
             raise ValueError(
                 "publish=False (staged merges) cannot run maintained "
                 "aggregates — fold them after the coordinator publishes"
+            )
+        if not self.publish and self.track_gaps is not None:
+            # the watermark must only advance for LIVE batches: a
+            # staged batch the coordinator later abandons would leave
+            # the tracker ahead of the table
+            raise ValueError(
+                "publish=False (staged merges) cannot track sequence "
+                "gaps — the watermark would advance for unpublished "
+                "batches"
             )
 
     def _run_maintenance(self, spark: SparkSession, batch_id: int) -> None:
@@ -403,7 +429,50 @@ class Replayer:
             # the aggregate update lands here on replay, and the agg
             # table's own ledger dedupes the other direction
             self._run_maintenance(batch.sparkSession, batch_id)
+            if self.track_gaps is not None:
+                # same catch-up contract: a crash between the source
+                # commit and the watermark advance lands here
+                self.track_gaps.advance(
+                    batch.sparkSession, batch,
+                    epoch=self.epoch, batch_id=batch_id,
+                )
             return {"skipped": True, "batch_id": batch_id}
+        gaps_n = None
+        if self.track_gaps is not None:
+            # continuity check on the RAW envelope (transport-level —
+            # before the fence or chain can drop anything), against the
+            # NOT-yet-advanced watermark so a replayed failed batch
+            # re-checks identically
+            rep_df = self.track_gaps.report(batch.sparkSession, batch)
+            if self.gaps_report_dir:
+                rep_df.write.mode("overwrite").parquet(
+                    os.path.join(
+                        self.gaps_report_dir,
+                        f"epoch={self.epoch}", f"batch_id={batch_id}",
+                    )
+                )
+                gaps_n = (
+                    batch.sparkSession.read.parquet(
+                        os.path.join(
+                            self.gaps_report_dir,
+                            f"epoch={self.epoch}", f"batch_id={batch_id}",
+                        )
+                    ).count()
+                )
+            else:
+                gaps_n = rep_df.count()
+            if gaps_n:
+                if self.gaps_policy == "error":
+                    raise DataException(
+                        f"sequence continuity violated: {gaps_n} "
+                        f"anomalies in batch {batch_id} (lost, duplicated "
+                        "or out-of-order events) — batch aborted "
+                        "pre-commit and stays replayable"
+                    )
+                _log.warning(
+                    "sequence continuity: %s anomalies in batch %s "
+                    "(gaps_policy='warn' — proceeding)", gaps_n, batch_id,
+                )
         snap_lsn = self._snapshot_lsn()
         if snap_lsn is not None:
             # bootstrapped table: events at or below the snapshot LSN
@@ -696,6 +765,15 @@ class Replayer:
         if metrics:
             result["transform_metrics"] = metrics
         self._run_maintenance(batch.sparkSession, batch_id)
+        if self.track_gaps is not None:
+            # advance AFTER the commit (its own ledger dedupes replays;
+            # the committed-skip path above repairs a crash in between)
+            self.track_gaps.advance(
+                batch.sparkSession, batch,
+                epoch=self.epoch, batch_id=batch_id,
+            )
+            if gaps_n is not None:
+                result["gap_anomalies"] = int(gaps_n)
         return result
 
     def replay(

@@ -74,7 +74,13 @@ def sequence_gaps(
         raise ValueError(
             f"sequence expression {seq!r} must be integral, got {raw}"
         )
-    s = env.select(*bys, F.expr(seq).cast("long").alias("_seq"))
+    # NULL sequence rows cannot be continuity-checked and are ignored
+    # (e.g. probing value.lsn on a stream whose tombstone records carry
+    # no value — prefer the envelope `timestamp`/offset slot for
+    # transport-level checking: every record has one)
+    s = env.select(*bys, F.expr(seq).cast("long").alias("_seq")).filter(
+        F.col("_seq").isNotNull()
+    )
     # ONE window pass classifies everything: the group's first row
     # (_prev IS NULL) carries the head checks against the broadcast
     # state; later rows carry duplicate/hole checks against their
@@ -167,6 +173,58 @@ class SequenceTracker:
             return None
         return self.table.read(spark).select(*self.by, "last_seq")
 
+    def report(self, spark: SparkSession, env: DataFrame) -> DataFrame:
+        """Anomaly report for one batch against the tracked state —
+        does NOT advance the watermark (so a batch whose table merge
+        later fails can be re-checked identically on replay)."""
+        return sequence_gaps(
+            env, seq=self.seq, by=self.by, mode=self.mode,
+            start_after=self.state(spark),
+        )
+
+    def advance(
+        self,
+        spark: SparkSession,
+        env: DataFrame,
+        *,
+        epoch: str = "seqtrack",
+        batch_id: int = 0,
+    ) -> dict:
+        """Move each group's watermark to the batch maximum,
+        exactly-once on (epoch, batch_id); a rewound batch never
+        lowers a watermark."""
+        if self.table.committed(epoch, batch_id):
+            return {"skipped": True}
+        st = self.state(spark)
+        new = env.groupBy(*self.by).agg(
+            F.max(F.expr(self.seq).cast("long")).alias("last_seq")
+        )
+        if st is not None:
+            new = (
+                new.join(
+                    F.broadcast(
+                        st.select(
+                            *self.by,
+                            F.col("last_seq").alias("_old"),
+                        )
+                    ),
+                    on=list(self.by),
+                    how="left",
+                )
+                .select(
+                    *self.by,
+                    F.greatest(
+                        F.col("last_seq"),
+                        F.coalesce(F.col("_old"), F.lit(-(1 << 62))),
+                    ).alias("last_seq"),
+                )
+            )
+        return self.table.merge(
+            new.withColumn("__is_delete", F.lit(False)),
+            epoch=epoch,
+            batch_id=batch_id,
+        )
+
     def check(
         self,
         spark: SparkSession,
@@ -176,38 +234,7 @@ class SequenceTracker:
         batch_id: int = 0,
         advance: bool = True,
     ) -> DataFrame:
-        st = self.state(spark)
-        report = sequence_gaps(
-            env, seq=self.seq, by=self.by, mode=self.mode, start_after=st
-        )
-        if advance and not self.table.committed(epoch, batch_id):
-            new = env.groupBy(*self.by).agg(
-                F.max(F.expr(self.seq).cast("long")).alias("last_seq")
-            )
-            if st is not None:
-                # a rewound batch must not move the watermark backwards
-                new = (
-                    new.join(
-                        F.broadcast(
-                            st.select(
-                                *self.by,
-                                F.col("last_seq").alias("_old"),
-                            )
-                        ),
-                        on=list(self.by),
-                        how="left",
-                    )
-                    .select(
-                        *self.by,
-                        F.greatest(
-                            F.col("last_seq"),
-                            F.coalesce(F.col("_old"), F.lit(-(1 << 62))),
-                        ).alias("last_seq"),
-                    )
-                )
-            self.table.merge(
-                new.withColumn("__is_delete", F.lit(False)),
-                epoch=epoch,
-                batch_id=batch_id,
-            )
+        report = self.report(spark, env)
+        if advance:
+            self.advance(spark, env, epoch=epoch, batch_id=batch_id)
         return report

@@ -76,9 +76,14 @@ class IncrementalSnapshot:
         if not self.replayer.publish:
             raise ValueError("incremental snapshot requires publish=True")
         # chunk commits ride a dedicated epoch so chunk ids and stream
-        # batch ids are independent ledger namespaces
+        # batch ids are independent ledger namespaces. Sequence-gap
+        # tracking is stripped: chunk records all carry the chunk's ONE
+        # read position, which is snapshot semantics, not a transport
+        # anomaly — continuity applies to the live stream only
         self._snap = replace(
-            self.replayer, epoch=_snap_epoch(self.replayer.epoch)
+            self.replayer,
+            epoch=_snap_epoch(self.replayer.epoch),
+            track_gaps=None,
         )
 
     def applied_max_lsn(self) -> int | None:
@@ -136,6 +141,26 @@ class IncrementalSnapshot:
             b for e, b in self.replayer.table.manifest()["committed"]
             if e == epoch
         )
+
+
+def hash_chunk(
+    df: DataFrame, key_cols: list[str], n_chunks: int, chunk: int
+) -> DataFrame:
+    """Deterministic source chunking for the snapshot driver: rows
+    whose key hashes into chunk ``chunk`` of ``n_chunks``. Hash
+    chunking needs no range statistics, covers every key type, and
+    yields uniform chunk sizes even on skewed key spaces — each chunk
+    is one pushed-down filter over the source scan. (DBLog chunks by
+    PK range because its sources are OLTP indexes; a lake/file source
+    has no index to exploit, so uniformity wins.)"""
+    from pyspark.sql import functions as F
+
+    if not 0 <= chunk < n_chunks:
+        raise ValueError(f"chunk must be in [0, {n_chunks}), got {chunk}")
+    return df.filter(
+        F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_chunks))
+        == chunk
+    )
 
 
 def _empty_like_envelope(chunk: DataFrame, table, topic: str) -> DataFrame:
