@@ -631,9 +631,22 @@ def test_cli_checksum_and_diff(spark, tmp_path, capsys):
         ("table", victim["repo"], victim["path"])
     ]
 
+    # repair: apply the diff, then the states are provably equal
+    assert main(["--table", root_a, "--buckets", "4",
+                 "--maintenance", "repair",
+                 "--expected", str(tmp_path / "exp")]) == 0
+    out = last_json()
+    assert out["repaired"] == 0 and out["deleted"] == 1
+    assert main(["--table", root_a, "--buckets", "4",
+                 "--maintenance", "diff",
+                 "--expected", str(tmp_path / "exp")]) == 0
+    assert last_json()["match"] is True
+
     # user errors exit 2, never a traceback
     assert main(["--table", root_a, "--buckets", "4",
                  "--maintenance", "diff"]) == 2
+    assert main(["--table", root_a, "--buckets", "4",
+                 "--maintenance", "repair"]) == 2
     assert main(["--table", root_a, "--buckets", "4",
                  "--maintenance", "diff", "--expected", root_b,
                  "--diff-cols", "content"]) == 2

@@ -198,3 +198,67 @@ def test_expected_with_narrow_keys_buckets_correctly(spark, tmp_path):
     Replayer(table=t, chain=Chain([]), epoch="v").apply_batch(env, 0)
     narrow = t.read(spark).withColumn("k", F.col("k").cast("int"))
     assert table_diff(spark, t, narrow).count() == 0
+
+
+# ---------------------------------------------------------- repair
+
+def test_repair_makes_states_equal(spark, table):
+    from transforms_for_apache_kafka_connect_spark.streaming import (
+        repair_state,
+        table_diff,
+    )
+
+    cur = table.read(spark)
+    victim = cur.orderBy("repo", "path").limit(1).first()
+    is_victim = (F.col("repo") == victim["repo"]) & (
+        F.col("path") == victim["path"]
+    )
+    # expected: the victim row dropped, one row's content changed, one
+    # new row added
+    changed = cur.orderBy(F.desc("repo"), F.desc("path")).limit(1).first()
+    is_changed = (F.col("repo") == changed["repo"]) & (
+        F.col("path") == changed["path"]
+    )
+    extra = cur.limit(1).select(
+        F.lit("new_repo").alias("repo"), F.lit("new/path").alias("path"),
+        *[c for c in cur.columns if c not in ("repo", "path")],
+    )
+    expected = (
+        cur.filter(~is_victim)
+        .withColumn("content", F.when(is_changed, F.lit("FIXED"))
+                    .otherwise(F.col("content")))
+        .unionByName(extra)
+    )
+    r = repair_state(spark, table, expected, epoch="rp", batch_id=0)
+    assert r["repaired"] == 2 and r["deleted"] == 1
+    # post-repair: provably equal
+    assert table_diff(spark, table, expected).count() == 0
+    got = table.read(spark)
+    assert got.filter(is_victim).count() == 0
+    assert got.filter(is_changed).first()["content"] == "FIXED"
+    assert got.filter("repo = 'new_repo'").count() == 1
+    # replay is a ledger no-op
+    assert repair_state(spark, table, expected, epoch="rp",
+                        batch_id=0).get("skipped")
+
+
+def test_repair_noop_on_equal_states(spark, table):
+    from transforms_for_apache_kafka_connect_spark.streaming import repair_state
+
+    r = repair_state(spark, table, table.read(spark), epoch="rp0")
+    assert r == {"repaired": 0, "deleted": 0, "match": True}
+    # the no-op is still ledgered (idempotent audit trail)
+    assert table.committed("rp0", 0)
+
+
+def test_repair_refuses_ambiguous_expected(spark, table):
+    from transforms_for_apache_kafka_connect_spark.streaming import repair_state
+
+    cur = table.read(spark)
+    one = cur.orderBy("repo", "path").limit(1)
+    tampered = one.withColumn("content", F.lit("X"))
+    dup = cur.unionByName(tampered).unionByName(
+        tampered.withColumn("content", F.lit("Y"))
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        repair_state(spark, table, dup, epoch="rp1")

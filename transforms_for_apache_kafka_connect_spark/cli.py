@@ -119,7 +119,7 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["compact", "vacuum", "rescale", "lookup",
                              "publish", "stats", "delete-where",
                              "tag", "drop-tag", "relay", "retry-dlq",
-                             "checksum", "diff"],
+                             "checksum", "diff", "repair"],
                     default=None,
                     help="run a table op instead of a replay "
                          "(--events is ignored)")
@@ -479,6 +479,36 @@ def main(argv: list[str] | None = None) -> int:
                 "rows": [row.asDict(recursive=True) for row in sample],
                 "truncated_at": args.diff_limit,
             }
+        elif args.maintenance == "repair":
+            # apply the diff vs --expected as a corrective ledgered
+            # merge: upsert expected's version of differing keys,
+            # delete keys only the table has (streaming/verify.py)
+            if not args.expected:
+                print("--maintenance repair requires --expected",
+                      file=sys.stderr)
+                return 2
+            from transforms_for_apache_kafka_connect_spark.streaming.verify import (
+                repair_state,
+            )
+
+            if os.path.exists(
+                os.path.join(args.expected, "_manifest", "CURRENT")
+            ):
+                exp = LakeTable(args.expected, discovery=False).read(spark)
+            else:
+                exp = spark.read.parquet(args.expected)
+            dcols = (
+                [c.strip() for c in args.diff_cols.split(",") if c.strip()]
+                if args.diff_cols else None
+            )
+            try:
+                r = repair_state(
+                    spark, table, exp, cols=dcols,
+                    epoch=args.epoch or "repair",
+                )
+            except ValueError as exc:
+                print(f"repair: {exc}", file=sys.stderr)
+                return 2
         elif args.maintenance == "publish":
             if not args.staged_token:
                 print("--maintenance publish requires --staged-token",

@@ -27,6 +27,7 @@ from transforms_for_apache_kafka_connect_spark.streaming.gaps import (
     sequence_gaps,
 )
 from transforms_for_apache_kafka_connect_spark.streaming.verify import (
+    repair_state,
     row_digest,
     table_checksum,
     table_diff,
@@ -110,6 +111,7 @@ __all__ = [
     "hash_chunk",
     "SequenceTracker",
     "sequence_gaps",
+    "repair_state",
     "row_digest",
     "table_checksum",
     "table_diff",

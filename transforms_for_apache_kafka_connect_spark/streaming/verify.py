@@ -243,6 +243,73 @@ def table_diff(
     )
 
 
+def repair_state(
+    spark: SparkSession,
+    table: LakeTable,
+    expected: DataFrame,
+    *,
+    cols: list[str] | None = None,
+    epoch: str = "repair",
+    batch_id: int = 0,
+) -> dict[str, Any]:
+    """Make the table's state equal ``expected`` on the digested
+    columns, by applying ONLY the difference: keys present on the
+    expected side upsert with expected's full row, keys only the table
+    has are deleted — one ordinary ledgered merge built from the
+    bucket-pruned diff, so on a ``discovery=True`` table repairing a
+    localized divergence rewrites only its touched buckets (a full
+    overwrite would rewrite the table; dense-mode tables rewrite all
+    buckets per merge by design).
+
+    Exactly-once on (epoch, batch_id) through the table's ledger.
+    Returns {'repaired': n_upserts, 'deleted': n_deletes, ...} (or the
+    ledger's skip record). Refuses an ``expected`` frame with duplicate
+    keys among the differing rows — 'make equal to' is undefined then.
+    """
+    if table.committed(epoch, batch_id):
+        return {"skipped": True, "reason": "already committed"}
+    diff = table_diff(spark, table, expected, cols=cols)
+    keys = list(table.key_cols)
+    e_keys = diff.filter(F.col("side") == "expected").select(*keys)
+    t_keys = diff.filter(F.col("side") == "table").select(*keys)
+    # expected's full rows for keys that need upserting (the diff only
+    # carries keys + digests); key types cast up like the diff did
+    exp_rows = _bucketed(table, expected).drop(BUCKET_COL).join(
+        F.broadcast(e_keys.distinct()), on=keys, how="left_semi"
+    )
+    dup = (
+        exp_rows.groupBy(*keys).count().filter(F.col("count") > 1).count()
+    )
+    if dup:
+        raise ValueError(
+            f"expected frame has {dup} duplicate keys among the "
+            "differing rows — cannot repair to an ambiguous state"
+        )
+    upserts = exp_rows.withColumn("__is_delete", F.lit(False))
+    deletes = (
+        t_keys.distinct()
+        .join(e_keys.distinct(), on=keys, how="left_anti")
+        .select(
+            *keys,
+            *[
+                F.lit(None).cast(f.dataType).alias(f.name)
+                for f in upserts.schema.fields
+                if f.name not in keys and f.name != "__is_delete"
+            ],
+            F.lit(True).alias("__is_delete"),
+        )
+    )
+    n_up = upserts.count()
+    n_del = deletes.count()
+    if not (n_up or n_del):
+        table.commit_empty(epoch=epoch, batch_id=batch_id)
+        return {"repaired": 0, "deleted": 0, "match": True}
+    r = table.merge(
+        upserts.unionByName(deletes), epoch=epoch, batch_id=batch_id
+    )
+    return {"repaired": n_up, "deleted": n_del, **r}
+
+
 def verify_state(
     spark: SparkSession,
     table: LakeTable,
