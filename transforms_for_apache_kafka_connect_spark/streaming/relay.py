@@ -138,7 +138,10 @@ def publish_changelog(
     converter boundary, ready for a bytes-oriented sink (e.g. a Kafka
     producer writing ``key``/``value`` as-is). ``format`` is ``"json"``
     or ``"avro"`` (writer schemas derived from the envelope's Spark
-    types via ``spark_to_avro_schema``; Confluent framing optional).
+    types via ``spark_to_avro_schema``; Confluent framing optional),
+    or ``"maxwell"`` (third-party wire dialect: Maxwell JSON with the
+    changed-columns ``old`` diff — a Maxwell consumer tails this table
+    with no engine-specific code).
 
     The bytes round-trip through ``envelope_from_json``/``_avro`` back
     to the identical envelope — pinned by tests — so a downstream
@@ -171,7 +174,32 @@ def publish_changelog(
             schema_id=schema_id,
             use_jvm=use_jvm,
         )
-    raise ValueError(f"unknown publish format: {format!r} (json|avro)")
+    if format == "maxwell":
+        if confluent_framing or schema_id != 1:
+            raise ValueError(
+                "confluent_framing/schema_id apply only to format='avro' "
+                "(Maxwell payloads are unframed JSON)"
+            )
+        from transforms_for_apache_kafka_connect_spark.sources.cdc_envelopes import (
+            envelope_to_maxwell,
+        )
+
+        wire = envelope_to_maxwell(env, table=topic or "changelog")
+        # offset (the LSN) rides along: a producer keys partitioning or
+        # ordering on it, and the decode side recovers exact per-key
+        # ordering via lsn=F.col("offset")
+        return wire.select(
+            "topic",
+            "partition",
+            F.col("key").cast("binary").alias("key"),
+            F.col("value").cast("binary").alias("value"),
+            "timestamp",
+            "headers",
+            "offset",
+        )
+    raise ValueError(
+        f"unknown publish format: {format!r} (json|avro|maxwell)"
+    )
 
 
 def relay_schemas(
