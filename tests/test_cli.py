@@ -692,6 +692,19 @@ def test_cli_track_gaps(spark, tmp_path, capsys):
                  "--events", str(tmp_path / "full"),
                  "--track-gaps", "dense", "--gaps-by", "topic"]) == 0
 
-    # routed mode refuses the flag
-    assert main(base + ["--events", str(tmp_path / "full"), "--routed",
-                        "--track-gaps", "dense"]) == 2
+    # routed mode: ONE tracker over the raw source batch (warn run
+    # proceeds and reports; state lives beside the router root)
+    root3 = str(tmp_path / "routed")
+    assert main(["--table", root3, "--buckets", "4", "--batches", "2",
+                 "--events", str(tmp_path / "holey"), "--routed",
+                 "--track-gaps", "dense", "--gaps-by", "topic",
+                 "--gaps-policy", "warn"]) == 0
+    lines = [
+        _json.loads(ln)
+        for ln in capsys.readouterr().out.strip().splitlines()
+        if ln.startswith("{")
+    ]
+    assert sum(b.get("gap_anomalies", 0) for b in lines) > 0
+    assert LakeTable(
+        os.path.join(root3, "_seq_state"), discovery=False
+    ).read(spark).count() == 1

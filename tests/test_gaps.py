@@ -256,3 +256,47 @@ def test_replayer_gap_refusals(spark, tmp_path):
     with pytest.raises(ValueError, match="unpublished"):
         Replayer(table=table, chain=Chain([]), epoch="e",
                  track_gaps=tr, publish=False)
+
+
+def test_router_gap_error_blocks_every_topic(spark, tmp_path):
+    from transforms_for_apache_kafka_connect_spark.errors import DataException
+    from transforms_for_apache_kafka_connect_spark.streaming import (
+        TopicTableRouter,
+    )
+
+    state = LakeTable(str(tmp_path / "seq"), key_cols=["topic", "partition"],
+                      n_buckets=1, discovery=False, merge_strategy="broadcast")
+    tr = SequenceTracker(table=state, seq="value.lsn")
+    router = TopicTableRouter(
+        root=str(tmp_path / "root"),
+        table_opts={"key_cols": ["k"], "n_buckets": 2, "discovery": False,
+                    "merge_strategy": "broadcast"},
+        track_gaps=tr,
+    )
+    env = _cdc_env(spark, [1, 2, 3])
+    router.apply_batch(env, 0)
+    assert state.read(spark).first()["last_seq"] == 3
+    # hole: pre-chain check aborts BEFORE any topic slice applies
+    with pytest.raises(DataException, match="sequence continuity"):
+        router.apply_batch(_cdc_env(spark, [5, 6]), 1)
+    assert state.read(spark).first()["last_seq"] == 3
+    t = router.table_for("t")
+    assert ["default", 1] not in t.manifest()["committed"]
+    # healed redelivery commits and advances
+    r = router.apply_batch(_cdc_env(spark, [4, 5, 6]), 1)
+    assert r["gap_anomalies"] == 0
+    assert state.read(spark).first()["last_seq"] == 6
+    # replay: tracker ledger already has the batch -> no re-check, no
+    # rewind false alarm, state stable
+    r2 = router.apply_batch(_cdc_env(spark, [4, 5, 6]), 1)
+    assert "gap_anomalies" not in r2
+    assert state.read(spark).first()["last_seq"] == 6
+
+
+def test_router_gap_policy_validation(tmp_path):
+    from transforms_for_apache_kafka_connect_spark.streaming import (
+        TopicTableRouter,
+    )
+
+    with pytest.raises(ValueError, match="gaps_policy"):
+        TopicTableRouter(root=str(tmp_path / "r"), gaps_policy="nope")

@@ -605,11 +605,27 @@ def main(argv: list[str] | None = None) -> int:
             TopicTableRouter,
         )
 
+        routed_tracker = None
         if args.track_gaps:
-            print("--track-gaps is not supported with --routed "
-                  "(per-destination watermarks are not yet wired)",
-                  file=sys.stderr)
-            return 2
+            # ONE tracker over the raw source batch (state beside the
+            # router root): continuity is a transport property — after
+            # the chain rewrites topics, per-destination sequences are
+            # legitimately sparse
+            from transforms_for_apache_kafka_connect_spark.streaming.gaps import (
+                SequenceTracker,
+            )
+
+            by = [c.strip() for c in args.gaps_by.split(",") if c.strip()]
+            routed_tracker = SequenceTracker(
+                table=LakeTable(
+                    os.path.join(args.table, "_seq_state"),
+                    key_cols=by, n_buckets=1,
+                    discovery=False, merge_strategy="broadcast",
+                ),
+                by=tuple(by),
+                seq=args.gaps_seq,
+                mode=args.track_gaps,
+            )
         engine = TopicTableRouter(
             root=args.table, chain=chain, epoch=args.epoch or "default",
             table_opts=table_opts,
@@ -618,6 +634,9 @@ def main(argv: list[str] | None = None) -> int:
                 "expectations": expectations,
             },
             compact_every=args.compact_every,
+            track_gaps=routed_tracker,
+            gaps_policy=args.gaps_policy,
+            gaps_report_dir=args.gaps_report_dir,
         )
     else:
         tracker = None

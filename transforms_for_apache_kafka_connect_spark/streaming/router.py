@@ -17,12 +17,15 @@ consumer wants one file per topic per batch).
 
 from __future__ import annotations
 
+import logging
 import os
 from dataclasses import dataclass
 from dataclasses import field as dataclass_field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_log = logging.getLogger(__name__)
 
 
 def route_write(
@@ -152,6 +155,20 @@ class TopicTableRouter:
     #: Replayer.compact_every
     compact_every: int = 0
     compact_max_files_per_bucket: int = 8
+    #: optional SequenceTracker (gaps.py) over the RAW batch — checked
+    #: BEFORE the chain runs, because continuity is a property of the
+    #: SOURCE transport: the chain splits one partition's offsets
+    #: across destinations, so per-destination sequences are
+    #: legitimately sparse and must NOT be checked. The watermark
+    #: advances only after EVERY topic commits (a partially-failed
+    #: batch re-checks identically on replay).
+    track_gaps: object | None = None
+    gaps_policy: str = "error"
+    gaps_report_dir: str | None = None
+
+    def __post_init__(self):
+        if self.gaps_policy not in ("error", "warn"):
+            raise ValueError("gaps_policy must be 'error' or 'warn'")
 
     def _table(self, topic: str):
         from transforms_for_apache_kafka_connect_spark.streaming.sink import (
@@ -180,6 +197,42 @@ class TopicTableRouter:
             DataException,
         )
 
+        gaps_n = None
+        if self.track_gaps is not None:
+            already_done = self.track_gaps.table.committed(
+                self.epoch, batch_id
+            )
+            if not already_done:
+                # continuity on the RAW batch, against the
+                # not-yet-advanced watermark (advance happens only
+                # after every topic commits, so a replayed
+                # partially-failed batch re-checks identically)
+                rep_df = self.track_gaps.report(batch.sparkSession, batch)
+                if self.gaps_report_dir:
+                    out = os.path.join(
+                        self.gaps_report_dir,
+                        f"epoch={self.epoch}", f"batch_id={batch_id}",
+                    )
+                    rep_df.write.mode("overwrite").parquet(out)
+                    gaps_n = batch.sparkSession.read.parquet(out).count()
+                else:
+                    gaps_n = rep_df.count()
+                if gaps_n:
+                    from transforms_for_apache_kafka_connect_spark.errors import (
+                        DataException as _DE,
+                    )
+
+                    if self.gaps_policy == "error":
+                        raise _DE(
+                            f"sequence continuity violated: {gaps_n} "
+                            f"anomalies in batch {batch_id} — no topic "
+                            "slice applied; batch stays replayable"
+                        )
+                    _log.warning(
+                        "sequence continuity: %s anomalies in batch %s "
+                        "(gaps_policy='warn' — proceeding)",
+                        gaps_n, batch_id,
+                    )
         chain = self.chain if self.chain is not None else Chain([])
         transformed = chain.apply(ensure_error_col(batch)).persist()
         try:
@@ -234,6 +287,15 @@ class TopicTableRouter:
                     f"({', '.join(sorted(failures))}); "
                     f"{len(results)} committed and will skip on replay"
                 ) from failures[first]
+            if self.track_gaps is not None:
+                # every topic committed: advance exactly-once (its own
+                # ledger makes replayed catch-ups no-ops)
+                self.track_gaps.advance(
+                    batch.sparkSession, batch,
+                    epoch=self.epoch, batch_id=batch_id,
+                )
+                if gaps_n is not None:
+                    result["gap_anomalies"] = int(gaps_n)
             return result
         finally:
             transformed.unpersist()
