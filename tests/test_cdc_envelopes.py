@@ -465,3 +465,58 @@ def test_maxwell_wire_replay_equals_direct_replay(spark, tmp_path):
     assert [r.asDict() for r in ta.drop("_lsn").collect()] == [
         r.asDict() for r in tb.drop("_lsn").collect()
     ]
+
+
+def test_canal_round_trip_exact(spark):
+    """envelope -> Canal wire -> envelope is the identity on every
+    decoded field (Canal's own fixture mix: multi-row insert, update
+    with old diff, delete, all-string values)."""
+    from transforms_for_apache_kafka_connect_spark.sources import (
+        envelope_from_canal,
+        envelope_to_canal,
+    )
+
+    env1 = envelope_from_canal(
+        _raw(spark, [d for d in CANAL_DOCS if '"isDdl":true' not in d]),
+        data_schema=SCHEMA, key_fields=["id"],
+    )
+    wire = envelope_to_canal(env1, database="shop", table="users")
+    env2 = envelope_from_canal(
+        wire, data_schema=SCHEMA, key_fields=["id"],
+        lsn=F.col("offset"),
+    )
+    cols = ["key", "value.op", "value.ts_ms", "value.before", "value.after"]
+    key = ["ts_ms", "op"]
+    a = env1.select(*cols).orderBy(*key)
+    b = env2.select(*cols).orderBy(*key)
+    assert [r.asDict(True) for r in a.collect()] == [
+        r.asDict(True) for r in b.collect()
+    ]
+    plan = wire._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+
+
+def test_dms_round_trip_exact(spark):
+    """envelope -> DMS wire -> envelope identity (load/insert/update/
+    delete; millisecond ISO timestamps survive)."""
+    from transforms_for_apache_kafka_connect_spark.sources import (
+        envelope_from_dms,
+        envelope_to_dms,
+    )
+
+    env1 = envelope_from_dms(
+        _raw(spark, DMS_DOCS), data_schema=SCHEMA, key_fields=["id"]
+    )
+    wire = envelope_to_dms(env1, schema_name="shop", table="users")
+    env2 = envelope_from_dms(
+        wire, data_schema=SCHEMA, key_fields=["id"],
+        lsn=F.col("offset"),
+    )
+    cols = ["key", "value.op", "value.ts_ms", "value.before", "value.after"]
+    a = env1.select(*cols).orderBy("ts_ms")
+    b = env2.select(*cols).orderBy("ts_ms")
+    assert [r.asDict(True) for r in a.collect()] == [
+        r.asDict(True) for r in b.collect()
+    ]
+    plan = wire._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan

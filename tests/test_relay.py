@@ -77,7 +77,7 @@ def test_relay_hop_reproduces_source_state(spark, tmp_path):
     assert a.exceptAll(b2).count() == 0 and b2.exceptAll(a).count() == 0
 
 
-@pytest.mark.parametrize("fmt", ["json", "avro", "maxwell"])
+@pytest.mark.parametrize("fmt", ["json", "avro", "maxwell", "canal", "dms"])
 def test_publish_roundtrip_and_consume(spark, tmp_path, fmt):
     """publish_changelog bytes -> stock boundary -> Replayer: a
     downstream engine instance consumes the published stream with zero
@@ -95,12 +95,15 @@ def test_publish_roundtrip_and_consume(spark, tmp_path, fmt):
             key_schema=env.schema["key"].dataType,
             value_schema=env.schema["value"].dataType,
         )
-    elif fmt == "maxwell":
-        from transforms_for_apache_kafka_connect_spark.sources.cdc_envelopes import (
-            envelope_from_maxwell,
+    elif fmt in ("maxwell", "canal", "dms"):
+        from transforms_for_apache_kafka_connect_spark.sources import (
+            cdc_envelopes as ce,
         )
 
-        back = envelope_from_maxwell(
+        decode = {"maxwell": ce.envelope_from_maxwell,
+                  "canal": ce.envelope_from_canal,
+                  "dms": ce.envelope_from_dms}[fmt]
+        back = decode(
             raw,
             data_schema=env.schema["value"].dataType["after"].dataType,
             key_fields=["repo", "path"],

@@ -173,7 +173,8 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--relay-out", default=None,
                     help="with --maintenance relay: output parquet dir for "
                          "the published converter-bytes stream")
-    ap.add_argument("--relay-format", choices=["json", "avro", "maxwell"],
+    ap.add_argument("--relay-format",
+                    choices=["json", "avro", "maxwell", "canal", "dms"],
                     default="json",
                     help="with --maintenance relay: converter serialization "
                          "(avro implies Confluent framing)")

@@ -30,6 +30,8 @@ from transforms_for_apache_kafka_connect_spark.sources.protobuf_boundary import 
 from transforms_for_apache_kafka_connect_spark.sources.cdc_envelopes import (
     envelope_from_canal,
     envelope_from_dms,
+    envelope_to_canal,
+    envelope_to_dms,
     envelope_from_maxwell,
     envelope_to_maxwell,
 )
@@ -52,6 +54,8 @@ __all__ = [
     "envelope_from_maxwell",
     "envelope_from_canal",
     "envelope_from_dms",
+    "envelope_to_canal",
+    "envelope_to_dms",
     "envelope_to_maxwell",
     "avro_schema_to_spark",
     "spark_to_avro_schema",

@@ -611,3 +611,191 @@ def envelope_to_maxwell(
         F.col("headers"),
         F.col("value.lsn").alias("offset"),
     )
+
+
+def envelope_to_canal(
+    env: DataFrame,
+    *,
+    database: str = "engine",
+    table: str | None = None,
+    data_fields: list[str] | None = None,
+) -> DataFrame:
+    """Standard change envelope → Canal FlatMessage JSON (the inverse
+    of :func:`envelope_from_canal`, single-row messages — a legal
+    FlatMessage subset every Canal consumer handles; the decoder's
+    posexplode sees exactly one row per message).
+
+    Emission rules (Canal's documented conventions):
+
+    * op c→INSERT, u→UPDATE, d→DELETE; op 'r' rows emit as INSERT
+      (Canal has no bootstrap marker — snapshot rows ARE inserts to a
+      Canal consumer);
+    * every value serializes as a STRING (Canal stringifies all column
+      values); NULL column values stay JSON null;
+    * ``data`` = [after-image] for insert/update, [before-image] for
+      delete (key-struct backfill when before-images are null);
+    * ``old`` = [changed-columns map] for updates — only columns whose
+      value differs, carrying the OLD value;
+    * ``es``/``ts`` = envelope ``ts_ms``; ``id`` = lsn; ``isDdl`` =
+      false; ``pkNames`` = the key-struct field names;
+    * tombstone records (null value) stay null-value records.
+
+    Output mirrors :func:`envelope_to_maxwell`: ``(topic, partition,
+    key, value, timestamp, headers, offset)`` — round-trips through
+    ``envelope_from_canal`` (law-tested) modulo Canal's own lossiness
+    (deletes lose their after side, 'r' re-enters as 'c')."""
+    vdt = env.schema["value"].dataType
+    if data_fields is None:
+        data_fields = [f.name for f in vdt["after"].dataType.fields]
+    after, before = F.col("value.after"), F.col("value.before")
+    op = F.col("value.op")
+    typ = (
+        F.when(op == "d", F.lit("DELETE"))
+        .when(op == "u", F.lit("UPDATE"))
+        .otherwise(F.lit("INSERT"))
+    )
+    image = F.when(op == "d", before).otherwise(after)
+    kdt = env.schema["key"].dataType
+    key_names = (
+        [f.name for f in kdt.fields] if isinstance(kdt, T.StructType) else []
+    )
+
+    def _img_field(f: str) -> Column:
+        col = image.getField(f)
+        if f in key_names:
+            col = F.coalesce(col, F.col("key").getField(f))
+        return col.cast("string")
+
+    data_map = F.map_from_arrays(
+        F.array(*[F.lit(f) for f in data_fields]),
+        F.array(*[_img_field(f) for f in data_fields]),
+    )
+    # old: map of only the CHANGED columns with their old values —
+    # entries filtered on a per-column changed flag, so present-with-
+    # null old values survive (a null map VALUE is legal)
+    old_entries = F.filter(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(f).alias("k"),
+                    before.getField(f).cast("string").alias("v"),
+                    (~before.getField(f).eqNullSafe(after.getField(f)))
+                    .alias("chg"),
+                )
+                for f in data_fields
+            ]
+        ),
+        lambda e: e.getField("chg"),
+    )
+    old_map = F.map_from_entries(
+        F.transform(
+            old_entries,
+            lambda e: F.struct(e.getField("k"), e.getField("v")),
+        )
+    )
+    has_old = (op == "u") & before.isNotNull() & (F.size(old_entries) > 0)
+    tbl = F.lit(table) if table is not None else F.split(
+        F.col("topic"), r"\."
+    ).getItem(0)
+    body = F.struct(
+        F.lit(database).alias("database"),
+        tbl.alias("table"),
+        typ.alias("type"),
+        F.coalesce(F.col("value.ts_ms"), F.lit(0)).alias("es"),
+        F.coalesce(F.col("value.ts_ms"), F.lit(0)).alias("ts"),
+        F.col("value.lsn").alias("id"),
+        F.lit(False).alias("isDdl"),
+        F.array(*[F.lit(k) for k in key_names]).alias("pkNames"),
+        F.array(data_map).alias("data"),
+        F.when(has_old, F.array(old_map)).alias("old"),
+    )
+    return env.select(
+        F.col("topic"),
+        F.col("partition"),
+        F.to_json(F.col("key")).alias("key"),
+        F.when(F.col("value").isNotNull(), F.to_json(body)).alias("value"),
+        F.col("timestamp"),
+        F.col("headers"),
+        F.col("value.lsn").alias("offset"),
+    )
+
+
+def envelope_to_dms(
+    env: DataFrame,
+    *,
+    schema_name: str = "engine",
+    table: str | None = None,
+    data_fields: list[str] | None = None,
+) -> DataFrame:
+    """Standard change envelope → AWS DMS (Kinesis/Kafka target) JSON
+    (the inverse of :func:`envelope_from_dms`).
+
+    Emission rules (DMS's documented shapes): op r→load, c→insert,
+    u→update, d→delete; ``data`` = post-image (the deleted row for
+    deletes — DMS's default task setting carries no before-images, so
+    updates emit post-image only); ``metadata`` carries the ISO-8601
+    timestamp (UTC, derived from ``ts_ms``), ``record-type='data'``,
+    schema/table names and ``transaction-id`` = lsn. Tombstone records
+    stay null-value records. Round-trips through
+    ``envelope_from_dms`` (law-tested) modulo DMS's lossiness (no
+    before-images, c/r distinction restored by the load mapping)."""
+    vdt = env.schema["value"].dataType
+    if data_fields is None:
+        data_fields = [f.name for f in vdt["after"].dataType.fields]
+    after, before = F.col("value.after"), F.col("value.before")
+    op = F.col("value.op")
+    oper = (
+        F.when(op == "r", F.lit("load"))
+        .when(op == "c", F.lit("insert"))
+        .when(op == "u", F.lit("update"))
+        .when(op == "d", F.lit("delete"))
+    )
+    image = F.when(op == "d", before).otherwise(after)
+    kdt = env.schema["key"].dataType
+    key_names = (
+        {f.name for f in kdt.fields} if isinstance(kdt, T.StructType)
+        else set()
+    )
+    data = F.struct(
+        *[
+            (
+                F.coalesce(image.getField(f), F.col("key").getField(f))
+                if f in key_names
+                else image.getField(f)
+            ).alias(f)
+            for f in data_fields
+        ]
+    )
+    tbl = F.lit(table) if table is not None else F.split(
+        F.col("topic"), r"\."
+    ).getItem(0)
+    # date_format renders in the SESSION timezone; shifting the instant
+    # by to_utc_timestamp(ts, current_timezone()) makes the rendered
+    # wall time UTC whatever the session is set to (the 'Z' is honest)
+    iso_ts = F.date_format(
+        F.to_utc_timestamp(
+            F.timestamp_millis(F.coalesce(F.col("value.ts_ms"), F.lit(0))),
+            F.current_timezone(),
+        ),
+        "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'",
+    )
+    body = F.struct(
+        data.alias("data"),
+        F.struct(
+            iso_ts.alias("timestamp"),
+            F.lit("data").alias("record-type"),
+            oper.alias("operation"),
+            F.lit(schema_name).alias("schema-name"),
+            tbl.alias("table-name"),
+            F.col("value.lsn").alias("transaction-id"),
+        ).alias("metadata"),
+    )
+    return env.select(
+        F.col("topic"),
+        F.col("partition"),
+        F.to_json(F.col("key")).alias("key"),
+        F.when(F.col("value").isNotNull(), F.to_json(body)).alias("value"),
+        F.col("timestamp"),
+        F.col("headers"),
+        F.col("value.lsn").alias("offset"),
+    )

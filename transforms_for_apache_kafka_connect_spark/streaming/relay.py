@@ -139,9 +139,10 @@ def publish_changelog(
     producer writing ``key``/``value`` as-is). ``format`` is ``"json"``
     or ``"avro"`` (writer schemas derived from the envelope's Spark
     types via ``spark_to_avro_schema``; Confluent framing optional),
-    or ``"maxwell"`` (third-party wire dialect: Maxwell JSON with the
-    changed-columns ``old`` diff — a Maxwell consumer tails this table
-    with no engine-specific code).
+    or a third-party wire dialect — ``"maxwell"`` (changed-columns
+    ``old`` diff), ``"canal"`` (FlatMessage, stringified values) or
+    ``"dms"`` (AWS DMS metadata shape) — so the matching consumer
+    tails this table with no engine-specific code.
 
     The bytes round-trip through ``envelope_from_json``/``_avro`` back
     to the identical envelope — pinned by tests — so a downstream
@@ -174,17 +175,22 @@ def publish_changelog(
             schema_id=schema_id,
             use_jvm=use_jvm,
         )
-    if format == "maxwell":
+    if format in ("maxwell", "canal", "dms"):
         if confluent_framing or schema_id != 1:
             raise ValueError(
                 "confluent_framing/schema_id apply only to format='avro' "
-                "(Maxwell payloads are unframed JSON)"
+                f"({format} payloads are unframed JSON)"
             )
         from transforms_for_apache_kafka_connect_spark.sources.cdc_envelopes import (
+            envelope_to_canal,
+            envelope_to_dms,
             envelope_to_maxwell,
         )
 
-        wire = envelope_to_maxwell(env, table=topic or "changelog")
+        to_wire = {"maxwell": envelope_to_maxwell,
+                   "canal": envelope_to_canal,
+                   "dms": envelope_to_dms}[format]
+        wire = to_wire(env, table=topic or "changelog")
         # offset (the LSN) rides along: a producer keys partitioning or
         # ordering on it, and the decode side recovers exact per-key
         # ordering via lsn=F.col("offset")
@@ -198,7 +204,7 @@ def publish_changelog(
             "offset",
         )
     raise ValueError(
-        f"unknown publish format: {format!r} (json|avro|maxwell)"
+        f"unknown publish format: {format!r} (json|avro|maxwell|canal|dms)"
     )
 
 
