@@ -143,11 +143,17 @@ def main() -> None:
     print(f"checksum rows: {n_sums} (one per bucket); diff rows:",
           diff.count(), "(0 = states provably equal)")
 
-    # tamper with the replica and catch it
+    # tamper with the replica, catch it, repair it
+    from transforms_for_apache_kafka_connect_spark.streaming import repair_state
+
     replica.delete_where(spark, "k = 7")
     diff2 = table_diff(spark, table, replica.read(spark))
     print("after tampering: diff =",
           [(r["side"], r["k"]) for r in diff2.collect()])
+    r = repair_state(spark, replica, table.read(spark), epoch="heal")
+    print("repair:", {k: r[k] for k in ("repaired", "deleted") if k in r},
+          "| post-repair diff =",
+          table_diff(spark, replica, table.read(spark)).count())
 
     spark.stop()
     print("OK")
