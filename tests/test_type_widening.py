@@ -167,3 +167,40 @@ def test_widened_mor_table_compacts_changelogs_and_time_travels(
     out = t.read(spark)
     assert out.schema["v"].dataType.simpleString() == "bigint"
     assert {r["k"]: r["v"] for r in out.collect()} == {1: 5, 2: BIG}
+
+
+def test_void_update_column_casts_to_manifest_type(spark, tmp_path):
+    """A literal-None (void-typed) update column — what a view fold
+    synthesizes for a payload it has no value for — must cast to the
+    manifest type losslessly, not be refused as incompatible drift
+    (hypothesis found this via the maintained-join law: a left-join
+    fold writing a NULL dim payload for never-matched facts)."""
+    t = LakeTable(str(tmp_path / "t"), key_cols=["k"], n_buckets=2,
+                  merge_strategy="broadcast")
+    t.merge(_upd(spark, [(1, "a", 1, False)], ("long", "string")),
+            epoch="e", batch_id=0)
+    void_upd = spark.createDataFrame(
+        [(2, 2, False)], "k long, _lsn long, __is_delete boolean"
+    ).withColumn("v", F.lit(None))  # untyped None -> void
+    assert void_upd.schema["v"].dataType.simpleString() == "void"
+    t.merge(void_upd, epoch="e", batch_id=1)
+    out = t.read(spark)
+    assert out.schema["v"].dataType.simpleString() == "string"
+    assert {r["k"]: r["v"] for r in out.collect()} == {1: "a", 2: None}
+
+
+def test_void_manifest_column_widens_to_real_type(spark, tmp_path):
+    """The mirror case: the table's first batch carried only NULLs for
+    a column (manifest records void); a later typed batch widens the
+    manifest to the real type."""
+    t = LakeTable(str(tmp_path / "t"), key_cols=["k"], n_buckets=2,
+                  merge_strategy="broadcast")
+    first = spark.createDataFrame(
+        [(1, 1, False)], "k long, _lsn long, __is_delete boolean"
+    ).withColumn("v", F.lit(None))
+    t.merge(first, epoch="e", batch_id=0)
+    t.merge(_upd(spark, [(2, "b", 2, False)], ("long", "string")),
+            epoch="e", batch_id=1)
+    out = t.read(spark)
+    assert out.schema["v"].dataType.simpleString() == "string"
+    assert {r["k"]: r["v"] for r in out.collect()} == {1: None, 2: "b"}

@@ -135,6 +135,23 @@ class MaintainedJoin:
     def _right_cols(self) -> list[str]:
         return [f["name"] for f in self.right.payload_fields()]
 
+    def _right_null(self, c: str):
+        """A typed NULL for a right payload column (type from the dim
+        manifest): an untyped ``F.lit(None)`` is void-typed, which the
+        sink deliberately refuses to WRITE (parquet cannot store void)
+        — so a left-join fold padding a never-matched fact must declare
+        the column with its real type or the view schema would never
+        learn it."""
+        from pyspark.sql import types as T
+
+        for f in self.right.payload_fields():
+            if f["name"] == c:
+                dt = T.StructField.fromJson(
+                    {"metadata": {}, "nullable": True, **f}
+                ).dataType
+                return F.lit(None).cast(dt)
+        return F.lit(None).cast("string")
+
     def _renamed(self, c: str, left_cols: set[str]) -> str:
         out = c if c not in left_cols else f"{c}{self.right_suffix}"
         if out != c and out in left_cols:
@@ -161,7 +178,7 @@ class MaintainedJoin:
             if c in rdf.columns:
                 sel.append(F.col(c).alias(name))
             else:
-                sel.append(F.lit(None).alias(name))
+                sel.append(self._right_null(c).alias(name))
         return rdf.select(*sel).withColumn("__rm", F.lit(True))
 
     def _join_cond(self, ldf: DataFrame, rdf: DataFrame):
@@ -236,7 +253,7 @@ class MaintainedJoin:
             for c in self._right_cols():
                 name = self._renamed(c, taken)
                 taken.add(name)
-                padded = padded.withColumn(name, F.lit(None))
+                padded = padded.withColumn(name, self._right_null(c))
             padded = padded.withColumn("__is_delete", F.lit(False))
             return padded.unionByName(dels, allowMissingColumns=True)
 

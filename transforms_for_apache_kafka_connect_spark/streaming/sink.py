@@ -76,6 +76,13 @@ def _wider_json_type(name: str, a, b):
         SchemaEnforcementError,
     )
 
+    # void (an untyped all-NULL column, e.g. a literal None a view fold
+    # synthesized) is the bottom type: casting it to ANY type is
+    # lossless, so the other side always wins
+    if a == "void":
+        return b
+    if b == "void":
+        return a
     if a in _INTEGRAL_RANK and b in _INTEGRAL_RANK:
         return a if _INTEGRAL_RANK[a] >= _INTEGRAL_RANK[b] else b
     if a in _FRACTIONAL_RANK and b in _FRACTIONAL_RANK:
@@ -2043,7 +2050,29 @@ class LakeTable:
         applies widen_map in its manifest schema union. Raises on
         lossy/incompatible drift, on key-column widening (old rows were
         bucketed under the narrow type's hash — widening a key needs an
-        explicit table rebuild/rescale), and in strict schema mode."""
+        explicit table rebuild/rescale), and in strict schema mode.
+
+        Void-typed columns (untyped literal NULLs, e.g. a view fold's
+        ``F.lit(None)``): if the manifest types the column, the update
+        casts to that type (lossless); if the manifest does NOT know
+        the column, it is DROPPED before the write — parquet cannot
+        store void (Spark would silently write BOOLEAN and poison later
+        widened reads), and an all-NULL column of unknown type carries
+        no information: when a typed batch eventually arrives, the
+        column evolves additively and earlier rows correctly read as
+        NULL."""
+        known = (
+            {f["name"] for f in m["schema"]["fields"]}
+            if m["schema"] is not None
+            else set()
+        )
+        unknown_void = [
+            f.name
+            for f in updates.schema.fields
+            if f.dataType.typeName() == "void" and f.name not in known
+        ]
+        if unknown_void:
+            updates = updates.drop(*unknown_void)
         if m["schema"] is None:
             return updates, {}
         from transforms_for_apache_kafka_connect_spark.errors import (
@@ -2052,11 +2081,23 @@ class LakeTable:
 
         old = {f["name"]: f["type"] for f in m["schema"]["fields"]}
         casts: dict[str, str] = {}
+        ddl_casts: dict[str, str] = {}
         widen_map: dict[str, str] = {}
         for f in json.loads(updates.schema.json())["fields"]:
             name, new_t = f["name"], f["type"]
             old_t = old.get(name)
             if name == delete_col or old_t is None or old_t == new_t:
+                continue
+            if new_t == "void":
+                # an untyped all-NULL update column (e.g. a literal
+                # None a view fold synthesized): cast to the manifest
+                # type verbatim — lossless for ANY type incl. complex
+                from pyspark.sql import types as T
+
+                ddl_casts[name] = T.StructField.fromJson(
+                    {"name": name, "type": old_t, "nullable": True,
+                     "metadata": {}}
+                ).dataType.simpleString()
                 continue
             if not isinstance(old_t, str) or not isinstance(new_t, str):
                 raise SchemaEnforcementError(
@@ -2083,9 +2124,13 @@ class LakeTable:
                         f"(schema_mode='evolve') or cast the source"
                     )
                 widen_map[name] = wide
-        if casts:
+        if casts or ddl_casts:
             updates = updates.withColumns(
-                {n: F.col(n).cast(_JSON_TO_DDL[t]) for n, t in casts.items()}
+                {
+                    **{n: F.col(n).cast(_JSON_TO_DDL[t])
+                       for n, t in casts.items()},
+                    **{n: F.col(n).cast(t) for n, t in ddl_casts.items()},
+                }
             )
         return updates, widen_map
 

@@ -112,6 +112,20 @@ class MaintainedStar:
     def _dim_payload_cols(self, i: int) -> list[str]:
         return [f["name"] for f in self.dims[i].table.payload_fields()]
 
+    def _dim_null(self, i: int, c: str):
+        """Typed NULL for dim i's payload column (type from its
+        manifest) — an untyped None is void, which the sink refuses to
+        write; see MaintainedJoin._right_null."""
+        from pyspark.sql import types as T
+
+        for f in self.dims[i].table.payload_fields():
+            if f["name"] == c:
+                dt = T.StructField.fromJson(
+                    {"metadata": {}, "nullable": True, **f}
+                ).dataType
+                return F.lit(None).cast(dt)
+        return F.lit(None).cast("string")
+
     def _emitted_name(self, i: int, c: str, taken: set[str]) -> str:
         d = self.dims[i]
         out = c
@@ -143,7 +157,7 @@ class MaintainedStar:
             if c in rdf.columns:
                 sel.append(F.col(c).alias(name))
             else:
-                sel.append(F.lit(None).alias(name))
+                sel.append(self._dim_null(i, c).alias(name))
         out = rdf.select(*sel).withColumn(f"__sm{i}", F.lit(True))
         return out, emitted
 
