@@ -402,3 +402,81 @@ def test_cli_error_policy_from_properties(spark, tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     # tombstones (null value) have no after.content -> DLQ'd, batch merged
     assert _os.path.isdir(dlq)
+
+
+def test_sequence_policy_from_properties(tmp_path):
+    from transforms_for_apache_kafka_connect_spark.plans.properties import (
+        sequence_policy_from_properties,
+    )
+
+    root = str(tmp_path / "state")
+    # undeclared -> caller keeps defaults
+    assert sequence_policy_from_properties("transforms=\n", root) == {}
+    out = sequence_policy_from_properties(
+        "source.sequence.check=dense\n", root
+    )
+    tr = out["track_gaps"]
+    assert (tr.mode, tr.by, tr.seq) == (
+        "dense", ("topic", "partition"), "timestamp"
+    )
+    assert out["gaps_policy"] == "error" and "gaps_report_dir" not in out
+    out2 = sequence_policy_from_properties(
+        "source.sequence.check=monotonic\n"
+        "source.sequence.by=topic\n"
+        "source.sequence.seq=value.lsn\n"
+        "source.sequence.policy=warn\n"
+        "source.sequence.report.dir=/data/gaps\n",
+        root,
+    )
+    tr2 = out2["track_gaps"]
+    assert (tr2.mode, tr2.by, tr2.seq) == ("monotonic", ("topic",), "value.lsn")
+    assert out2["gaps_policy"] == "warn"
+    assert out2["gaps_report_dir"] == "/data/gaps"
+    assert tr2.table.root == root
+    with pytest.raises(ConfigException, match="dense.*monotonic"):
+        sequence_policy_from_properties("source.sequence.check=exact\n", root)
+    with pytest.raises(ConfigException, match="'error' or 'warn'"):
+        sequence_policy_from_properties(
+            "source.sequence.check=dense\nsource.sequence.policy=skip\n",
+            root,
+        )
+
+
+def test_cli_sequence_policy_from_properties(spark, tmp_path):
+    """One properties file declares the whole deployment INCLUDING
+    lost-event detection: a punched hole fails the run under the
+    declared error policy; warn proceeds and reports."""
+    import json as _json
+
+    from transforms_for_apache_kafka_connect_spark.cli import main
+    from transforms_for_apache_kafka_connect_spark.errors import DataException
+    from transforms_for_apache_kafka_connect_spark.sources import change_stream
+
+    events = change_stream(spark, 400, n_repos=10, paths_per_repo=4)
+    events.filter("timestamp % 83 != 7").write.mode("overwrite").parquet(
+        str(tmp_path / "holey")
+    )
+    chain = (
+        "transforms=th\n"
+        "transforms.th.type="
+        "io.aiven.kafka.connect.transforms.TombstoneHandler\n"
+        "transforms.th.behavior=drop_silent\n"
+    )
+    props = tmp_path / "conn.properties"
+    props.write_text(
+        chain
+        + "source.sequence.check=dense\n"
+        + "source.sequence.by=topic\n"
+    )
+    base = ["--table", str(tmp_path / "t"), "--buckets", "4",
+            "--batches", "2", "--chain", str(props)]
+    with pytest.raises(DataException, match="sequence continuity"):
+        main(base + ["--events", str(tmp_path / "holey")])
+    # warn via the properties file
+    props.write_text(
+        chain
+        + "source.sequence.check=dense\n"
+        + "source.sequence.by=topic\n"
+        + "source.sequence.policy=warn\n"
+    )
+    assert main(base + ["--events", str(tmp_path / "holey")]) == 0

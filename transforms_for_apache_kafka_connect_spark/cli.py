@@ -583,6 +583,36 @@ def main(argv: list[str] | None = None) -> int:
             error_mode = policy["error_mode"]
             # explicit --dlq-dir always wins over the declared topic/dir
             dlq_dir = dlq_dir or policy.get("dlq_dir")
+    # declared continuity checking (engine extension keys) — the
+    # explicit --track-gaps flags win over the properties file
+    if (
+        not args.track_gaps
+        and args.chain
+        and args.chain.endswith(".properties")
+    ):
+        from transforms_for_apache_kafka_connect_spark.errors import (
+            ConfigException,
+        )
+        from transforms_for_apache_kafka_connect_spark.plans.properties import (
+            sequence_policy_from_properties,
+        )
+
+        try:
+            seq_policy = sequence_policy_from_properties(
+                args.chain, os.path.join(args.table, "_seq_state")
+            )
+        except ConfigException as exc:
+            print(f"sequence policy: {exc}", file=sys.stderr)
+            return 2
+        if seq_policy:
+            args.track_gaps = seq_policy["track_gaps"].mode
+            args.gaps_by = ",".join(seq_policy["track_gaps"].by)
+            args.gaps_seq = seq_policy["track_gaps"].seq
+            args.gaps_policy = seq_policy["gaps_policy"]
+            args.gaps_report_dir = (
+                args.gaps_report_dir
+                or seq_policy.get("gaps_report_dir")
+            )
     error_mode = error_mode or "fail"
     if error_mode == "dlq" and not dlq_dir:
         print("--error-mode dlq requires --dlq-dir", file=sys.stderr)

@@ -462,3 +462,69 @@ def error_policy_from_properties(source) -> dict:
             "'errors.deadletterqueue.topic.name'"
         )
     return {"error_mode": "dlq", "dlq_dir": dlq_dir}
+
+
+def sequence_policy_from_properties(source, state_root: str) -> dict:
+    """Engine-extension sequence-continuity declarations -> Replayer /
+    TopicTableRouter kwargs (``track_gaps``/``gaps_policy``/
+    ``gaps_report_dir``) — the whole deployment, including its
+    lost-event detection, stays declared in ONE properties file.
+
+    Keys (engine extensions; Connect itself has no continuity checking
+    — it delegates to the broker's offset contract, which a
+    lake-building engine must replace):
+
+    * ``source.sequence.check`` = ``dense`` | ``monotonic`` (absent ->
+      no tracking, empty dict returned)
+    * ``source.sequence.by`` = comma-separated envelope columns
+      defining a sequence domain (default ``topic,partition``)
+    * ``source.sequence.seq`` = envelope expression giving each
+      record's sequence number (default ``timestamp`` — the offset
+      slot every record carries)
+    * ``source.sequence.policy`` = ``error`` (default) | ``warn``
+    * ``source.sequence.report.dir`` = optional parquet root for
+      per-batch anomaly rows
+
+    ``state_root`` roots the tracker's watermark table (the CLI passes
+    ``<table>/_seq_state``).
+    """
+    props = _load_props(source)
+    mode = props.get("source.sequence.check")
+    if mode is None:
+        return {}
+    if mode not in ("dense", "monotonic"):
+        raise ConfigException(
+            f"source.sequence.check must be 'dense' or 'monotonic', "
+            f"got {mode!r}"
+        )
+    policy = props.get("source.sequence.policy", "error")
+    if policy not in ("error", "warn"):
+        raise ConfigException(
+            f"source.sequence.policy must be 'error' or 'warn', "
+            f"got {policy!r}"
+        )
+    by = [
+        c.strip()
+        for c in props.get("source.sequence.by", "topic,partition").split(",")
+        if c.strip()
+    ]
+    from transforms_for_apache_kafka_connect_spark.streaming.gaps import (
+        SequenceTracker,
+    )
+    from transforms_for_apache_kafka_connect_spark.streaming.sink import (
+        LakeTable,
+    )
+
+    tracker = SequenceTracker(
+        table=LakeTable(
+            state_root, key_cols=by, n_buckets=1,
+            discovery=False, merge_strategy="broadcast",
+        ),
+        by=tuple(by),
+        seq=props.get("source.sequence.seq", "timestamp"),
+        mode=mode,
+    )
+    out = {"track_gaps": tracker, "gaps_policy": policy}
+    if props.get("source.sequence.report.dir"):
+        out["gaps_report_dir"] = props["source.sequence.report.dir"]
+    return out
