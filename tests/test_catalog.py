@@ -1,0 +1,174 @@
+"""LakeCatalog laws: SQL temp views over lake tables (snapshot
+semantics, refresh, tag/version pinning, router-root discovery, the
+Replayer on_commit hook) — the ``spark.sql`` consumer surface."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from transforms_for_apache_kafka_connect_spark import Chain
+from transforms_for_apache_kafka_connect_spark.errors import ConfigException
+from transforms_for_apache_kafka_connect_spark.sources import change_stream
+from transforms_for_apache_kafka_connect_spark.streaming import (
+    LakeCatalog,
+    LakeTable,
+    Replayer,
+)
+
+N = 4_000
+
+
+def _rows(df, cols=("repo", "path", "commit")):
+    return sorted(
+        tuple(r[c] for c in cols) for r in df.select(*cols).collect()
+    )
+
+
+@pytest.fixture()
+def catalog(spark):
+    cat = LakeCatalog(spark)
+    yield cat
+    for name in cat.names():
+        cat.unregister(name)
+
+
+def _build(spark, tmp_path, name="t1", first_half_only=False, **opts):
+    table = LakeTable(root=str(tmp_path / name), n_buckets=8, **opts)
+    rep = Replayer(table=table, chain=Chain([]), epoch="e1", unique_lsn=True)
+    events = change_stream(spark, N, n_repos=40, paths_per_repo=6)
+    hi = N // 2 if first_half_only else N
+    rep.replay(
+        events, batch_width=N // 2, max_pos=hi,
+        slice_col="value.lsn",
+    )
+    return table, rep, events
+
+
+def test_view_matches_read(spark, tmp_path, catalog):
+    table, _, _ = _build(spark, tmp_path)
+    catalog.register("repos", table)
+    via_sql = spark.sql("SELECT repo, path, commit FROM repos")
+    assert _rows(via_sql) == _rows(table.read(spark))
+    # real SQL over the view: aggregation matches the DataFrame path
+    agg = spark.sql(
+        "SELECT lang, count(*) AS n FROM repos GROUP BY lang ORDER BY lang"
+    ).collect()
+    want = (
+        table.read(spark).groupBy("lang").agg(F.count("*").alias("n"))
+        .orderBy("lang").collect()
+    )
+    assert [tuple(r) for r in agg] == [tuple(r) for r in want]
+
+
+def test_snapshot_isolation_then_refresh(spark, tmp_path, catalog):
+    table, rep, events = _build(spark, tmp_path, first_half_only=True)
+    catalog.register("repos", table)
+    before = _rows(spark.table("repos"))
+    # later commits must not leak into the registered view... (the
+    # full-range replay ledger-skips the committed first half)
+    rep.replay(
+        events, batch_width=N // 2, max_pos=N, slice_col="value.lsn",
+    )
+    assert _rows(spark.table("repos")) == before
+    # ...until an explicit refresh re-resolves to CURRENT
+    catalog.refresh("repos")
+    assert _rows(spark.table("repos")) == _rows(table.read(spark))
+    assert _rows(spark.table("repos")) != before
+
+
+def test_tag_and_version_pins(spark, tmp_path, catalog):
+    table, rep, events = _build(spark, tmp_path, first_half_only=True)
+    v_half = table.manifest()["version"]
+    table.tag("audit", v_half)
+    catalog.register("repos_audit", table, tag="audit")
+    catalog.register("repos_v", table, version=v_half)
+    frozen = _rows(spark.table("repos_audit"))
+    assert frozen == _rows(spark.table("repos_v"))
+    rep.replay(
+        events, batch_width=N // 2, max_pos=N, slice_col="value.lsn",
+    )
+    catalog.refresh_all()
+    # version pin is immutable; the tag still points at v_half
+    assert _rows(spark.table("repos_v")) == frozen
+    assert _rows(spark.table("repos_audit")) == frozen
+    # re-point the tag -> the tag view FOLLOWS on refresh
+    table.tag("audit", table.manifest()["version"])
+    catalog.refresh("repos_audit")
+    assert _rows(spark.table("repos_audit")) == _rows(table.read(spark))
+    assert _rows(spark.table("repos_v")) == frozen
+
+
+def test_mor_view_resolves_lww(spark, tmp_path, catalog):
+    cow, _, _ = _build(spark, tmp_path, name="cow")
+    mor, _, _ = _build(spark, tmp_path, name="mor", merge_strategy="append")
+    catalog.register("cow_v", cow)
+    catalog.register("mor_v", mor)
+    assert _rows(spark.table("mor_v")) == _rows(spark.table("cow_v"))
+    # and SQL can join the two registered views
+    n = spark.sql(
+        "SELECT count(*) AS n FROM cow_v c JOIN mor_v m "
+        "ON c.repo = m.repo AND c.path = m.path WHERE c.commit = m.commit"
+    ).first()["n"]
+    assert n == spark.table("cow_v").count()
+
+
+def test_register_root_discovers_tables(spark, tmp_path, catalog):
+    root = tmp_path / "lake"
+    root.mkdir()
+    _build(spark, root, name="orders.v1")
+    _build(spark, root, name="customer-dim")
+    (root / "not_a_table").mkdir()  # no CURRENT pointer -> ignored
+    names = catalog.register_root(str(root), prefix="lake_")
+    assert names == ["lake_customer_dim", "lake_orders_v1"]
+    assert spark.table("lake_orders_v1").count() > 0
+    # sanitization collisions are refused, not silently shadowed
+    _build(spark, root, name="orders_v1")
+    with pytest.raises(ConfigException, match="sanitize"):
+        catalog.register_root(str(root), prefix="lake_")
+
+
+def test_on_commit_hook_tracks_ingest(spark, tmp_path, catalog):
+    table = LakeTable(root=str(tmp_path / "t"), n_buckets=8)
+    catalog.register("live", table)
+    rep = Replayer(
+        table=table, chain=Chain([]), epoch="e1", unique_lsn=True,
+        on_commit=[catalog],
+    )
+    events = change_stream(spark, N, n_repos=40, paths_per_repo=6)
+    rep.replay(events, batch_width=N // 2, max_pos=N, slice_col="value.lsn")
+    # no manual refresh: the hook re-registered after each commit
+    assert _rows(spark.table("live")) == _rows(table.read(spark))
+    # replay (ledger skips) fires hooks too and is a harmless no-op
+    rep.replay(events, batch_width=N // 2, max_pos=N, slice_col="value.lsn")
+    assert _rows(spark.table("live")) == _rows(table.read(spark))
+
+
+def test_staged_merges_never_fire_hooks(spark, tmp_path):
+    calls = []
+    table = LakeTable(root=str(tmp_path / "t"), n_buckets=8)
+    rep = Replayer(
+        table=table, chain=Chain([]), epoch="e1", unique_lsn=True,
+        publish=False, on_commit=[calls.append],
+    )
+    events = change_stream(spark, N // 4, n_repos=20, paths_per_repo=4)
+    rep.replay(
+        events, batch_width=N // 4, max_pos=N // 4, slice_col="value.lsn"
+    )
+    assert calls == []  # staged state is not live -> no hook
+
+
+def test_bad_names_and_unknown_views_refused(spark, tmp_path, catalog):
+    table, _, _ = _build(spark, tmp_path)
+    with pytest.raises(ConfigException, match="identifier"):
+        catalog.register("bad-name", table)
+    with pytest.raises(ConfigException, match="no registered view"):
+        catalog.refresh("nope")
+
+
+def test_where_baked_into_view(spark, tmp_path, catalog):
+    table, _, _ = _build(spark, tmp_path)
+    catalog.register("py_only", table, where=[("lang", "==", "py")])
+    got = spark.table("py_only")
+    assert got.count() == table.read(spark).filter(F.col("lang") == "py").count()
+    assert {r["lang"] for r in got.select("lang").distinct().collect()} == {"py"}

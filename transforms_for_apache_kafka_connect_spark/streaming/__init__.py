@@ -73,8 +73,12 @@ from transforms_for_apache_kafka_connect_spark.streaming.windowed import (
     stream_windowed_into,
     windowed_aggregate,
 )
+from transforms_for_apache_kafka_connect_spark.streaming.catalog import (
+    LakeCatalog,
+)
 
 __all__ = [
+    "LakeCatalog",
     "changelog_envelope",
     "publish_changelog",
     "relay_schemas",

@@ -1,0 +1,190 @@
+"""SQL catalog over lake tables: ``spark.sql`` as a first-class consumer.
+
+Every surface so far hands back a DataFrame; the remaining consumer a
+"switch from the reference" user brings along is plain SQL — BI tools,
+ad-hoc analysts, downstream jobs that know the lake only as table
+names. ``LakeCatalog`` closes that gap: it registers lake tables
+(including whole router roots) as Spark temp views, resolving
+merge-on-read deltas and time travel through the tables' own ``read``
+path, so ``spark.sql("SELECT ... FROM orders JOIN customers ...")``
+sees exactly the LWW-resolved, manifest-pinned state a ``read()``
+caller would.
+
+Semantics — a view is a SNAPSHOT, not a live pointer:
+
+* Registering captures the table's CURRENT manifest (or the requested
+  ``version``/``tag``) into the view's plan. Later commits do NOT leak
+  into an open view mid-query — the same snapshot-isolation contract
+  ``read()`` gives a single DataFrame, extended to the SQL surface.
+* ``refresh()``/``refresh_all()`` re-resolve: unpinned views advance to
+  CURRENT, ``tag=`` views follow the (possibly re-pointed) tag, and
+  ``version=`` views are immutable by construction — refresh is a
+  plan-identical no-op for them.
+* The catalog plugs into the engine: pass it (or
+  ``catalog.refresher()``) as an ``on_commit`` hook on a ``Replayer``
+  and every durably applied batch refreshes the affected views, so a
+  long-running SQL consumer session tracks ingest without polling.
+
+Scale note: a temp view costs nothing at rest — it is a named logical
+plan; Catalyst prunes columns and pushes filters into the underlying
+parquet scan exactly as for the ``read()`` DataFrame, and the
+manifest-level zone-map/bucket pruning available through
+``read(where=...)`` can be baked into a view via ``where=``.
+"""
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from transforms_for_apache_kafka_connect_spark.errors import ConfigException
+
+_NAME_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
+
+
+def _sql_name(raw: str) -> str:
+    """Sanitize a directory/topic name into a SQL identifier (dots and
+    dashes are legal in Kafka topic names but not in unquoted SQL)."""
+    name = re.sub(r"[^A-Za-z0-9_]", "_", raw)
+    if not name or not _NAME_RE.match(name):
+        name = "t_" + name
+    return name
+
+
+@dataclass
+class _ViewSpec:
+    table: Any  # LakeTable (duck-typed: anything with .read(spark, ...))
+    version: int | None
+    tag: str | None
+    where: list[tuple] | None
+
+
+class LakeCatalog:
+    """Register lake tables as Spark SQL temp views and keep them fresh.
+
+    One catalog per SparkSession; names live in the session's temp-view
+    namespace (``createOrReplaceTempView``), so they compose with any
+    other temp views the user already has.
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._views: dict[str, _ViewSpec] = {}
+
+    # ------------------------------------------------------------ views
+
+    def register(
+        self,
+        name: str,
+        table,
+        *,
+        version: int | None = None,
+        tag: str | None = None,
+        where: list[tuple] | None = None,
+    ) -> DataFrame:
+        """Register ``table`` as temp view ``name`` (snapshot of CURRENT,
+        or of ``version``/``tag``). ``where`` bakes manifest-level file
+        pruning conditions into the view (same shape as ``read``).
+
+        Re-registering an existing name re-points it — that IS the
+        refresh primitive, so no separate unregister-first dance.
+
+        A table with no committed schema yet (a fresh sink an engine is
+        about to start filling) registers as a PENDING view: the spec
+        is recorded, ``spark.table(name)`` stays unresolvable, and the
+        first refresh after the first commit materializes it — so
+        ``LakeCatalog`` + ``Replayer(on_commit=[catalog])`` can be
+        wired up before ingest begins. Returns None in that case.
+        """
+        if not _NAME_RE.match(name):
+            raise ConfigException(
+                f"view name must be a SQL identifier "
+                f"([A-Za-z_][A-Za-z0-9_]*): {name!r}"
+            )
+        try:
+            df = table.read(self.spark, version=version, tag=tag, where=where)
+        except ValueError as e:
+            if "no schema" not in str(e):
+                raise
+            self._views[name] = _ViewSpec(table, version, tag, where)
+            return None
+        df.createOrReplaceTempView(name)
+        self._views[name] = _ViewSpec(table, version, tag, where)
+        return df
+
+    def register_root(self, root: str, *, prefix: str = "") -> list[str]:
+        """Discover every lake table under ``root`` (any immediate child
+        directory carrying a ``_manifest/CURRENT`` pointer — the router
+        layout) and register each as ``prefix + <sanitized dir name>``.
+
+        Two directory names that sanitize to the same SQL identifier
+        would silently shadow each other — refused loudly instead.
+        Returns the registered view names, sorted.
+        """
+        from transforms_for_apache_kafka_connect_spark.streaming.sink import LakeTable
+
+        found: dict[str, str] = {}
+        for entry in sorted(os.listdir(root)):
+            d = os.path.join(root, entry)
+            if not os.path.isfile(os.path.join(d, "_manifest", "CURRENT")):
+                continue
+            name = prefix + _sql_name(entry)
+            if name in found:
+                raise ConfigException(
+                    f"directories {found[name]!r} and {entry!r} both "
+                    f"sanitize to view name {name!r}; register them "
+                    f"individually with distinct names"
+                )
+            found[name] = entry
+        names = []
+        for name, entry in found.items():
+            # LakeTable adopts key_cols / n_buckets / changelog from the
+            # stored manifest, so opening by root alone is sufficient
+            self.register(name, LakeTable(root=os.path.join(root, entry)))
+            names.append(name)
+        return sorted(names)
+
+    def unregister(self, name: str) -> None:
+        self._views.pop(name, None)
+        self.spark.catalog.dropTempView(name)
+
+    def names(self) -> list[str]:
+        return sorted(self._views)
+
+    # ---------------------------------------------------------- refresh
+
+    def refresh(self, name: str) -> DataFrame:
+        """Re-resolve one view: unpinned → CURRENT manifest, ``tag`` →
+        wherever the tag now points, ``version`` → unchanged plan."""
+        spec = self._views.get(name)
+        if spec is None:
+            raise ConfigException(f"no registered view: {name!r}")
+        return self.register(
+            name, spec.table,
+            version=spec.version, tag=spec.tag, where=spec.where,
+        )
+
+    def refresh_all(self) -> list[str]:
+        for name in list(self._views):
+            self.refresh(name)
+        return self.names()
+
+    # ----------------------------------------------------- engine hook
+
+    def __call__(self, result: dict) -> None:
+        """``Replayer(on_commit=[catalog])``: refresh every view whose
+        table the committing engine owns. The hook receives the batch
+        result dict; refresh is idempotent, so replayed/skipped batches
+        are harmless."""
+        self.refresh_all()
+
+    def refresher(self, *names: str):
+        """A narrower ``on_commit`` hook refreshing only ``names`` —
+        for engines that own one table of a many-view catalog."""
+        def hook(result: dict) -> None:
+            for n in names:
+                self.refresh(n)
+        return hook

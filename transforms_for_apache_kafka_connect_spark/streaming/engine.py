@@ -231,6 +231,14 @@ class Replayer:
     #: optional parquet root: each batch's anomaly rows are appended
     #: under epoch=<epoch>/batch_id=<id> for later audit
     gaps_report_dir: str | None = None
+    #: callables invoked with the batch result dict after a batch is
+    #: durably applied — fresh commit AND verified ledger skip, so a
+    #: crash-replay still fires them; hooks must therefore be
+    #: idempotent (same contract as maintained aggregates). Staged
+    #: merges (publish=False) never fire: the state is not live until
+    #: the transaction coordinator publishes it. Typical hooks: a
+    #: LakeCatalog (SQL views track ingest), metrics export, alerting.
+    on_commit: list = field(default_factory=list)
 
     def __post_init__(self):
         if self.error_mode not in ("fail", "dlq"):
@@ -379,7 +387,9 @@ class Replayer:
             self._run_maintenance(
                 snapshot.sparkSession, BOOTSTRAP_BATCH_ID
             )
-            return {"skipped": True, "batch_id": BOOTSTRAP_BATCH_ID}
+            result = {"skipped": True, "batch_id": BOOTSTRAP_BATCH_ID}
+            self._fire_on_commit(result)
+            return result
         manifest_fn = getattr(self.table, "manifest", None)
         if manifest_fn is not None and manifest_fn()["committed"]:
             raise ValueError(
@@ -436,7 +446,9 @@ class Replayer:
                     batch.sparkSession, batch,
                     epoch=self.epoch, batch_id=batch_id,
                 )
-            return {"skipped": True, "batch_id": batch_id}
+            result = {"skipped": True, "batch_id": batch_id}
+            self._fire_on_commit(result)
+            return result
         gaps_n = None
         if self.track_gaps is not None:
             # continuity check on the RAW envelope (transport-level —
@@ -774,7 +786,13 @@ class Replayer:
             )
             if gaps_n is not None:
                 result["gap_anomalies"] = int(gaps_n)
+        self._fire_on_commit(result)
         return result
+
+    def _fire_on_commit(self, result: dict) -> None:
+        if self.on_commit and self.publish:
+            for hook in self.on_commit:
+                hook(result)
 
     def replay(
         self,
