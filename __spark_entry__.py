@@ -1108,12 +1108,17 @@ def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rep = Replayer(table=table, chain=Chain([]), epoch="driver")
     rep.replay(stream, batch_width=max(1, (max_id + 3) // 3), max_pos=max_id + 1)
-    final = table.read(spark)
-    return final.select(
-        "user_id",
-        F.col("_lsn").alias("last_event_id"),
-        "event_type",
-        "val",
+    # read the final state through the SQL catalog surface
+    # (streaming/catalog.py): the registered temp view wraps the same
+    # manifest-pinned read() plan, so this leg certifies the spark.sql
+    # consumer path against the SQL oracle as well — view == read()
+    # equality is additionally law-tested in tests/test_catalog.py
+    from transforms_for_apache_kafka_connect_spark.streaming import LakeCatalog
+
+    LakeCatalog(spark).register("tkc_cdc_merge_state", table)
+    return spark.sql(
+        "SELECT user_id, _lsn AS last_event_id, event_type, val "
+        "FROM tkc_cdc_merge_state"
     )
 
 
