@@ -36,6 +36,8 @@ from __future__ import annotations
 
 import json
 import os
+import random
+import time
 import uuid
 from dataclasses import dataclass, field
 from typing import Any, ClassVar
@@ -479,6 +481,18 @@ class LakeTable:
     #: needs (retract old, add new). Costs ONE extra bucket-pruned
     #: read of the touched target keys per batch; off by default.
     changelog: bool = False
+    #: multi-writer optimistic concurrency: when another writer claims
+    #: the manifest version this merge predicted, the commit first
+    #: tries a REBASE (cheap, metadata-only — valid whenever the
+    #: interleaved commits did not invalidate what this merge read, see
+    #: ``_publish_commit``), then falls back to re-running the whole
+    #: merge against the new head, up to this many times total before
+    #: CommitConflictException surfaces to the caller, with jittered
+    #: exponential backoff between re-runs so N contending writers
+    #: serialize instead of livelocking (every re-run makes global
+    #: progress — SOME writer committed — so the backlog drains). 0
+    #: restores the fail-fast single-writer behavior.
+    max_commit_retries: int = 8
 
     def __post_init__(self):
         if self.schema_mode not in ("evolve", "strict"):
@@ -540,18 +554,68 @@ class LakeTable:
         """CURRENT manifest, or a historical one (time travel — retained
         until ``vacuum`` expires it). Version 0 is the virtual empty
         table (no manifest file exists for it — the first commit writes
-        version 1), so since_version=0 means 'everything'."""
+        version 1), so since_version=0 means 'everything'.
+
+        Multi-writer (OCC) contract: the COMMIT is the durable
+        exclusive creation of ``manifest-vN`` (``_swap``'s O_EXCL
+        claim); the CURRENT pointer is only a cache of the head. A
+        writer that crashed between its claim and the repoint must not
+        lose its commit, so head resolution rolls FORWARD from CURRENT
+        over contiguous valid claims (a partially-written claim fails
+        JSON parse and stops the walk — its claimer either finishes it
+        or a later writer reclaims the slot). The walk is one cheap
+        driver-side stat per step beyond the head, i.e. usually zero."""
         if version is not None:
             if version == 0:
                 return dict(self._EMPTY_MANIFEST)
             with open(self._manifest_path(version)) as f:
                 return json.load(f)
-        if not os.path.exists(self._current_path):
+        head = None
+        if os.path.exists(self._current_path):
+            with open(self._current_path) as f:
+                version = int(f.read().strip())
+            try:
+                with open(self._manifest_path(version)) as f:
+                    head = json.load(f)
+            except FileNotFoundError:
+                # CURRENT lagged behind a claim (crash window) long
+                # enough for retention to expire its target — the walk
+                # below must find the newer head, else corrupt
+                pass
+        else:
+            version = 0
+        start = version
+        while True:
+            nxt = self._manifest_path(version + 1)
+            if not os.path.exists(nxt):
+                break
+            try:
+                with open(nxt) as f:
+                    candidate = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                break  # in-flight or torn claim: not yet a commit
+            if "committed" not in candidate:
+                break
+            head, version = candidate, version + 1
+        if head is None:
+            if start > 0:
+                raise FileNotFoundError(
+                    f"CURRENT points at expired manifest version {start} "
+                    f"and no later claim exists: {self.root}"
+                )
             return dict(self._EMPTY_MANIFEST)
-        with open(self._current_path) as f:
-            version = int(f.read().strip())
-        with open(self._manifest_path(version)) as f:
-            return json.load(f)
+        if version > start:
+            # heal the pointer (best-effort: a read-only mount stays
+            # consistent through the walk alone; a racing newer repoint
+            # it momentarily overwrites is re-resolved by the next walk)
+            try:
+                tmp = self._current_path + f".tmp-{uuid.uuid4().hex}"
+                with open(tmp, "w") as f:
+                    f.write(str(version))
+                os.replace(tmp, self._current_path)
+            except OSError:
+                pass
+        return head
 
     def _attach_stats(
         self, manifest: dict[str, Any], prev_manifest: dict[str, Any]
@@ -686,6 +750,73 @@ class LakeTable:
         with open(tmp, "w") as f:
             f.write(str(version))
         os.replace(tmp, self._current_path)  # atomic on POSIX
+
+    def _publish_commit(
+        self, build, base: dict[str, Any], can_rebase, *,
+        epoch: str, batch_id: int,
+    ) -> dict[str, Any] | None:
+        """OCC commit loop: claim the version ``build(base)`` predicts;
+        on a claim conflict, re-resolve the head and — if ``can_rebase
+        (base, head)`` proves the interleaved commits did not
+        invalidate anything this merge READ — rebuild the manifest on
+        top of the head (``build(head)``, a pure function of its base)
+        and claim again. The data files were already written to this
+        attempt's unique directory, so a rebase is metadata-only: no
+        Spark job re-runs.
+
+        Returns the committed manifest, ``None`` when a concurrent
+        replayer of the SAME (epoch, batch_id) won (the caller reports
+        a ledger skip), and raises CommitConflictException when the
+        head moved in a way that invalidates the written files (the
+        merge-level retry then re-runs the job against the new head).
+        """
+        from transforms_for_apache_kafka_connect_spark.errors import (
+            CommitConflictException,
+        )
+
+        m = base
+        commit = build(m)
+        # rebase attempts are metadata-only and each one makes real
+        # progress impossible to starve indefinitely in practice; still
+        # bound the loop so a pathological livelock surfaces loudly
+        for _ in range(max(1, self.max_commit_retries) + 1):
+            try:
+                self._swap(commit)
+                return commit
+            except CommitConflictException:
+                head = self.manifest()
+                if [epoch, batch_id] in head["committed"]:
+                    return None  # a concurrent replayer of this batch won
+                if head["version"] <= m["version"] or not can_rebase(m, head):
+                    raise
+                m = head
+                commit = build(m)
+        raise CommitConflictException(
+            f"gave up after {self.max_commit_retries + 1} rebase attempts "
+            f"on {self.root} (epoch={epoch}, batch_id={batch_id})"
+        )
+
+    def _rebase_guard(self, base: dict[str, Any], head: dict[str, Any],
+                      read_buckets: list[int] | None, *,
+                      check_schema: bool = True) -> bool:
+        """True iff a commit computed against ``base`` is still valid
+        on top of ``head``: same physical layout, no concurrent schema
+        evolution (type widening on the head could make files written
+        against the base narrower than untouched buckets expect), and
+        every bucket this merge READ is byte-identical between the two
+        manifests (``read_buckets=None`` = it read all of them;
+        ``check_schema=False`` for commits whose build recomputes the
+        schema union against the new base and wrote no data files)."""
+        if head.get("n_buckets", self.n_buckets) != self.n_buckets:
+            return False
+        if head.get("key_cols", self.key_cols) != self.key_cols:
+            return False
+        if check_schema and head.get("schema") != base.get("schema"):
+            return False
+        hb, bb = head["buckets"], base["buckets"]
+        if read_buckets is None:
+            return hb == bb
+        return all(hb.get(str(b)) == bb.get(str(b)) for b in read_buckets)
 
     # -------------------------------------------------- write-audit-publish
 
@@ -1536,7 +1667,11 @@ class LakeTable:
             .drop(delete_col)
             .withColumn("__seq", F.lit(version).cast("long"))
         )
-        rel_dir = os.path.join("data", f"v{version:08d}-b{batch_id}-delta")
+        # per-attempt unique dir — same OCC no-clobber rule as the COW
+        # path (see merge())
+        rel_dir = os.path.join(
+            "data", f"v{version:08d}-b{batch_id}-w{uuid.uuid4().hex[:8]}-delta"
+        )
         if not publish:
             # same staged-dir uniqueness rule as the COW path: an
             # unpublished delta must never share a dir with another stage
@@ -1579,7 +1714,7 @@ class LakeTable:
                 if observation_pruned(exc):
                     n_upd = 0  # observed subtree was provably empty
 
-        new_buckets = dict(m["buckets"])
+        appended: dict[str, list[str]] = {}
         if os.path.isdir(out_dir):
             for entry in sorted(os.listdir(out_dir)):
                 if not entry.startswith(f"{BUCKET_COL}="):
@@ -1592,26 +1727,27 @@ class LakeTable:
                     if fn.endswith(".parquet")
                 )
                 if files:
-                    new_buckets[str(b)] = new_buckets.get(str(b), []) + files
+                    appended[str(b)] = files
 
-        # additive schema union: existing fields keep their order (but
-        # widen to the _widen_updates-resolved type — reads apply the
-        # manifest schema, and Spark 4's Parquet readers promote the
-        # old narrower files), new delta columns (incl. _deleted)
-        # append
         delta_schema = json.loads(delta.drop(BUCKET_COL).schema.json())
         wm = widen_map or {}
-        if m["schema"] is not None:
-            seen = {f["name"] for f in m["schema"]["fields"]}
+
+        def _schema_for(mbase):
+            # additive schema union: existing fields keep their order
+            # (but widen to the _widen_updates-resolved type — reads
+            # apply the manifest schema, and Spark 4's Parquet readers
+            # promote the old narrower files), new delta columns (incl.
+            # _deleted) append
+            if mbase["schema"] is None:
+                return delta_schema
+            seen = {f["name"] for f in mbase["schema"]["fields"]}
             fields = [
                 {**f, "type": wm[f["name"]]} if f["name"] in wm else f
-                for f in m["schema"]["fields"]
+                for f in mbase["schema"]["fields"]
             ] + [
                 f for f in delta_schema["fields"] if f["name"] not in seen
             ]
-            schema = {**m["schema"], "fields": fields}
-        else:
-            schema = delta_schema
+            return {**mbase["schema"], "fields": fields}
 
         if touched_rows is not None:
             lineage_rows = [
@@ -1629,29 +1765,55 @@ class LakeTable:
                 {"epoch": epoch, "batch_id": batch_id, "bucket": None,
                  "n_updates": n_upd, **dense_lsn_range}
             ]
-        prev_rows = (m.get("stats") or {}).get("total_rows", 0)
-        commit = {
-            "version": version,
-            "buckets": new_buckets,
-            "committed": m["committed"] + [[epoch, batch_id]],
-            "lineage": m["lineage"] + (lineage or []) + lineage_rows,
-            "schema": schema,
-            "stats": {"total_rows": prev_rows + (n_upd or 0)},
-            "mor": True,
-            "n_buckets": self.n_buckets,
-            "key_cols": self.key_cols,
-        }
-        self._carry_forward(commit, m, manifest_extra)
+        def build(mbase):
+            nb = dict(mbase["buckets"])
+            for b, files in appended.items():
+                nb[b] = nb.get(b, []) + files
+            prev_rows = (mbase.get("stats") or {}).get("total_rows", 0)
+            commit = {
+                "version": mbase["version"] + 1,
+                "buckets": nb,
+                "committed": mbase["committed"] + [[epoch, batch_id]],
+                "lineage": mbase["lineage"] + (lineage or []) + lineage_rows,
+                "schema": _schema_for(mbase),
+                "stats": {"total_rows": prev_rows + (n_upd or 0)},
+                "mor": True,
+                "n_buckets": self.n_buckets,
+                "key_cols": self.key_cols,
+            }
+            self._carry_forward(commit, mbase, manifest_extra)
+            return commit
+
         if pre_commit is not None:
             pre_commit(n_upd)
         staged = None
         if publish:
-            self._swap(commit)
+            # OCC: a pure append read NOTHING from the target, so it
+            # rebases over any same-layout interleaving — UNLESS change
+            # capture ran (pre-images were resolved against the base
+            # state of the touched buckets) in which case those buckets
+            # must be unchanged on the head. Equal-(key, lsn) rows from
+            # two DIFFERENT writers tie-break arbitrarily by __seq, the
+            # same contract as redelivered duplicates — a CDC source
+            # that assigns one LSN to two different payloads is broken
+            # upstream of the sink.
+            final = self._publish_commit(
+                build, m,
+                lambda b, h: self._rebase_guard(
+                    b, h, touched if self.changelog else []
+                ),
+                epoch=epoch, batch_id=batch_id,
+            )
+            if final is None:
+                return {"skipped": True, "reason": "already committed"}
+            out_version = final["version"]
         else:
+            commit = build(m)
             staged = self._stage(commit)
+            out_version = commit["version"]
         return {
             "skipped": False,
-            "version": version,
+            "version": out_version,
             "staged": staged,
             "touched_buckets": touched if touched is not None else "all",
             "n_updates": n_upd,
@@ -1733,7 +1895,9 @@ class LakeTable:
             BUCKET_COL, _bucket_expr(self.key_cols, self.n_buckets)
         )
         version = m["version"] + 1
-        rel_dir = os.path.join("data", f"v{version:08d}-compact")
+        rel_dir = os.path.join(
+            "data", f"v{version:08d}-compact-w{uuid.uuid4().hex[:8]}"
+        )
         out_dir = os.path.join(self.root, rel_dir)
         writer_df = df.repartition(len(over), F.col(BUCKET_COL))
         if sort:
@@ -1824,7 +1988,9 @@ class LakeTable:
             BUCKET_COL, _bucket_expr(self.key_cols, n_buckets)
         )
         version = m["version"] + 1
-        rel_dir = os.path.join("data", f"v{version:08d}-rescale")
+        rel_dir = os.path.join(
+            "data", f"v{version:08d}-rescale-w{uuid.uuid4().hex[:8]}"
+        )
         out_dir = os.path.join(self.root, rel_dir)
         (
             df.repartition(n_buckets, F.col(BUCKET_COL))
@@ -2159,6 +2325,48 @@ class LakeTable:
                 **m["schema"], "fields": m["schema"]["fields"] + add
             }
 
+    def _commit_ledger_only(
+        self, m, upd, delete_col, *, epoch, batch_id,
+        manifest_extra, pre_commit, publish,
+    ) -> dict[str, Any]:
+        """Ledger-entry-only commit for a verifiably empty batch (the
+        shared tail of merge()'s two empty branches), OCC-rebased like
+        any data commit — no files were written, so the rebase guard
+        only needs the physical layout to be unchanged (the schema
+        union is recomputed against whatever base it lands on)."""
+        def build(mbase):
+            commit = dict(mbase)
+            self._union_schema_from(commit, mbase, upd, delete_col)
+            commit["version"] = mbase["version"] + 1
+            commit["committed"] = mbase["committed"] + [[epoch, batch_id]]
+            commit["n_buckets"] = self.n_buckets
+            commit["key_cols"] = self.key_cols
+            self._carry_forward(commit, mbase, manifest_extra)
+            return commit
+
+        if pre_commit is not None:
+            pre_commit(0)  # verifiably empty batch
+        staged = None
+        if publish:
+            final = self._publish_commit(
+                build, m,
+                lambda b, h: self._rebase_guard(b, h, [], check_schema=False),
+                epoch=epoch, batch_id=batch_id,
+            )
+            if final is None:
+                return {"skipped": True, "reason": "already committed"}
+            version = final["version"]
+        else:
+            commit = build(m)
+            staged = self._stage(commit)
+            version = commit["version"]
+        return {
+            "skipped": False,
+            "staged": staged,
+            "touched_buckets": [],
+            "version": version,
+        }
+
     def commit_empty(
         self,
         *,
@@ -2183,29 +2391,89 @@ class LakeTable:
         m = self.manifest()
         if [epoch, batch_id] in m["committed"]:
             return {"skipped": True, "reason": "already committed"}
-        commit = dict(m)
-        if widen and m["schema"] is not None:
-            seen = {f["name"] for f in m["schema"]["fields"]}
-            add = [dict(f, nullable=True) for f in widen
-                   if f["name"] not in seen]
-            if add:
-                commit["schema"] = {
-                    **m["schema"], "fields": m["schema"]["fields"] + add
-                }
-        commit["version"] = m["version"] + 1
-        commit["committed"] = m["committed"] + [[epoch, batch_id]]
-        commit["n_buckets"] = self.n_buckets
-        commit["key_cols"] = self.key_cols
-        self._carry_forward(commit, m, None)
-        self._swap(commit)
+
+        def build(mbase):
+            commit = dict(mbase)
+            if widen and mbase["schema"] is not None:
+                seen = {f["name"] for f in mbase["schema"]["fields"]}
+                add = [dict(f, nullable=True) for f in widen
+                       if f["name"] not in seen]
+                if add:
+                    commit["schema"] = {
+                        **mbase["schema"],
+                        "fields": mbase["schema"]["fields"] + add,
+                    }
+            commit["version"] = mbase["version"] + 1
+            commit["committed"] = mbase["committed"] + [[epoch, batch_id]]
+            commit["n_buckets"] = self.n_buckets
+            commit["key_cols"] = self.key_cols
+            self._carry_forward(commit, mbase, None)
+            return commit
+
+        final = self._publish_commit(
+            build, m,
+            lambda b, h: self._rebase_guard(b, h, [], check_schema=False),
+            epoch=epoch, batch_id=batch_id,
+        )
+        if final is None:
+            return {"skipped": True, "reason": "already committed"}
         return {
             "skipped": False,
             "staged": None,
             "touched_buckets": [],
-            "version": commit["version"],
+            "version": final["version"],
         }
 
     def merge(
+        self,
+        updates: DataFrame,
+        *,
+        epoch: str = "default",
+        batch_id: int = 0,
+        delete_col: str = "__is_delete",
+        lineage: list[dict] | None = None,
+        pre_commit=None,
+        publish: bool = True,
+        manifest_extra: dict[str, Any] | None = None,
+    ) -> dict[str, Any]:
+        """Upsert/delete ``updates`` into the table (see ``_merge_once``
+        for the full contract). Multi-writer OCC retry shell: when a
+        concurrent commit invalidated what this merge read (cheap
+        metadata rebase refused — see ``_publish_commit``), re-run the
+        whole merge against the new head, up to ``max_commit_retries``
+        times. ``updates`` is a lazy plan, so the re-run recomputes it
+        against the same inputs; the abandoned attempt's files are
+        orphans for ``vacuum``. The (epoch, batch_id) ledger makes the
+        retry exactly-once whichever writer lands it."""
+        from transforms_for_apache_kafka_connect_spark.errors import (
+            CommitConflictException,
+        )
+
+        attempts = max(0, self.max_commit_retries) + 1
+        for attempt in range(attempts):
+            try:
+                return self._merge_once(
+                    updates, epoch=epoch, batch_id=batch_id,
+                    delete_col=delete_col, lineage=lineage,
+                    pre_commit=pre_commit, publish=publish,
+                    manifest_extra=manifest_extra,
+                )
+            except CommitConflictException:
+                if attempt == attempts - 1:
+                    raise
+                _sink_log.warning(
+                    "merge conflict on %s (epoch=%s, batch_id=%s): "
+                    "re-running against the new head (attempt %d/%d)",
+                    self.root, epoch, batch_id, attempt + 2, attempts,
+                )
+                # jittered exponential backoff: under N-way contention
+                # every writer's attempt is a full Spark job, so losers
+                # re-colliding in lockstep can starve one of them; the
+                # jitter spreads the re-runs out while winners drain
+                time.sleep(random.uniform(0, min(8.0, 0.2 * 2 ** attempt)))
+        raise AssertionError("unreachable")
+
+    def _merge_once(
         self,
         updates: DataFrame,
         *,
@@ -2316,26 +2584,11 @@ class LakeTable:
             n_upd: int | None = sum(int(r["n_updates"]) for r in touched_rows)
             if not touched:
                 upd.unpersist()
-                commit = dict(m)
-                self._union_schema_from(commit, m, upd, delete_col)
-                commit["version"] = m["version"] + 1
-                commit["committed"] = m["committed"] + [[epoch, batch_id]]
-                commit["n_buckets"] = self.n_buckets
-                commit["key_cols"] = self.key_cols
-                self._carry_forward(commit, m, manifest_extra)
-                if pre_commit is not None:
-                    pre_commit(0)  # verifiably empty batch
-                staged = None
-                if publish:
-                    self._swap(commit)
-                else:
-                    staged = self._stage(commit)
-                return {
-                    "skipped": False,
-                    "staged": staged,
-                    "touched_buckets": [],
-                    "version": commit["version"],
-                }
+                return self._commit_ledger_only(
+                    m, upd, delete_col, epoch=epoch, batch_id=batch_id,
+                    manifest_extra=manifest_extra, pre_commit=pre_commit,
+                    publish=publish,
+                )
         else:
             # dense-update mode: one job total — lineage via Observation
             from pyspark.sql import Observation
@@ -2348,26 +2601,11 @@ class LakeTable:
                 # (toPyRow assertion) AND the broadcast anti-join would
                 # rewrite every survivor row for a no-op. Commit only
                 # the ledger entry instead.
-                commit = dict(m)
-                self._union_schema_from(commit, m, upd, delete_col)
-                commit["version"] = m["version"] + 1
-                commit["committed"] = m["committed"] + [[epoch, batch_id]]
-                commit["n_buckets"] = self.n_buckets
-                commit["key_cols"] = self.key_cols
-                self._carry_forward(commit, m, manifest_extra)
-                if pre_commit is not None:
-                    pre_commit(0)  # verifiably empty batch
-                staged = None
-                if publish:
-                    self._swap(commit)
-                else:
-                    staged = self._stage(commit)
-                return {
-                    "skipped": False,
-                    "staged": staged,
-                    "touched_buckets": [],
-                    "version": commit["version"],
-                }
+                return self._commit_ledger_only(
+                    m, upd, delete_col, epoch=epoch, batch_id=batch_id,
+                    manifest_extra=manifest_extra, pre_commit=pre_commit,
+                    publish=publish,
+                )
 
             touched = None
             n_upd = None
@@ -2457,12 +2695,21 @@ class LakeTable:
             merged = upd.filter(~F.col(delete_col)).drop(delete_col)
 
         version = m["version"] + 1
-        rel_dir = os.path.join("data", f"v{version:08d}-b{batch_id}")
+        # per-ATTEMPT unique dir (OCC): two writers that both built
+        # against the same base predict the same next version, and a
+        # shared deterministic dir + mode=overwrite would let the claim
+        # LOSER destroy the claim winner's just-committed files. Each
+        # attempt writes its own directory; the losing attempt's files
+        # are orphans vacuum reclaims. A crashed attempt that already
+        # claimed its manifest keeps its (intact) files and is adopted
+        # by the retry via _swap's same-ledger-tail rule.
+        rel_dir = os.path.join(
+            "data", f"v{version:08d}-b{batch_id}-w{uuid.uuid4().hex[:8]}"
+        )
         if not publish:
             # staged (WAP) commits don't own a version yet: two stages
-            # can predict the same next version + batch_id, and the
-            # mode=overwrite write would clobber the earlier stage's
-            # files. Unique dir per stage; publish() adopts it as-is.
+            # can predict the same next version + batch_id. Unique dir
+            # per stage (as above); publish() adopts it as-is.
             rel_dir += f"-stage{uuid.uuid4().hex[:8]}"
         out_dir = os.path.join(self.root, rel_dir)
 
@@ -2524,16 +2771,19 @@ class LakeTable:
                 if files:
                     written[b] = files
 
-        if touched is not None:
-            new_buckets = dict(m["buckets"])
-            for b in touched:
-                if b in written:
-                    new_buckets[str(b)] = written[b]
-                else:
-                    new_buckets.pop(str(b), None)  # bucket fully deleted
-        else:
+        def _new_buckets(mbase):
+            if touched is not None:
+                nb = dict(mbase["buckets"])
+                for b in touched:
+                    if b in written:
+                        nb[str(b)] = written[b]
+                    else:
+                        nb.pop(str(b), None)  # bucket fully deleted
+                return nb
             # full rewrite: the fresh listing IS the table
-            new_buckets = {str(b): fs for b, fs in written.items()}
+            return {str(b): fs for b, fs in written.items()}
+
+        new_buckets = _new_buckets(m)
 
         total_rows = None
         try:
@@ -2576,46 +2826,73 @@ class LakeTable:
                  "n_updates": n_upd, **dense_lsn_range}
             ]
 
-        schema = json.loads(merged.drop(BUCKET_COL).schema.json())
-        if m["schema"] is not None:
-            # untouched buckets keep their old files, so the manifest
-            # schema must remain a superset of theirs (additive-only
-            # evolution): e.g. a MoR table's _deleted marker column must
-            # survive a COW rewrite of a subset of buckets, or reads of
-            # the remaining delta files would null it out and resurface
-            # deleted rows. Merged-side field defs win on name clashes
-            # (type widening flows forward); old-only fields append.
-            merged_names = {f["name"] for f in schema["fields"]}
-            schema = {
-                **schema,
-                "fields": schema["fields"]
-                + [f for f in m["schema"]["fields"] if f["name"] not in merged_names],
+        merged_schema = json.loads(merged.drop(BUCKET_COL).schema.json())
+
+        def build(mbase):
+            schema = merged_schema
+            if mbase["schema"] is not None:
+                # untouched buckets keep their old files, so the
+                # manifest schema must remain a superset of theirs
+                # (additive-only evolution): e.g. a MoR table's
+                # _deleted marker column must survive a COW rewrite of
+                # a subset of buckets, or reads of the remaining delta
+                # files would null it out and resurface deleted rows.
+                # Merged-side field defs win on name clashes (type
+                # widening flows forward); old-only fields append.
+                merged_names = {f["name"] for f in schema["fields"]}
+                schema = {
+                    **schema,
+                    "fields": schema["fields"]
+                    + [
+                        f for f in mbase["schema"]["fields"]
+                        if f["name"] not in merged_names
+                    ],
+                }
+            commit = {
+                "version": mbase["version"] + 1,
+                "buckets": _new_buckets(mbase),
+                "committed": mbase["committed"] + [[epoch, batch_id]],
+                "lineage": mbase["lineage"] + (lineage or []) + lineage_rows,
+                "schema": schema,
+                "stats": {
+                    "total_rows": total_rows
+                    if total_rows is not None
+                    else est_rows
+                },
+                "n_buckets": self.n_buckets,
+                "key_cols": self.key_cols,
+                # a COW merge over a table that ever saw an append-mode
+                # (merge-on-read) commit must keep resolving reads:
+                # only the touched buckets were rewritten, untouched
+                # ones still hold unresolved delta files. Re-resolving
+                # already-resolved buckets is idempotent (keys are
+                # unique post-merge).
+                "mor": mbase.get("mor", False),
             }
-        commit = {
-            "version": version,
-            "buckets": new_buckets,
-            "committed": m["committed"] + [[epoch, batch_id]],
-            "lineage": m["lineage"] + (lineage or []) + lineage_rows,
-            "schema": schema,
-            "stats": {"total_rows": total_rows if total_rows is not None else est_rows},
-            "n_buckets": self.n_buckets,
-            "key_cols": self.key_cols,
-            # a COW merge over a table that ever saw an append-mode
-            # (merge-on-read) commit must keep resolving reads: only the
-            # touched buckets were rewritten, untouched ones still hold
-            # unresolved delta files. Re-resolving already-resolved
-            # buckets is idempotent (keys are unique post-merge).
-            "mor": m.get("mor", False),
-        }
-        self._carry_forward(commit, m, manifest_extra)
+            self._carry_forward(commit, mbase, manifest_extra)
+            return commit
+
         if pre_commit is not None:
             # may raise -> batch stays uncommitted (replayable)
             pre_commit(n_upd)
         staged = None
         if publish:
-            self._swap(commit)
+            # OCC: the rewrite only READ the touched buckets (None =
+            # dense full rewrite read everything), so the commit
+            # rebases over any interleaved commit that left those
+            # buckets and the schema untouched
+            final = self._publish_commit(
+                build, m,
+                lambda b, h: self._rebase_guard(b, h, touched),
+                epoch=epoch, batch_id=batch_id,
+            )
+            if final is None:
+                return {"skipped": True, "reason": "already committed"}
+            version = final["version"]
         else:
+            commit = build(m)
             staged = self._stage(commit)
+            version = commit["version"]
         return {
             "skipped": False,
             "version": version,
