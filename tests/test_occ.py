@@ -302,3 +302,127 @@ def test_single_writer_fast_path_unchanged(spark, tmp_path):
         assert r["version"] == bid + 1
     assert n_runs["n"] == 3
     _check_integrity(t)
+
+
+def test_compact_rebases_over_disjoint_commit(spark, tmp_path):
+    """Compaction only READ the buckets it folded: a concurrent commit
+    elsewhere rebases metadata-only and neither commit is lost."""
+    root = str(tmp_path / "t")
+    t = LakeTable(root, key_cols=["k"], n_buckets=N_BUCKETS,
+                  merge_strategy="append")
+    bmap = _buckets_of(spark, range(40))
+    k0 = [k for k in range(40) if bmap[k] == 0]
+    kn = [k for k in range(40) if bmap[k] != 0][:3]
+    for bid in range(6):
+        t.merge(_upd(spark, [(k, bid, bid + 1) for k in k0]),
+                epoch="seed", batch_id=bid)
+    c = LakeTable(root, key_cols=["k"], n_buckets=N_BUCKETS,
+                  merge_strategy="append")
+    _make_stale_once(c)
+    t.merge(_upd(spark, [(k, 99, 100) for k in kn]),
+            epoch="wa", batch_id=10)   # lands between c's plan and claim
+    r = c.compact(spark, max_files_per_bucket=2)
+    assert 0 in r["compacted_buckets"]
+    m = _check_integrity(t)
+    assert ["wa", 10] in m["committed"]
+    assert len(m["buckets"]["0"]) <= 2, "bucket 0 was not compacted"
+    st = _state(spark, t)
+    for k in k0:
+        assert st[k] == (5, 6)
+    for k in kn:
+        assert st[k] == (99, 100)
+
+
+def test_compact_conflict_in_folded_bucket_aborts(spark, tmp_path):
+    """A commit INTO a bucket being folded invalidates the rewrite:
+    compaction aborts loudly and the table keeps both data commits."""
+    from transforms_for_apache_kafka_connect_spark.errors import (
+        CommitConflictException,
+    )
+
+    root = str(tmp_path / "t")
+    t = LakeTable(root, key_cols=["k"], n_buckets=N_BUCKETS,
+                  merge_strategy="append")
+    bmap = _buckets_of(spark, range(40))
+    k0 = [k for k in range(40) if bmap[k] == 0]
+    for bid in range(6):
+        t.merge(_upd(spark, [(k, bid, bid + 1) for k in k0]),
+                epoch="seed", batch_id=bid)
+    c = LakeTable(root, key_cols=["k"], n_buckets=N_BUCKETS,
+                  merge_strategy="append")
+    _make_stale_once(c)
+    t.merge(_upd(spark, [(k0[0], 99, 100)]), epoch="wa", batch_id=10)
+    with pytest.raises(CommitConflictException):
+        c.compact(spark, max_files_per_bucket=2)
+    st = _state(spark, t)
+    assert st[k0[0]] == (99, 100)  # the conflicting commit survived
+    _check_integrity(t)
+
+
+def test_rescale_aborts_on_any_concurrent_data_commit(spark, tmp_path):
+    from transforms_for_apache_kafka_connect_spark.errors import (
+        CommitConflictException,
+    )
+
+    root = str(tmp_path / "t")
+    t = LakeTable(root, key_cols=["k"], n_buckets=N_BUCKETS)
+    t.merge(_upd(spark, [(k, 0, 1) for k in range(20)]),
+            epoch="seed", batch_id=0)
+    r = LakeTable(root, key_cols=["k"], n_buckets=N_BUCKETS)
+    _make_stale_once(r)
+    t.merge(_upd(spark, [(1, 5, 2)]), epoch="wa", batch_id=1)
+    with pytest.raises(CommitConflictException):
+        r.rescale(spark, 8)
+    assert _state(spark, t)[1] == (5, 2)
+    _check_integrity(t)
+
+
+def test_all_buckets_compact_rebase_keeps_mor_for_unseen_delta(spark, tmp_path):
+    """compact(all_buckets=True) rebasing over a commit that appended
+    deltas to a bucket EMPTY at plan time must NOT clear the mor flag —
+    those delta files were never folded, and a plain scan would surface
+    their _deleted markers."""
+    root = str(tmp_path / "t")
+    t = LakeTable(root, key_cols=["k"], n_buckets=N_BUCKETS,
+                  merge_strategy="append")
+    bmap = _buckets_of(spark, range(40))
+    k0 = [k for k in range(40) if bmap[k] == 0]
+    k1 = [k for k in range(40) if bmap[k] == 1]
+    # seed ONLY bucket 0 (bucket 1 empty at the compactor's plan time),
+    # with a delete marker that must never resurface
+    t.merge(_upd(spark, [(k, 7, 1) for k in k0]), epoch="seed", batch_id=0)
+    victim = k0[0]
+    dele = (
+        spark.createDataFrame([(victim, 2)], "k long, _lsn long")
+        .withColumn("v", F.lit(None).cast("long"))
+        .withColumn("__is_delete", F.lit(True))
+        .select("k", "v", "_lsn", "__is_delete")
+    )
+    t.merge(dele, epoch="seed", batch_id=1)
+    c = LakeTable(root, key_cols=["k"], n_buckets=N_BUCKETS,
+                  merge_strategy="append")
+    _make_stale_once(c)
+    # the interleaved commit appends deltas (incl. a delete) to bucket 1
+    t.merge(_upd(spark, [(k, 9, 1) for k in k1]), epoch="wa", batch_id=0)
+    d1 = (
+        spark.createDataFrame([(k1[0], 2)], "k long, _lsn long")
+        .withColumn("v", F.lit(None).cast("long"))
+        .withColumn("__is_delete", F.lit(True))
+        .select("k", "v", "_lsn", "__is_delete")
+    )
+    t.merge(d1, epoch="wa", batch_id=1)
+    c.compact(spark, all_buckets=True)
+    m = _check_integrity(t)
+    assert m.get("mor") is True, "mor cleared while unfolded deltas exist"
+    st = _state(spark, t)
+    assert victim not in st and k1[0] not in st, "deleted keys resurfaced"
+    for k in k0[1:]:
+        assert st[k] == (7, 1)
+    for k in k1[1:]:
+        assert st[k] == (9, 1)
+    # a quiesced full fold NOW clears the flag
+    c2 = LakeTable(root, key_cols=["k"], n_buckets=N_BUCKETS,
+                   merge_strategy="append")
+    c2.compact(spark, all_buckets=True)
+    assert c2.manifest().get("mor") is False
+    assert victim not in _state(spark, t)

@@ -823,10 +823,24 @@ class Replayer:
                 and not results[-1].get("skipped")
                 and (batch_id + 1) % self.compact_every == 0
             ):
-                self.table.compact(
-                    batch.sparkSession,
-                    max_files_per_bucket=self.compact_max_files_per_bucket,
+                from transforms_for_apache_kafka_connect_spark.errors import (
+                    CommitConflictException,
                 )
+
+                try:
+                    self.table.compact(
+                        batch.sparkSession,
+                        max_files_per_bucket=self.compact_max_files_per_bucket,
+                    )
+                except CommitConflictException:
+                    # another writer landed in the buckets being folded:
+                    # compaction is amortized maintenance, never worth
+                    # failing the ingest loop over — the next interval
+                    # retries against fresher state
+                    _log.warning(
+                        "auto-compaction skipped after commit conflict "
+                        "on %s (batch %s)", self.table.root, batch_id,
+                    )
             batch_id += 1
             lo = hi
         return results

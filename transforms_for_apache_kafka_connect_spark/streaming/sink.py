@@ -1891,7 +1891,11 @@ class LakeTable:
         if not over:
             return {"compacted_buckets": [], "version": m["version"]}
 
-        df = self.read(spark, buckets=over).withColumn(
+        # read exactly the manifest the plan was built from (not a
+        # re-resolved head): the OCC rebase guard then compares the
+        # true read set, and a commit landing mid-compaction can never
+        # make the rewrite internally inconsistent
+        df = self.read(spark, buckets=over, _manifest=m).withColumn(
             BUCKET_COL, _bucket_expr(self.key_cols, self.n_buckets)
         )
         version = m["version"] + 1
@@ -1951,27 +1955,57 @@ class LakeTable:
                 # manifest, or their unresolved base+marker rows would
                 # resurface — fatally so once all_buckets clears mor
                 new_buckets.pop(str(b), None)
-        commit = dict(m)
-        commit["version"] = version
-        commit["buckets"] = new_buckets
-        if all_buckets and m.get("mor"):
-            # every delta has been folded through _resolve_mor: reads no
-            # longer need the LWW aggregate. _deleted marker rows and the
-            # __seq commit-order tiebreaker were dropped by the resolving
-            # read, so the columns can leave the schema too
-            # (additive-contract exception: engine metadata, not user
-            # data).
-            commit["mor"] = False
-            if m["schema"] is not None:
-                commit["schema"] = {
-                    **m["schema"],
-                    "fields": [
-                        f for f in m["schema"]["fields"]
-                        if f["name"] not in ("_deleted", "__seq")
-                    ],
-                }
-        self._swap(commit)
-        return {"compacted_buckets": over, "version": version}
+        def build(mbase):
+            nb = dict(mbase["buckets"])
+            for b in over:
+                if b in written:
+                    nb[str(b)] = written[b]
+                else:
+                    nb.pop(str(b), None)
+            commit = dict(mbase)
+            commit["version"] = mbase["version"] + 1
+            commit["buckets"] = nb
+            # "every delta folded" is a property of the BASE this commit
+            # finally lands on, not of the plan-time base: a rebase may
+            # sit on top of a commit that appended delta files to a
+            # bucket that was EMPTY at plan time (so outside ``over``
+            # and invisible to the read-set guard) — clearing mor then
+            # would surface its _deleted markers as rows. Clear only
+            # when the landed base holds no live files outside the
+            # folded set.
+            fully_folded = all_buckets and not any(
+                fs for b, fs in mbase["buckets"].items() if int(b) not in set(over)
+            )
+            if fully_folded and mbase.get("mor"):
+                # every delta has been folded through _resolve_mor:
+                # reads no longer need the LWW aggregate. _deleted
+                # marker rows and the __seq commit-order tiebreaker
+                # were dropped by the resolving read, so the columns
+                # can leave the schema too (additive-contract
+                # exception: engine metadata, not user data).
+                commit["mor"] = False
+                if mbase["schema"] is not None:
+                    commit["schema"] = {
+                        **mbase["schema"],
+                        "fields": [
+                            f for f in mbase["schema"]["fields"]
+                            if f["name"] not in ("_deleted", "__seq")
+                        ],
+                    }
+            return commit
+
+        # OCC: compaction READ exactly the buckets it rewrote, so it
+        # rebases over concurrent commits that stayed out of them; a
+        # conflicting commit inside them abandons this compaction
+        # (files become vacuum orphans — the caller retries later
+        # against fresher state, which it would want anyway)
+        final = self._publish_commit(
+            build, m,
+            lambda b, h: self._rebase_guard(b, h, over),
+            epoch="__compact__", batch_id=-1,  # never appears in ledgers
+        )
+        assert final is not None  # maintenance is never ledger-skipped
+        return {"compacted_buckets": over, "version": final["version"]}
 
     def rescale(self, spark: SparkSession, n_buckets: int) -> dict[str, Any]:
         """Rewrite the whole table under a new bucket count (partition
@@ -1984,7 +2018,7 @@ class LakeTable:
         m = self.manifest()
         if n_buckets == self.n_buckets:
             return {"version": m["version"], "n_buckets": n_buckets}
-        df = self.read(spark).withColumn(
+        df = self.read(spark, _manifest=m).withColumn(
             BUCKET_COL, _bucket_expr(self.key_cols, n_buckets)
         )
         version = m["version"] + 1
@@ -2015,24 +2049,35 @@ class LakeTable:
             )
             if files:
                 new_buckets[str(b)] = files
-        commit = dict(m)
-        commit["version"] = version
-        commit["buckets"] = new_buckets
-        commit["n_buckets"] = n_buckets
-        commit["key_cols"] = self.key_cols
-        if m.get("mor"):
-            commit["mor"] = False
-            if m["schema"] is not None:
-                commit["schema"] = {
-                    **m["schema"],
-                    "fields": [
-                        f for f in m["schema"]["fields"]
-                        if f["name"] not in ("_deleted", "__seq")
-                    ],
-                }
-        self._swap(commit)
+        def build(mbase):
+            commit = dict(mbase)
+            commit["version"] = mbase["version"] + 1
+            commit["buckets"] = new_buckets
+            commit["n_buckets"] = n_buckets
+            commit["key_cols"] = self.key_cols
+            if mbase.get("mor"):
+                commit["mor"] = False
+                if mbase["schema"] is not None:
+                    commit["schema"] = {
+                        **mbase["schema"],
+                        "fields": [
+                            f for f in mbase["schema"]["fields"]
+                            if f["name"] not in ("_deleted", "__seq")
+                        ],
+                    }
+            return commit
+
+        # OCC: the rewrite read EVERY bucket, so only a commit that
+        # changed nothing (ledger-only) can land in between — any data
+        # commit aborts the rescale (files orphaned, caller retries)
+        final = self._publish_commit(
+            build, m,
+            lambda b, h: self._rebase_guard(b, h, None),
+            epoch="__rescale__", batch_id=-1,
+        )
+        assert final is not None
         self.n_buckets = n_buckets
-        return {"version": version, "n_buckets": n_buckets}
+        return {"version": final["version"], "n_buckets": n_buckets}
 
     def vacuum(
         self, *, keep_versions: int = 2,
