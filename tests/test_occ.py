@@ -426,3 +426,90 @@ def test_all_buckets_compact_rebase_keeps_mor_for_unseen_delta(spark, tmp_path):
     c2.compact(spark, all_buckets=True)
     assert c2.manifest().get("mor") is False
     assert victim not in _state(spark, t)
+
+
+def test_staged_publish_rebases_over_disjoint_commit(spark, tmp_path):
+    """WAP: a stage audited while another writer commits elsewhere
+    publishes by metadata rebase — no re-staging, nothing lost."""
+    root = str(tmp_path / "t")
+    t = LakeTable(root, key_cols=["k"], n_buckets=N_BUCKETS)
+    t.merge(_upd(spark, [(k, 0, 1) for k in range(20)]),
+            epoch="seed", batch_id=0)
+    bmap = _buckets_of(spark, range(20))
+    keys_b0 = [k for k in range(20) if bmap[k] == 0]
+    keys_not_b0 = [k for k in range(20) if bmap[k] != 0]
+    r = t.merge(_upd(spark, [(k, 20, 2) for k in keys_not_b0]),
+                epoch="wap", batch_id=1, publish=False)
+    # interleaved commit during the audit, in a bucket the stage never read
+    t.merge(_upd(spark, [(k, 10, 2) for k in keys_b0]),
+            epoch="wa", batch_id=1)
+    pub = t.publish(r["staged"])
+    assert pub.get("rebased") is True
+    m = _check_integrity(t)
+    assert ["wap", 1] in m["committed"] and ["wa", 1] in m["committed"]
+    st = _state(spark, t)
+    for k in keys_b0:
+        assert st[k] == (10, 2)
+    for k in keys_not_b0:
+        assert st[k] == (20, 2)
+    assert not os.path.exists(t._occ_sidecar_path(r["staged"].replace(".json", "")))
+
+
+def test_staged_publish_conflict_in_read_set_refused(spark, tmp_path):
+    from transforms_for_apache_kafka_connect_spark.errors import (
+        CommitConflictException,
+    )
+
+    root = str(tmp_path / "t")
+    t = LakeTable(root, key_cols=["k"], n_buckets=N_BUCKETS)
+    t.merge(_upd(spark, [(k, 0, 1) for k in range(20)]),
+            epoch="seed", batch_id=0)
+    r = t.merge(_upd(spark, [(k, 20, 2) for k in range(20)]),
+                epoch="wap", batch_id=1, publish=False)
+    t.merge(_upd(spark, [(0, 10, 2)]), epoch="wa", batch_id=1)
+    with pytest.raises(CommitConflictException, match="re-stage"):
+        t.publish(r["staged"])
+    # the interleaved commit survived; the stage stayed un-published
+    st = _state(spark, t)
+    assert st[0] == (10, 2) and st[1] == (0, 1)
+    m = _check_integrity(t)
+    assert ["wap", 1] not in m["committed"]
+
+
+def test_staged_append_publish_rebases_on_same_bucket(spark, tmp_path):
+    root = str(tmp_path / "t")
+    t = LakeTable(root, key_cols=["k"], n_buckets=N_BUCKETS,
+                  merge_strategy="append")
+    t.merge(_upd(spark, [(k, 0, 1) for k in range(20)]),
+            epoch="seed", batch_id=0)
+    r = t.merge(_upd(spark, [(k, 20, 3) for k in range(20)]),
+                epoch="wap", batch_id=1, publish=False)
+    t.merge(_upd(spark, [(k, 10, 2) for k in range(20)]),
+            epoch="wa", batch_id=1)
+    pub = t.publish(r["staged"])
+    assert pub.get("rebased") is True
+    m = _check_integrity(t)
+    assert ["wap", 1] in m["committed"] and ["wa", 1] in m["committed"]
+    assert _state(spark, t) == {k: (20, 3) for k in range(20)}
+
+
+def test_staged_publish_already_landed_is_idempotent(spark, tmp_path):
+    """A publish retried after its ledger entry already landed (crash
+    window / concurrent same-batch publisher) cleans up and reports."""
+    root = str(tmp_path / "t")
+    t = LakeTable(root, key_cols=["k"], n_buckets=N_BUCKETS)
+    t.merge(_upd(spark, [(k, 0, 1) for k in range(20)]),
+            epoch="seed", batch_id=0)
+    r = t.merge(_upd(spark, [(k, 20, 2) for k in range(20)]),
+                epoch="wap", batch_id=1, publish=False)
+    # the same logical batch lands through a different (published) path
+    t.merge(_upd(spark, [(k, 20, 2) for k in range(20)]),
+            epoch="wap", batch_id=1)
+    # legal outcomes: same-ledger-tail adoption (identical tail means
+    # identical logical commit) or the rebase loop's already-landed
+    # detection — either way published exactly once
+    pub = t.publish(r["staged"])
+    assert pub["published"] is True
+    m = _check_integrity(t)
+    assert m["committed"].count(["wap", 1]) == 1
+    assert _state(spark, t) == {k: (20, 2) for k in range(20)}

@@ -820,19 +820,61 @@ class LakeTable:
 
     # -------------------------------------------------- write-audit-publish
 
-    def _stage(self, manifest: dict[str, Any]) -> str:
+    def _stage(
+        self, manifest: dict[str, Any], occ: dict[str, Any] | None = None
+    ) -> str:
         """WAP: write the commit as a STAGED manifest (no CURRENT move,
         no version claim). Data files are already on disk; the staged
         token can be audited with ``read_staged`` and made live with
         ``publish`` — or abandoned (``vacuum`` reclaims the orphaned
-        files; do not vacuum while an audit is in flight)."""
+        files; do not vacuum while an audit is in flight).
+
+        ``occ`` records the stage's read-set provenance (mode, read
+        buckets, their base file lists, base schema, appended files,
+        lineage watermark, extra delta) — self-contained, so
+        ``publish`` can REBASE the stage over commits that landed
+        during the audit without needing the base manifest to still
+        exist (it may be vacuumed)."""
         prev = self.manifest()
         self._attach_stats(manifest, prev)
         self._attach_blooms(manifest, prev)
         token = f"staged-{uuid.uuid4().hex}"
         with open(os.path.join(self.root, "_manifest", f"{token}.json"), "w") as f:
             json.dump(manifest, f)
+        if occ is not None:
+            # provenance SIDECAR (not inside the manifest: the happy
+            # publish path hard-links the staged file as the committed
+            # manifest, which must stay provenance-free)
+            with open(self._occ_sidecar_path(token), "w") as f:
+                json.dump(occ, f)
         return token
+
+    def _occ_sidecar_path(self, token: str) -> str:
+        return os.path.join(self.root, "_manifest", f"occ-{token}.json")
+
+    def _stage_occ(
+        self, m: dict[str, Any], *, mode: str,
+        read_buckets: list[int] | None,
+        appended: dict[str, list[str]] | None = None,
+        manifest_extra: dict[str, Any] | None = None,
+    ) -> dict[str, Any]:
+        """Build the ``_occ`` provenance block for ``_stage``."""
+        if read_buckets is None:
+            base_buckets = m["buckets"]
+        else:
+            base_buckets = {
+                str(b): m["buckets"].get(str(b))
+                for b in read_buckets
+            }
+        return {
+            "mode": mode,
+            "read_buckets": read_buckets,
+            "base_buckets": base_buckets,
+            "base_schema": m["schema"],
+            "n_base_lineage": len(m["lineage"]),
+            "appended": appended or {},
+            "extra_delta": manifest_extra or {},
+        }
 
     def read_staged(self, spark: SparkSession, token: str, **kwargs) -> DataFrame:
         """Audit read of a staged (unpublished) commit."""
@@ -845,9 +887,22 @@ class LakeTable:
     def publish(self, token: str) -> dict[str, Any]:
         """Make a staged commit live: claim its version with an atomic
         exclusive link (the same optimistic-concurrency gate as
-        ``_swap`` — if any writer advanced the table since the stage,
-        this raises CommitConflictException and the stage must be
-        redone against the new state), then repoint CURRENT."""
+        ``_swap``), then repoint CURRENT.
+
+        If another writer advanced the table during the audit, the
+        stage REBASES like any OCC commit: its ``_stage``-recorded
+        provenance sidecar carries the read set (mode, read buckets,
+        their base file lists, base schema), so publish can verify the
+        interleaved commits stayed out of what the staged merge read
+        and rebuild the manifest on the new head — metadata-only, no
+        job re-runs, which matters because a transaction coordinator
+        (txn.py) calls publish long after the Spark work is done. An
+        invalidated read set (or a pre-provenance stage) still raises
+        CommitConflictException and the stage must be redone."""
+        from transforms_for_apache_kafka_connect_spark.errors import (
+            CommitConflictException,
+        )
+
         staged_path = os.path.join(self.root, "_manifest", f"{token}.json")
         m = self._staged_manifest(token)
         version = m["version"]
@@ -857,28 +912,131 @@ class LakeTable:
             # same adoption rule as _swap: a previous publish of this
             # very token may have crashed between the link and the
             # CURRENT repoint — same ledger tail means same commit,
-            # finish the repoint; anything else is a real conflict
+            # finish the repoint; anything else goes to the rebase path
             try:
                 with open(self._manifest_path(version)) as f:
                     existing = json.load(f)
             except (json.JSONDecodeError, OSError):
                 existing = None
             if existing is None or existing.get("committed") != m["committed"]:
-                from transforms_for_apache_kafka_connect_spark.errors import (
-                    CommitConflictException,
-                )
-
-                raise CommitConflictException(
-                    f"version {version} was committed by another writer "
-                    f"while this stage was under audit; re-stage against "
-                    f"the current table"
-                ) from None
+                return self._publish_rebased(token, staged_path, m)
         tmp = self._current_path + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             f.write(str(version))
         os.replace(tmp, self._current_path)
         os.remove(staged_path)
+        sidecar = self._occ_sidecar_path(token)
+        if os.path.exists(sidecar):
+            os.remove(sidecar)
         return {"published": True, "version": version}
+
+    def _publish_rebased(
+        self, token: str, staged_path: str, staged: dict[str, Any]
+    ) -> dict[str, Any]:
+        """Rebase-and-claim loop for a stage whose predicted version was
+        taken (see ``publish``). Validity is always judged against the
+        ORIGINAL base recorded in the provenance sidecar — each fresh
+        head must leave the staged merge's read set untouched."""
+        from transforms_for_apache_kafka_connect_spark.errors import (
+            CommitConflictException,
+        )
+
+        conflict = CommitConflictException(
+            f"version {staged['version']} was committed by another "
+            f"writer while this stage was under audit, and the staged "
+            f"commit cannot be rebased; re-stage against the current "
+            f"table"
+        )
+        sidecar = self._occ_sidecar_path(token)
+        if not os.path.exists(sidecar):
+            raise conflict  # pre-provenance stage: detect-only behavior
+        with open(sidecar) as f:
+            occ = json.load(f)
+        ledger_entry = staged["committed"][-1]
+        mode = occ["mode"]
+        read_buckets = occ["read_buckets"]
+        base_buckets = occ["base_buckets"]
+
+        def guard(head):
+            if head.get("n_buckets", self.n_buckets) != staged["n_buckets"]:
+                return False
+            if head.get("key_cols", self.key_cols) != staged["key_cols"]:
+                return False
+            if mode != "ledger" and head.get("schema") != occ["base_schema"]:
+                return False
+            if read_buckets is None:
+                return head["buckets"] == base_buckets
+            return all(
+                head["buckets"].get(b) == fs
+                for b, fs in base_buckets.items()
+            )
+
+        def build(head):
+            commit = {k: v for k, v in staged.items()}
+            # table-level fields must come from the HEAD (the stage's
+            # copies are stale: a tag added/dropped or extra recorded
+            # during the audit must survive the rebase)
+            commit.pop("tags", None)
+            commit.pop("extra", None)
+            commit["version"] = head["version"] + 1
+            if mode == "cow":
+                if read_buckets is None:
+                    nb = dict(staged["buckets"])
+                else:
+                    nb = dict(head["buckets"])
+                    for b in read_buckets:
+                        if str(b) in staged["buckets"]:
+                            nb[str(b)] = staged["buckets"][str(b)]
+                        else:
+                            nb.pop(str(b), None)
+            elif mode == "append":
+                nb = dict(head["buckets"])
+                for b, files in occ["appended"].items():
+                    nb[b] = nb.get(b, []) + files
+            else:  # ledger-only
+                nb = dict(head["buckets"])
+            commit["buckets"] = nb
+            commit["committed"] = head["committed"] + [ledger_entry]
+            commit["lineage"] = (
+                head["lineage"] + staged["lineage"][occ["n_base_lineage"]:]
+            )
+            commit["mor"] = (
+                True if mode == "append" else head.get("mor", False)
+            )
+            self._carry_forward(commit, head, occ.get("extra_delta"))
+            return commit
+
+        def cleanup():
+            os.remove(staged_path)
+            if os.path.exists(sidecar):
+                os.remove(sidecar)
+
+        for _ in range(max(1, self.max_commit_retries) + 1):
+            head = self.manifest()
+            if ledger_entry in head["committed"]:
+                # a crashed earlier publish of this token already
+                # landed it (or a concurrent replayer of the same
+                # batch won) — finish the cleanup, idempotently
+                cleanup()
+                return {
+                    "published": True,
+                    "version": head["version"],
+                    "already": True,
+                }
+            if not guard(head):
+                raise conflict
+            commit = build(head)
+            try:
+                self._swap(commit)
+            except CommitConflictException:
+                continue  # another claim raced in: re-resolve and retry
+            cleanup()
+            return {
+                "published": True,
+                "version": commit["version"],
+                "rebased": True,
+            }
+        raise conflict
 
     # -------------------------------------------------------------- reads
 
@@ -1809,7 +1967,11 @@ class LakeTable:
             out_version = final["version"]
         else:
             commit = build(m)
-            staged = self._stage(commit)
+            staged = self._stage(commit, self._stage_occ(
+                m, mode="append",
+                read_buckets=touched if self.changelog else [],
+                appended=appended, manifest_extra=manifest_extra,
+            ))
             out_version = commit["version"]
         return {
             "skipped": False,
@@ -2220,6 +2382,22 @@ class LakeTable:
             if drop_staged:
                 for p in staged_manifests:
                     os.remove(p)
+                    sidecar = os.path.join(
+                        os.path.dirname(p), "occ-" + os.path.basename(p)
+                    )
+                    if os.path.exists(sidecar):
+                        os.remove(sidecar)
+            # sidecars whose staged manifest is gone (published or
+            # dropped) are spent either way
+            for p in glob.glob(
+                os.path.join(self.root, "_manifest", "occ-staged-*.json")
+            ):
+                if not os.path.exists(
+                    os.path.join(
+                        os.path.dirname(p), os.path.basename(p)[4:]
+                    )
+                ):
+                    os.remove(p)
         return {
             "deleted_files": len(orphans),
             "expired_manifests": len(expired),
@@ -2403,7 +2581,10 @@ class LakeTable:
             version = final["version"]
         else:
             commit = build(m)
-            staged = self._stage(commit)
+            staged = self._stage(commit, self._stage_occ(
+                m, mode="ledger", read_buckets=[],
+                manifest_extra=manifest_extra,
+            ))
             version = commit["version"]
         return {
             "skipped": False,
@@ -2936,7 +3117,10 @@ class LakeTable:
             version = final["version"]
         else:
             commit = build(m)
-            staged = self._stage(commit)
+            staged = self._stage(commit, self._stage_occ(
+                m, mode="cow", read_buckets=touched,
+                manifest_extra=manifest_extra,
+            ))
             version = commit["version"]
         return {
             "skipped": False,
