@@ -83,7 +83,7 @@ def test_delete_where_audit_trail_on_changelog_table(spark, tmp_path):
     }
     r = table.delete_where(spark, "lang = 'py'")
     chg = batch_changes(
-        table, spark, epoch="__maintenance__",
+        table, spark, epoch=r["epoch"],
         batch_id=table.manifest()["version"] - 1,
     )
     audited = {

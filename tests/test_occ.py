@@ -513,3 +513,21 @@ def test_staged_publish_already_landed_is_idempotent(spark, tmp_path):
     m = _check_integrity(t)
     assert m["committed"].count(["wap", 1]) == 1
     assert _state(spark, t) == {k: (20, 2) for k in range(20)}
+
+
+def test_concurrent_delete_where_different_predicates_both_land(spark, tmp_path):
+    """Predicate-scoped maintenance epochs: two delete_where calls that
+    planned at the same version must not collide into a ledger skip."""
+    root = str(tmp_path / "t")
+    t = LakeTable(root, key_cols=["k"], n_buckets=N_BUCKETS)
+    t.merge(_upd(spark, [(k, k % 3, 1) for k in range(30)]),
+            epoch="seed", batch_id=0)
+    d = LakeTable(root, key_cols=["k"], n_buckets=N_BUCKETS)
+    _make_stale_once(d)
+    r1 = t.delete_where(spark, "v = 1")
+    r2 = d.delete_where(spark, "v = 2")
+    assert not r1.get("skipped") and not r2.get("skipped")
+    assert r1["epoch"] != r2["epoch"]
+    st = _state(spark, t)
+    assert st and all(v == 0 for v, _ in st.values())
+    _check_integrity(t)

@@ -1395,7 +1395,7 @@ class LakeTable:
         spark: SparkSession,
         predicate: str,
         *,
-        epoch: str = "__maintenance__",
+        epoch: str | None = None,
         batch_id: int | None = None,
     ) -> dict[str, Any]:
         """Row retention / right-to-erasure: delete every row matching
@@ -1413,7 +1413,21 @@ class LakeTable:
         when the predicate covers stats columns) producing only
         (key, _lsn) rows; the merge then touches only the victims'
         buckets.
+
+        The default epoch scopes the ledger key to THIS predicate
+        (``__maintenance__<sha1(predicate)>``): a crashed retry still
+        re-derives the identical (epoch, batch_id), while a concurrent
+        delete_where with a DIFFERENT predicate that read the same
+        version no longer collides into a silent ledger skip
+        (multi-writer OCC made that interleaving reachable).
         """
+        import hashlib
+
+        if epoch is None:
+            epoch = (
+                "__maintenance__"
+                + hashlib.sha1(predicate.encode("utf-8")).hexdigest()[:8]
+            )
         m = self.manifest()
         if m["schema"] is None:
             return {"skipped": True, "reason": "empty table"}
@@ -1433,6 +1447,7 @@ class LakeTable:
         )
         r = self.merge(upd, epoch=epoch, batch_id=batch_id)
         r["predicate"] = predicate
+        r["epoch"] = epoch  # predicate-scoped; changelog audits key on it
         return r
 
     def extra(self) -> dict[str, Any]:
