@@ -531,3 +531,117 @@ def test_concurrent_delete_where_different_predicates_both_land(spark, tmp_path)
     st = _state(spark, t)
     assert st and all(v == 0 for v, _ in st.values())
     _check_integrity(t)
+
+
+def test_publish_after_vacuum_expired_slot_never_rolls_back(spark, tmp_path):
+    """A stage audited across many commits + a vacuum that expired its
+    predicted version slot must NOT link into the freed slot (that
+    would silently roll the table back to the stage's base)."""
+    from transforms_for_apache_kafka_connect_spark.errors import (
+        CommitConflictException,
+    )
+
+    root = str(tmp_path / "t")
+    t = LakeTable(root, key_cols=["k"], n_buckets=N_BUCKETS)
+    t.merge(_upd(spark, [(k, 0, 1) for k in range(20)]),
+            epoch="seed", batch_id=0)
+    r = t.merge(_upd(spark, [(0, 50, 2)]), epoch="wap", batch_id=1,
+                publish=False)
+    # the table advances well past the stage's predicted slot...
+    for bid in range(1, 6):
+        t.merge(_upd(spark, [(k, 100 + bid, 10 + bid) for k in range(20)]),
+                epoch="wa", batch_id=bid)
+    head_before = t.manifest()["version"]
+    # ...and vacuum expires the old manifests, freeing the slot
+    t.vacuum(keep_versions=2)
+    assert not os.path.exists(t._manifest_path(r["version"]))
+    with pytest.raises(CommitConflictException):
+        t.publish(r["staged"])  # bucket 0 moved: rebase correctly refused
+    m = _check_integrity(t)
+    assert m["version"] >= head_before, "publish rolled the table back"
+    assert _state(spark, t) == {k: (105, 15) for k in range(20)}
+
+
+def test_ledger_stage_rebase_keeps_head_schema_evolution(spark, tmp_path):
+    """A ledger-only stage publishing over a schema-evolving commit
+    must union onto the HEAD's schema, not resurrect its stale copy."""
+    root = str(tmp_path / "t")
+    t = LakeTable(root, key_cols=["k"], n_buckets=N_BUCKETS)
+    t.merge(_upd(spark, [(k, 0, 1) for k in range(8)]),
+            epoch="seed", batch_id=0)
+    # stage a verifiably-empty batch (ledger-only WAP)
+    empty = _upd(spark, []).limit(0)
+    r = t.merge(empty, epoch="wap", batch_id=1, publish=False)
+    # mid-audit commit ADDS a column
+    widened = (
+        _upd(spark, [(3, 7, 2)])
+        .withColumn("city", F.lit("berlin"))
+        .select("k", "v", "city", "_lsn", "__is_delete")
+    )
+    t.merge(widened, epoch="wa", batch_id=1)
+    pub = t.publish(r["staged"])
+    assert pub["published"] is True
+    fields = {f["name"] for f in t.manifest()["schema"]["fields"]}
+    assert "city" in fields, "rebase resurrected the stale schema"
+    row = t.read(spark).filter(F.col("k") == 3).first()
+    assert row["city"] == "berlin"
+
+
+def test_rebased_publish_stats_carry_delta_not_absolute(spark, tmp_path):
+    root = str(tmp_path / "t")
+    t = LakeTable(root, key_cols=["k"], n_buckets=N_BUCKETS,
+                  merge_strategy="append")
+    t.merge(_upd(spark, [(k, 0, 1) for k in range(100)]),
+            epoch="seed", batch_id=0)
+    # stage appends 10 NEW keys
+    r = t.merge(_upd(spark, [(1000 + k, 1, 2) for k in range(10)]),
+                epoch="wap", batch_id=1, publish=False)
+    # mid-audit another writer appends 50 NEW keys
+    t.merge(_upd(spark, [(2000 + k, 1, 2) for k in range(50)]),
+            epoch="wa", batch_id=1)
+    pub = t.publish(r["staged"])
+    assert pub.get("rebased") is True
+    assert t.manifest()["stats"]["total_rows"] == 160
+    assert t.read(spark).count() == 160
+
+
+def test_zero_retries_restores_fail_fast(spark, tmp_path):
+    from transforms_for_apache_kafka_connect_spark.errors import (
+        CommitConflictException,
+    )
+
+    root = str(tmp_path / "t")
+    t = LakeTable(root, key_cols=["k"], n_buckets=N_BUCKETS)
+    t.merge(_upd(spark, [(k, 0, 1) for k in range(20)]),
+            epoch="seed", batch_id=0)
+    b = LakeTable(root, key_cols=["k"], n_buckets=N_BUCKETS,
+                  max_commit_retries=0)
+    bmap = _buckets_of(spark, range(20))
+    keys_not_b0 = [k for k in range(20) if bmap[k] != 0]
+    _make_stale_once(b)
+    t.merge(_upd(spark, [(k, 10, 2) for k in range(20) if bmap[k] == 0]),
+            epoch="wa", batch_id=1)
+    with pytest.raises(CommitConflictException):
+        # even a rebase-eligible (disjoint) conflict must surface
+        b.merge(_upd(spark, [(k, 20, 2) for k in keys_not_b0]),
+                epoch="wb", batch_id=1)
+    _check_integrity(t)
+
+
+def test_pending_reregister_drops_previous_view(spark, tmp_path):
+    from transforms_for_apache_kafka_connect_spark.streaming import LakeCatalog
+    from pyspark.sql.utils import AnalysisException
+
+    cat = LakeCatalog(spark)
+    a = LakeTable(str(tmp_path / "a"), key_cols=["k"], n_buckets=N_BUCKETS)
+    a.merge(_upd(spark, [(1, 1, 1)]), epoch="seed", batch_id=0)
+    cat.register("occ_t", a)
+    assert spark.table("occ_t").count() == 1
+    fresh = LakeTable(str(tmp_path / "b"), key_cols=["k"], n_buckets=N_BUCKETS)
+    assert cat.register("occ_t", fresh) is None  # pending
+    with pytest.raises(AnalysisException):
+        spark.table("occ_t").count()  # must NOT serve table a's rows
+    fresh.merge(_upd(spark, [(2, 2, 1), (3, 3, 1)]), epoch="seed", batch_id=0)
+    cat.refresh("occ_t")
+    assert spark.table("occ_t").count() == 2
+    cat.unregister("occ_t")

@@ -84,8 +84,10 @@ def _env(spark, rows):
 
 def test_swap_recovers_from_crash_between_manifest_and_current(spark, tmp_path):
     # a writer that died after creating manifest-vN but before the
-    # CURRENT repoint must not wedge the table: the replay of the SAME
-    # batch (same ledger tail) adopts the orphan manifest and finishes
+    # CURRENT repoint must not wedge the table. Under the OCC protocol
+    # (tests/test_occ.py) the durable claim IS the commit: readers roll
+    # the head forward over the crash window immediately — no replay of
+    # the batch is even needed, it ledger-skips.
     table = LakeTable(str(tmp_path / "t"), key_cols=["repo", "path"],
                       n_buckets=4)
     rep = Replayer(table=table, chain=Chain([]), epoch="e", unique_lsn=True)
@@ -93,18 +95,20 @@ def test_swap_recovers_from_crash_between_manifest_and_current(spark, tmp_path):
         _env(spark, [("t", 0, ("r", "a"), ("c", 1, 1, ("v1",)), 1, None)]), 0
     )
     # simulate the crash: next version's manifest exists with the ledger
-    # tail the retry will compute, CURRENT still points at version 1
+    # tail the retry would compute, CURRENT still points at version 1
     m = table.manifest()
     orphan = dict(m)
     orphan["version"] = 2
     orphan["committed"] = m["committed"] + [["e", 1]]
     with open(table._manifest_path(2), "w") as f:
         json.dump(orphan, f)
-    assert table.manifest()["version"] == 1
+    assert table.manifest()["version"] == 2  # the claim is the commit
+    assert table.committed("e", 1)
 
-    rep.apply_batch(
+    r = rep.apply_batch(
         _env(spark, [("t", 0, ("r", "b"), ("c", 2, 2, ("v2",)), 2, None)]), 1
     )
+    assert r["skipped"] is True  # replay of the crashed batch: ledger no-op
     assert table.manifest()["version"] >= 2
     assert table.committed("e", 1)
     # and a DIFFERENT batch racing for the same version still conflicts

@@ -60,6 +60,10 @@ class _ViewSpec:
     version: int | None
     tag: str | None
     where: list[tuple] | None
+    #: manifest version the live temp view was built from (None =
+    #: pending, no view materialized yet) — lets refresh() short-circuit
+    #: to one driver-side manifest read when nothing moved
+    seen: int | None = None
 
 
 class LakeCatalog:
@@ -109,10 +113,20 @@ class LakeCatalog:
         except ValueError as e:
             if "no schema" not in str(e):
                 raise
+            # pending: make the NAME unresolvable too — a previous
+            # registration under it must not keep serving another
+            # table's rows while this one awaits its first commit
+            if name in self._views:
+                self.spark.catalog.dropTempView(name)
             self._views[name] = _ViewSpec(table, version, tag, where)
             return None
         df.createOrReplaceTempView(name)
-        self._views[name] = _ViewSpec(table, version, tag, where)
+        self._views[name] = _ViewSpec(
+            table, version, tag, where,
+            seen=version if version is not None
+            else table.manifest()["version"] if tag is None
+            else table.manifest().get("tags", {}).get(tag),
+        )
         return df
 
     def register_root(self, root: str, *, prefix: str = "") -> list[str]:
@@ -156,12 +170,32 @@ class LakeCatalog:
 
     # ---------------------------------------------------------- refresh
 
-    def refresh(self, name: str) -> DataFrame:
+    def refresh(self, name: str) -> DataFrame | None:
         """Re-resolve one view: unpinned → CURRENT manifest, ``tag`` →
-        wherever the tag now points, ``version`` → unchanged plan."""
+        wherever the tag now points, ``version`` → unchanged plan.
+
+        Cheap when nothing moved: one driver-side manifest read decides
+        whether the resolved version changed; the plan is only rebuilt
+        (and the temp view re-registered) when it did — so an
+        ``on_commit`` hook refreshing a large catalog costs O(views)
+        tiny file reads per batch, not O(views) plan rebuilds."""
         spec = self._views.get(name)
         if spec is None:
             raise ConfigException(f"no registered view: {name!r}")
+        if spec.seen is not None:
+            try:
+                m = spec.table.manifest()
+                target = (
+                    spec.version
+                    if spec.version is not None
+                    else (m.get("tags") or {}).get(spec.tag)
+                    if spec.tag is not None
+                    else m["version"]
+                )
+            except (OSError, ValueError):
+                target = None
+            if target is not None and target == spec.seen:
+                return self.spark.table(name)
         return self.register(
             name, spec.table,
             version=spec.version, tag=spec.tag, where=spec.where,
@@ -175,10 +209,13 @@ class LakeCatalog:
     # ----------------------------------------------------- engine hook
 
     def __call__(self, result: dict) -> None:
-        """``Replayer(on_commit=[catalog])``: refresh every view whose
-        table the committing engine owns. The hook receives the batch
-        result dict; refresh is idempotent, so replayed/skipped batches
-        are harmless."""
+        """``Replayer(on_commit=[catalog])``: refresh EVERY registered
+        view after each durably applied batch (the hook carries no
+        table identity, and refresh short-circuits to one manifest read
+        per unmoved view, so this stays cheap). For a very large
+        catalog fed by one engine, prefer the narrower
+        ``catalog.refresher("its_view")`` hook. Refresh is idempotent,
+        so replayed/skipped batches are harmless."""
         self.refresh_all()
 
     def refresher(self, *names: str):

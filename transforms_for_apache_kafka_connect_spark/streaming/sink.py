@@ -684,19 +684,24 @@ class LakeTable:
     def _swap(self, manifest: dict[str, Any]) -> None:
         """Write the new manifest, then atomically repoint CURRENT.
 
-        Optimistic concurrency: the manifest-vN file is created with
-        O_EXCL — two writers that both built against version N-1 race
-        to create the same file, exactly one wins, the loser gets
-        CommitConflictException and must re-read + replay (safe under
-        the exactly-once ledger). The CURRENT repoint then belongs to
-        the creation winner."""
+        Optimistic concurrency: the claim is an atomic hard-link of a
+        fully-written temp file into the manifest-vN slot — two writers
+        that both built against version N-1 race the link, exactly one
+        wins, the loser gets CommitConflictException and rebases or
+        replays (safe under the exactly-once ledger). Because the slot
+        is only ever populated by a COMPLETE file, a live claimer can
+        never be mistaken for a torn crash and reclaimed out from
+        under (the old O_EXCL + in-place json.dump had exactly that
+        window). The CURRENT repoint then belongs to the link winner."""
         prev = self.manifest()  # read once, shared by both attach passes
         self._attach_stats(manifest, prev)
         self._attach_blooms(manifest, prev)
         version = manifest["version"]
+        tmp = self._manifest_path(version) + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
         try:
-            with open(self._manifest_path(version), "x") as f:
-                json.dump(manifest, f)
+            os.link(tmp, self._manifest_path(version))
         except FileExistsError:
             # someone already claimed this version. Three cases:
             # (a) same logical commit (same ledger tail) — a previous
@@ -705,10 +710,11 @@ class LakeTable:
             #     the same batch won: ADOPT it (idempotent) and finish
             #     the repoint; our freshly-written data files become
             #     orphans for vacuum.
-            # (b) a partial/corrupt file from a writer that died
-            #     mid-write: overwrite it with ours.
+            # (b) a corrupt slot (legacy torn write, damaged disk):
+            #     reclaim it — but only after a grace period, since the
+            #     link protocol itself never leaves partial claims.
             # (c) a DIFFERENT batch's commit — a true conflict: raise,
-            #     the caller re-reads and replays.
+            #     the caller rebases or replays.
             existing = None
             try:
                 with open(self._manifest_path(version)) as f:
@@ -719,24 +725,39 @@ class LakeTable:
                 "committed"
             ]:
                 # candidate for (a) — but only adopt a manifest whose
-                # data files still exist: the crashed attempt wrote to
-                # the same deterministic version directory THIS attempt
-                # just rewrote (mode=overwrite), so the stale manifest's
-                # file names are usually gone — adopting it would
-                # repoint CURRENT at deleted files. Ours references the
-                # files we just wrote; reclaim with it instead.
+                # data files still exist (a vacuumed-away stale claim
+                # must not be repointed to). Ours references the files
+                # we just wrote; reclaim with it instead.
                 if any(
                     not os.path.exists(self._abs(f))
                     for fs in existing.get("buckets", {}).values()
                     for f in fs
                 ):
                     existing = None  # stale claim over destroyed files
-            if existing is None:  # (b) corrupt/stale claim — reclaim it
-                tmp = self._manifest_path(version) + f".tmp-{uuid.uuid4().hex}"
-                with open(tmp, "w") as f:
-                    json.dump(manifest, f)
+            if existing is None:  # (b) corrupt/stale slot
+                try:
+                    age = time.time() - os.path.getmtime(
+                        self._manifest_path(version)
+                    )
+                except OSError:
+                    age = float("inf")
+                if age < 60.0:
+                    # too fresh to judge dead — treat as a conflict
+                    # rather than risk destroying a live writer's claim
+                    os.remove(tmp)
+                    from transforms_for_apache_kafka_connect_spark.errors import (
+                        CommitConflictException,
+                    )
+
+                    raise CommitConflictException(
+                        f"version {version} slot holds an unreadable "
+                        f"claim younger than the reclaim grace period; "
+                        f"retrying"
+                    ) from None
                 os.replace(tmp, self._manifest_path(version))
+                tmp = None
             elif existing.get("committed") != manifest["committed"]:
+                os.remove(tmp)
                 from transforms_for_apache_kafka_connect_spark.errors import (
                     CommitConflictException,
                 )
@@ -746,6 +767,8 @@ class LakeTable:
                     f"writer; re-read the table and replay the batch"
                 ) from None
             # else (a): fall through and repoint to the adopted manifest
+        if tmp is not None and os.path.exists(tmp):
+            os.remove(tmp)
         tmp = self._current_path + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             f.write(str(version))
@@ -776,10 +799,11 @@ class LakeTable:
 
         m = base
         commit = build(m)
-        # rebase attempts are metadata-only and each one makes real
-        # progress impossible to starve indefinitely in practice; still
-        # bound the loop so a pathological livelock surfaces loudly
-        for _ in range(max(1, self.max_commit_retries) + 1):
+        # rebase attempts are metadata-only and each conflict means
+        # another writer made real progress; still bound the loop so a
+        # pathological livelock surfaces loudly. max_commit_retries=0
+        # = documented fail-fast single-writer mode: no rebasing either.
+        for _ in range(self.max_commit_retries + 1):
             try:
                 self._swap(commit)
                 return commit
@@ -787,12 +811,16 @@ class LakeTable:
                 head = self.manifest()
                 if [epoch, batch_id] in head["committed"]:
                     return None  # a concurrent replayer of this batch won
-                if head["version"] <= m["version"] or not can_rebase(m, head):
+                if (
+                    self.max_commit_retries == 0
+                    or head["version"] <= m["version"]
+                    or not can_rebase(m, head)
+                ):
                     raise
                 m = head
                 commit = build(m)
         raise CommitConflictException(
-            f"gave up after {self.max_commit_retries + 1} rebase attempts "
+            f"gave up after {self.max_commit_retries} rebase attempts "
             f"on {self.root} (epoch={epoch}, batch_id={batch_id})"
         )
 
@@ -857,6 +885,7 @@ class LakeTable:
         read_buckets: list[int] | None,
         appended: dict[str, list[str]] | None = None,
         manifest_extra: dict[str, Any] | None = None,
+        staged_commit: dict[str, Any] | None = None,
     ) -> dict[str, Any]:
         """Build the ``_occ`` provenance block for ``_stage``."""
         if read_buckets is None:
@@ -866,14 +895,28 @@ class LakeTable:
                 str(b): m["buckets"].get(str(b))
                 for b in read_buckets
             }
+        # columns this stage ADDED over its base (ledger-mode rebases
+        # must re-union them onto the head's schema, not resurrect the
+        # stage-time copy — the head may have evolved during the audit)
+        schema_add = []
+        if staged_commit is not None and staged_commit.get("schema"):
+            base_names = {
+                f["name"] for f in (m["schema"] or {"fields": []})["fields"]
+            }
+            schema_add = [
+                f for f in staged_commit["schema"]["fields"]
+                if f["name"] not in base_names
+            ]
         return {
             "mode": mode,
             "read_buckets": read_buckets,
             "base_buckets": base_buckets,
             "base_schema": m["schema"],
+            "base_total_rows": (m.get("stats") or {}).get("total_rows", 0),
             "n_base_lineage": len(m["lineage"]),
             "appended": appended or {},
             "extra_delta": manifest_extra or {},
+            "schema_add": schema_add,
         }
 
     def read_staged(self, spark: SparkSession, token: str, **kwargs) -> DataFrame:
@@ -906,6 +949,15 @@ class LakeTable:
         staged_path = os.path.join(self.root, "_manifest", f"{token}.json")
         m = self._staged_manifest(token)
         version = m["version"]
+        head = self.manifest()
+        if head["version"] + 1 != version:
+            # the predicted slot is NOT the next version: either the
+            # table advanced during the audit (rebase), or — after a
+            # long audit — vacuum expired the slot's manifest and a
+            # blind link would SUCCEED into the freed slot and roll the
+            # whole table back to the stage's base. Never link unless
+            # the claim extends the current chain.
+            return self._publish_rebased(token, staged_path, m)
         try:
             os.link(staged_path, self._manifest_path(version))
         except FileExistsError:
@@ -924,10 +976,14 @@ class LakeTable:
         with open(tmp, "w") as f:
             f.write(str(version))
         os.replace(tmp, self._current_path)
-        os.remove(staged_path)
+        # sidecar BEFORE staged file: a crash in between leaves the
+        # staged manifest, whose retry goes through the same-tail
+        # adoption / already-landed checks (idempotent); the reverse
+        # order would strand a sidecar whose publish can't be retried
         sidecar = self._occ_sidecar_path(token)
         if os.path.exists(sidecar):
             os.remove(sidecar)
+        os.remove(staged_path)
         return {"published": True, "version": version}
 
     def _publish_rebased(
@@ -948,11 +1004,29 @@ class LakeTable:
             f"table"
         )
         sidecar = self._occ_sidecar_path(token)
+        ledger_entry = staged["committed"][-1]
+
+        def cleanup():
+            if os.path.exists(sidecar):
+                os.remove(sidecar)
+            os.remove(staged_path)
+
+        # already-landed check BEFORE requiring the sidecar: a publish
+        # retried after a crash mid-cleanup (or a concurrent publisher
+        # of the same batch) must complete idempotently even if the
+        # provenance is already gone
+        head0 = self.manifest()
+        if ledger_entry in head0["committed"]:
+            cleanup()
+            return {
+                "published": True,
+                "version": head0["version"],
+                "already": True,
+            }
         if not os.path.exists(sidecar):
             raise conflict  # pre-provenance stage: detect-only behavior
         with open(sidecar) as f:
             occ = json.load(f)
-        ledger_entry = staged["committed"][-1]
         mode = occ["mode"]
         read_buckets = occ["read_buckets"]
         base_buckets = occ["base_buckets"]
@@ -1003,15 +1077,41 @@ class LakeTable:
             commit["mor"] = (
                 True if mode == "append" else head.get("mor", False)
             )
+            if mode == "ledger":
+                # the cow/append guards pin head schema == base schema,
+                # so the staged union stays valid; a ledger stage has
+                # NO schema guard — re-union its additions onto the
+                # head's schema instead of resurrecting the stale copy
+                head_sch = head.get("schema")
+                adds = [
+                    f for f in occ.get("schema_add") or []
+                    if head_sch is None
+                    or f["name"] not in {x["name"] for x in head_sch["fields"]}
+                ]
+                if head_sch is None:
+                    commit["schema"] = staged.get("schema")
+                elif adds:
+                    commit["schema"] = {
+                        **head_sch, "fields": head_sch["fields"] + adds
+                    }
+                else:
+                    commit["schema"] = head_sch
+            # stats: carry the stage's DELTA onto the head's count, not
+            # its stale absolute (interleaved commits changed the base)
+            staged_total = (staged.get("stats") or {}).get("total_rows", 0)
+            head_total = (head.get("stats") or {}).get("total_rows", 0)
+            commit["stats"] = {
+                "total_rows": max(
+                    0,
+                    head_total
+                    + staged_total
+                    - occ.get("base_total_rows", 0),
+                )
+            }
             self._carry_forward(commit, head, occ.get("extra_delta"))
             return commit
 
-        def cleanup():
-            os.remove(staged_path)
-            if os.path.exists(sidecar):
-                os.remove(sidecar)
-
-        for _ in range(max(1, self.max_commit_retries) + 1):
+        for _ in range(self.max_commit_retries + 1):
             head = self.manifest()
             if ledger_entry in head["committed"]:
                 # a crashed earlier publish of this token already
@@ -1023,7 +1123,8 @@ class LakeTable:
                     "version": head["version"],
                     "already": True,
                 }
-            if not guard(head):
+            if self.max_commit_retries == 0 or not guard(head):
+                # retries=0 = documented fail-fast mode: never rebase
                 raise conflict
             commit = build(head)
             try:
@@ -2598,7 +2699,7 @@ class LakeTable:
             commit = build(m)
             staged = self._stage(commit, self._stage_occ(
                 m, mode="ledger", read_buckets=[],
-                manifest_extra=manifest_extra,
+                manifest_extra=manifest_extra, staged_commit=commit,
             ))
             version = commit["version"]
         return {
