@@ -172,3 +172,72 @@ def test_where_baked_into_view(spark, tmp_path, catalog):
     got = spark.table("py_only")
     assert got.count() == table.read(spark).filter(F.col("lang") == "py").count()
     assert {r["lang"] for r in got.select("lang").distinct().collect()} == {"py"}
+
+
+def test_register_changes_sql_changelog(spark, tmp_path, catalog):
+    table = LakeTable(root=str(tmp_path / "t"), n_buckets=8, changelog=True)
+    rep = Replayer(table=table, chain=Chain([]), epoch="e1", unique_lsn=True)
+    events = change_stream(spark, N, n_repos=40, paths_per_repo=6)
+    rep.replay(events, batch_width=N // 2, max_pos=N // 2, slice_col="value.lsn")
+    catalog.register_changes("repo_changes", table)
+    kinds = {
+        r["_change_type"]
+        for r in spark.sql(
+            "SELECT DISTINCT _change_type FROM repo_changes"
+        ).collect()
+    }
+    assert "insert" in kinds
+    n_before = spark.table("repo_changes").count()
+    # SQL watermark tailing: committed batches only, batch_id filters
+    assert spark.sql(
+        "SELECT count(*) n FROM repo_changes WHERE batch_id >= 0"
+    ).first()["n"] == n_before
+    rep.replay(events, batch_width=N // 2, max_pos=N, slice_col="value.lsn")
+    assert spark.table("repo_changes").count() == n_before  # snapshot
+    catalog.refresh("repo_changes")
+    assert spark.table("repo_changes").count() > n_before
+
+
+def test_register_snapshot_consistent_joins(spark, tmp_path, catalog):
+    from transforms_for_apache_kafka_connect_spark.streaming import (
+        TransactionalRouter,
+    )
+
+    rows = [
+        ("src", 0, ("r0", "p0"), ("c", 1, 1, ("a0",), "acme"), 1, None),
+        ("src", 0, ("r1", "p0"), ("c", 2, 2, ("g0",), "globex"), 2, None),
+    ]
+    env = spark.createDataFrame(
+        rows,
+        "topic string, partition int, key struct<repo:string,path:string>, "
+        "value struct<op:string,lsn:bigint,ts_ms:bigint,"
+        "after:struct<content:string>,tenant:string>, "
+        "timestamp long, headers map<string,string>",
+    )
+    router = TransactionalRouter(
+        root=str(tmp_path / "tables"),
+        chain=Chain([{"type": "extract_topic", "field.name": "tenant"}]),
+        epoch="e1",
+        table_opts={"n_buckets": 4},
+        replayer_opts={"unique_lsn": True},
+    )
+    router.apply_batch(env, 0)
+    names = catalog.register_snapshot(router, prefix="snap_")
+    assert names == ["snap_acme", "snap_globex"]
+    n = spark.sql(
+        "SELECT count(*) n FROM snap_acme a CROSS JOIN snap_globex g"
+    ).first()["n"]
+    assert n == 1
+    # a later transaction is invisible until refresh (snapshot isolation
+    # for the SQL user), then appears across ALL views in one refresh
+    env2 = spark.createDataFrame(
+        [("src", 0, ("r0", "p1"), ("c", 3, 3, ("a1",), "acme"), 3, None),
+         ("src", 0, ("r1", "p1"), ("c", 4, 4, ("g1",), "globex"), 4, None)],
+        env.schema,
+    )
+    router.apply_batch(env2, 1)
+    assert spark.table("snap_acme").count() == 1
+    assert spark.table("snap_globex").count() == 1
+    catalog.refresh_all()
+    assert spark.table("snap_acme").count() == 2
+    assert spark.table("snap_globex").count() == 2

@@ -66,6 +66,36 @@ class _ViewSpec:
     seen: int | None = None
 
 
+class _ChangelogSource:
+    """Duck-typed view source: a table's committed changelog."""
+
+    def __init__(self, table, epoch: str | None):
+        self.table, self.epoch = table, epoch
+
+    def manifest(self):
+        return self.table.manifest()
+
+    def read(self, spark, version=None, tag=None, where=None):
+        return self.table.read_changelog(spark, epoch=self.epoch)
+
+
+class _SnapshotSource:
+    """Duck-typed view source: one router topic pinned at the
+    cross-table consistent snapshot (txn.py)."""
+
+    def __init__(self, router, topic: str):
+        self.router, self.topic = router, topic
+
+    def manifest(self):
+        return {"version": self.router.snapshot().get(self.topic, 0)}
+
+    def read(self, spark, version=None, tag=None, where=None):
+        snap = self.router.snapshot()
+        return self.router.table_for(self.topic).read(
+            spark, version=snap[self.topic]
+        )
+
+
 class LakeCatalog:
     """Register lake tables as Spark SQL temp views and keep them fresh.
 
@@ -160,6 +190,54 @@ class LakeCatalog:
             self.register(name, LakeTable(root=os.path.join(root, entry)))
             names.append(name)
         return sorted(names)
+
+    def register_changes(self, name: str, table, *, epoch: str | None = None):
+        """Register a table's row-level CHANGELOG (Delta CDF analog) as
+        a SQL view: rows tagged ``_change_type`` with ``epoch`` /
+        ``batch_id`` partition columns, only ever from committed
+        batches. SQL consumers incrementally tail the lake with plain
+        ``WHERE batch_id > :watermark`` — the same contract as
+        ``read_changelog``, refreshable like any other view."""
+        if not _NAME_RE.match(name):
+            raise ConfigException(
+                f"view name must be a SQL identifier "
+                f"([A-Za-z_][A-Za-z0-9_]*): {name!r}"
+            )
+        df = table.read_changelog(self.spark, epoch=epoch)
+        df.createOrReplaceTempView(name)
+        # changelog views re-list their committed dirs on refresh; the
+        # manifest version is the right staleness key (a commit both
+        # advances it and may add changelog entries)
+        self._views[name] = _ViewSpec(
+            _ChangelogSource(table, epoch), None, None, None,
+            seen=table.manifest()["version"],
+        )
+        return df
+
+    def register_snapshot(self, router, *, prefix: str = "") -> list[str]:
+        """Register every table of a ``TransactionalRouter`` pinned at
+        its cross-table consistent snapshot: SQL joins across the
+        registered views can never observe a torn transaction (the
+        version map only advances after EVERY table of a batch is
+        live). Refresh advances all views to the NEXT consistent
+        snapshot — atomically from the SQL user's point of view within
+        one refresh_all() call."""
+        snap = router.snapshot()
+        names = []
+        for topic in sorted(snap):
+            name = prefix + _sql_name(topic)
+            if name in names:
+                raise ConfigException(
+                    f"topics sanitize to duplicate view name {name!r}"
+                )
+            df = router.table_for(topic).read(self.spark, version=snap[topic])
+            df.createOrReplaceTempView(name)
+            self._views[name] = _ViewSpec(
+                _SnapshotSource(router, topic), None, None, None,
+                seen=snap[topic],
+            )
+            names.append(name)
+        return names
 
     def unregister(self, name: str) -> None:
         self._views.pop(name, None)
