@@ -708,3 +708,42 @@ def test_cli_track_gaps(spark, tmp_path, capsys):
     assert LakeTable(
         os.path.join(root3, "_seq_state"), discovery=False
     ).read(spark).count() == 1
+
+
+def test_cli_sql_query(spark, tmp_path, capsys):
+    """--maintenance query: ad-hoc SQL over a lake table (and a routed
+    root) from the shell, rows as JSON lines."""
+    import json as _json
+
+    from transforms_for_apache_kafka_connect_spark.cli import main
+
+    events = change_stream(spark, 1_000, n_repos=10, paths_per_repo=4)
+    events.write.mode("overwrite").parquet(str(tmp_path / "events"))
+    root = str(tmp_path / "table")
+    base = ["--table", root, "--buckets", "4", "--batches", "2"]
+    assert main(base + ["--events", str(tmp_path / "events")]) == 0
+    capsys.readouterr()
+
+    assert main(base + [
+        "--maintenance", "query",
+        "--sql", "SELECT lang, count(*) AS n FROM t GROUP BY lang ORDER BY lang",
+    ]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    rows = [_json.loads(line) for line in out[:-1]]
+    summary = _json.loads(out[-1])
+    assert summary["op"] == "query" and summary["views"] == ["t"]
+    want = {
+        r["lang"]: r["n"]
+        for r in LakeTable(root, n_buckets=4).read(spark)
+        .groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert {r["lang"]: r["n"] for r in rows} == want
+    # missing --sql is a usage error
+    assert main(base + ["--maintenance", "query"]) == 2
+    # --sql-limit caps printed rows
+    capsys.readouterr()
+    assert main(base + [
+        "--maintenance", "query", "--sql", "SELECT * FROM t", "--sql-limit", "3",
+    ]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert _json.loads(out[-1])["rows_printed"] == 3

@@ -119,10 +119,19 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["compact", "vacuum", "rescale", "lookup",
                              "publish", "stats", "delete-where",
                              "tag", "drop-tag", "relay", "retry-dlq",
-                             "checksum", "diff", "repair"],
+                             "checksum", "diff", "repair", "query"],
                     default=None,
                     help="run a table op instead of a replay "
                          "(--events is ignored)")
+    ap.add_argument("--sql", default=None,
+                    help="with --maintenance query: SQL over the lake — "
+                         "the table registers as view `t` (or, with "
+                         "--routed, every table under the root as its "
+                         "sanitized topic name); rows print as JSON "
+                         "lines")
+    ap.add_argument("--sql-limit", type=int, default=1000,
+                    help="with --maintenance query: cap printed rows "
+                         "(0 = no cap)")
     ap.add_argument("--routed", action="store_true",
                     help="treat --table as a ROUTER ROOT: the chain's "
                          "final topic picks the destination table "
@@ -292,8 +301,9 @@ def main(argv: list[str] | None = None) -> int:
         schema_mode=args.schema_mode,
     )
     # routed mode treats --table as the router root (one table per
-    # final topic); maintenance ops always target ONE concrete table
-    if args.routed and args.maintenance:
+    # final topic); maintenance ops always target ONE concrete table —
+    # except query, which registers the whole root as SQL views
+    if args.routed and args.maintenance and args.maintenance != "query":
         print(
             "--maintenance targets one concrete table: pass the "
             "per-topic path (e.g. <root>/<topic>) as --table and drop "
@@ -510,6 +520,28 @@ def main(argv: list[str] | None = None) -> int:
             except ValueError as exc:
                 print(f"repair: {exc}", file=sys.stderr)
                 return 2
+        elif args.maintenance == "query":
+            if not args.sql:
+                print("--maintenance query requires --sql",
+                      file=sys.stderr)
+                return 2
+            from transforms_for_apache_kafka_connect_spark.streaming.catalog import (
+                LakeCatalog,
+            )
+
+            cat = LakeCatalog(spark)
+            if args.routed:
+                views = cat.register_root(args.table)
+            else:
+                cat.register("t", table)
+                views = ["t"]
+            out = spark.sql(args.sql)
+            rows = (
+                out.limit(args.sql_limit) if args.sql_limit else out
+            ).collect()
+            for row in rows:
+                print(json.dumps(row.asDict(recursive=True), default=str))
+            r = {"views": views, "rows_printed": len(rows)}
         elif args.maintenance == "publish":
             if not args.staged_token:
                 print("--maintenance publish requires --staged-token",
