@@ -241,3 +241,71 @@ def test_register_snapshot_consistent_joins(spark, tmp_path, catalog):
     catalog.refresh_all()
     assert spark.table("snap_acme").count() == 2
     assert spark.table("snap_globex").count() == 2
+
+
+def test_router_on_commit_keeps_views_current(spark, tmp_path, catalog):
+    from transforms_for_apache_kafka_connect_spark.streaming import (
+        TopicTableRouter,
+    )
+
+    def env(rows):
+        return spark.createDataFrame(
+            rows,
+            "topic string, partition int, key struct<repo:string,path:string>, "
+            "value struct<op:string,lsn:bigint,ts_ms:bigint,"
+            "after:struct<content:string>,tenant:string>, "
+            "timestamp long, headers map<string,string>",
+        )
+
+    router = TopicTableRouter(
+        root=str(tmp_path / "tables"),
+        chain=Chain([{"type": "extract_topic", "field.name": "tenant"}]),
+        epoch="e1",
+        table_opts={"n_buckets": 4},
+        replayer_opts={"unique_lsn": True},
+        on_commit=[catalog],
+    )
+    router.apply_batch(env(
+        [("s", 0, ("r0", "p0"), ("c", 1, 1, ("a0",), "acme"), 1, None)]
+    ), 0)
+    catalog.register_root(str(tmp_path / "tables"))
+    assert spark.table("acme").count() == 1
+    router.apply_batch(env(
+        [("s", 0, ("r0", "p1"), ("c", 2, 2, ("a1",), "acme"), 2, None)]
+    ), 1)
+    # no manual refresh: the router hook re-resolved the views
+    assert spark.table("acme").count() == 2
+
+
+def test_txn_on_commit_advances_snapshot_views(spark, tmp_path, catalog):
+    from transforms_for_apache_kafka_connect_spark.streaming import (
+        TransactionalRouter,
+    )
+
+    schema = (
+        "topic string, partition int, key struct<repo:string,path:string>, "
+        "value struct<op:string,lsn:bigint,ts_ms:bigint,"
+        "after:struct<content:string>,tenant:string>, "
+        "timestamp long, headers map<string,string>"
+    )
+    router = TransactionalRouter(
+        root=str(tmp_path / "tables"),
+        chain=Chain([{"type": "extract_topic", "field.name": "tenant"}]),
+        epoch="e1",
+        table_opts={"n_buckets": 4},
+        replayer_opts={"unique_lsn": True},
+        on_commit=[catalog],
+    )
+    router.apply_batch(spark.createDataFrame(
+        [("s", 0, ("r0", "p0"), ("c", 1, 1, ("a0",), "acme"), 1, None),
+         ("s", 0, ("r1", "p0"), ("c", 2, 2, ("g0",), "globex"), 2, None)],
+        schema,
+    ), 0)
+    catalog.register_snapshot(router, prefix="live_")
+    router.apply_batch(spark.createDataFrame(
+        [("s", 0, ("r0", "p1"), ("c", 3, 3, ("a1",), "acme"), 3, None),
+         ("s", 0, ("r1", "p1"), ("c", 4, 4, ("g1",), "globex"), 4, None)],
+        schema,
+    ), 1)
+    assert spark.table("live_acme").count() == 2
+    assert spark.table("live_globex").count() == 2

@@ -165,6 +165,12 @@ class TopicTableRouter:
     track_gaps: object | None = None
     gaps_policy: str = "error"
     gaps_report_dir: str | None = None
+    #: callables invoked with the batch result dict once EVERY topic of
+    #: the batch has durably committed (same idempotence contract as
+    #: Replayer.on_commit; never fired for a partially-failed batch —
+    #: its committed topics replay-skip and the hook fires on the
+    #: successful retry). Typical: a LakeCatalog over register_root.
+    on_commit: list = dataclass_field(default_factory=list)
 
     def __post_init__(self):
         if self.gaps_policy not in ("error", "warn"):
@@ -296,6 +302,8 @@ class TopicTableRouter:
                 )
                 if gaps_n is not None:
                     result["gap_anomalies"] = int(gaps_n)
+            for hook in self.on_commit:
+                hook(result)
             return result
         finally:
             transformed.unpersist()

@@ -91,6 +91,11 @@ class TransactionalRouter:
     epoch: str = "default"
     table_opts: dict = dataclass_field(default_factory=dict)
     replayer_opts: dict = dataclass_field(default_factory=dict)
+    #: callables invoked with the batch result dict AFTER the whole
+    #: transaction is live (decision rolled forward, snapshot pointer
+    #: advanced) — a LakeCatalog here keeps register_snapshot views
+    #: tracking ingest with cross-table consistency per refresh
+    on_commit: list = dataclass_field(default_factory=list)
 
     def __post_init__(self):
         os.makedirs(self._txn_dir, exist_ok=True)
@@ -210,11 +215,14 @@ class TransactionalRouter:
             # THE commit point: one atomic rename
             _atomic_write_json(self._decision_path(batch_id), decision)
             versions = self._roll_forward(decision)
-            return {
+            result = {
                 "batch_id": batch_id,
                 "topics": sorted(set(tokens) | set(already)),
                 "versions": versions,
             }
+            for hook in self.on_commit:
+                hook(result)
+            return result
         finally:
             transformed.unpersist()
 
