@@ -645,3 +645,31 @@ def test_pending_reregister_drops_previous_view(spark, tmp_path):
     cat.refresh("occ_t")
     assert spark.table("occ_t").count() == 2
     cat.unregister("occ_t")
+
+
+def test_vacuum_orphan_grace_protects_inflight_writers(spark, tmp_path):
+    """Under multi-writer OCC an in-flight merge's files are
+    unreferenced until its claim lands; a grace window keeps young
+    orphans while still reclaiming genuinely dead ones."""
+    import time as _time
+
+    root = str(tmp_path / "t")
+    t = LakeTable(root, key_cols=["k"], n_buckets=N_BUCKETS)
+    t.merge(_upd(spark, [(k, 0, 1) for k in range(10)]),
+            epoch="seed", batch_id=0)
+    young = os.path.join(root, "data", "inflight", "part-0.parquet")
+    old = os.path.join(root, "data", "crashed", "part-0.parquet")
+    for p in (young, old):
+        os.makedirs(os.path.dirname(p))
+        with open(p, "wb") as f:
+            f.write(b"x")
+    _time.sleep(0.05)
+    os.utime(old, (1, 1))  # ancient mtime: a dead writer's leftovers
+    r = t.vacuum(keep_versions=1, orphan_grace_seconds=3600)
+    assert os.path.exists(young), "grace window must protect young files"
+    assert not os.path.exists(old)
+    assert r["deleted_files"] == 1
+    # strict mode reclaims everything unreferenced
+    t.vacuum(keep_versions=1)
+    assert not os.path.exists(young)
+    assert _state(spark, t) == {k: (0, 1) for k in range(10)}

@@ -173,6 +173,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="with --maintenance compact: rewrite every bucket "
                          "(graduates a merge-on-read table to plain reads)")
     ap.add_argument("--vacuum-keep-versions", type=int, default=2)
+    ap.add_argument("--vacuum-orphan-grace", type=float, default=0.0,
+                    help="seconds: keep unreferenced data files younger "
+                         "than this (protects concurrent in-flight "
+                         "writers under multi-writer OCC; 0 = strict "
+                         "quiesced-table vacuum)")
     ap.add_argument("--vacuum-changelog-keep-batches", type=int, default=None,
                     help="with --maintenance vacuum: also expire committed "
                          "changelog entries beyond the last N batches per "
@@ -329,6 +334,7 @@ def main(argv: list[str] | None = None) -> int:
             r = table.vacuum(
                 keep_versions=args.vacuum_keep_versions,
                 changelog_keep_batches=args.vacuum_changelog_keep_batches,
+                orphan_grace_seconds=args.vacuum_orphan_grace,
             )
         elif args.maintenance == "stats":
             r = table.stats()

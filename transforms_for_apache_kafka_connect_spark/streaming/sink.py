@@ -2362,7 +2362,8 @@ class LakeTable:
         changelog_keep_batches: int | None = None,
         drop_staged: bool = False,
         pin_versions: list[int] | None = None,
-        dry_run: bool = False
+        dry_run: bool = False,
+        orphan_grace_seconds: float = 0.0,
     ) -> dict[str, Any]:
         """Garbage-collect data files no recent manifest references and
         manifest versions beyond the retention window — the engine's
@@ -2431,10 +2432,29 @@ class LakeTable:
                 )
         # a Bloom sidecar lives exactly as long as its data file
         live |= {p + ".bloom" for p in live}
+        # orphan_grace_seconds: under multi-writer OCC an in-flight
+        # merge's freshly written files are unreferenced until its
+        # claim lands — the classic remove_orphan_files race. A
+        # nonzero grace keeps any file younger than the window (an
+        # Iceberg-style age guard); 0 preserves the strict
+        # quiesced-table contract ("run only while no merge is in
+        # flight"), which remains the right mode for single writers.
+        now = time.time()
+
+        def _grace_protected(p: str) -> bool:
+            if orphan_grace_seconds <= 0:
+                return False
+            try:
+                return (now - os.path.getmtime(p)) < orphan_grace_seconds
+            except OSError:
+                return True  # vanished/being-written: leave it alone
+
         orphans = [
             p
             for p in glob.glob(os.path.join(self.root, "data", "**", "*"), recursive=True)
-            if os.path.isfile(p) and os.path.realpath(p) not in live
+            if os.path.isfile(p)
+            and os.path.realpath(p) not in live
+            and not _grace_protected(p)
         ]
         expired = [v for v in versions if v not in keep]
         # a crashed _swap/publish leaves .tmp-<uuid> files next to
