@@ -309,3 +309,121 @@ def test_txn_on_commit_advances_snapshot_views(spark, tmp_path, catalog):
     ), 1)
     assert spark.table("live_acme").count() == 2
     assert spark.table("live_globex").count() == 2
+
+
+def test_refresh_all_pins_one_snapshot_per_router(spark, tmp_path, catalog):
+    """A transaction landing mid-refresh must not pin sibling snapshot
+    views at different transactions (torn-join prevention extends to
+    the refresh cycle itself)."""
+    from transforms_for_apache_kafka_connect_spark.streaming import (
+        TransactionalRouter,
+    )
+
+    schema = (
+        "topic string, partition int, key struct<repo:string,path:string>, "
+        "value struct<op:string,lsn:bigint,ts_ms:bigint,"
+        "after:struct<content:string>,tenant:string>, "
+        "timestamp long, headers map<string,string>"
+    )
+    router = TransactionalRouter(
+        root=str(tmp_path / "tables"),
+        chain=Chain([{"type": "extract_topic", "field.name": "tenant"}]),
+        epoch="e1", table_opts={"n_buckets": 4},
+        replayer_opts={"unique_lsn": True},
+    )
+    router.apply_batch(spark.createDataFrame(
+        [("s", 0, ("r0", "p0"), ("c", 1, 1, ("a0",), "acme"), 1, None),
+         ("s", 0, ("r1", "p0"), ("c", 2, 2, ("g0",), "globex"), 2, None)],
+        schema,
+    ), 0)
+    catalog.register_snapshot(router, prefix="pin_")
+    router.apply_batch(spark.createDataFrame(
+        [("s", 0, ("r0", "p1"), ("c", 3, 3, ("a1",), "acme"), 3, None),
+         ("s", 0, ("r1", "p1"), ("c", 4, 4, ("g1",), "globex"), 4, None)],
+        schema,
+    ), 1)
+
+    # simulate a txn landing mid-cycle: snapshot() advances between
+    # the two views' refreshes unless refresh_all pinned one snapshot
+    snaps = [router.snapshot(), None]
+    router.apply_batch(spark.createDataFrame(
+        [("s", 0, ("r0", "p2"), ("c", 5, 5, ("a2",), "acme"), 5, None),
+         ("s", 0, ("r1", "p2"), ("c", 6, 6, ("g2",), "globex"), 6, None)],
+        schema,
+    ), 2)
+    orig = type(router).snapshot
+    calls = {"n": 0}
+
+    def racing_snapshot(self):
+        calls["n"] += 1
+        # first call of the cycle sees txn 1, later calls see txn 2
+        return snaps[0] if calls["n"] == 1 else orig(self)
+
+    import types as _types
+
+    router.snapshot = _types.MethodType(racing_snapshot, router)
+    catalog.refresh_all()
+    assert calls["n"] == 1, "refresh_all must resolve snapshot() once"
+    assert spark.table("pin_acme").count() == spark.table("pin_globex").count() == 2
+
+
+def test_changelog_view_survives_changelog_vacuum(spark, tmp_path, catalog):
+    table = LakeTable(root=str(tmp_path / "t"), n_buckets=8, changelog=True)
+    rep = Replayer(table=table, chain=Chain([]), epoch="e1", unique_lsn=True)
+    events = change_stream(spark, N, n_repos=40, paths_per_repo=6)
+    rep.replay(events, batch_width=N // 4, max_pos=N, slice_col="value.lsn")
+    catalog.register_changes("chg", table)
+    n_all = spark.table("chg").count()
+    # vacuum retention deletes old changelog dirs WITHOUT a manifest bump
+    table.vacuum(keep_versions=10, changelog_keep_batches=1)
+    catalog.refresh("chg")  # must NOT short-circuit onto the broken plan
+    n_after = spark.table("chg").count()
+    assert 0 < n_after < n_all
+
+
+def test_txn_recovery_roll_forward_fires_hooks(spark, tmp_path, catalog):
+    """A transaction published during replay-recovery becomes visible
+    THERE — snapshot views must refresh, not wait for a later batch."""
+    import json as _json
+
+    from transforms_for_apache_kafka_connect_spark.streaming import (
+        TransactionalRouter,
+    )
+
+    schema = (
+        "topic string, partition int, key struct<repo:string,path:string>, "
+        "value struct<op:string,lsn:bigint,ts_ms:bigint,"
+        "after:struct<content:string>,tenant:string>, "
+        "timestamp long, headers map<string,string>"
+    )
+
+    def mk_router(**kw):
+        return TransactionalRouter(
+            root=str(tmp_path / "tables"),
+            chain=Chain([{"type": "extract_topic", "field.name": "tenant"}]),
+            epoch="e1", table_opts={"n_buckets": 4},
+            replayer_opts={"unique_lsn": True}, **kw,
+        )
+
+    router = mk_router()
+    router.apply_batch(spark.createDataFrame(
+        [("s", 0, ("r0", "p0"), ("c", 1, 1, ("a0",), "acme"), 1, None)],
+        schema,
+    ), 0)
+    catalog.register_snapshot(router, prefix="rec_")
+    # batch 1 "crashes" after the decision record: stage + decide only
+    b1 = spark.createDataFrame(
+        [("s", 0, ("r0", "p1"), ("c", 2, 2, ("a1",), "acme"), 2, None)],
+        schema,
+    )
+    r = router.apply_batch(b1, 1)
+    # rewind the decision to pre-roll-forward state (simulate the crash)
+    dp = router._decision_path(1)
+    d = _json.loads(open(dp).read())
+    d["status"] = "commit"
+    with open(dp, "w") as f:
+        _json.dump(d, f)
+    hooked = mk_router(on_commit=[catalog])
+    res = hooked.apply_batch(b1, 1)  # replay hits the roll-forward path
+    assert res["skipped"] is True
+    assert spark.table("rec_acme").count() == 2, "hook did not fire on recovery"

@@ -673,3 +673,32 @@ def test_vacuum_orphan_grace_protects_inflight_writers(spark, tmp_path):
     t.vacuum(keep_versions=1)
     assert not os.path.exists(young)
     assert _state(spark, t) == {k: (0, 1) for k in range(10)}
+
+
+def test_vacuum_grace_covers_changelog_and_tmp(spark, tmp_path):
+    """The grace window must protect an in-flight writer's UNCOMMITTED
+    changelog dir and a live claimer's manifest tmp file, not just its
+    data files."""
+    root = str(tmp_path / "t")
+    t = LakeTable(root, key_cols=["k"], n_buckets=N_BUCKETS, changelog=True)
+    t.merge(_upd(spark, [(k, 0, 1) for k in range(10)]),
+            epoch="seed", batch_id=0)
+    # an in-flight merge's changelog (written BEFORE its claim lands)
+    chg = os.path.join(root, "_changes", "epoch=w2", "batch_id=0")
+    os.makedirs(chg)
+    with open(os.path.join(chg, "part-0.parquet"), "wb") as f:
+        f.write(b"x")
+    # a live claimer's manifest temp file (mid-_swap)
+    tmpf = os.path.join(root, "_manifest",
+                        "manifest-00000099.json.tmp-live")
+    with open(tmpf, "w") as f:
+        f.write("{}")
+    t.vacuum(keep_versions=1, orphan_grace_seconds=3600)
+    assert os.path.isdir(chg), "young uncommitted changelog dir deleted"
+    assert os.path.exists(tmpf), "live claimer's tmp manifest deleted"
+    # aged out -> both reclaimed (strict semantics preserved)
+    for p in (os.path.join(chg, "part-0.parquet"), chg, tmpf):
+        os.utime(p, (1, 1))
+    t.vacuum(keep_versions=1, orphan_grace_seconds=3600)
+    assert not os.path.isdir(chg)
+    assert not os.path.exists(tmpf)

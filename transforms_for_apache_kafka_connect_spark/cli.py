@@ -538,13 +538,27 @@ def main(argv: list[str] | None = None) -> int:
             cat = LakeCatalog(spark)
             if args.routed:
                 views = cat.register_root(args.table)
+                if not views:
+                    print(f"--maintenance query: no lake tables under "
+                          f"{args.table!r}", file=sys.stderr)
+                    return 2
             else:
-                cat.register("t", table)
+                if cat.register("t", table) is None:
+                    print(f"--maintenance query: table {args.table!r} has "
+                          f"no committed data yet", file=sys.stderr)
+                    return 2
                 views = ["t"]
-            out = spark.sql(args.sql)
-            rows = (
-                out.limit(args.sql_limit) if args.sql_limit else out
-            ).collect()
+            from pyspark.errors import AnalysisException
+
+            try:
+                out = spark.sql(args.sql)
+                rows = (
+                    out.limit(args.sql_limit) if args.sql_limit else out
+                ).collect()
+            except AnalysisException as e:
+                print(f"--maintenance query: {e.getMessage() if hasattr(e, 'getMessage') else e}",
+                      file=sys.stderr)
+                return 2
             for row in rows:
                 print(json.dumps(row.asDict(recursive=True), default=str))
             r = {"views": views, "rows_printed": len(rows)}

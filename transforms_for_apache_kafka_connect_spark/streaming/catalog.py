@@ -54,6 +54,14 @@ def _sql_name(raw: str) -> str:
     return name
 
 
+def _check_name(name: str) -> None:
+    if not _NAME_RE.match(name):
+        raise ConfigException(
+            f"view name must be a SQL identifier "
+            f"([A-Za-z_][A-Za-z0-9_]*): {name!r}"
+        )
+
+
 @dataclass
 class _ViewSpec:
     table: Any  # LakeTable (duck-typed: anything with .read(spark, ...))
@@ -73,7 +81,17 @@ class _ChangelogSource:
         self.table, self.epoch = table, epoch
 
     def manifest(self):
-        return self.table.manifest()
+        # staleness key = (manifest version, changelog dir count): a
+        # vacuum with changelog retention deletes batch dirs WITHOUT a
+        # new manifest version, and a view plan baked over the old dir
+        # list would otherwise stay broken behind the short-circuit
+        import glob as _glob
+
+        m = self.table.manifest()
+        n_dirs = len(_glob.glob(os.path.join(
+            self.table.root, "_changes", "epoch=*", "batch_id=*"
+        )))
+        return {**m, "version": [m["version"], n_dirs]}
 
     def read(self, spark, version=None, tag=None, where=None):
         return self.table.read_changelog(spark, epoch=self.epoch)
@@ -81,16 +99,26 @@ class _ChangelogSource:
 
 class _SnapshotSource:
     """Duck-typed view source: one router topic pinned at the
-    cross-table consistent snapshot (txn.py)."""
+    cross-table consistent snapshot (txn.py). ``refresh_all`` pins ONE
+    snapshot per router for the whole cycle (``_pinned``) so sibling
+    views can never advance to different transactions mid-refresh."""
 
     def __init__(self, router, topic: str):
         self.router, self.topic = router, topic
+        self._pinned: dict | None = None
+
+    def _snap(self) -> dict:
+        return (
+            self._pinned
+            if self._pinned is not None
+            else self.router.snapshot()
+        )
 
     def manifest(self):
-        return {"version": self.router.snapshot().get(self.topic, 0)}
+        return {"version": self._snap().get(self.topic, 0)}
 
     def read(self, spark, version=None, tag=None, where=None):
-        snap = self.router.snapshot()
+        snap = self._snap()
         return self.router.table_for(self.topic).read(
             spark, version=snap[self.topic]
         )
@@ -133,11 +161,23 @@ class LakeCatalog:
         ``LakeCatalog`` + ``Replayer(on_commit=[catalog])`` can be
         wired up before ingest begins. Returns None in that case.
         """
-        if not _NAME_RE.match(name):
-            raise ConfigException(
-                f"view name must be a SQL identifier "
-                f"([A-Za-z_][A-Za-z0-9_]*): {name!r}"
+        _check_name(name)
+        # resolve the staleness key BEFORE building the plan: a commit
+        # landing between the two reads then leaves seen OLDER than the
+        # plan (a harmless extra refresh later) — the reverse order
+        # could record a version the view never actually serves, making
+        # the last commit of a burst invisible behind the short-circuit
+        try:
+            m0 = table.manifest()
+            seen = (
+                version
+                if version is not None
+                else (m0.get("tags") or {}).get(tag)
+                if tag is not None
+                else m0["version"]
             )
+        except (OSError, ValueError):
+            seen = None
         try:
             df = table.read(self.spark, version=version, tag=tag, where=where)
         except ValueError as e:
@@ -151,12 +191,7 @@ class LakeCatalog:
             self._views[name] = _ViewSpec(table, version, tag, where)
             return None
         df.createOrReplaceTempView(name)
-        self._views[name] = _ViewSpec(
-            table, version, tag, where,
-            seen=version if version is not None
-            else table.manifest()["version"] if tag is None
-            else table.manifest().get("tags", {}).get(tag),
-        )
+        self._views[name] = _ViewSpec(table, version, tag, where, seen=seen)
         return df
 
     def register_root(self, root: str, *, prefix: str = "") -> list[str]:
@@ -198,20 +233,16 @@ class LakeCatalog:
         batches. SQL consumers incrementally tail the lake with plain
         ``WHERE batch_id > :watermark`` — the same contract as
         ``read_changelog``, refreshable like any other view."""
-        if not _NAME_RE.match(name):
-            raise ConfigException(
-                f"view name must be a SQL identifier "
-                f"([A-Za-z_][A-Za-z0-9_]*): {name!r}"
-            )
-        df = table.read_changelog(self.spark, epoch=epoch)
+        _check_name(name)
+        src = _ChangelogSource(table, epoch)
+        # seen BEFORE the plan (same safe direction as register); the
+        # source's staleness key covers both manifest version and the
+        # changelog dir population (vacuum retention deletes dirs
+        # without a version bump)
+        seen = src.manifest()["version"]
+        df = src.read(self.spark)
         df.createOrReplaceTempView(name)
-        # changelog views re-list their committed dirs on refresh; the
-        # manifest version is the right staleness key (a commit both
-        # advances it and may add changelog entries)
-        self._views[name] = _ViewSpec(
-            _ChangelogSource(table, epoch), None, None, None,
-            seen=table.manifest()["version"],
-        )
+        self._views[name] = _ViewSpec(src, None, None, None, seen=seen)
         return df
 
     def register_snapshot(self, router, *, prefix: str = "") -> list[str]:
@@ -226,6 +257,7 @@ class LakeCatalog:
         names = []
         for topic in sorted(snap):
             name = prefix + _sql_name(topic)
+            _check_name(name)
             if name in names:
                 raise ConfigException(
                     f"topics sanitize to duplicate view name {name!r}"
@@ -280,8 +312,28 @@ class LakeCatalog:
         )
 
     def refresh_all(self) -> list[str]:
-        for name in list(self._views):
-            self.refresh(name)
+        # pin ONE consistent snapshot per router for the whole cycle:
+        # without this, each snapshot view would call router.snapshot()
+        # independently and a transaction landing mid-cycle could pin
+        # sibling views at DIFFERENT transactions — exactly the torn
+        # join register_snapshot promises to prevent
+        snap_sources = [
+            spec.table
+            for spec in self._views.values()
+            if isinstance(spec.table, _SnapshotSource)
+        ]
+        pinned: dict[int, dict] = {}
+        for src in snap_sources:
+            key = id(src.router)
+            if key not in pinned:
+                pinned[key] = src.router.snapshot()
+            src._pinned = pinned[key]
+        try:
+            for name in list(self._views):
+                self.refresh(name)
+        finally:
+            for src in snap_sources:
+                src._pinned = None
         return self.names()
 
     # ----------------------------------------------------- engine hook

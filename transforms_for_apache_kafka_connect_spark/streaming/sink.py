@@ -2459,8 +2459,18 @@ class LakeTable:
         expired = [v for v in versions if v not in keep]
         # a crashed _swap/publish leaves .tmp-<uuid> files next to
         # CURRENT / the manifests (written, never os.replace'd) —
-        # harmless but immortal without this
-        stale_tmp = glob.glob(os.path.join(self.root, "_manifest", "*.tmp-*"))
+        # harmless but immortal without this. Under the grace window a
+        # YOUNG tmp file may belong to a live claimer mid-_swap
+        # (between its json write and the os.link) — deleting it would
+        # crash the writer with FileNotFoundError, so the same age
+        # guard applies.
+        stale_tmp = [
+            p
+            for p in glob.glob(
+                os.path.join(self.root, "_manifest", "*.tmp-*")
+            )
+            if not _grace_protected(p)
+        ]
         # changelog dirs whose batch never reached the ledger (crashed
         # or aborted merges): invisible to read_changelog, reclaimed
         # here. Committed changelog entries are retained indefinitely —
@@ -2495,8 +2505,19 @@ class LakeTable:
         ):
             e = os.path.basename(os.path.dirname(d)).split("=", 1)[1]
             b = int(os.path.basename(d).split("=", 1)[1])
-            if (e, b) not in committed or d in expired_chg:
+            if d in expired_chg:
                 orphan_chg.append(d)
+            elif (e, b) not in committed:
+                # an in-flight merge writes its changelog BEFORE its
+                # manifest claim lands, so an uncommitted dir may
+                # belong to a live writer — the grace window protects
+                # it just like the writer's data files (retention of
+                # COMMITTED entries above is never grace-gated). The
+                # newest mtime within the dir is the age (the dir's
+                # own mtime predates its last file).
+                members = glob.glob(os.path.join(d, "**"), recursive=True)
+                if not any(_grace_protected(p) for p in members + [d]):
+                    orphan_chg.append(d)
         if not dry_run:
             import shutil
 

@@ -160,8 +160,20 @@ class TransactionalRouter:
         decision = self._read_json(self._decision_path(batch_id))
         if decision is not None:
             if decision["status"] != "done":
-                # crashed after the commit point: roll forward first
-                self._roll_forward(decision)
+                # crashed after the commit point: roll forward first —
+                # the transaction becomes VISIBLE here, so on_commit
+                # hooks must fire (a catalog wired via register_snapshot
+                # would otherwise stay stale until some later batch)
+                versions = self._roll_forward(decision)
+                result = {
+                    "skipped": True,
+                    "batch_id": batch_id,
+                    "topics": sorted(decision.get("tokens", {})),
+                    "versions": versions,
+                }
+                for hook in self.on_commit:
+                    hook(result)
+                return result
             return {"skipped": True, "batch_id": batch_id}
 
         chain = self.chain if self.chain is not None else Chain([])
@@ -306,6 +318,16 @@ class TransactionalRouter:
             d = self._read_json(os.path.join(self._txn_dir, fn))
             if d and d.get("status") == "commit" and d.get("epoch") == self.epoch:
                 rolled[d["batch_id"]] = self._roll_forward(d)
+                # same visibility rule as the replay path: a recovery
+                # that publishes a transaction fires the hooks
+                result = {
+                    "skipped": True,
+                    "batch_id": d["batch_id"],
+                    "topics": sorted(d.get("tokens", {})),
+                    "versions": rolled[d["batch_id"]],
+                }
+                for hook in self.on_commit:
+                    hook(result)
         return {"rolled_forward": rolled}
 
     # ------------------------------------------------------------ read
