@@ -35,6 +35,9 @@ def run_once(
         SPARK_GRAFT_SKIP_QUERIES="1",
         SPARK_GRAFT_EVENTS=str(n_events),
         SPARK_GRAFT_BATCHES=str(n_batches),
+        # this harness does its own repetitions (median over cold-JVM
+        # runs); keep bench's in-process best-of-2 out of the protocol
+        SPARK_GRAFT_REPLAY_REPS="1",
     )
     cmd = [sys.executable, os.path.join(REPO, "bench.py")]
     if pin:
