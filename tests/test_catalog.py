@@ -375,7 +375,7 @@ def test_changelog_view_survives_changelog_vacuum(spark, tmp_path, catalog):
     catalog.register_changes("chg", table)
     n_all = spark.table("chg").count()
     # vacuum retention deletes old changelog dirs WITHOUT a manifest bump
-    table.vacuum(keep_versions=10, changelog_keep_batches=1)
+    table.vacuum(keep_versions=10, changelog_keep_batches=1, orphan_grace_seconds=0)
     catalog.refresh("chg")  # must NOT short-circuit onto the broken plan
     n_after = spark.table("chg").count()
     assert 0 < n_after < n_all

@@ -137,7 +137,7 @@ def test_changelog_hides_uncommitted_and_vacuum_reclaims(spark, tmp_path):
 
     chg = table.read_changelog(spark)
     assert chg.filter(F.col("batch_id") == 99).count() == 0
-    r = table.vacuum()
+    r = table.vacuum(orphan_grace_seconds=0)
     assert r["orphan_changelog_dirs"] == 1
     assert not os.path.exists(orphan)
     # committed entries survive vacuum
@@ -348,9 +348,9 @@ def test_vacuum_changelog_retention(spark, tmp_path):
     table, _ = _replay(spark, tmp_path, strategy="broadcast", n=1_200,
                        batches=3)
     assert all(table.has_changes("e", b) for b in (0, 1, 2))
-    r = table.vacuum()  # default: keep all committed entries
+    r = table.vacuum(orphan_grace_seconds=0)  # default: keep all committed entries
     assert r["orphan_changelog_dirs"] == 0
-    r = table.vacuum(changelog_keep_batches=1)
+    r = table.vacuum(changelog_keep_batches=1, orphan_grace_seconds=0)
     assert r["orphan_changelog_dirs"] == 2
     assert not table.has_changes("e", 0)
     assert not table.has_changes("e", 1)

@@ -200,7 +200,7 @@ def test_crash_at_every_commit_fs_op(spark, tmp_path, monkeypatch, strategy):
         assert table2.manifest()["committed"].count(["e", 1]) == 1
 
         # C: vacuum after recovery is invisible to readers
-        table2.vacuum(keep_versions=1)
+        table2.vacuum(keep_versions=1, orphan_grace_seconds=0)
         assert _state(spark, table2) == post_state, (
             f"{strategy} crash point {crash_at}: vacuum changed state"
         )
@@ -288,7 +288,7 @@ def test_vacuum_collects_stale_swap_tmp_files(spark, tmp_path):
     for p in stale:
         with open(p, "w") as f:
             f.write("1")
-    r = table.vacuum(keep_versions=1)
+    r = table.vacuum(keep_versions=1, orphan_grace_seconds=0)
     assert r["stale_tmp_files"] == 2
     for p in stale:
         assert not os.path.exists(p)
@@ -296,5 +296,5 @@ def test_vacuum_collects_stale_swap_tmp_files(spark, tmp_path):
     for p in stale:
         with open(p, "w") as f:
             f.write("1")
-    r2 = table.vacuum(keep_versions=1, dry_run=True)
+    r2 = table.vacuum(keep_versions=1, dry_run=True, orphan_grace_seconds=0)
     assert r2["stale_tmp_files"] == 2 and all(os.path.exists(p) for p in stale)

@@ -274,7 +274,7 @@ def test_bloom_sidecars_follow_vacuum(spark, tmp_path):
         f for fs in table.manifest()["buckets"].values() for f in fs
     ]
     table.compact(spark, all_buckets=True)
-    r = table.vacuum(keep_versions=1)
+    r = table.vacuum(keep_versions=1, orphan_grace_seconds=0)
     assert r["deleted_files"] > 0
     for f in old_files:
         assert not os.path.exists(table._abs(f) + ".bloom")

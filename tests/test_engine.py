@@ -635,7 +635,7 @@ def test_time_travel_read(spark, events, tmp_path):
     oracle = repositories_snapshot(spark, events)
     assert table.read(spark).count() == oracle.count()
     # vacuum with retention 1 expires the old snapshot
-    table.vacuum(keep_versions=1)
+    table.vacuum(keep_versions=1, orphan_grace_seconds=0)
     with pytest.raises(FileNotFoundError):
         table.manifest(version=v_mid)
 
@@ -756,11 +756,11 @@ def test_vacuum_removes_orphans_keeps_live(spark, events, tmp_path):
     orphan_dir.mkdir(parents=True)
     (orphan_dir / "part-junk.parquet").write_bytes(b"not really parquet")
 
-    dry = table.vacuum(keep_versions=1, dry_run=True)
+    dry = table.vacuum(keep_versions=1, dry_run=True, orphan_grace_seconds=0)
     assert dry["deleted_files"] >= 1 and (orphan_dir / "part-junk.parquet").exists()
 
     # keep_versions=1: only files the CURRENT manifest references survive
-    r = table.vacuum(keep_versions=1)
+    r = table.vacuum(keep_versions=1, orphan_grace_seconds=0)
     assert r["deleted_files"] == dry["deleted_files"]
     assert not orphan_dir.exists()  # orphan dir fully removed
     # COW replay rewrote buckets every batch: replaced files are gone too

@@ -553,7 +553,7 @@ def test_publish_after_vacuum_expired_slot_never_rolls_back(spark, tmp_path):
                 epoch="wa", batch_id=bid)
     head_before = t.manifest()["version"]
     # ...and vacuum expires the old manifests, freeing the slot
-    t.vacuum(keep_versions=2)
+    t.vacuum(keep_versions=2, orphan_grace_seconds=0)
     assert not os.path.exists(t._manifest_path(r["version"]))
     with pytest.raises(CommitConflictException):
         t.publish(r["staged"])  # bucket 0 moved: rebase correctly refused
@@ -670,7 +670,7 @@ def test_vacuum_orphan_grace_protects_inflight_writers(spark, tmp_path):
     assert not os.path.exists(old)
     assert r["deleted_files"] == 1
     # strict mode reclaims everything unreferenced
-    t.vacuum(keep_versions=1)
+    t.vacuum(keep_versions=1, orphan_grace_seconds=0)
     assert not os.path.exists(young)
     assert _state(spark, t) == {k: (0, 1) for k in range(10)}
 
@@ -702,3 +702,102 @@ def test_vacuum_grace_covers_changelog_and_tmp(spark, tmp_path):
     t.vacuum(keep_versions=1, orphan_grace_seconds=3600)
     assert not os.path.isdir(chg)
     assert not os.path.exists(tmpf)
+
+
+# ---------------------------------------------------------------- op identity
+# A racing claim is adoptable only when BOTH its ledger tail AND its
+# logical op identity match (manifest["op"]). The tail alone cannot
+# distinguish ledger-invariant commits: compact, rescale and tag
+# commits append no ledger entry, so any two of them racing from the
+# same base have identical tails.
+
+
+def test_rescale_never_adopts_concurrent_compact(spark, tmp_path):
+    """A rescale racing a compact from the same base must CONFLICT,
+    not adopt: the old tail-only adoption made the rescale loser
+    report success and set self.n_buckets to a count the committed
+    manifest does not have — every later merge would hash rows into
+    the wrong buckets and bucket-pruned reads would miss them."""
+    from transforms_for_apache_kafka_connect_spark.errors import (
+        CommitConflictException,
+    )
+
+    root = str(tmp_path / "t")
+    t = LakeTable(root, key_cols=["k"], n_buckets=N_BUCKETS)
+    t.merge(_upd(spark, [(k, 0, 1) for k in range(20)]),
+            epoch="seed", batch_id=0)
+    r = LakeTable(root, key_cols=["k"], n_buckets=N_BUCKETS)
+    _make_stale_once(r)
+    t.compact(spark, all_buckets=True)  # ledger-invariant commit
+    with pytest.raises(CommitConflictException):
+        r.rescale(spark, 8)
+    m = _check_integrity(t)
+    assert m.get("n_buckets", N_BUCKETS) == N_BUCKETS
+    assert r.n_buckets == N_BUCKETS, "loser must not switch bucket count"
+    assert _state(spark, t) == {k: (0, 1) for k in range(20)}
+    # and the loser keeps working correctly against the real layout
+    r2 = LakeTable(root, key_cols=["k"], n_buckets=N_BUCKETS)
+    r2.merge(_upd(spark, [(1, 9, 2)]), epoch="after", batch_id=0)
+    assert _state(spark, t)[1] == (9, 2)
+
+
+def test_two_rescales_different_counts_conflict(spark, tmp_path):
+    """rescale(8) racing rescale(16) from the same base: exactly one
+    lands; the loser raises instead of adopting the winner's manifest
+    under its own (different) bucket count."""
+    from transforms_for_apache_kafka_connect_spark.errors import (
+        CommitConflictException,
+    )
+
+    root = str(tmp_path / "t")
+    t = LakeTable(root, key_cols=["k"], n_buckets=N_BUCKETS)
+    t.merge(_upd(spark, [(k, 0, 1) for k in range(20)]),
+            epoch="seed", batch_id=0)
+    r = LakeTable(root, key_cols=["k"], n_buckets=N_BUCKETS)
+    _make_stale_once(r)
+    t.rescale(spark, 16)
+    with pytest.raises(CommitConflictException):
+        r.rescale(spark, 8)
+    m = _check_integrity(t)
+    assert m["n_buckets"] == 16
+    assert r.n_buckets == N_BUCKETS, (
+        "loser must not believe its own rescale landed"
+    )
+    assert _state(spark, t) == {k: (0, 1) for k in range(20)}
+
+
+def test_identical_concurrent_compacts_adopt(spark, tmp_path):
+    """Two writers compacting the SAME bucket set from the same base
+    are the same logical op: the link loser adopts the winner's
+    manifest (its own files become vacuum orphans) and reports the
+    winner's committed version — no spurious failure."""
+    root = str(tmp_path / "t")
+    t = LakeTable(root, key_cols=["k"], n_buckets=N_BUCKETS)
+    t.merge(_upd(spark, [(k, 0, 1) for k in range(20)]),
+            epoch="seed", batch_id=0)
+    t.merge(_upd(spark, [(k, 1, 2) for k in range(20)]),
+            epoch="seed", batch_id=1)
+    b = LakeTable(root, key_cols=["k"], n_buckets=N_BUCKETS)
+    _make_stale_once(b)
+    r1 = t.compact(spark, all_buckets=True)
+    r2 = b.compact(spark, all_buckets=True)  # stale base, same op
+    assert r2["version"] == r1["version"]
+    m = _check_integrity(t)
+    assert m["version"] == r1["version"]
+    assert _state(spark, t) == {k: (1, 2) for k in range(20)}
+
+
+def test_racing_tags_both_land(spark, tmp_path):
+    """Two different tags racing from the same base: the loser retries
+    on the fresh head instead of adopting the winner's commit (which
+    would silently drop its tag)."""
+    root = str(tmp_path / "t")
+    t = LakeTable(root, key_cols=["k"], n_buckets=N_BUCKETS)
+    t.merge(_upd(spark, [(1, 0, 1)]), epoch="seed", batch_id=0)
+    v1 = t.manifest()["version"]
+    b = LakeTable(root, key_cols=["k"], n_buckets=N_BUCKETS)
+    _make_stale_once(b)
+    t.tag("golden", v1)
+    b.tag("audit", v1)  # stale handle: must rebase-and-retry
+    m = _check_integrity(t)
+    assert m["tags"] == {"golden": v1, "audit": v1}

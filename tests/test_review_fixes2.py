@@ -164,7 +164,7 @@ def test_read_changelog_empty_after_full_expiry(spark, tmp_path):
     table.merge(spark.createDataFrame(
         [("r0", "p0", "py", 1, False)], ROW_SCHEMA), epoch="e", batch_id=0)
     assert table.read_changelog(spark).count() > 0
-    table.vacuum(changelog_keep_batches=0)
+    table.vacuum(changelog_keep_batches=0, orphan_grace_seconds=0)
     df = table.read_changelog(spark)
     assert df.count() == 0
     assert "_change_type" in df.columns  # stable schema, no crash

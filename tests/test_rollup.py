@@ -1029,3 +1029,75 @@ def test_freq_cols_validation(spark, tmp_path):
                       granularities=["1 hour"], freq_cols=["cat"])
     with pytest.raises(KeyError, match="freq_cols"):
         roll.topk_values(spark, "1 hour", "other", k=3)
+
+
+def test_recompute_collect_cap_falls_back_to_join(spark, tmp_path):
+    """Adversarial mass retraction: every group's minimum moves in one
+    batch, so the violated-group set exceeds ``max_recompute_collect``.
+    The rebuild must switch to the join-based plan — no driver collect
+    beyond the cap — and stay exact."""
+    from transforms_for_apache_kafka_connect_spark.streaming.incremental import (
+        batch_changes,
+        incremental_agg_update,
+    )
+    from pyspark.sql import DataFrame as _DF
+
+    base = LakeTable(str(tmp_path / "b"), key_cols=["k"], n_buckets=4,
+                     changelog=True, discovery=False,
+                     merge_strategy="broadcast")
+    agg = LakeTable(str(tmp_path / "a"), key_cols=["g"], n_buckets=2,
+                    discovery=False, merge_strategy="broadcast")
+    n_groups, cap = 20, 3
+
+    def _upd(rows):
+        return spark.createDataFrame(
+            rows, "k long, g string, v double, _lsn long"
+        ).withColumn("__is_delete", F.lit(False))
+
+    def _fold(batch_id):
+        chg = batch_changes(base, spark, epoch="e", batch_id=batch_id)
+        incremental_agg_update(
+            agg, chg, group_cols=["g"], minmax_cols=["v"],
+            on_retraction="recompute", base_table=base,
+            max_recompute_collect=cap, epoch="e", batch_id=batch_id,
+        )
+
+    base.merge(_upd(
+        [(2 * g, f"g{g}", 1.0, 1) for g in range(n_groups)]
+        + [(2 * g + 1, f"g{g}", 5.0, 1) for g in range(n_groups)]
+    ), epoch="e", batch_id=0)
+    _fold(0)
+
+    # every group's min row moves UP -> all n_groups violate at once
+    collected_sizes = []
+    orig_collect = _DF.collect
+
+    def spy(self):
+        out = orig_collect(self)
+        collected_sizes.append(len(out))
+        return out
+
+    _DF.collect = spy
+    try:
+        base.merge(
+            _upd([(2 * g, f"g{g}", 3.0, 2) for g in range(n_groups)]),
+            epoch="e", batch_id=1,
+        )
+        _fold(1)
+    finally:
+        _DF.collect = orig_collect
+    # the bounded probe returned cap+1 rows and nothing larger was
+    # ever collected for the violated set (merge internals collect
+    # bucket ids etc., all <= n_buckets here)
+    assert max(collected_sizes, default=0) <= cap + 1
+    exact = {
+        (r["g"]): (r["mn"], r["mx"])
+        for r in base.read(spark).groupBy("g")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx")).collect()
+    }
+    got = {
+        r["g"]: (r["min_v"], r["max_v"])
+        for r in agg.read(spark).select("g", "min_v", "max_v").collect()
+    }
+    assert got == exact
+    assert exact[f"g0"] == (3.0, 5.0)

@@ -38,7 +38,7 @@ def test_tag_read_and_vacuum_pinning(spark, tmp_path):
 
     # aggressive vacuum: everything outside the window dies EXCEPT the
     # tagged version
-    table.vacuum(keep_versions=1)
+    table.vacuum(keep_versions=1, orphan_grace_seconds=0)
     got = table.read(spark, tag="audit-2026q3")
     assert got.count() == mid_rows
     # untagged historical versions are gone
@@ -47,7 +47,7 @@ def test_tag_read_and_vacuum_pinning(spark, tmp_path):
 
     # drop the tag -> next vacuum reclaims it
     table.drop_tag("audit-2026q3")
-    table.vacuum(keep_versions=1)
+    table.vacuum(keep_versions=1, orphan_grace_seconds=0)
     with pytest.raises(Exception):
         table.read(spark, tag="audit-2026q3").count()
 
@@ -73,7 +73,7 @@ def test_tag_survives_later_commits(spark, tmp_path):
     # later activity (delete + compact) must not disturb the pin
     table.delete_where(spark, "lang = 'py'")
     table.compact(spark, max_files_per_bucket=1, all_buckets=True)
-    table.vacuum(keep_versions=1)
+    table.vacuum(keep_versions=1, orphan_grace_seconds=0)
     assert table.read(spark, tag="pin").count() == rows0
     assert (table.manifest().get("tags") or {}) == {"pin": v0}
 

@@ -273,7 +273,7 @@ def test_vacuum_pins_staged_commit_files_by_default(spark, tmp_path):
     rep = Replayer(table=table, chain=Chain([]), epoch="e", publish=False)
     token = rep.apply_batch(_cdc_env(spark, rows), 0)["staged"]
 
-    out = table.vacuum(keep_versions=1)
+    out = table.vacuum(keep_versions=1, orphan_grace_seconds=0)
     assert out["staged_manifests"] == 1
     # only write markers may go; every staged parquet survives
     import glob as _glob
@@ -288,7 +288,7 @@ def test_vacuum_pins_staged_commit_files_by_default(spark, tmp_path):
     token2 = rep.apply_batch(_cdc_env(spark, [
         ("src", 0, ("r0", "p9"), ("c", 2, 2, ("y",), "acme"), 2, None)
     ]), 1)["staged"]
-    out2 = table.vacuum(keep_versions=1, drop_staged=True)
+    out2 = table.vacuum(keep_versions=1, drop_staged=True, orphan_grace_seconds=0)
     assert out2["staged_dropped"] is True and out2["deleted_files"] >= 1
     assert not os.path.exists(
         os.path.join(table.root, "_manifest", f"{token2}.json")
@@ -322,7 +322,7 @@ def test_txn_vacuum_recovers_then_reclaims(spark, tmp_path, monkeypatch):
     rows = [("acme", 0, ("r0", "zz"), ("c", 9, 9, ("orphan",), "acme"), 9, None)]
     orphan.apply_batch(_cdc_env(spark, rows), 0)
 
-    out = router.vacuum(keep_versions=2)
+    out = router.vacuum(keep_versions=2, orphan_grace_seconds=0)
     # the decided transaction was rolled forward, not lost
     assert set(out["rolled_forward"]) == {0}
     assert _read_set(router, spark, "acme") == {("p0", "a-new")}
@@ -395,7 +395,7 @@ def test_vacuum_pins_staged_changelog_batches(spark, tmp_path):
     rows = [("src", 0, ("r0", "p0"), ("c", 1, 1, ("x",), "acme"), 1, None)]
     rep = Replayer(table=table, chain=Chain([]), epoch="e", publish=False)
     token = rep.apply_batch(_cdc_env(spark, rows), 0)["staged"]
-    table.vacuum(keep_versions=1)
+    table.vacuum(keep_versions=1, orphan_grace_seconds=0)
     table.publish(token)
     assert table.has_changes("e", 0)
     assert batch_changes(table, spark, epoch="e", batch_id=0).count() == 1
@@ -412,7 +412,7 @@ def test_txn_vacuum_pins_snapshot_versions(spark, tmp_path):
     t = router.table_for("acme")
     t.compact(spark, all_buckets=True)
     t.rescale(spark, 4)
-    out = router.vacuum(keep_versions=1)
+    out = router.vacuum(keep_versions=1, orphan_grace_seconds=0)
     assert router.snapshot() == snap_before
     assert router.read_consistent(spark, "acme").count() == 1
     assert router.read_consistent(spark, "globex").count() == 1

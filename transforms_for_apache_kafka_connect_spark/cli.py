@@ -173,7 +173,7 @@ def build_parser() -> argparse.ArgumentParser:
                     help="with --maintenance compact: rewrite every bucket "
                          "(graduates a merge-on-read table to plain reads)")
     ap.add_argument("--vacuum-keep-versions", type=int, default=2)
-    ap.add_argument("--vacuum-orphan-grace", type=float, default=0.0,
+    ap.add_argument("--vacuum-orphan-grace", type=float, default=3600.0,
                     help="seconds: keep unreferenced data files younger "
                          "than this (protects concurrent in-flight "
                          "writers under multi-writer OCC; 0 = strict "

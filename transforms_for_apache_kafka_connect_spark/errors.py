@@ -33,6 +33,13 @@ class CommitConflictException(RuntimeError):
     exactly-once ledger makes the retry safe."""
 
 
+class EmptyTableError(ValueError):
+    """The lake table has no schema yet (no commit has landed), so
+    there is nothing to read. Subclasses ValueError for backward
+    compatibility; catch THIS type rather than matching the message
+    text (the catalog's register-before-ingest pending path does)."""
+
+
 class SchemaEnforcementError(DataException):
     """A strict-schema table (schema_mode='strict') received update
     rows carrying columns its schema lacks. The batch fails BEFORE any

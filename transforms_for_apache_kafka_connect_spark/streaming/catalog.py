@@ -40,7 +40,10 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
-from transforms_for_apache_kafka_connect_spark.errors import ConfigException
+from transforms_for_apache_kafka_connect_spark.errors import (
+    ConfigException,
+    EmptyTableError,
+)
 
 _NAME_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
 
@@ -180,9 +183,7 @@ class LakeCatalog:
             seen = None
         try:
             df = table.read(self.spark, version=version, tag=tag, where=where)
-        except ValueError as e:
-            if "no schema" not in str(e):
-                raise
+        except EmptyTableError:
             # pending: make the NAME unresolvable too — a previous
             # registration under it must not keep serving another
             # table's rows while this one awaits its first commit

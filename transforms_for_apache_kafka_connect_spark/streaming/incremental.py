@@ -195,6 +195,7 @@ def incremental_agg_update(
     moment_cols: list[str] | None = None,
     on_retraction: str = "error",
     base_table: LakeTable | None = None,
+    max_recompute_collect: int = 100_000,
     epoch: str,
     batch_id: int,
 ) -> dict:
@@ -216,6 +217,13 @@ def incremental_agg_update(
     the number of groups, not base rows — and one ledgered merge.
     Batches must be applied in commit order per epoch (same contract as
     replay itself); re-applying a batch is a ledger no-op.
+
+    ``max_recompute_collect`` bounds the driver-side collect of
+    violated group keys on the ``on_retraction='recompute'`` path: the
+    set is normally batch-bounded (a few churned groups), but an
+    adversarial batch (mass timestamp moves across millions of groups)
+    must not collect millions of rows — beyond the cap the rebuild
+    switches to a join-based plan that never leaves the executors.
     """
     sum_cols = list(sum_cols or [])
     distinct_cols = list(distinct_cols or [])
@@ -253,6 +261,7 @@ def incremental_agg_update(
     m = agg_table.manifest()
     agg_exists = m["schema"] is not None and m["buckets"]
     affected: list | None = None
+    viol_df: DataFrame | None = None  # over-cap fallback: stays distributed
     if guarded_cols and on_retraction in ("error", "recompute"):
         # exactness guards — sketches cannot forget, so any batch that
         # would require forgetting is caught here. One bounded job over
@@ -383,7 +392,12 @@ def incremental_agg_update(
                     "with on_retraction='stale'."
                 )
         else:
-            affected = viol_groups.collect()
+            # bounded probe (the joinview/dlq pattern): collect at most
+            # cap+1 keys; an over-cap violated set falls back to the
+            # join-based rebuild below instead of flooding the driver
+            affected = viol_groups.limit(max_recompute_collect + 1).collect()
+            if len(affected) > max_recompute_collect:
+                affected, viol_df = None, viol_groups
     # sketch input: insert-side images only (the F.when nulls out
     # retraction rows; hll_sketch_agg ignores nulls)
     delta = nn.groupBy(*group_cols).agg(
@@ -556,7 +570,7 @@ def incremental_agg_update(
                 for d, o in mom_pairs
             ],
         )
-    if affected:
+    if affected or viol_df is not None:
         # targeted rebuild: ONLY the violated groups' sketches are
         # recomputed, from the base table's CURRENT state (maintenance
         # runs after the batch's merge, so "current" is exactly the
@@ -565,9 +579,17 @@ def incremental_agg_update(
         # same payload columns. Cost: one base scan reduced by a
         # broadcast semi-join on the (batch-bounded) affected set;
         # count/sum stay on the exact incremental path throughout.
-        aff_df = F.broadcast(
-            spark.createDataFrame(affected).select(*group_cols)
-        )
+        # Over the collect cap (adversarial mass retraction) the
+        # violated set stays a DataFrame: plain shuffle semi-join, and
+        # the rebuilt set is too big to broadcast either.
+        if viol_df is not None:
+            aff_df = viol_df.select(*group_cols)
+            _maybe_broadcast = lambda d: d  # noqa: E731
+        else:
+            aff_df = F.broadcast(
+                spark.createDataFrame(affected).select(*group_cols)
+            )
+            _maybe_broadcast = F.broadcast
         basedf = base_table.read(spark)
         for name, expr in (derived or {}).items():
             basedf = basedf.withColumn(name, expr)
@@ -600,7 +622,9 @@ def incremental_agg_update(
                 ],
             )
         )
-        upd = upd.join(F.broadcast(rebuilt), on=list(group_cols), how="left")
+        upd = upd.join(
+            _maybe_broadcast(rebuilt), on=list(group_cols), how="left"
+        )
         rebuilt_pairs = [
             (f"__r_hll_{c}", o) for c, o in zip(distinct_cols, hll_out)
         ] + [

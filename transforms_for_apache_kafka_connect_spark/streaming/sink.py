@@ -47,6 +47,8 @@ import logging
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from transforms_for_apache_kafka_connect_spark.errors import EmptyTableError
+
 _sink_log = logging.getLogger(__name__)
 
 BUCKET_COL = "__bucket"
@@ -493,6 +495,15 @@ class LakeTable:
     #: progress — SOME writer committed — so the backlog drains). 0
     #: restores the fail-fast single-writer behavior.
     max_commit_retries: int = 8
+    #: how long an UNREADABLE (torn/legacy) manifest-slot claim must
+    #: sit before another writer may reclaim the version slot. The
+    #: link protocol never leaves partial claims, so unreadable slots
+    #: are crash debris — but a conservative window still guards
+    #: against clock skew and slow filesystems. A conflicting writer
+    #: WAITS OUT the remainder of this window in-place (bounded sleep)
+    #: rather than burning whole-job merge retries against a slot that
+    #: was about to become reclaimable.
+    reclaim_grace_seconds: float = 60.0
 
     def __post_init__(self):
         if self.schema_mode not in ("evolve", "strict"):
@@ -681,8 +692,12 @@ class LakeTable:
                 blooms[f] = meta
         manifest["file_blooms"] = blooms
 
-    def _swap(self, manifest: dict[str, Any]) -> None:
+    def _swap(
+        self, manifest: dict[str, Any], *, op: list | None = None
+    ) -> dict[str, Any]:
         """Write the new manifest, then atomically repoint CURRENT.
+        Returns the manifest that actually holds the claimed slot —
+        ours, or an adopted equivalent commit (see below).
 
         Optimistic concurrency: the claim is an atomic hard-link of a
         fully-written temp file into the manifest-vN slot — two writers
@@ -692,10 +707,25 @@ class LakeTable:
         is only ever populated by a COMPLETE file, a live claimer can
         never be mistaken for a torn crash and reclaimed out from
         under (the old O_EXCL + in-place json.dump had exactly that
-        window). The CURRENT repoint then belongs to the link winner."""
+        window). The CURRENT repoint then belongs to the link winner.
+
+        ``op`` is the LOGICAL identity of this commit (e.g.
+        ``["batch", epoch, batch_id]``, ``["rescale", 128]``); it is
+        stamped into the manifest and a racing claim is only ADOPTED
+        when both its ledger tail and its op identity equal ours.
+        The ledger tail alone is not enough: maintenance and tag
+        commits append no ledger entry, so a compact and a rescale
+        racing from the same base have identical tails — adopting
+        across that pair would make the rescale loser report success
+        (and re-bucket its future merges) under a bucket count the
+        committed manifest does not have."""
         prev = self.manifest()  # read once, shared by both attach passes
         self._attach_stats(manifest, prev)
         self._attach_blooms(manifest, prev)
+        # overwrite unconditionally: builders dict-copy the base, so a
+        # stale op/uuid inherited from the previous commit must not leak
+        manifest["op"] = op
+        manifest["commit_uuid"] = uuid.uuid4().hex
         version = manifest["version"]
         tmp = self._manifest_path(version) + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
@@ -704,26 +734,25 @@ class LakeTable:
             os.link(tmp, self._manifest_path(version))
         except FileExistsError:
             # someone already claimed this version. Three cases:
-            # (a) same logical commit (same ledger tail) — a previous
-            #     attempt of THIS batch crashed between manifest write
-            #     and the CURRENT repoint, or a concurrent replayer of
-            #     the same batch won: ADOPT it (idempotent) and finish
-            #     the repoint; our freshly-written data files become
-            #     orphans for vacuum.
+            # (a) same logical commit (same ledger tail AND same op
+            #     identity) — a previous attempt of THIS batch crashed
+            #     between manifest write and the CURRENT repoint, or a
+            #     concurrent replayer of the same batch won: ADOPT it
+            #     (idempotent) and finish the repoint; our freshly-
+            #     written data files become orphans for vacuum.
             # (b) a corrupt slot (legacy torn write, damaged disk):
             #     reclaim it — but only after a grace period, since the
             #     link protocol itself never leaves partial claims.
             # (c) a DIFFERENT batch's commit — a true conflict: raise,
             #     the caller rebases or replays.
-            existing = None
-            try:
-                with open(self._manifest_path(version)) as f:
-                    existing = json.load(f)
-            except (json.JSONDecodeError, OSError):
-                pass
-            if existing is not None and existing.get("committed") == manifest[
-                "committed"
-            ]:
+            existing = self._read_slot(version)
+            adoptable = (
+                existing is not None
+                and op is not None
+                and existing.get("committed") == manifest["committed"]
+                and existing.get("op") == op
+            )
+            if adoptable:
                 # candidate for (a) — but only adopt a manifest whose
                 # data files still exist (a vacuumed-away stale claim
                 # must not be repointed to). Ours references the files
@@ -734,29 +763,61 @@ class LakeTable:
                     for f in fs
                 ):
                     existing = None  # stale claim over destroyed files
+                    adoptable = False
             if existing is None:  # (b) corrupt/stale slot
-                try:
-                    age = time.time() - os.path.getmtime(
-                        self._manifest_path(version)
-                    )
-                except OSError:
-                    age = float("inf")
-                if age < 60.0:
-                    # too fresh to judge dead — treat as a conflict
-                    # rather than risk destroying a live writer's claim
-                    os.remove(tmp)
-                    from transforms_for_apache_kafka_connect_spark.errors import (
-                        CommitConflictException,
-                    )
+                # wait out the remaining reclaim grace in-place instead
+                # of raising: a merge-level retry re-runs the whole
+                # Spark job, and the jittered backoff budget for all
+                # retries can sum to LESS than the grace window — a
+                # healthy writer could exhaust its retries against a
+                # slot that was about to become reclaimable anyway.
+                # With the link protocol a valid claim is never
+                # partial, so an unreadable slot only becomes readable
+                # via reclaim; sleeping here is safe and bounded.
+                while True:
+                    try:
+                        age = time.time() - os.path.getmtime(
+                            self._manifest_path(version)
+                        )
+                    except OSError:
+                        break  # slot vanished — retry the link below
+                    remaining = self.reclaim_grace_seconds - age
+                    if remaining <= 0:
+                        break
+                    time.sleep(min(remaining + 0.05, 1.0))
+                    fresh = self._read_slot(version)
+                    if fresh is not None:
+                        # the slot was reclaimed by someone else with a
+                        # VALID commit while we waited — re-judge it
+                        os.remove(tmp)
+                        from transforms_for_apache_kafka_connect_spark.errors import (  # noqa: E501
+                            CommitConflictException,
+                        )
 
-                    raise CommitConflictException(
-                        f"version {version} slot holds an unreadable "
-                        f"claim younger than the reclaim grace period; "
-                        f"retrying"
-                    ) from None
-                os.replace(tmp, self._manifest_path(version))
+                        raise CommitConflictException(
+                            f"version {version} slot was claimed while "
+                            f"waiting out the reclaim grace; retrying"
+                        ) from None
+                if os.path.exists(self._manifest_path(version)):
+                    os.replace(tmp, self._manifest_path(version))
+                else:
+                    # vanished slot: race the link again; a loss here
+                    # is a fresh conflict for the caller to re-judge
+                    try:
+                        os.link(tmp, self._manifest_path(version))
+                    except FileExistsError:
+                        os.remove(tmp)
+                        from transforms_for_apache_kafka_connect_spark.errors import (  # noqa: E501
+                            CommitConflictException,
+                        )
+
+                        raise CommitConflictException(
+                            f"version {version} slot was re-claimed "
+                            f"while reclaiming; retrying"
+                        ) from None
+                    os.remove(tmp)
                 tmp = None
-            elif existing.get("committed") != manifest["committed"]:
+            elif not adoptable:
                 os.remove(tmp)
                 from transforms_for_apache_kafka_connect_spark.errors import (
                     CommitConflictException,
@@ -766,17 +827,32 @@ class LakeTable:
                     f"version {version} was already committed by another "
                     f"writer; re-read the table and replay the batch"
                 ) from None
-            # else (a): fall through and repoint to the adopted manifest
+            else:
+                # (a): repoint to the adopted manifest and report IT as
+                # the committed state (its data files, not ours, are
+                # what the table now holds)
+                manifest = existing
         if tmp is not None and os.path.exists(tmp):
             os.remove(tmp)
         tmp = self._current_path + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             f.write(str(version))
         os.replace(tmp, self._current_path)  # atomic on POSIX
+        return manifest
+
+    def _read_slot(self, version: int) -> dict[str, Any] | None:
+        """A manifest slot's contents iff it holds a complete, valid
+        commit; None for torn/absent/non-commit contents."""
+        try:
+            with open(self._manifest_path(version)) as f:
+                existing = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            return None
+        return existing if "committed" in existing else None
 
     def _publish_commit(
         self, build, base: dict[str, Any], can_rebase, *,
-        epoch: str, batch_id: int,
+        epoch: str, batch_id: int, op: list | None = None,
     ) -> dict[str, Any] | None:
         """OCC commit loop: claim the version ``build(base)`` predicts;
         on a claim conflict, re-resolve the head and — if ``can_rebase
@@ -797,6 +873,8 @@ class LakeTable:
             CommitConflictException,
         )
 
+        if op is None:
+            op = ["batch", epoch, batch_id]
         m = base
         commit = build(m)
         # rebase attempts are metadata-only and each conflict means
@@ -805,8 +883,9 @@ class LakeTable:
         # = documented fail-fast single-writer mode: no rebasing either.
         for _ in range(self.max_commit_retries + 1):
             try:
-                self._swap(commit)
-                return commit
+                # adoption inside _swap may substitute an equivalent
+                # winner's manifest — report THAT as the commit
+                return self._swap(commit, op=op)
             except CommitConflictException:
                 head = self.manifest()
                 if [epoch, batch_id] in head["committed"]:
@@ -1128,7 +1207,7 @@ class LakeTable:
                 raise conflict
             commit = build(head)
             try:
-                self._swap(commit)
+                self._swap(commit, op=["batch", *ledger_entry])
             except CommitConflictException:
                 continue  # another claim raced in: re-resolve and retry
             cleanup()
@@ -1151,30 +1230,60 @@ class LakeTable:
         retention window — named, durable snapshots (audits, training
         runs pinned to exact data). Tagging is a metadata-only commit
         through the same atomic swap as everything else."""
-        m = self.manifest()
-        target = m["version"] if version is None else version
-        if not os.path.exists(self._manifest_path(target)):
-            raise ValueError(f"no manifest version {target} to tag")
-        commit = dict(m)
-        commit["version"] = m["version"] + 1
-        tags = dict(m.get("tags") or {})
-        tags[name] = target
-        commit["tags"] = tags
-        self._swap(commit)
+        target0 = version
+
+        def build(m):
+            target = m["version"] if target0 is None else target0
+            if not os.path.exists(self._manifest_path(target)):
+                raise ValueError(f"no manifest version {target} to tag")
+            commit = dict(m)
+            commit["version"] = m["version"] + 1
+            tags = dict(m.get("tags") or {})
+            tags[name] = target
+            commit["tags"] = tags
+            return commit, target
+
+        target = self._commit_tag_change(build, op_kind="tag", name=name)
         return {"tag": name, "pinned_version": target}
 
     def drop_tag(self, name: str) -> dict[str, Any]:
         """Remove a tag; the pinned version becomes vacuumable again."""
-        m = self.manifest()
-        tags = dict(m.get("tags") or {})
-        if name not in tags:
-            raise ValueError(f"no such tag: {name!r}")
-        pinned = tags.pop(name)
-        commit = dict(m)
-        commit["version"] = m["version"] + 1
-        commit["tags"] = tags
-        self._swap(commit)
+
+        def build(m):
+            tags = dict(m.get("tags") or {})
+            if name not in tags:
+                raise ValueError(f"no such tag: {name!r}")
+            pinned = tags.pop(name)
+            commit = dict(m)
+            commit["version"] = m["version"] + 1
+            commit["tags"] = tags
+            return commit, pinned
+
+        pinned = self._commit_tag_change(build, op_kind="drop_tag", name=name)
         return {"dropped": name, "was_version": pinned}
+
+    def _commit_tag_change(self, build, *, op_kind: str, name: str):
+        """Tag commits are ledger-invariant AND trivially rebasable
+        (they only touch the tags dict), so on any claim conflict just
+        rebuild on the fresh head and retry — never adopt a racing
+        commit that happens to share the ledger tail (it may be a
+        DIFFERENT tag, a compact, or a rescale; adopting it would
+        silently drop this tag change)."""
+        from transforms_for_apache_kafka_connect_spark.errors import (
+            CommitConflictException,
+        )
+
+        for _ in range(self.max_commit_retries + 1):
+            commit, ret = build(self.manifest())
+            try:
+                self._swap(commit, op=[op_kind, name, commit["version"]])
+                return ret
+            except CommitConflictException:
+                continue  # someone else committed: rebase on new head
+        raise CommitConflictException(
+            f"gave up after {self.max_commit_retries} retries committing "
+            f"{op_kind} {name!r} on {self.root}"
+        )
 
     def read(
         self,
@@ -1335,7 +1444,7 @@ class LakeTable:
 
             schema = m["schema"]
             if schema is None:
-                raise ValueError("empty table has no schema yet")
+                raise EmptyTableError("empty table has no schema yet")
             df = spark.createDataFrame([], T.StructType.fromJson(schema))
             df = self._resolve_mor(df) if m.get("mor") else df
             return _filtered(df)
@@ -1365,7 +1474,7 @@ class LakeTable:
             )
         m = self.manifest()
         if m["schema"] is None:
-            raise ValueError("empty table has no schema yet")
+            raise EmptyTableError("empty table has no schema yet")
         from pyspark.sql import types as T
 
         schema = T.StructType.fromJson(m["schema"])
@@ -1411,7 +1520,7 @@ class LakeTable:
                 )
         m = self.manifest()
         if m["schema"] is None:
-            raise ValueError("empty table has no schema yet")
+            raise EmptyTableError("empty table has no schema yet")
         from pyspark.sql import types as T
 
         schema = T.StructType.fromJson(m["schema"])
@@ -2281,6 +2390,9 @@ class LakeTable:
             build, m,
             lambda b, h: self._rebase_guard(b, h, over),
             epoch="__compact__", batch_id=-1,  # never appears in ledgers
+            # ledger-invariant commit: the op identity (not the tail)
+            # is what makes a racing maintenance claim adoptable
+            op=["compact", sorted(over), bool(all_buckets)],
         )
         assert final is not None  # maintenance is never ledger-skipped
         return {"compacted_buckets": over, "version": final["version"]}
@@ -2352,6 +2464,11 @@ class LakeTable:
             build, m,
             lambda b, h: self._rebase_guard(b, h, None),
             epoch="__rescale__", batch_id=-1,
+            # two rescales to DIFFERENT bucket counts must never adopt
+            # each other: the loser would set self.n_buckets to a count
+            # the committed manifest does not have, and every later
+            # merge would hash rows into the wrong buckets
+            op=["rescale", n_buckets],
         )
         assert final is not None
         self.n_buckets = n_buckets
@@ -2363,7 +2480,7 @@ class LakeTable:
         drop_staged: bool = False,
         pin_versions: list[int] | None = None,
         dry_run: bool = False,
-        orphan_grace_seconds: float = 0.0,
+        orphan_grace_seconds: float = 3600.0,
     ) -> dict[str, Any]:
         """Garbage-collect data files no recent manifest references and
         manifest versions beyond the retention window — the engine's
@@ -2374,8 +2491,15 @@ class LakeTable:
         the replaced files; both accumulate until vacuumed. Retention:
         files referenced by any of the last ``keep_versions`` manifests
         survive (bounded time travel), everything else under ``data/``
-        is deleted. Single-writer contract: run only while no merge is
-        in flight — an uncommitted writer's files look like orphans.
+        is deleted.
+
+        ``orphan_grace_seconds`` defaults to ONE HOUR: an in-flight
+        OCC writer's freshly-written files are unreferenced until its
+        claim lands, so a default-flag vacuum beside live writers must
+        not eat them (the classic remove_orphan_files race — the
+        reference ecosystem refuses unsafely short retention by
+        default for the same reason). Pass ``0`` explicitly for the
+        strict quiesced-table mode (no merge in flight anywhere).
 
         Staged (write-audit-publish) commits are IN-FLIGHT, not garbage:
         their files are pinned by default — a staged token a transaction
