@@ -2135,9 +2135,31 @@ def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1.0).alias("d"),
         F.sha2("text", 256).alias("s"),
     )
+    # r05 fold (frees one gate slot): the former token_topk entry rides
+    # as a 'topk' leg — corpus token top-50, doc_id = deterministic rank
+    from pyspark.sql.window import Window as _W
+
+    tk = (
+        q_token_topk(spark, sf_dir)
+        .withColumn(
+            "doc_id",
+            F.row_number()
+            .over(_W.orderBy(F.desc("n"), F.asc("token")))
+            .cast("long"),
+        )
+        .select(
+            F.lit("topk").alias("variant"),
+            "doc_id",
+            F.col("n").cast("double").alias("a"),
+            F.lit(-1.0).alias("b"),
+            F.lit(-1.0).alias("c"),
+            F.lit(-1.0).alias("d"),
+            F.col("token").alias("s"),
+        )
+    )
     return (
         st.unionByName(lg).unionByName(qs).unionByName(bm).unionByName(rp)
-        .unionByName(dc).unionByName(pii)
+        .unionByName(dc).unionByName(pii).unionByName(tk)
     )
 
 
@@ -2987,7 +3009,11 @@ def q_tombstone_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tombstone lifecycle, both ends: MakeTombstone (every record's
     value nulled — counted per topic) and TombstoneHandler drop_warn
     (tombstones removed downstream) (MakeTombstone.java:30,
-    TombstoneHandler.java:48-60)."""
+    TombstoneHandler.java:48-60). r05 fold (frees one gate slot): the
+    former guarded_mask entry rides as a per-event 'mask' leg —
+    predicate-guarded MaskField after an ExtractTopic route, the
+    event_type column carrying 'event_id|topic' and n the post-mask
+    user_id."""
     handler = q_tombstone_chain(spark, sf_dir).select(
         F.lit("handler").alias("variant"), "event_type", "n"
     )
@@ -2997,7 +3023,14 @@ def q_tombstone_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.when(F.col("is_tombstone"), 1)).alias("n"))
         .select(F.lit("make").alias("variant"), "event_type", "n")
     )
-    return handler.unionByName(make)
+    mask = q_guarded_mask(spark, sf_dir).select(
+        F.lit("mask").alias("variant"),
+        F.concat(
+            F.col("event_id").cast("string"), F.lit("|"), F.col("topic")
+        ).alias("event_type"),
+        F.col("user_id").cast("long").alias("n"),
+    )
+    return handler.unionByName(make).unionByName(mask)
 
 
 def q_lww_dedupe_all(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3198,6 +3231,192 @@ def q_dlq_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_routing_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r05 composite (frees one gate slot): RegexRouter + stock
+    TimestampRouter as variant legs — both run the real operators
+    (operators/regex_router.py, operators/stock.py); the regex leg is
+    per-topic counts (k=topic, n=count), the ts leg is per-event
+    (k=event_id, s=formatted topic)."""
+    rr = q_regex_router(spark, sf_dir).select(
+        F.lit("regex").alias("variant"),
+        F.col("topic").alias("k"),
+        F.lit("-").alias("s"),
+        F.col("n").cast("long").alias("n"),
+    )
+    tr = q_timestamp_router(spark, sf_dir).select(
+        F.lit("ts").alias("variant"),
+        F.col("event_id").cast("string").alias("k"),
+        F.col("topic").alias("s"),
+        F.lit(-1).cast("long").alias("n"),
+    )
+    return rr.unionByName(tr)
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FFD sequence packing (functions/sampling.py pack_sequences) over
+    a bounded documents slice, n_shards=1 so the DuckDB oracle can
+    replay the exact first-fit-decreasing walk with a recursive CTE
+    (the multi-shard determinism law is pytest-tested — the gate pins
+    the packing algorithm itself: same (pack_id, pack_pos) per doc)."""
+    from transforms_for_apache_kafka_connect_spark.functions import (
+        pack_sequences,
+    )
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 600)
+    return pack_sequences(
+        docs, max_tokens=160, id_col="doc_id", text_col="text", n_shards=1
+    )
+
+
+def q_cdc_serializers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r05: the SERIALIZE direction of the CDC dialect adapters
+    (sources/cdc_envelopes.py envelope_to_maxwell/canal/dms), gate-
+    checked as a round-trip identity: standard envelope -> wire JSON ->
+    decode -> normalized images, with the oracle recomputing the
+    expected post-round-trip images straight from events (including
+    each dialect's documented lossiness: DMS carries no before-images,
+    so its update rows decode with a NULL before side)."""
+    from transforms_for_apache_kafka_connect_spark.sources import (
+        envelope_from_canal,
+        envelope_from_dms,
+        envelope_from_maxwell,
+        envelope_to_canal,
+        envelope_to_dms,
+        envelope_to_maxwell,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "error", F.lit("d"))
+        .when(F.col("event_type") == "purchase", F.lit("u"))
+        .otherwise(F.lit("c"))
+    )
+    after = F.struct(
+        F.col("event_id").alias("id"),
+        F.col("user_id").alias("uid"),
+        F.col("value").alias("val"),
+    )
+    before = F.struct(
+        F.col("event_id").alias("id"),
+        F.col("user_id").alias("uid"),
+        F.when(op == "u", F.col("value") - 1)
+        .otherwise(F.col("value"))
+        .alias("val"),
+    )
+    env = ev.select(
+        F.lit("events").alias("topic"),
+        F.lit(0).cast("int").alias("partition"),
+        F.struct(F.col("event_id").alias("id")).alias("key"),
+        F.struct(
+            op.alias("op"),
+            F.col("event_id").alias("lsn"),
+            # multiple of 1000 so Maxwell's seconds-resolution ts
+            # round-trips exactly
+            (F.col("event_id") * 1000).alias("ts_ms"),
+            F.when(op != "c", before).alias("before"),
+            F.when(op != "d", after).alias("after"),
+        ).alias("value"),
+        F.col("event_id").alias("timestamp"),
+        F.lit(None).cast("map<string,string>").alias("headers"),
+    )
+    schema = "id bigint, uid bigint, val double"
+
+    def leg(dec, name):
+        return dec.select(
+            F.lit(name).alias("variant"),
+            F.col("key.id").alias("event_id"),
+            F.col("value.op").alias("op"),
+            _val_str(F.col("value.before.val")).alias("before_val"),
+            _val_str(F.col("value.after.val")).alias("after_val"),
+            F.col("value.ts_ms").alias("ts_ms"),
+        )
+
+    mx = envelope_from_maxwell(
+        envelope_to_maxwell(env).select("value", "offset"),
+        data_schema=schema, key_fields=["id"],
+    )
+    cn = envelope_from_canal(
+        envelope_to_canal(env).select("value", "offset"),
+        data_schema=schema, key_fields=["id"],
+    )
+    dm = envelope_from_dms(
+        envelope_to_dms(env).select("value", "offset"),
+        data_schema=schema, key_fields=["id"],
+    )
+    return (
+        leg(mx, "maxwell")
+        .unionByName(leg(cn, "canal"))
+        .unionByName(leg(dm, "dms"))
+    )
+
+
+def q_stock2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r05: the stock2.py compat set — TimestampConverter (epoch-ms
+    field -> formatted string AND -> unix seconds), SetSchemaMetadata
+    (schema name/version metadata columns) and InsertHeader/DropHeaders
+    (header map surgery, insert wins over a pre-existing key, drop
+    removes another) — folded as variant legs over one aligned
+    schema."""
+    from transforms_for_apache_kafka_connect_spark.operators import (
+        DropHeaders,
+        InsertHeader,
+        SetSchemaMetadata,
+        TimestampConverter,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "ts_ms", F.unix_millis(F.col("ts").cast("timestamp"))
+    )
+    env = envelope(
+        ev, key_cols=["event_id"], value_cols=["user_id", "event_type", "ts_ms"]
+    ).withColumn(
+        "headers",
+        F.create_map(
+            F.lit("stale"), F.lit("old"), F.lit("drop_me"), F.lit("x")
+        ),
+    )
+    tc_str = TimestampConverter(
+        field="ts_ms", target_type="string", format="yyyy-MM-dd HH:mm:ss"
+    ).apply(env)
+    tc_unix = TimestampConverter(field="ts_ms", target_type="unix").apply(env)
+    meta = SetSchemaMetadata(
+        schema_name="com.example.Event", schema_version=7
+    ).apply(env)
+    hdr = DropHeaders(headers=["drop_me"]).apply(
+        InsertHeader(header="stale", value_literal="fresh").apply(env)
+    )
+    def lg(df, name, s_expr):
+        return enforce(df).select(
+            F.lit(name).alias("variant"),
+            F.col("key.event_id").alias("event_id"),
+            s_expr.alias("s"),
+        )
+
+    return (
+        lg(tc_str, "ts_string", F.col("value.ts_ms").cast("string"))
+        .unionByName(lg(tc_unix, "ts_unix", F.col("value.ts_ms").cast("string")))
+        .unionByName(lg(
+            meta, "metadata",
+            F.concat_ws(
+                "|", F.col("value_schema_name"),
+                F.col("value_schema_version").cast("string"),
+            ),
+        ))
+        .unionByName(lg(
+            hdr, "headers",
+            F.concat_ws(
+                "|",
+                F.coalesce(F.element_at(F.col("headers"), F.lit("stale")),
+                           F.lit("-")),
+                F.coalesce(F.element_at(F.col("headers"), F.lit("drop_me")),
+                           F.lit("-")),
+                F.size(F.col("headers")).cast("string"),
+            ),
+        ))
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_cdc_merge(spark, "/root/testdata/sf0.001")
@@ -3223,6 +3442,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r04d: key_to_value/money_converter folded into record_shaping
     # (both legs preserved), freeing the slot now holding joined_view
     # (the changelog-maintained join view).
+    # r05: regex_router + timestamp_router folded into routing_ops,
+    # guarded_mask into tombstone_chain's 'mask' leg, token_topk into
+    # text_analysis's 'topk' leg (all legs preserved) — freeing the
+    # slots now holding pack_sequences (FFD recomputed by a DuckDB
+    # recursive CTE), cdc_serializers (the Maxwell/Canal/DMS serialize
+    # direction, round-trip identity) and stock2 (TimestampConverter /
+    # SetSchemaMetadata / InsertHeader / DropHeaders).
     return {
         "hash": q_hash_all,
         "concat_fields": q_concat_fields,
@@ -3231,13 +3457,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "replace_field": q_replace_field,
         "stock_chain": q_stock_chain,
         "stock_fields": q_stock_fields_all,
-        "timestamp_router": q_timestamp_router,
-        "guarded_mask": q_guarded_mask,
+        "routing_ops": q_routing_ops,
+        "stock2": q_stock2,
         "filter_predicate": q_filter_predicate,
         # r04e: debezium_unwrap widened into the cdc_envelopes
         # composite — the same Debezium leg plus the Maxwell/Canal/DMS
         # adapter legs (sources/cdc_envelopes.py)
         "cdc_envelopes": q_cdc_envelopes_all,
+        "cdc_serializers": q_cdc_serializers,
         "outbox_router": q_outbox_router,
         "boundaries": q_boundary_all,
         "windowed_agg": q_windowed_agg,
@@ -3253,7 +3480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "joined_view": q_joined_view,
         "chain_fused": q_chain_fused,
         "lww_dedupe": q_lww_dedupe_all,
-        "regex_router": q_regex_router,
+        "pack_sequences": q_pack_sequences,
         "cdc_merge": q_cdc_merge,
         "cdc_merge_mor": q_cdc_merge_mor,
         "cdc_bootstrap": q_cdc_bootstrap,
@@ -3277,7 +3504,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": q_near_dup_clusters,
         "ann_topk": q_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
-        "token_topk": q_token_topk,
         "docs_pipeline": q_docs_pipeline,
         # ---- rows-only (no exact SQL oracle; declared approximate) ----
         "simhash": q_simhash,
@@ -3334,16 +3560,37 @@ def oracle_sql() -> dict[str, str]:
             "CAST(user_id AS VARCHAR) AS user_id, value AS val, "
             "'cdc' AS src, 'original_topic' AS t FROM events"
         ),
-        "timestamp_router": (
-            "SELECT event_id, 'lake.original_topic.' || "
-            "strftime(ts, '%Y%m%d') AS topic FROM events"
+        "routing_ops": (
+            # r05 fold: regex_router + timestamp_router legs, each the
+            # original oracle SQL realigned onto (variant, k, s, n)
+            "SELECT 'regex' AS variant, "
+            "CASE WHEN coalesce(event_type, 'none') IN ('click', 'view') "
+            "THEN 'routed.' || event_type "
+            "ELSE 'events_' || coalesce(event_type, 'none') END AS k, "
+            "'-' AS s, count(*) AS n FROM events GROUP BY k "
+            "UNION ALL "
+            "SELECT 'ts' AS variant, CAST(event_id AS VARCHAR) AS k, "
+            "'lake.original_topic.' || strftime(ts, '%Y%m%d') AS s, "
+            "-1 AS n FROM events"
         ),
-        "guarded_mask": (
-            "SELECT event_id, "
-            "CASE WHEN event_type IS NULL OR event_type = '' "
-            "THEN 'original_topic' ELSE event_type END AS topic, "
-            "CASE WHEN event_type = 'click' AND user_id IS NOT NULL "
-            "THEN 0 ELSE user_id END AS user_id FROM events"
+        "stock2": (
+            # TimestampConverter string leg: epoch-ms -> UTC-formatted
+            # string; unix leg: identity on epoch-ms (the operator
+            # normalizes through TimestampType and back). metadata and
+            # header legs are constant-per-row surgery.
+            "SELECT 'ts_string' AS variant, event_id, "
+            "strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS s "
+            "FROM events "
+            "UNION ALL "
+            "SELECT 'ts_unix' AS variant, event_id, "
+            "CAST(CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) "
+            "AS VARCHAR) AS s FROM events "
+            "UNION ALL "
+            "SELECT 'metadata' AS variant, event_id, "
+            "'com.example.Event|7' AS s FROM events "
+            "UNION ALL "
+            "SELECT 'headers' AS variant, event_id, 'fresh|-|1' AS s "
+            "FROM events"
         ),
         "filter_predicate": (
             "SELECT event_id, "
@@ -3456,7 +3703,15 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY event_type "
             "UNION ALL "
             "SELECT 'make' AS variant, 'original_topic' AS event_type, "
-            "count(*) AS n FROM events"
+            "count(*) AS n FROM events "
+            "UNION ALL "
+            # r05 fold: the former guarded_mask oracle, per-event
+            "SELECT 'mask' AS variant, "
+            "CAST(event_id AS VARCHAR) || '|' || "
+            "(CASE WHEN event_type IS NULL OR event_type = '' "
+            "THEN 'original_topic' ELSE event_type END) AS event_type, "
+            "CASE WHEN event_type = 'click' AND user_id IS NOT NULL "
+            "THEN 0 ELSE user_id END AS n FROM events"
         ),
         "record_shaping": (
             "SELECT 'k2v' AS variant, CAST(user_id AS VARCHAR) AS k, "
@@ -3504,11 +3759,83 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'plain' AS variant, * FROM w "
             "UNION ALL SELECT 'salted' AS variant, * FROM w"
         ),
-        "regex_router": (
-            "SELECT CASE WHEN coalesce(event_type, 'none') IN ('click', 'view') "
-            "THEN 'routed.' || event_type "
-            "ELSE 'events_' || coalesce(event_type, 'none') END AS topic, "
-            "count(*) AS n FROM events GROUP BY 1"
+        "pack_sequences": (
+            # exact FFD replay: one row per recursion step in the same
+            # (n_tokens DESC, doc_id) order the packer walks; the state
+            # is the open packs' remaining-capacity and member-count
+            # lists. NULLIF: DuckDB list_position returns 0 (not NULL)
+            # on a miss. n_shards=1 on the Spark side, so pack_id is
+            # the 0-based open order with no shard prefix.
+            "WITH RECURSIVE ordered AS ("
+            "SELECT doc_id, n_tokens, row_number() OVER "
+            "(ORDER BY n_tokens DESC, doc_id) AS rn FROM ("
+            "SELECT doc_id, "
+            r"CAST(len(string_split_regex(lower(trim(text)), '\s+')) "
+            "AS BIGINT) AS n_tokens "
+            "FROM documents WHERE doc_id < 600) t), "
+            "ffd AS ("
+            "SELECT 0 AS rn, CAST([] AS BIGINT[]) AS caps, "
+            "CAST([] AS BIGINT[]) AS cnts, CAST(NULL AS BIGINT) AS doc_id, "
+            "CAST(NULL AS BIGINT) AS n_tokens, "
+            "CAST(NULL AS BIGINT) AS pack_id, CAST(NULL AS BIGINT) AS pack_pos "
+            "UNION ALL "
+            "SELECT d.rn, "
+            "CASE WHEN NULLIF(list_position(list_transform(f.caps, "
+            "c -> c >= d.n_tokens), true), 0) IS NULL "
+            "THEN list_append(f.caps, greatest(160 - d.n_tokens, 0)) "
+            "ELSE f.caps[1:NULLIF(list_position(list_transform(f.caps, "
+            "c -> c >= d.n_tokens), true), 0)-1] "
+            "|| [f.caps[NULLIF(list_position(list_transform(f.caps, "
+            "c -> c >= d.n_tokens), true), 0)] - d.n_tokens] "
+            "|| f.caps[NULLIF(list_position(list_transform(f.caps, "
+            "c -> c >= d.n_tokens), true), 0)+1:len(f.caps)] END, "
+            "CASE WHEN NULLIF(list_position(list_transform(f.caps, "
+            "c -> c >= d.n_tokens), true), 0) IS NULL "
+            "THEN list_append(f.cnts, 1) "
+            "ELSE f.cnts[1:NULLIF(list_position(list_transform(f.caps, "
+            "c -> c >= d.n_tokens), true), 0)-1] "
+            "|| [f.cnts[NULLIF(list_position(list_transform(f.caps, "
+            "c -> c >= d.n_tokens), true), 0)] + 1] "
+            "|| f.cnts[NULLIF(list_position(list_transform(f.caps, "
+            "c -> c >= d.n_tokens), true), 0)+1:len(f.cnts)] END, "
+            "d.doc_id, d.n_tokens, "
+            "CASE WHEN NULLIF(list_position(list_transform(f.caps, "
+            "c -> c >= d.n_tokens), true), 0) IS NULL "
+            "THEN len(f.caps) "
+            "ELSE NULLIF(list_position(list_transform(f.caps, "
+            "c -> c >= d.n_tokens), true), 0) - 1 END, "
+            "CASE WHEN NULLIF(list_position(list_transform(f.caps, "
+            "c -> c >= d.n_tokens), true), 0) IS NULL "
+            "THEN 0 "
+            "ELSE f.cnts[NULLIF(list_position(list_transform(f.caps, "
+            "c -> c >= d.n_tokens), true), 0)] END "
+            "FROM ffd f JOIN ordered d ON d.rn = f.rn + 1) "
+            "SELECT doc_id, n_tokens, pack_id, pack_pos FROM ffd "
+            "WHERE doc_id IS NOT NULL"
+        ),
+        "cdc_serializers": (
+            # expected post-round-trip images per dialect, straight
+            # from events. Maxwell/Canal reconstruct updates' before
+            # side from the old-diff (val only changed col); DMS
+            # carries NO before-images, so its updates decode with a
+            # NULL before side; deletes carry the row image on the
+            # before side and a NULL after side in all three.
+            "WITH e AS (SELECT event_id, value, "
+            "CASE WHEN event_type = 'error' THEN 'd' "
+            "WHEN event_type = 'purchase' THEN 'u' ELSE 'c' END AS op "
+            "FROM events), "
+            "img AS (SELECT event_id, op, "
+            "CAST(CAST(FLOOR((CASE WHEN op = 'u' THEN value - 1 "
+            "WHEN op = 'd' THEN value END) * 10000) AS BIGINT) AS VARCHAR) "
+            "AS before_val, "
+            "CAST(CAST(FLOOR((CASE WHEN op <> 'd' THEN value END) * 10000) "
+            "AS BIGINT) AS VARCHAR) AS after_val, "
+            "event_id * 1000 AS ts_ms FROM e) "
+            "SELECT 'maxwell' AS variant, * FROM img "
+            "UNION ALL SELECT 'canal' AS variant, * FROM img "
+            "UNION ALL SELECT 'dms' AS variant, event_id, op, "
+            "CASE WHEN op = 'd' THEN before_val END AS before_val, "
+            "after_val, ts_ms FROM img"
         ),
         "cdc_merge": (
             "SELECT user_id, event_id AS last_event_id, event_type, value AS val "
@@ -3954,7 +4281,17 @@ def oracle_sql() -> dict[str, str]:
             "'<PII>', 'g'), "
             r"'\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<PII>', 'g'), "
             r"'\b\d{3}-\d{2}-\d{4}\b', '<PII>', 'g'), "
-            r"'\+\d{7,15}\b', '<PII>', 'g')) AS s FROM documents"
+            r"'\+\d{7,15}\b', '<PII>', 'g')) AS s FROM documents "
+            "UNION ALL "
+            # r05 fold: the former token_topk oracle, doc_id = rank
+            "SELECT 'topk' AS variant, "
+            "row_number() OVER (ORDER BY n DESC, token ASC) AS doc_id, "
+            "CAST(n AS DOUBLE) AS a, -1.0 AS b, -1.0 AS c, -1.0 AS d, "
+            "token AS s FROM ("
+            "SELECT token, count(*) AS n FROM ("
+            r"SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) "
+            "AS token FROM documents) t WHERE token != '' "
+            "GROUP BY token ORDER BY n DESC, token ASC LIMIT 50) tk"
         ),
         "jaccard_dups": (
             "SELECT 'ngram' AS variant, * FROM (" + _jaccard_sql(0.6) + ") "
@@ -4046,12 +4383,6 @@ def oracle_sql() -> dict[str, str]:
             "WHEN s_fr = m AND m > 0 THEN 'fr' "
             "WHEN s_es = m AND m > 0 THEN 'es' ELSE 'und' END) = 'en' "
             "AND q >= 0.9"
-        ),
-        "token_topk": (
-            "SELECT token, count(*) AS n FROM ("
-            r"SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) "
-            "AS token FROM documents) t WHERE token != '' "
-            "GROUP BY token ORDER BY n DESC, token ASC LIMIT 50"
         ),
         "stock_fields": (
             "SELECT 'extract' AS variant, event_id, event_type, "

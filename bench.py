@@ -586,7 +586,23 @@ def time_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
     names = [
         "chain_fused", "hash", "filter_by_field_value_exact",
         "extract_topic", "lww_dedupe", "cdc_merge", "cdc_merge_mor",
-        # training-data ops (documents/events tables at this sf)
+        # training-data ops (documents/events tables at this sf).
+        # r05 scope note for minhash_lsh + near_dup_clusters: the r04
+        # F.transform-arity fix made the MinHash family REAL (the
+        # r01-r03 family was degenerate — every member collapsed to the
+        # same expression, which Catalyst CSE'd into ONE hash per
+        # shingle and which produced banding candidates only for exact
+        # duplicates). The r04 slowdowns (minhash_lsh 2.73->7.15 s,
+        # near_dup_clusters 2.87->4.69 s) are the cost of computing 32
+        # DISTINCT family members per shingle and of the verify/cluster
+        # stages finally receiving real candidate pairs. Banding was
+        # re-examined against measured pair volume (sf0.1: 350 docs,
+        # 66 candidates, 50 verified — overhead-bound, not volume-
+        # bound): r=3/r=4 configs cut candidate time ~2x but raise the
+        # s>=0.8 miss probability from ~8e-8 to >=1e-5, which risks
+        # flaking the exact-match DuckDB gate, so r=2 stays. The
+        # lsh_pair_probe emitted next to these legs in the JSON makes
+        # the work volume adjudicable round-over-round.
         "dedup_exact", "minhash_lsh", "near_dup_clusters", "json_boundary",
         "lang_id", "docs_pipeline",
         # ingestion boundaries + Debezium compat
@@ -665,6 +681,34 @@ def time_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         out[name] = round(time.perf_counter() - t0, 3)
+    # r05: candidate-volume evidence for the two LSH legs (see the
+    # scope note above `names`): how many banding candidates the real
+    # hash family produces and how many survive exact-Jaccard verify,
+    # over the SAME input slice the legs run on. Untimed — probe only.
+    try:
+        from transforms_for_apache_kafka_connect_spark.functions.dedupe import (
+            _band_candidates, minhash_signature, word_shingles,
+        )
+        from pyspark.sql import functions as F
+
+        lsh_base = entrymod._docs_with_dups(spark, sf_dir).filter(
+            (F.col("doc_id") < 300) | (F.col("doc_id") >= 100_000)
+        )
+        sig = lsh_base.select(
+            F.col("doc_id").alias("id"),
+            word_shingles(F.col("text"), 3).alias("sh"),
+            minhash_signature(F.col("text"), 32, 3).alias("sig"),
+        )
+        n_cand = _band_candidates(sig, 32, 16).count()
+        n_ver = entrymod.q_minhash_lsh(spark, sf_dir).count()
+        probes["lsh_pair_probe"] = {
+            "docs": lsh_base.count(),
+            "candidate_pairs": n_cand,
+            "verified_pairs": n_ver,
+            "num_hashes": 32, "bands": 16,
+        }
+    except Exception as e:  # probe must never fail the bench
+        probes["lsh_pair_probe"] = {"err": str(e)[:200]}
     return out, probes
 
 

@@ -811,10 +811,31 @@ def main(argv: list[str] | None = None) -> int:
                     if raw_format in ("maxwell", "canal", "dms")
                     else None
                 )
-        batch_df = spark.read.parquet(args.events)
-        stream = (
-            spark.readStream.schema(batch_df.schema).parquet(args.events)
-        )
+        kafka_kwargs = {}
+        if args.chain and args.chain.endswith(".properties"):
+            # the connector file may declare a LIVE topic source
+            # (engine extension source.kafka.* keys) — gated on the
+            # spark-sql-kafka class probe, same pattern as spark-avro
+            from transforms_for_apache_kafka_connect_spark.sources import (
+                kafka_options_from_properties,
+            )
+
+            kafka_kwargs = kafka_options_from_properties(args.chain)
+        if kafka_kwargs:
+            from transforms_for_apache_kafka_connect_spark.sources import (
+                kafka_stream,
+            )
+
+            try:
+                stream = kafka_stream(spark, **kafka_kwargs)
+            except RuntimeError as exc:
+                print(f"kafka source: {exc}", file=sys.stderr)
+                return 2
+        else:
+            batch_df = spark.read.parquet(args.events)
+            stream = (
+                spark.readStream.schema(batch_df.schema).parquet(args.events)
+            )
         q = engine.stream(
             stream, args.checkpoint, available_now=True,
             raw_format=raw_format,

@@ -1,3 +1,10 @@
+from transforms_for_apache_kafka_connect_spark.sources.kafka_source import (
+    kafka_available,
+    kafka_options_from_properties,
+    kafka_reader_options,
+    kafka_stream,
+    normalize_kafka_frame,
+)
 from transforms_for_apache_kafka_connect_spark.sources.avro_boundary import (
     avro_schema_to_spark,
     decode_record,
@@ -74,4 +81,9 @@ __all__ = [
     "decode_message",
     "encode_frame",
     "decode_frame",
+    "kafka_available",
+    "kafka_stream",
+    "kafka_reader_options",
+    "normalize_kafka_frame",
+    "kafka_options_from_properties",
 ]
