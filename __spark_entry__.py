@@ -2838,7 +2838,25 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("zero_crossings").cast("double").alias("m2"),
         F.col("duration_ms").cast("double").alias("m3"),
     )
-    return png.unionByName(wav)
+    # r05: REAL baseline-JPEG decode leg (functions/jpeg.py — huffman
+    # entropy decode + dequant + IDCT). Flat grayscale fixtures whose
+    # DC value the q85 quantizer divides exactly, so the lossy codec
+    # round-trips BIT-EXACTLY and the oracle predicts mean == v
+    from transforms_for_apache_kafka_connect_spark.functions.multimodal import (
+        image_stats,
+        synthetic_jpeg_media,
+    )
+
+    jpg = image_stats(synthetic_jpeg_media(ids)).select(
+        F.lit("jpeg").alias("variant"),
+        "media_id",
+        F.col("width").cast("long").alias("w"),
+        F.col("height").cast("long").alias("h"),
+        F.col("mean_r").alias("m1"),
+        F.col("mean_g").alias("m2"),
+        F.col("mean_b").alias("m3"),
+    )
+    return png.unionByName(wav).unionByName(jpg)
 
 
 # -------------------------------------------------- composite gate entries
@@ -4542,7 +4560,16 @@ def oracle_sql() -> dict[str, str]:
             "round(((doc_id * 7 + 13) % 100 + 1) / 128.0 * 32767) "
             "/ 32768.0 AS m1, "
             "CAST(2 * 4000 / 40 - 1 AS DOUBLE) AS m2, "
-            "CAST(500 AS DOUBLE) AS m3 FROM documents"
+            "CAST(500 AS DOUBLE) AS m3 FROM documents "
+            "UNION ALL "
+            # jpeg leg: flat gray v = 128 + 5*(id%10) at q85 (DC
+            # quantizer 5 divides the DC exactly -> bit-exact decode)
+            "SELECT 'jpeg' AS variant, doc_id AS media_id, "
+            "CAST(5 + doc_id % 9 AS BIGINT) AS w, "
+            "CAST(6 + doc_id % 7 AS BIGINT) AS h, "
+            "CAST(128 + 5 * (doc_id % 10) AS DOUBLE) AS m1, "
+            "CAST(128 + 5 * (doc_id % 10) AS DOUBLE) AS m2, "
+            "CAST(128 + 5 * (doc_id % 10) AS DOUBLE) AS m3 FROM documents"
         ),
         # simhash, multimodal_features, lsh_ann: intentionally no oracle —
         # the Arrow bit-fold / binary featurization are not

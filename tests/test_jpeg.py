@@ -1,0 +1,119 @@
+"""Baseline JPEG codec laws (functions/jpeg.py): structural validity,
+round-trip fidelity at several qualities/subsamplings, odd dimensions,
+grayscale, error contracts, and the multimodal decode_image wiring.
+Lossy codec — fidelity asserts are PSNR floors, not bit equality; the
+STRUCTURE (dims, channels, marker layout) is exact."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from transforms_for_apache_kafka_connect_spark.functions.jpeg import (
+    JPEG_SOI,
+    jpeg_decode,
+    jpeg_encode,
+)
+
+
+def _img(h, w, seed=7):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [xx * 255 / max(w, 1), yy * 255 / max(h, 1),
+         (xx + yy) * 255 / max(h + w, 1)],
+        axis=2,
+    )
+    return np.clip(img + rng.normal(0, 3, img.shape), 0, 255).astype(np.uint8)
+
+
+def _psnr(a, b):
+    err = np.sqrt(np.mean((a.astype(float) - b.astype(float)) ** 2))
+    return 20 * np.log10(255 / max(err, 1e-9))
+
+
+def test_marker_structure():
+    data = jpeg_encode(_img(16, 16), quality=85)
+    assert data[:2] == JPEG_SOI and data[-2:] == b"\xff\xd9"
+    assert b"\xff\xdb" in data  # DQT
+    assert b"\xff\xc0" in data  # SOF0 (baseline)
+    assert b"\xff\xc4" in data  # DHT
+    assert b"\xff\xda" in data  # SOS
+    # SOF0 carries the true dimensions
+    i = data.index(b"\xff\xc0")
+    h, w = struct.unpack(">HH", data[i + 5:i + 9])
+    assert (h, w) == (16, 16)
+
+
+@pytest.mark.parametrize("sub", ["4:4:4", "4:2:0"])
+@pytest.mark.parametrize("q,floor", [(95, 34.0), (85, 32.0), (50, 28.0)])
+def test_roundtrip_fidelity(sub, q, floor):
+    img = _img(40, 56)
+    out = jpeg_decode(jpeg_encode(img, quality=q, subsampling=sub))
+    assert out.shape == img.shape and out.dtype == np.uint8
+    assert _psnr(out, img) >= floor
+
+
+@pytest.mark.parametrize("h,w", [(1, 1), (7, 5), (8, 8), (9, 17), (23, 8)])
+def test_odd_dimensions_both_subsamplings(h, w):
+    img = _img(h, w)
+    for sub in ("4:4:4", "4:2:0"):
+        out = jpeg_decode(jpeg_encode(img, quality=90, subsampling=sub))
+        assert out.shape == (h, w, 3)
+
+
+def test_grayscale_roundtrip():
+    rng = np.random.default_rng(3)
+    yy = np.mgrid[0:24, 0:32][0]
+    g = np.clip(yy * 8 + rng.normal(0, 2, (24, 32)), 0, 255).astype(np.uint8)
+    out = jpeg_decode(jpeg_encode(g, quality=90))
+    assert out.shape == (24, 32)
+    assert _psnr(out, g) >= 34.0
+
+
+def test_quality_monotone_size():
+    img = _img(64, 64)
+    sizes = [len(jpeg_encode(img, quality=q)) for q in (30, 60, 95)]
+    assert sizes == sorted(sizes)
+
+
+def test_flat_image_is_tiny_and_exact():
+    img = np.full((32, 32, 3), 128, dtype=np.uint8)
+    data = jpeg_encode(img, quality=85)
+    out = jpeg_decode(data)
+    assert np.array_equal(out, img)  # DC-only blocks survive exactly
+    assert len(data) < 900
+
+
+def test_decode_errors():
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg_decode(b"\x89PNG....")
+    # progressive SOF2 refused by name, not garbage output
+    img = jpeg_encode(_img(8, 8))
+    prog = img.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="SOF"):
+        jpeg_decode(prog)
+    with pytest.raises(ValueError):
+        jpeg_encode(_img(8, 8).astype(np.int32))
+    with pytest.raises(ValueError, match="subsampling"):
+        jpeg_encode(_img(8, 8), subsampling="4:1:1")
+
+
+def test_decode_image_dispatches_jpeg(monkeypatch):
+    import transforms_for_apache_kafka_connect_spark.functions.multimodal as mm
+
+    monkeypatch.setattr(mm, "HAS_PIL", False)
+    img = _img(16, 24)
+    out = mm.decode_image(jpeg_encode(img, quality=95))
+    assert out.shape == (16, 24, 3)
+    assert _psnr(out, img) >= 30.0
+    # PNG still routes to the PNG codec
+    from transforms_for_apache_kafka_connect_spark.functions.png import (
+        png_encode,
+    )
+
+    assert np.array_equal(mm.decode_image(png_encode(img)), img)
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"GIF89a....")

@@ -132,6 +132,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--sql-limit", type=int, default=1000,
                     help="with --maintenance query: cap printed rows "
                          "(0 = no cap)")
+    ap.add_argument("--catalog-store", default=None,
+                    help="with --maintenance query: persistent catalog "
+                         "spec (JSON path) — views registered there by "
+                         "earlier sessions restore before the query, "
+                         "and this session's registrations persist")
     ap.add_argument("--routed", action="store_true",
                     help="treat --table as a ROUTER ROOT: the chain's "
                          "final topic picks the destination table "
@@ -535,7 +540,7 @@ def main(argv: list[str] | None = None) -> int:
                 LakeCatalog,
             )
 
-            cat = LakeCatalog(spark)
+            cat = LakeCatalog(spark, store=args.catalog_store)
             if args.routed:
                 views = cat.register_root(args.table)
                 if not views:

@@ -82,9 +82,10 @@ def synthetic_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
 def decode_image(payload: bytes) -> np.ndarray:
     """Image bytes -> HxWx3 uint8 array. Pillow when importable (any
     format it knows); otherwise PNG payloads decode through the
-    dependency-free spec codec (:mod:`.png` — stdlib zlib + NumPy), so
-    the REAL decode path runs even in containers without imaging
-    libraries. Non-PNG bytes without Pillow raise NotImplementedError
+    dependency-free spec codec (:mod:`.png` — stdlib zlib + NumPy) and
+    baseline JPEG through :mod:`.jpeg` (huffman + IDCT, NumPy), so the
+    REAL decode path runs even in containers without imaging
+    libraries. Other formats without Pillow raise NotImplementedError
     (the deterministic fake path covers those pipelines).
 
     ``fake=None`` auto-selection happens on the DRIVER (assuming a
@@ -104,11 +105,21 @@ def decode_image(payload: bytes) -> np.ndarray:
         if arr.ndim == 2:  # grayscale -> RGB (replicate channels)
             return np.repeat(arr[:, :, None], 3, axis=2)
         return arr[:, :, :3]  # RGBA -> RGB (drop alpha)
+    from transforms_for_apache_kafka_connect_spark.functions.jpeg import (
+        JPEG_SOI,
+        jpeg_decode,
+    )
+
+    if bytes(payload[:2]) == JPEG_SOI:
+        arr = jpeg_decode(payload)
+        if arr.ndim == 2:
+            return np.repeat(arr[:, :, None], 3, axis=2)
+        return arr
     raise NotImplementedError(
-        "non-PNG image decode requires Pillow, which is not importable "
-        "in this Python worker. If it IS installed on the driver, ship "
-        "it to the executors (spark-submit --archives / a uniform "
-        "image) or pass fake=True for the deterministic fake path"
+        "non-PNG/JPEG image decode requires Pillow, which is not "
+        "importable in this Python worker. If it IS installed on the "
+        "driver, ship it to the executors (spark-submit --archives / a "
+        "uniform image) or pass fake=True for the deterministic fake path"
     )
 
 
@@ -210,6 +221,48 @@ def synthetic_png_media(
                     "mime": "image/png",
                     "width": np.int32(width),
                     "height": np.int32(height),
+                    "duration_ms": np.int64(0),
+                    "payload": payloads,
+                }
+            )
+
+    return ids_only.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def synthetic_jpeg_media(df: DataFrame, *, id_col: str = "media_id") -> DataFrame:
+    """ids -> real baseline JPEG payloads, encoded distributed through
+    the dependency-free codec (:mod:`.jpeg`). Each image is FLAT
+    grayscale ``v = 128 + 5*(id % 10)`` at ``w = 5 + id % 9``,
+    ``h = 6 + id % 7`` (odd dims exercise edge-padding crop). The
+    value grid is chosen so the quality-85 luminance DC quantizer (5)
+    divides the DC coefficient exactly — a flat block has no AC
+    energy, so the decode is BIT-EXACT and a SQL oracle predicts
+    ``mean == v`` in closed form (the lossy-codec analog of the PNG
+    fixture's pixel law)."""
+    from transforms_for_apache_kafka_connect_spark.functions.jpeg import (
+        jpeg_encode,
+    )
+
+    ids_only = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, ws, hs = [], [], []
+            for i in pdf["media_id"]:
+                i = int(i)
+                v = 128 + 5 * (i % 10)
+                w, h = 5 + i % 9, 6 + i % 7
+                img = np.full((h, w), v, dtype=np.uint8)
+                payloads.append(jpeg_encode(img, quality=85))
+                ws.append(np.int32(w))
+                hs.append(np.int32(h))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "image",
+                    "mime": "image/jpeg",
+                    "width": ws,
+                    "height": hs,
                     "duration_ms": np.int64(0),
                     "payload": payloads,
                 }

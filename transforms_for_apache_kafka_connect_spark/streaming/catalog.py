@@ -135,9 +135,102 @@ class LakeCatalog:
     other temp views the user already has.
     """
 
-    def __init__(self, spark: SparkSession):
+    def __init__(self, spark: SparkSession, store: str | None = None):
+        """``store``: optional path to a JSON catalog spec. With it set,
+        registrations PERSIST — every register/unregister writes the
+        spec (atomic tmp+rename, same durability idiom as the
+        manifest), and constructing ``LakeCatalog(spark, store=path)``
+        in a NEW session (or process) restores every persisted view
+        immediately: the spec records each table's root + constructor
+        options, and the restore re-opens the tables and rebuilds the
+        views at their CURRENT state (or pinned version/tag).
+
+        Why not ``saveAsTable``/metastore registration: a managed table
+        COPIES rows at registration time, so SQL consumers would read
+        data frozen at the last save, silently stale after every
+        commit — the opposite of this catalog's snapshot-then-refresh
+        contract. The spec store keeps metadata-only persistence with
+        the engine's own file-based durability; a metastore/Iceberg-REST
+        backend would slot in at this same seam if an external catalog
+        service is available.
+
+        Snapshot-router views (``register_snapshot``) are session-only:
+        a router carries its transform chain, which has no serialized
+        form — re-register them after reconstructing the router.
+        """
         self.spark = spark
         self._views: dict[str, _ViewSpec] = {}
+        self._store = store
+        self._persisted: dict[str, dict] = {}
+        if store and os.path.exists(store):
+            self._restore()
+
+    # ------------------------------------------------- persistent store
+
+    def _restore(self) -> None:
+        import json
+
+        from transforms_for_apache_kafka_connect_spark.streaming.sink import (
+            LakeTable,
+        )
+
+        with open(self._store) as f:
+            saved = json.load(f)
+        for ent in saved.get("views", []):
+            table = LakeTable(root=ent["root"], **ent.get("opts", {}))
+            if ent["kind"] == "changes":
+                self.register_changes(
+                    ent["name"], table, epoch=ent.get("epoch")
+                )
+            else:
+                where = (
+                    [tuple(c) for c in ent["where"]]
+                    if ent.get("where") is not None
+                    else None
+                )
+                self.register(
+                    ent["name"], table,
+                    version=ent.get("version"), tag=ent.get("tag"),
+                    where=where,
+                )
+
+    def _persist(self, name: str, ent: dict | None) -> None:
+        """Record/drop one view's spec and rewrite the store."""
+        import json
+        import uuid as _uuid
+
+        if not self._store:
+            return
+        if ent is None:
+            self._persisted.pop(name, None)
+        else:
+            self._persisted[name] = ent
+        tmp = self._store + f".tmp-{_uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"views": [self._persisted[n] for n in sorted(self._persisted)]},
+                f, indent=1,
+            )
+        os.replace(tmp, self._store)
+
+    @staticmethod
+    def _table_entry(table) -> dict | None:
+        """A LakeTable's (root, constructor options) as JSON — None for
+        duck-typed sources that cannot be reconstructed from a spec."""
+        import dataclasses
+
+        from transforms_for_apache_kafka_connect_spark.streaming.sink import (
+            LakeTable,
+        )
+
+        if not isinstance(table, LakeTable):
+            return None
+        opts = {
+            f.name: getattr(table, f.name)
+            for f in dataclasses.fields(LakeTable)
+            if f.name != "root"
+        }
+        return {"root": table.root, "opts": opts}
 
     # ------------------------------------------------------------ views
 
@@ -190,10 +283,23 @@ class LakeCatalog:
             if name in self._views:
                 self.spark.catalog.dropTempView(name)
             self._views[name] = _ViewSpec(table, version, tag, where)
+            self._persist_table(name, table, version, tag, where)
             return None
         df.createOrReplaceTempView(name)
         self._views[name] = _ViewSpec(table, version, tag, where, seen=seen)
+        self._persist_table(name, table, version, tag, where)
         return df
+
+    def _persist_table(self, name, table, version, tag, where) -> None:
+        ent = self._table_entry(table)
+        if ent is None:
+            return  # duck-typed source (changes view refresh) — keep
+            # whatever spec registered it originally
+        self._persist(name, {
+            "name": name, "kind": "table", **ent,
+            "version": version, "tag": tag,
+            "where": [list(c) for c in where] if where else None,
+        })
 
     def register_root(self, root: str, *, prefix: str = "") -> list[str]:
         """Discover every lake table under ``root`` (any immediate child
@@ -244,6 +350,11 @@ class LakeCatalog:
         df = src.read(self.spark)
         df.createOrReplaceTempView(name)
         self._views[name] = _ViewSpec(src, None, None, None, seen=seen)
+        ent = self._table_entry(table)
+        if ent is not None:
+            self._persist(name, {
+                "name": name, "kind": "changes", **ent, "epoch": epoch,
+            })
         return df
 
     def register_snapshot(self, router, *, prefix: str = "") -> list[str]:
@@ -274,6 +385,7 @@ class LakeCatalog:
 
     def unregister(self, name: str) -> None:
         self._views.pop(name, None)
+        self._persist(name, None)
         self.spark.catalog.dropTempView(name)
 
     def names(self) -> list[str]:

@@ -639,7 +639,14 @@ class LakeTable:
         With the flag OFF, entries another process built are still
         filtered down to this commit's live files — never rebuilt, but
         never carried forward for deleted files either (a stale dict
-        would bloat every later manifest and misstate coverage)."""
+        would bloat every later manifest and misstate coverage).
+
+        New files harvest CONCURRENTLY (thread pool): each footer read
+        is ~tens of ms of pyarrow I/O+parse that releases the GIL, and
+        a COW merge commits O(touched buckets) new files — serially
+        that was a measurable per-commit driver stall (~0.75 s/batch at
+        16 buckets in the replay profile), pure latency for no
+        ordering benefit."""
         prev = prev_manifest.get("file_stats") or {}
         if not self.collect_stats:
             if prev:
@@ -650,15 +657,27 @@ class LakeTable:
                     if f in prev
                 }
             return
-        stats: dict[str, dict] = {}
-        for fs in manifest["buckets"].values():
-            for f in fs:
-                stats[f] = (
-                    prev[f]
-                    if f in prev
-                    else _harvest_file_stats(self._abs(f), self.stats_cols)
-                )
-        manifest["file_stats"] = stats
+        live = [f for fs in manifest["buckets"].values() for f in fs]
+        new = [f for f in live if f not in prev]
+        harvested: dict[str, dict] = {}
+        if len(new) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(16, len(new))) as ex:
+                for f, st in zip(new, ex.map(
+                    lambda f: _harvest_file_stats(
+                        self._abs(f), self.stats_cols
+                    ),
+                    new,
+                )):
+                    harvested[f] = st
+        elif new:
+            harvested[new[0]] = _harvest_file_stats(
+                self._abs(new[0]), self.stats_cols
+            )
+        manifest["file_stats"] = {
+            f: (prev[f] if f in prev else harvested[f]) for f in live
+        }
 
     def _attach_blooms(
         self, manifest: dict[str, Any], prev_manifest: dict[str, Any]
@@ -680,17 +699,29 @@ class LakeTable:
                     if f in prev
                 }
             return
-        blooms: dict[str, dict] = {}
-        for fs in manifest["buckets"].values():
-            for f in fs:
-                meta = prev.get(f)
-                if meta is None:
-                    meta = (
-                        _build_bloom_sidecar(self._abs(f), self.key_cols)
-                        or {"m": 0}
-                    )
-                blooms[f] = meta
-        manifest["file_blooms"] = blooms
+        live = [f for fs in manifest["buckets"].values() for f in fs]
+        new = [f for f in live if prev.get(f) is None]
+        built: dict[str, dict] = {}
+        if len(new) > 1:
+            # same concurrency rationale as _attach_stats (bloom builds
+            # additionally read key data pages, so they are slower)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(16, len(new))) as ex:
+                for f, meta in zip(new, ex.map(
+                    lambda f: _build_bloom_sidecar(self._abs(f), self.key_cols)
+                    or {"m": 0},
+                    new,
+                )):
+                    built[f] = meta
+        elif new:
+            built[new[0]] = (
+                _build_bloom_sidecar(self._abs(new[0]), self.key_cols)
+                or {"m": 0}
+            )
+        manifest["file_blooms"] = {
+            f: (built[f] if f in built else prev[f]) for f in live
+        }
 
     def _swap(
         self, manifest: dict[str, Any], *, op: list | None = None
