@@ -436,7 +436,9 @@ def main() -> None:
 
     # 10. predicate-guarded mutator: one fused plan, no join/cartesian,
     # no Python — the when-merge compiles to pure projections
-    p = fmt(qs["guarded_mask"](spark, sf_dir))
+    # r05: guarded_mask folded into tombstone_chain's mask leg; the
+    # standalone function still exists for the audit
+    p = fmt(entrymod.q_guarded_mask(spark, sf_dir))
     check("guarded_mask: no join in the guarded-mutator plan",
           "Join" not in p and "CartesianProduct" not in p)
     check("guarded_mask: no Python eval in plan", "Python" not in p)
@@ -763,6 +765,21 @@ def main() -> None:
           p.count("BroadcastHashJoin") >= 2 and "SortMergeJoin" not in p
           and "Exchange hashpartitioning" not in p)
     check("star view rebuild: no Python eval", "Python" not in p)
+
+    # r05 gate entries
+    p = plan_of(qs["pack_sequences"](spark, sf_dir))
+    check("pack_sequences: exactly the one declared Arrow stage",
+          p.count("FlatMapGroupsInPandas") == 1)
+    check("pack_sequences: single shuffle (shard exchange only)",
+          p.count("Exchange hashpartitioning") == 1,
+          f"exchanges={p.count('Exchange hashpartitioning')}")
+    p = plan_of(qs["cdc_serializers"](spark, sf_dir))
+    check("cdc_serializers: serialize+decode stays JVM-side",
+          "Python" not in p and "FlatMap" not in p)
+    p = plan_of(qs["stock2"](spark, sf_dir))
+    check("stock2: no Python eval", "Python" not in p)
+    p = plan_of(qs["routing_ops"](spark, sf_dir))
+    check("routing_ops: no Python eval", "Python" not in p)
 
     n_fail = sum(1 for _, ok, _ in checks if not ok)
     lines = [
