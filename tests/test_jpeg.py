@@ -117,3 +117,40 @@ def test_decode_image_dispatches_jpeg(monkeypatch):
     assert np.array_equal(mm.decode_image(png_encode(img)), img)
     with pytest.raises(NotImplementedError):
         mm.decode_image(b"GIF89a....")
+
+
+def test_422_roundtrip():
+    """4:2:2 (horizontal-only chroma subsampling) exercises the
+    decoder's generic (sh, sv) sampling loop with asymmetric factors."""
+    img = _img(24, 42)
+    out = jpeg_decode(jpeg_encode(img, quality=90, subsampling="4:2:2"))
+    assert out.shape == img.shape
+    assert _psnr(out, img) >= 32.0
+
+
+def test_decoder_reads_dht_not_our_table_shape(monkeypatch):
+    """The decoder must build its huffman tables from the stream's DHT,
+    not assume the encoder's shape: re-encode with a DIFFERENT (still
+    canonical) table layout and the decode must be IDENTICAL — same
+    quantized coefficients, different entropy coding."""
+    import transforms_for_apache_kafka_connect_spark.functions.jpeg as J
+
+    img = _img(17, 29)
+    base = jpeg_decode(jpeg_encode(img, quality=80))
+
+    def alt_tables():
+        dc_bits = [0] * 16
+        dc_bits[4] = 12  # 5-bit DC codes instead of 4
+        dc_vals = list(range(12))
+        ac_vals = [0x00, 0xF0] + [
+            (run << 4) | size for run in range(16) for size in range(1, 11)
+        ]
+        ac_bits = [0] * 16
+        ac_bits[9] = len(ac_vals)  # 10-bit AC codes instead of 9
+        return (
+            dc_bits, dc_vals, J._canonical_codes(dc_bits, dc_vals)
+        ), (ac_bits, ac_vals, J._canonical_codes(ac_bits, ac_vals))
+
+    monkeypatch.setattr(J, "_enc_tables", alt_tables)
+    alt = jpeg_decode(jpeg_encode(img, quality=80))
+    assert np.array_equal(alt, base)

@@ -203,8 +203,8 @@ def jpeg_encode(
     bytes. ``subsampling``: '4:4:4' or '4:2:0' (color only)."""
     if img.dtype != np.uint8:
         raise ValueError("jpeg_encode expects uint8")
-    if subsampling not in ("4:4:4", "4:2:0"):
-        raise ValueError("subsampling must be '4:4:4' or '4:2:0'")
+    if subsampling not in ("4:4:4", "4:2:2", "4:2:0"):
+        raise ValueError("subsampling must be '4:4:4', '4:2:2' or '4:2:0'")
     gray = img.ndim == 2
     h, w = img.shape[:2]
     if gray:
@@ -223,6 +223,13 @@ def jpeg_encode(
             cb = cbp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
             cr = crp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
             samp = [(2, 2), (1, 1), (1, 1)]
+        elif subsampling == "4:2:2":
+            pw = -(-w // 2) * 2
+            cbp = np.pad(cb, ((0, 0), (0, pw - w)), mode="edge")
+            crp = np.pad(cr, ((0, 0), (0, pw - w)), mode="edge")
+            cb = cbp.reshape(h, pw // 2, 2).mean(axis=2)
+            cr = crp.reshape(h, pw // 2, 2).mean(axis=2)
+            samp = [(2, 1), (1, 1), (1, 1)]
         else:
             samp = [(1, 1), (1, 1), (1, 1)]
         planes = [y - 128.0, cb - 128.0, cr - 128.0]
