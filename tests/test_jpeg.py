@@ -154,3 +154,29 @@ def test_decoder_reads_dht_not_our_table_shape(monkeypatch):
     monkeypatch.setattr(J, "_enc_tables", alt_tables)
     alt = jpeg_decode(jpeg_encode(img, quality=80))
     assert np.array_equal(alt, base)
+
+
+@pytest.mark.parametrize("sub", ["4:4:4", "4:2:0"])
+def test_restart_markers_roundtrip(sub):
+    """DRI + RSTn emission and the decoder's restart resync path: the
+    stream must carry real RSTn markers, decode identically to the
+    marker-free encoding, and reset DC prediction per segment."""
+    img = _img(40, 48, seed=5)
+    plain = jpeg_decode(jpeg_encode(img, quality=88, subsampling=sub))
+    data = jpeg_encode(img, quality=88, subsampling=sub, restart_interval=2)
+    assert b"\xff\xdd" in data  # DRI
+    assert any(bytes([0xFF, 0xD0 + i]) in data for i in range(8))
+    out = jpeg_decode(data)
+    assert np.array_equal(out, plain)
+
+
+def test_restart_marker_cycle_wraps():
+    """> 8 restart segments: RSTn cycles 0..7 and resync still works."""
+    img = _img(80, 80, seed=9)
+    data = jpeg_encode(img, quality=85, restart_interval=1)
+    # 10x10 MCUs at 4:4:4 -> 99 restarts, so the full D0..D7 cycle
+    for i in range(8):
+        assert bytes([0xFF, 0xD0 + i]) in data
+    assert np.array_equal(
+        jpeg_decode(data), jpeg_decode(jpeg_encode(img, quality=85))
+    )

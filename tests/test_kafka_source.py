@@ -239,3 +239,42 @@ def test_kafka_properties_drive_the_gated_path(spark, monkeypatch):
     out = ks.kafka_stream(fake_spark, **kw)
     assert seen["options"]["subscribePattern"] == "repos..*"
     assert out.count() == 2
+
+
+def test_kafka_stream_batch_mode_uses_bounded_reader(spark, monkeypatch):
+    """batch=True goes through spark.read (bounded backfill) with
+    endingOffsets wired; streaming mode must NOT accept endingOffsets
+    implicitly (it simply forwards what was given)."""
+    monkeypatch.setattr(ks, "kafka_available", lambda s: True)
+    seen = {}
+
+    class FakeReader:
+        def __init__(self, name):
+            self.name = name
+
+        def format(self, f):
+            seen["which"] = self.name
+            seen["format"] = f
+            return self
+
+        def options(self, **kw):
+            seen["options"] = kw
+            return self
+
+        def load(self):
+            return _kafka_shaped(spark)
+
+    fake_spark = types.SimpleNamespace(
+        read=FakeReader("read"), readStream=FakeReader("readStream")
+    )
+    out = ks.kafka_stream(
+        fake_spark,
+        bootstrap_servers="b:9092",
+        assign='{"t": [0]}',
+        starting_offsets='{"t": {"0": 0}}',
+        ending_offsets='{"t": {"0": 100}}',
+        batch=True,
+    )
+    assert seen["which"] == "read"
+    assert seen["options"]["endingOffsets"] == '{"t": {"0": 100}}'
+    assert out.count() == 2

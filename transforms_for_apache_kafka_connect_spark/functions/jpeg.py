@@ -197,14 +197,21 @@ def _block_split(plane: np.ndarray) -> np.ndarray:
 
 
 def jpeg_encode(
-    img: np.ndarray, *, quality: int = 85, subsampling: str = "4:4:4"
+    img: np.ndarray, *, quality: int = 85, subsampling: str = "4:4:4",
+    restart_interval: int = 0,
 ) -> bytes:
     """uint8 image (H, W) grayscale or (H, W, 3) RGB -> baseline JFIF
-    bytes. ``subsampling``: '4:4:4' or '4:2:0' (color only)."""
+    bytes. ``subsampling``: '4:4:4', '4:2:2' or '4:2:0' (color only).
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs (resilience markers real capture pipelines produce — and the
+    decoder's restart resync path needs conforming input to test
+    against)."""
     if img.dtype != np.uint8:
         raise ValueError("jpeg_encode expects uint8")
     if subsampling not in ("4:4:4", "4:2:2", "4:2:0"):
         raise ValueError("subsampling must be '4:4:4', '4:2:2' or '4:2:0'")
+    if restart_interval < 0:
+        raise ValueError("restart_interval must be >= 0")
     gray = img.ndim == 2
     h, w = img.shape[:2]
     if gray:
@@ -253,6 +260,8 @@ def jpeg_encode(
     for cls, (bits, vals) in ((0, (dc_bits, dc_vals)), (1, (ac_bits, ac_vals))):
         out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) + bytes([cls << 4])
         out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
     for ci in range(nc):
         out += bytes([ci + 1, 0x00])  # same DC/AC table ids for all
@@ -273,8 +282,19 @@ def jpeg_encode(
 
     wtr = _BitWriter()
     preds = [0] * nc
+    mcu_i = 0
     for my in range(n_mcu_y):
         for mx in range(n_mcu_x):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                # close the entropy segment (1-pad to a byte), emit
+                # RSTn (n cycles 0..7), reset DC predictors
+                out += wtr.flush()
+                wtr = _BitWriter()
+                out += bytes(
+                    [0xFF, 0xD0 + ((mcu_i // restart_interval) - 1) % 8]
+                )
+                preds = [0] * nc
+            mcu_i += 1
             for ci in range(nc):
                 sh, sv = samp[ci]
                 for by in range(sv):
