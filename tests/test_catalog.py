@@ -527,3 +527,58 @@ def test_store_pending_registration_restores(spark, tmp_path):
     s2 = spark.newSession()
     LakeCatalog(s2, store=store)
     assert s2.sql("SELECT count(*) AS n FROM repos").first()["n"] == 1
+
+
+def test_store_shared_by_two_sessions_preserves_both(spark, tmp_path):
+    """Two catalogs sharing one store must only ever touch their own
+    names: a wholesale rewrite from either instance's memory would
+    silently erase the other's registrations."""
+    t1 = LakeTable(root=str(tmp_path / "t1"), key_cols=["k"], n_buckets=4,
+                   discovery=False, merge_strategy="broadcast")
+    t2 = LakeTable(root=str(tmp_path / "t2"), key_cols=["k"], n_buckets=4,
+                   discovery=False, merge_strategy="broadcast")
+    for t in (t1, t2):
+        upd = spark.createDataFrame([(1, 1, 1)], "k long, v long, _lsn long")
+        t.merge(upd.withColumn("__is_delete", F.lit(False)),
+                epoch="e", batch_id=0)
+    store = str(tmp_path / "catalog.json")
+    s2 = spark.newSession()
+    cat_a = LakeCatalog(spark, store=store)
+    cat_b = LakeCatalog(s2, store=store)
+    cat_a.register("a_view", t1)
+    cat_b.register("b_view", t2)   # must not erase a_view from the store
+    cat_a.register("a_view2", t1)  # must not erase b_view
+    s3 = spark.newSession()
+    cat3 = LakeCatalog(s3, store=store)
+    assert cat3.names() == ["a_view", "a_view2", "b_view"]
+    cat_a.unregister("a_view")  # drops ONLY its own name
+    s4 = spark.newSession()
+    assert LakeCatalog(s4, store=store).names() == ["a_view2", "b_view"]
+
+
+def test_store_survives_failed_restore(spark, tmp_path):
+    """A mid-restore failure (torn manifest, moved root) must leave
+    the on-disk spec INTACT — restore never rewrites the store."""
+    import json
+    import shutil
+
+    t1 = LakeTable(root=str(tmp_path / "t1"), key_cols=["k"], n_buckets=4,
+                   discovery=False, merge_strategy="broadcast")
+    upd = spark.createDataFrame([(1, 1, 1)], "k long, v long, _lsn long")
+    t1.merge(upd.withColumn("__is_delete", F.lit(False)), epoch="e",
+             batch_id=0)
+    store = str(tmp_path / "catalog.json")
+    cat = LakeCatalog(spark, store=store)
+    cat.register("broken", LakeTable(root=str(tmp_path / "gone"),
+                                     key_cols=["k"], n_buckets=4))
+    cat.register("ok", t1)
+    before = json.load(open(store))
+    # break the first entry's table: its manifest dir vanishes
+    shutil.rmtree(str(tmp_path / "gone"))
+    (tmp_path / "gone" / "_manifest").mkdir(parents=True)
+    with open(tmp_path / "gone" / "_manifest" / "CURRENT", "w") as f:
+        f.write("99")  # points at a manifest that does not exist
+    s2 = spark.newSession()
+    with pytest.raises(Exception):
+        LakeCatalog(s2, store=store)
+    assert json.load(open(store)) == before, "restore rewrote the store"

@@ -213,3 +213,13 @@ def test_property_random_images_roundtrip():
         assert out.dtype == np.uint8
 
     law()
+
+
+def test_truncated_streams_raise_value_error():
+    """Truncation anywhere — mid-segment, mid-entropy — surfaces as
+    ValueError (the media pipeline's per-record error contract), never
+    a raw IndexError/struct.error from the parsers."""
+    data = jpeg_encode(_img(24, 24), quality=85)
+    for cut in (3, 10, len(data) // 2, len(data) - 3):
+        with pytest.raises(ValueError):
+            jpeg_decode(data[:cut])

@@ -278,3 +278,22 @@ def test_kafka_stream_batch_mode_uses_bounded_reader(spark, monkeypatch):
     assert seen["which"] == "read"
     assert seen["options"]["endingOffsets"] == '{"t": {"0": 100}}'
     assert out.count() == 2
+
+
+def test_duplicate_header_keys_fold_last_wins(spark):
+    """Kafka headers are an ordered multiset — duplicate keys are
+    legal (per-hop trace/retry headers); the normalization must fold
+    them last-wins instead of letting map_from_entries raise
+    DUPLICATED_MAP_KEY and kill the stream on a poison record."""
+    df = spark.createDataFrame(
+        [(
+            "t", 0, None, bytearray(b"v"), 1, "2024-05-01 00:00:01", 0,
+            [("retry", bytearray(b"1")), ("trace", bytearray(b"x")),
+             ("retry", bytearray(b"2"))],
+        )],
+        "topic string, partition int, key binary, value binary, "
+        "offset long, timestamp string, timestampType int, "
+        "headers array<struct<key:string,value:binary>>",
+    ).withColumn("timestamp", F.col("timestamp").cast("timestamp"))
+    row = normalize_kafka_frame(df).first()
+    assert row["headers"] == {"retry": "2", "trace": "x"}

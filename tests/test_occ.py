@@ -801,3 +801,31 @@ def test_racing_tags_both_land(spark, tmp_path):
     b.tag("audit", v1)  # stale handle: must rebase-and-retry
     m = _check_integrity(t)
     assert m["tags"] == {"golden": v1, "audit": v1}
+
+
+def test_racing_same_tag_different_targets_never_adopt(spark, tmp_path):
+    """tag('golden', 3) racing tag('golden', 7) from the same base:
+    identical name AND commit version, so tail+name+version op
+    identity would let the loser adopt — and report a pin that never
+    landed (the next vacuum then collects files it believes pinned).
+    The op includes the TARGET: the loser must rebase-and-commit its
+    own pin, so BOTH land (last one wins the name durably)."""
+    root = str(tmp_path / "t")
+    t = LakeTable(root, key_cols=["k"], n_buckets=N_BUCKETS)
+    for bid in range(3):
+        t.merge(_upd(spark, [(1, bid, bid + 1)]), epoch="seed", batch_id=bid)
+    m = t.manifest()
+    v = m["version"]
+    b = LakeTable(root, key_cols=["k"], n_buckets=N_BUCKETS)
+    _make_stale_once(b)
+    r_a = t.tag("golden", v - 2)
+    r_b = b.tag("golden", v - 1)  # stale: must rebase, not adopt
+    assert r_a["pinned_version"] == v - 2
+    assert r_b["pinned_version"] == v - 1
+    m2 = _check_integrity(t)
+    # b committed AFTER a, so b's pin is the durable one — and what b
+    # REPORTED matches what the manifest actually holds
+    assert m2["tags"] == {"golden": v - 1}
+    # a's pin landed too (an intermediate version carries it)
+    with open(t._manifest_path(m2["version"] - 1)) as f:
+        assert json.load(f)["tags"] == {"golden": v - 2}

@@ -70,14 +70,6 @@ for _k in range(8):
         )
 
 
-def _dct2(block: np.ndarray) -> np.ndarray:
-    return _C @ block @ _C.T
-
-
-def _idct2(coef: np.ndarray) -> np.ndarray:
-    return _C.T @ coef @ _C
-
-
 def _scaled_qt(base: np.ndarray, quality: int) -> np.ndarray:
     # libjpeg's documented quality scaling of the Annex K tables
     q = min(max(int(quality), 1), 100)
@@ -411,7 +403,19 @@ def _extend(v: int, size: int) -> int:
 def jpeg_decode(data: bytes) -> np.ndarray:
     """Baseline JFIF bytes -> uint8 array, (H, W) for grayscale or
     (H, W, 3) RGB. Progressive (SOF2) and arithmetic-coded streams
-    raise ValueError naming the unsupported marker."""
+    raise ValueError naming the unsupported marker; truncated or
+    corrupt streams raise ValueError too (never a raw IndexError from
+    the bit reader — media-pipeline callers catch ValueError per
+    record, the same contract as the PNG codec)."""
+    try:
+        return _jpeg_decode(data)
+    except (IndexError, struct.error, KeyError) as e:
+        raise ValueError(
+            f"truncated or corrupt JPEG stream ({type(e).__name__}: {e})"
+        ) from e
+
+
+def _jpeg_decode(data: bytes) -> np.ndarray:
     if data[:2] != JPEG_SOI:
         raise ValueError("not a JPEG stream (missing SOI)")
     pos = 2

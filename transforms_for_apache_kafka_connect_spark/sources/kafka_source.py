@@ -119,19 +119,36 @@ def normalize_kafka_frame(df: DataFrame) -> DataFrame:
     the converter boundary (``prepare_stream_events`` raw_format=
     json/avro/protobuf/maxwell/canal/dms) owns decoding."""
     cols = set(df.columns)
-    headers = (
-        F.map_from_entries(
-            F.transform(
-                F.col("headers"),
-                lambda h: F.struct(
-                    h.getField("key").alias("key"),
-                    h.getField("value").cast("string").alias("value"),
-                ),
-            )
+    if "headers" in cols:
+        entries = F.transform(
+            F.col("headers"),
+            lambda h: F.struct(
+                h.getField("key").alias("key"),
+                h.getField("value").cast("string").alias("value"),
+            ),
         )
-        if "headers" in cols
-        else F.lit(None).cast("map<string,string>")
-    )
+        # Kafka headers are an ordered MULTISET (duplicate keys are
+        # legal and common — per-hop trace/retry headers);
+        # map_from_entries raises on duplicates, so fold last-wins
+        # first — the same contract as envelope_from_kafka
+        # (sources/json_boundary.py)
+        deduped = F.filter(
+            entries,
+            lambda e, i: i
+            == F.array_max(
+                F.transform(
+                    entries,
+                    lambda e2, i2: F.when(
+                        e2.getField("key") == e.getField("key"), i2
+                    ).otherwise(F.lit(-1)),
+                )
+            ),
+        )
+        headers = F.when(
+            F.col("headers").isNotNull(), F.map_from_entries(deduped)
+        ).cast("map<string,string>")
+    else:
+        headers = F.lit(None).cast("map<string,string>")
     return df.select(
         F.col("topic"),
         F.col("partition").cast("int").alias("partition"),

@@ -161,55 +161,73 @@ class LakeCatalog:
         self.spark = spark
         self._views: dict[str, _ViewSpec] = {}
         self._store = store
-        self._persisted: dict[str, dict] = {}
+        self._restoring = False
         if store and os.path.exists(store):
             self._restore()
 
     # ------------------------------------------------- persistent store
 
     def _restore(self) -> None:
-        import json
-
+        """Re-register every persisted view. The store is NOT written
+        during restore (nothing changed), so a mid-restore failure —
+        a torn manifest, a moved table root — leaves the spec intact:
+        fix the table and reconstruct the catalog."""
         from transforms_for_apache_kafka_connect_spark.streaming.sink import (
             LakeTable,
         )
 
+        self._restoring = True
+        try:
+            for ent in self._load_store().values():
+                table = LakeTable(root=ent["root"], **ent.get("opts", {}))
+                if ent["kind"] == "changes":
+                    self.register_changes(
+                        ent["name"], table, epoch=ent.get("epoch")
+                    )
+                else:
+                    where = (
+                        [tuple(c) for c in ent["where"]]
+                        if ent.get("where") is not None
+                        else None
+                    )
+                    self.register(
+                        ent["name"], table,
+                        version=ent.get("version"), tag=ent.get("tag"),
+                        where=where,
+                    )
+        finally:
+            self._restoring = False
+
+    def _load_store(self) -> dict[str, dict]:
+        import json
+
+        if not (self._store and os.path.exists(self._store)):
+            return {}
         with open(self._store) as f:
             saved = json.load(f)
-        for ent in saved.get("views", []):
-            table = LakeTable(root=ent["root"], **ent.get("opts", {}))
-            if ent["kind"] == "changes":
-                self.register_changes(
-                    ent["name"], table, epoch=ent.get("epoch")
-                )
-            else:
-                where = (
-                    [tuple(c) for c in ent["where"]]
-                    if ent.get("where") is not None
-                    else None
-                )
-                self.register(
-                    ent["name"], table,
-                    version=ent.get("version"), tag=ent.get("tag"),
-                    where=where,
-                )
+        return {e["name"]: e for e in saved.get("views", [])}
 
     def _persist(self, name: str, ent: dict | None) -> None:
-        """Record/drop one view's spec and rewrite the store."""
+        """Record/drop ONE view's spec: read-modify-write against the
+        CURRENT store contents, so concurrent sessions sharing a store
+        only ever touch their own names — a wholesale rewrite from this
+        instance's memory would silently erase the other sessions'
+        registrations. (Last-writer-wins per name; the atomic rename
+        keeps the file always parseable.)"""
         import json
         import uuid as _uuid
 
-        if not self._store:
+        if not self._store or self._restoring:
             return
+        merged = self._load_store()
         if ent is None:
-            self._persisted.pop(name, None)
+            merged.pop(name, None)
         else:
-            self._persisted[name] = ent
+            merged[name] = ent
         tmp = self._store + f".tmp-{_uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(
-                {"views": [self._persisted[n] for n in sorted(self._persisted)]},
-                f, indent=1,
+                {"views": [merged[n] for n in sorted(merged)]}, f, indent=1,
             )
         os.replace(tmp, self._store)
 
