@@ -209,27 +209,42 @@ class LakeCatalog:
 
     def _persist(self, name: str, ent: dict | None) -> None:
         """Record/drop ONE view's spec: read-modify-write against the
-        CURRENT store contents, so concurrent sessions sharing a store
-        only ever touch their own names — a wholesale rewrite from this
-        instance's memory would silently erase the other sessions'
-        registrations. (Last-writer-wins per name; the atomic rename
-        keeps the file always parseable.)"""
+        CURRENT store contents under an advisory file lock, so
+        concurrent sessions sharing a store only ever touch their own
+        names — a wholesale rewrite from this instance's memory would
+        silently erase the other sessions' registrations, and an
+        unlocked read-modify-write could still drop a name written
+        between our read and our rename. (Last-writer-wins per name;
+        the atomic rename keeps the file always parseable for lockless
+        READERS — only writers take the lock.)"""
         import json
         import uuid as _uuid
 
         if not self._store or self._restoring:
             return
-        merged = self._load_store()
-        if ent is None:
-            merged.pop(name, None)
-        else:
-            merged[name] = ent
-        tmp = self._store + f".tmp-{_uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(
-                {"views": [merged[n] for n in sorted(merged)]}, f, indent=1,
-            )
-        os.replace(tmp, self._store)
+        lock_path = self._store + ".lock"
+        lock_f = open(lock_path, "a")
+        try:
+            try:
+                import fcntl
+
+                fcntl.flock(lock_f, fcntl.LOCK_EX)
+            except ImportError:  # non-POSIX: best-effort RMW
+                pass
+            merged = self._load_store()
+            if ent is None:
+                merged.pop(name, None)
+            else:
+                merged[name] = ent
+            tmp = self._store + f".tmp-{_uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump(
+                    {"views": [merged[n] for n in sorted(merged)]},
+                    f, indent=1,
+                )
+            os.replace(tmp, self._store)
+        finally:
+            lock_f.close()  # releases the flock
 
     @staticmethod
     def _table_entry(table) -> dict | None:
