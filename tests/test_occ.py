@@ -829,3 +829,52 @@ def test_racing_same_tag_different_targets_never_adopt(spark, tmp_path):
     # a's pin landed too (an intermediate version carries it)
     with open(t._manifest_path(m2["version"] - 1)) as f:
         assert json.load(f)["tags"] == {"golden": v - 2}
+
+
+def test_sparse_merge_keeps_exact_table_total_rows(spark, tmp_path):
+    """A discovery-mode merge touching a subset of buckets must not
+    collapse stats.total_rows to the touched-bucket count: the footer
+    row counts riding the zone maps keep the COW total exact."""
+    root = str(tmp_path / "t")
+    t = LakeTable(root, key_cols=["k"], n_buckets=N_BUCKETS,
+                  discovery=True)
+    t.merge(_upd(spark, [(k, 0, 1) for k in range(400)]),
+            epoch="seed", batch_id=0)
+    assert t.manifest()["stats"]["total_rows"] == 400
+    # touch ONE key (one bucket) — the observed merge row count is a
+    # fraction of the table
+    t.merge(_upd(spark, [(1, 9, 2)]), epoch="seed", batch_id=1)
+    m = t.manifest()
+    assert m["stats"]["total_rows"] == 400 == t.read(spark).count()
+    # deletes shrink it exactly too
+    dels = spark.createDataFrame(
+        [(k, 0, 3) for k in range(10)], "k long, v long, _lsn long"
+    ).withColumn("__is_delete", F.lit(True))
+    t.merge(dels, epoch="seed", batch_id=2)
+    assert t.manifest()["stats"]["total_rows"] == 390 == t.read(spark).count()
+
+
+def test_stale_slot_reclaim_is_exclusive_and_bounded(spark, tmp_path):
+    """An unreadable (torn) claim older than the reclaim grace is
+    reclaimed via an exclusive rename+link — the writer commits
+    instead of burning merge retries, and a racing fresh claim in the
+    emptied slot surfaces as a clean conflict, never a clobber."""
+    import time as _time
+
+    root = str(tmp_path / "t")
+    t = LakeTable(root, key_cols=["k"], n_buckets=N_BUCKETS,
+                  reclaim_grace_seconds=0.3)
+    t.merge(_upd(spark, [(1, 0, 1)]), epoch="seed", batch_id=0)
+    v = t.manifest()["version"]
+    torn = t._manifest_path(v + 1)
+    with open(torn, "w") as f:
+        f.write("{not json")  # crash debris in the next slot
+    t0 = _time.perf_counter()
+    t.merge(_upd(spark, [(2, 5, 2)]), epoch="seed", batch_id=1)
+    waited = _time.perf_counter() - t0
+    m = _check_integrity(t)
+    assert ["seed", 1] in m["committed"]
+    assert m["version"] == v + 1  # the reclaimed slot holds OUR commit
+    assert _state(spark, t) == {1: (0, 1), 2: (5, 2)}
+    # the wait was the grace remainder, not a merge-retry storm
+    assert waited < 30

@@ -355,6 +355,16 @@ def incremental_agg_update(
                     *[F.col(f"max_{c}").alias(f"__cmax_{c}")
                       for c in minmax_cols],
                 )
+                # bound the guard join to the (batch-sized) net set
+                # BEFORE joining: without the broadcast semi-join this
+                # shuffled the ENTIRE aggregate table (O(groups)) for
+                # every batch carrying any net-negative value — the
+                # exact O(|aggregate|) cost the module's O(affected
+                # groups) contract exists to avoid
+                cur_mm = cur_mm.join(
+                    F.broadcast(neg.select(*group_cols).distinct()),
+                    on=list(group_cols), how="leftsemi",
+                )
                 joined = neg.join(cur_mm, on=list(group_cols), how="left")
                 cond = None
                 for c in minmax_cols:

@@ -204,7 +204,15 @@ def _harvest_file_stats(path: str, cols: list[str] | None = None) -> dict:
                 agg[name] = [mn, mx]
             else:
                 agg[name] = [min(cur[0], mn), max(cur[1], mx)]
-    return {k: v for k, v in agg.items() if v is not None}
+    out = {k: v for k, v in agg.items() if v is not None}
+    # the footer also carries the file's EXACT row count for free —
+    # recorded under a dunder key no column can collide with; the
+    # zone-map matcher looks keys up by column name so it never sees
+    # it. _swap sums these into the manifest's table-level total_rows
+    # for COW tables (the Observation-based count only sees the
+    # touched buckets on a sparse merge).
+    out["__rows"] = int(md.num_rows)
+    return out
 
 
 #: double-hashing probe count for the per-file key Bloom sidecars
@@ -357,8 +365,8 @@ def _file_matches(stats: dict, where) -> bool:
     operators, so range pruning is exact."""
     for col, op, val in where:
         rng = stats.get(col)
-        if rng is None:
-            continue
+        if rng is None or not isinstance(rng, (list, tuple)):
+            continue  # absent, or a non-range entry (e.g. __rows)
         mn, mx = rng
         if op == "in":
             # prune only when EVERY value is comparable to the stats
@@ -743,6 +751,23 @@ class LakeTable:
         prev = self.manifest()  # read once, shared by both attach passes
         self._attach_stats(manifest, prev)
         self._attach_blooms(manifest, prev)
+        # exact table-level row count for COW tables: sum of the
+        # per-file footer counts riding the zone maps. The per-commit
+        # Observation only sees the rows the merge WROTE — on a sparse
+        # (discovery) merge that is the touched buckets, so recording
+        # it as the table total collapsed stats()/file-sizing/zorder
+        # sampling to a fraction of the truth. MoR tables keep the
+        # documented approximation (physical rows ≠ logical rows until
+        # compaction folds deltas).
+        fs = manifest.get("file_stats") or {}
+        live = [f for fls in manifest["buckets"].values() for f in fls]
+        if not manifest.get("mor") and all(
+            isinstance(fs.get(f, {}).get("__rows"), int) for f in live
+        ):
+            manifest.setdefault("stats", {})
+            manifest["stats"]["total_rows"] = sum(
+                fs[f]["__rows"] for f in live
+            )
         # overwrite unconditionally: builders dict-copy the base, so a
         # stale op/uuid inherited from the previous commit must not leak
         manifest["op"] = op
@@ -819,24 +844,36 @@ class LakeTable:
                             f"version {version} slot was claimed while "
                             f"waiting out the reclaim grace; retrying"
                         ) from None
-                if os.path.exists(self._manifest_path(version)):
-                    os.replace(tmp, self._manifest_path(version))
-                else:
-                    # vanished slot: race the link again; a loss here
-                    # is a fresh conflict for the caller to re-judge
-                    try:
-                        os.link(tmp, self._manifest_path(version))
-                    except FileExistsError:
-                        os.remove(tmp)
-                        from transforms_for_apache_kafka_connect_spark.errors import (  # noqa: E501
-                            CommitConflictException,
-                        )
-
-                        raise CommitConflictException(
-                            f"version {version} slot was re-claimed "
-                            f"while reclaiming; retrying"
-                        ) from None
+                # exclusive reclaim: RENAME the stale content away
+                # first — exactly ONE reclaimer wins the rename, so two
+                # writers whose grace expired simultaneously can never
+                # both replace into the slot and silently destroy each
+                # other's just-committed manifest (the old os.replace
+                # path had exactly that window). The loser (or anyone
+                # racing a fresh claim) falls through to the link and
+                # gets a clean conflict to re-judge.
+                stale_away = (
+                    self._manifest_path(version)
+                    + f".stale-{uuid.uuid4().hex}"
+                )
+                try:
+                    os.rename(self._manifest_path(version), stale_away)
+                    os.remove(stale_away)
+                except OSError:
+                    pass  # already claimed away by another reclaimer
+                try:
+                    os.link(tmp, self._manifest_path(version))
+                except FileExistsError:
                     os.remove(tmp)
+                    from transforms_for_apache_kafka_connect_spark.errors import (  # noqa: E501
+                        CommitConflictException,
+                    )
+
+                    raise CommitConflictException(
+                        f"version {version} slot was re-claimed "
+                        f"while reclaiming; retrying"
+                    ) from None
+                os.remove(tmp)
                 tmp = None
             elif not adoptable:
                 os.remove(tmp)
@@ -1401,7 +1438,10 @@ class LakeTable:
             # key could live in it — zone maps first, then Bloom
             # sidecars, both on key columns only (exact under MoR by the
             # same argument as single-key pruning)
-            fstats = (m.get("file_stats") or {}) if self.collect_stats else {}
+            # gate on the MANIFEST's stats (same rule as blooms below):
+            # a lookup-only process opened with collect_stats=False must
+            # still benefit from zone maps an ingest process built
+            fstats = m.get("file_stats") or {}
             fblooms = m.get("file_blooms") or {}
             key_conds = [
                 [(c, "==", k[c]) for c in self.key_cols] for k in _point_keys
@@ -1423,7 +1463,7 @@ class LakeTable:
                 return False
 
             files = [f for f in files if _any_key_survives(f)]
-        if where and self.collect_stats:
+        if where and m.get("file_stats"):
             fstats = m.get("file_stats") or {}
             if m.get("mor"):
                 prune_conds = [
@@ -2674,29 +2714,40 @@ class LakeTable:
                     orphan_chg.append(d)
         if not dry_run:
             import shutil
+            from contextlib import suppress
 
+            # every delete tolerates a concurrently-vanished target:
+            # two overlapping vacuums (cron overlap, manual beside
+            # scheduled) compute the same candidate lists, and the
+            # second's cleanup must finish its report, not abort
+            # partway on the first's deletions
             for d in orphan_chg:
                 shutil.rmtree(d, ignore_errors=True)
             for p in stale_tmp:
-                os.remove(p)
+                with suppress(FileNotFoundError):
+                    os.remove(p)
             for p in orphans:
-                os.remove(p)
+                with suppress(FileNotFoundError):
+                    os.remove(p)
             # drop now-empty version/bucket directories
             for d in sorted(
                 glob.glob(os.path.join(self.root, "data", "**"), recursive=True),
                 key=len, reverse=True,
             ):
-                if os.path.isdir(d) and not os.listdir(d):
-                    os.rmdir(d)
+                with suppress(OSError):  # non-empty (race) or gone
+                    if os.path.isdir(d) and not os.listdir(d):
+                        os.rmdir(d)
             for v in expired:
-                os.remove(self._manifest_path(v))
+                with suppress(FileNotFoundError):
+                    os.remove(self._manifest_path(v))
             if drop_staged:
                 for p in staged_manifests:
-                    os.remove(p)
+                    with suppress(FileNotFoundError):
+                        os.remove(p)
                     sidecar = os.path.join(
                         os.path.dirname(p), "occ-" + os.path.basename(p)
                     )
-                    if os.path.exists(sidecar):
+                    with suppress(FileNotFoundError):
                         os.remove(sidecar)
             # sidecars whose staged manifest is gone (published or
             # dropped) are spent either way
@@ -2708,7 +2759,8 @@ class LakeTable:
                         os.path.dirname(p), os.path.basename(p)[4:]
                     )
                 ):
-                    os.remove(p)
+                    with suppress(FileNotFoundError):
+                        os.remove(p)
         return {
             "deleted_files": len(orphans),
             "expired_manifests": len(expired),
