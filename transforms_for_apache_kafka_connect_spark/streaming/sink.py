@@ -357,6 +357,55 @@ def _same_kind(val, mn) -> bool:
     ) or (isinstance(val, str) and isinstance(mn, str))
 
 
+
+
+def _harvest_dense_obs(obs, n_upd):
+    """Dense-mode Observation harvest shared by the COW and MoR commit
+    paths: (n_updates, {min_lsn, max_lsn}) — with the
+    observation-pruned fallback (an empty observed subtree Catalyst
+    proved away reads as zero updates, not an error). One
+    implementation so a metrics-contract change can never leave the
+    two merge strategies recording different lineage for the same
+    batch shape."""
+    dense_lsn_range: dict = {}
+    if n_upd is None and obs is not None:
+        try:
+            n_upd = int(obs.get["n_updates"])
+            got = obs.get
+            if got.get("max_lsn") is not None:
+                dense_lsn_range = {
+                    "min_lsn": int(got["min_lsn"]),
+                    "max_lsn": int(got["max_lsn"]),
+                }
+        except Exception as exc:
+            if observation_pruned(exc):
+                n_upd = 0  # observed subtree was provably empty
+    return n_upd, dense_lsn_range
+
+def _list_written(out_dir: str, rel_dir: str) -> dict[int, list[str]]:
+    """Bucket-partitioned writer output -> {bucket: sorted rel paths}.
+    THE walk every commit path (merge, append, compact, rescale) uses
+    to turn what the writer actually produced into manifest entries —
+    one implementation, so a layout change (new sidecar, marker file,
+    compression suffix) can never desynchronize one commit path's
+    manifest from the files on disk."""
+    written: dict[int, list[str]] = {}
+    if not os.path.isdir(out_dir):
+        return written
+    for entry in sorted(os.listdir(out_dir)):
+        if not entry.startswith(f"{BUCKET_COL}="):
+            continue
+        b = int(entry.split("=", 1)[1])
+        bdir = os.path.join(out_dir, entry)
+        files = sorted(
+            os.path.join(rel_dir, entry, fn)
+            for fn in os.listdir(bdir)
+            if fn.endswith(".parquet")
+        )
+        if files:
+            written[b] = files
+    return written
+
 def _file_matches(stats: dict, where) -> bool:
     """Can this file contain a row satisfying ALL conditions? (The
     caller pre-filters ``where`` down to prune-safe conditions.)
@@ -1810,25 +1859,11 @@ class LakeTable:
             .parquet(*[self._abs(f) for f in delta_files])
             .drop(BUCKET_COL)
         )
-        # LWW within the window (same (_lsn, __seq) order as
-        # _resolve_mor), but KEEP the _deleted winner rows — a delete
-        # is a change the consumer must see
-        others = [c for c in df.columns if c not in self.key_cols]
-        packed = F.struct(*[F.col(c) for c in others])
-        seq = (F.coalesce(F.col("__seq"), F.lit(-1))
-               if "__seq" in df.columns else F.lit(-1))
-        resolved = (
-            df.groupBy(*[F.col(c) for c in self.key_cols])
-            .agg(F.max_by(packed, F.struct(F.col("_lsn"), seq)).alias("__r"))
-            .select(*self.key_cols, "__r.*")
-        )
-        if "_deleted" in others:
-            resolved = resolved.withColumn(
-                "_deleted", F.coalesce(F.col("_deleted"), F.lit(False))
-            )
-        if "__seq" in others:
-            resolved = resolved.drop("__seq")
-        return resolved
+        # LWW within the window: THE SAME resolution as read() —
+        # one implementation, so the changefeed's winner can never
+        # disagree with the table's winner for the same key; deletes
+        # stay as rows (a delete is a change the consumer must see)
+        return self._resolve_mor(df, keep_deleted=True)
 
     def _write_changes(
         self,
@@ -2058,7 +2093,9 @@ class LakeTable:
             df = df.filter(F.col("epoch") == epoch)
         return df
 
-    def _resolve_mor(self, df: DataFrame) -> DataFrame:
+    def _resolve_mor(
+        self, df: DataFrame, *, keep_deleted: bool = False
+    ) -> DataFrame:
         """Merge-on-read resolution: per key keep the max-``(_lsn,
         __seq)`` row (delta rows beat the base rows they supersede),
         then drop rows whose winner is a ``_deleted`` marker. A no-op
@@ -2088,9 +2125,15 @@ class LakeTable:
             .select(*self.key_cols, "__r.*")
         )
         if "_deleted" in others:
-            resolved = resolved.filter(
-                ~F.coalesce(F.col("_deleted"), F.lit(False))
-            ).drop("_deleted")
+            if keep_deleted:
+                # changefeed consumers must SEE deletes as rows
+                resolved = resolved.withColumn(
+                    "_deleted", F.coalesce(F.col("_deleted"), F.lit(False))
+                )
+            else:
+                resolved = resolved.filter(
+                    ~F.coalesce(F.col("_deleted"), F.lit(False))
+                ).drop("_deleted")
         if "__seq" in others:
             resolved = resolved.drop("__seq")
         return resolved
@@ -2153,34 +2196,11 @@ class LakeTable:
             # the dense-mode observe() wrapper does not sameResult the
             # cached child plan — release the exact persisted handle
             _cache.unpersist()
-        dense_lsn_range = {}
-        if n_upd is None and obs is not None:
-            try:
-                n_upd = int(obs.get["n_updates"])
-                got = obs.get
-                if got.get("max_lsn") is not None:
-                    dense_lsn_range = {
-                        "min_lsn": int(got["min_lsn"]),
-                        "max_lsn": int(got["max_lsn"]),
-                    }
-            except Exception as exc:
-                if observation_pruned(exc):
-                    n_upd = 0  # observed subtree was provably empty
+        n_upd, dense_lsn_range = _harvest_dense_obs(obs, n_upd)
 
-        appended: dict[str, list[str]] = {}
-        if os.path.isdir(out_dir):
-            for entry in sorted(os.listdir(out_dir)):
-                if not entry.startswith(f"{BUCKET_COL}="):
-                    continue
-                b = int(entry.split("=", 1)[1])
-                bdir = os.path.join(out_dir, entry)
-                files = sorted(
-                    os.path.join(rel_dir, entry, fn)
-                    for fn in os.listdir(bdir)
-                    if fn.endswith(".parquet")
-                )
-                if files:
-                    appended[str(b)] = files
+        appended = {
+            str(b): fs for b, fs in _list_written(out_dir, rel_dir).items()
+        }
 
         delta_schema = json.loads(delta.drop(BUCKET_COL).schema.json())
         wm = widen_map or {}
@@ -2389,19 +2409,7 @@ class LakeTable:
             .partitionBy(BUCKET_COL)
             .parquet(out_dir)
         )
-        written: dict[int, list[str]] = {}
-        for entry in sorted(os.listdir(out_dir)):
-            if not entry.startswith(f"{BUCKET_COL}="):
-                continue
-            b = int(entry.split("=", 1)[1])
-            bdir = os.path.join(out_dir, entry)
-            files = sorted(
-                os.path.join(rel_dir, entry, fn)
-                for fn in os.listdir(bdir)
-                if fn.endswith(".parquet")
-            )
-            if files:
-                written[b] = files
+        written = _list_written(out_dir, rel_dir)
         new_buckets = dict(m["buckets"])
         for b in over:
             if b in written:
@@ -2496,19 +2504,9 @@ class LakeTable:
             .partitionBy(BUCKET_COL)
             .parquet(out_dir)
         )
-        new_buckets: dict[str, list[str]] = {}
-        for entry in sorted(os.listdir(out_dir)):
-            if not entry.startswith(f"{BUCKET_COL}="):
-                continue
-            b = int(entry.split("=", 1)[1])
-            bdir = os.path.join(out_dir, entry)
-            files = sorted(
-                os.path.join(rel_dir, entry, fn)
-                for fn in os.listdir(bdir)
-                if fn.endswith(".parquet")
-            )
-            if files:
-                new_buckets[str(b)] = files
+        new_buckets = {
+            str(b): fs for b, fs in _list_written(out_dir, rel_dir).items()
+        }
         def build(mbase):
             commit = dict(mbase)
             commit["version"] = mbase["version"] + 1
@@ -3345,20 +3343,7 @@ class LakeTable:
         elif chg_cache is not None:
             chg_cache.unpersist()
 
-        written = {}
-        if os.path.isdir(out_dir):
-            for entry in sorted(os.listdir(out_dir)):
-                if not entry.startswith(f"{BUCKET_COL}="):
-                    continue
-                b = int(entry.split("=", 1)[1])
-                bdir = os.path.join(out_dir, entry)
-                files = sorted(
-                    os.path.join(rel_dir, entry, fn)
-                    for fn in os.listdir(bdir)
-                    if fn.endswith(".parquet")
-                )
-                if files:
-                    written[b] = files
+        written = _list_written(out_dir, rel_dir)
 
         def _new_buckets(mbase):
             if touched is not None:
@@ -3379,19 +3364,7 @@ class LakeTable:
             total_rows = int(obs_out.get["total_rows"])
         except Exception:
             pass
-        dense_lsn_range = {}
-        if n_upd is None and obs is not None:
-            try:
-                n_upd = int(obs.get["n_updates"])
-                got = obs.get
-                if got.get("max_lsn") is not None:
-                    dense_lsn_range = {
-                        "min_lsn": int(got["min_lsn"]),
-                        "max_lsn": int(got["max_lsn"]),
-                    }
-            except Exception as exc:
-                if observation_pruned(exc):
-                    n_upd = 0  # observed subtree was provably empty
+        n_upd, dense_lsn_range = _harvest_dense_obs(obs, n_upd)
 
         if self.discovery:
             # per-partition lineage (north_rule): bucket, counts, lsn range
